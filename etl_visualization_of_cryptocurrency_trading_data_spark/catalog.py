@@ -1,0 +1,67 @@
+"""Fixture-table catalog.
+
+One canonical loader per driver-generated parquet table (TESTDATA.md).
+Parquet is self-describing, so there is no duplicated schema declaration
+(the reference declares every schema three times — Cassandra DDL at
+spark-streaming.py:51-116, StructTypes at :216-267, producer dicts at
+dags/crypto_data_streaming.py:73-112; we keep exactly one source of truth).
+
+At 100 TB each of these becomes a partitioned table/dataset behind the
+same name; callers only ever see a DataFrame, so the storage layout can
+change without touching any operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Column pruning + predicate pushdown into
+    the parquet scan are Catalyst's job — callers just select/filter.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native
+    type for — read it as int64 nanos (legacy conf) and truncate to
+    microseconds with integer division (``div``, not float ``/`` — int64
+    epoch-nanos exceed double's 2^53 exact range), matching DuckDB's
+    ns→us handling so the oracle sees identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

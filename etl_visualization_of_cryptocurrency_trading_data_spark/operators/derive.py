@@ -1,0 +1,144 @@
+"""Reference-shaped tables derived from the fixture tables (FIXTURES.md §B).
+
+The reference's five Cassandra tables (keyspace ``crypto_analysis``, DDL at
+reference spark-streaming.py:51-116) are re-created deterministically from
+the driver's synthetic ``events`` table so every SURVEY §2 operator has a
+natural, oracle-checkable input:
+
+    coins            -- dimension: one row per (exchange, symbol)
+    price_data       -- fact time-series keyed (coin_id, exchange, timestamp)
+    ohlc_data        -- 1-hour tumbling candles over price_data
+    coin_market_cap  -- share-of-total snapshot at the global max timestamp
+
+Key mapping (FIXTURES.md §B): ``exchange = event_type``,
+``symbol = 'C' || user_id``, ``coin_id = exchange || '_' || symbol`` — the
+surrogate-key concat is the reference's own idiom
+(dags/crypto_data_streaming.py:72).
+
+Scale notes (100 TB):
+- price_data is one window pass partitioned by ``coin_id`` — a single hash
+  shuffle on the entity key; no driver-side state, no collects. Entity
+  cardinality grows with data (users scale with sf), so partitions stay
+  balanced; AQE skew-join/coalesce handles hot entities.
+- coins is DISTINCT over the two key columns — Catalyst prunes the scan to
+  exactly those columns; output is dimension-sized (broadcastable).
+- ohlc_data is a single groupBy on (entity, hour bucket): map-side partial
+  aggregation, one shuffle, no window needed.
+- coin_market_cap aggregates symbol-level partials, then computes the
+  share against a single-row broadcast total — no single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Row-offset lags used to derive the reference's change_1h/_1d/_1w/_1m
+# columns (dags/crypto_data_streaming.py:87-98 computes close/open-1 per
+# REST candle; we derive the same ratio-to-earlier-price against row lags
+# so the result is deterministic and oracle-expressible).
+CHANGE_LAGS = {"change_1h": 1, "change_1d": 4, "change_1w": 12, "change_1m": 24}
+
+
+def coins(events: DataFrame) -> DataFrame:
+    """Dimension table (reference DDL spark-streaming.py:53-61).
+
+    DISTINCT over (event_type, user_id) — column-pruned scan, one shuffle,
+    dimension-sized output: the canonical broadcast-join side.
+    """
+    return (
+        events.select(
+            F.concat(F.col("event_type"), F.lit("_C"), F.col("user_id")).alias("id"),
+            F.concat(F.lit("Coin "), F.col("user_id")).alias("name"),
+            F.concat(F.lit("C"), F.col("user_id")).alias("symbol"),
+            F.col("event_type").alias("exchange"),
+        )
+        .distinct()
+    )
+
+
+def price_data(events: DataFrame) -> DataFrame:
+    """Fact time-series (reference DDL spark-streaming.py:62-77).
+
+    change_* columns are null-guarded lag ratios (P9/W4 in SURVEY §2):
+    NULL when there is no lagged row or the lagged price is zero —
+    mirroring the reference's ``close/open - 1 if open else None``
+    (dags/crypto_data_streaming.py:89-98).
+
+    One window pass over a single hash shuffle on coin_id. The (ts,
+    event_id) orderBy gives a deterministic total order even if two ticks
+    share a timestamp.
+    """
+    base = events.select(
+        F.concat(F.col("event_type"), F.lit("_C"), F.col("user_id")).alias("coin_id"),
+        F.col("event_type").alias("exchange"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("price"),
+        (F.abs(F.col("value")) * 100.0).alias("volume"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("coin_id").orderBy("timestamp", "event_id")
+    changes = [
+        F.when(
+            F.lag("price", n).over(w) != 0.0,
+            F.col("price") / F.lag("price", n).over(w) - 1.0,
+        ).alias(name)
+        for name, n in CHANGE_LAGS.items()
+    ]
+    return base.select(
+        "coin_id", "exchange", "timestamp", "price", "volume", *changes
+    )
+
+
+def ohlc_data(price: DataFrame) -> DataFrame:
+    """1-hour tumbling candles (replaces the reference's per-candle REST
+    fetch, dags/crypto_data_streaming.py:102-112; schema parity with DDL
+    spark-streaming.py:78-91).
+
+    Pure groupBy aggregation — partial (map-side) min/max/min_by/max_by
+    combine before the single shuffle, so this scales linearly; no window
+    function, no per-group sort.
+    """
+    hour = F.date_trunc("hour", F.col("timestamp"))
+    return (
+        price.groupBy(
+            "coin_id", "exchange", hour.alias("timestamp")
+        )
+        .agg(
+            F.min_by("price", "timestamp").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "timestamp").alias("close"),
+        )
+    )
+
+
+def coin_market_cap(price: DataFrame) -> DataFrame:
+    """Latest share-of-total snapshot (reference table DDL
+    spark-streaming.py:106-115; consumed pre-computed from CoinGecko at
+    dags/crypto_data_streaming.py:125-141 — here computed in-engine, A6).
+
+    market_cap_percentage = 100 * sum(volume per symbol) / sum(volume),
+    stamped with the global max timestamp. Two tiny aggregates + a
+    broadcast of the single-row total — deliberately NOT a
+    ``sum().over(Window.partitionBy(lit(1)))``, which would funnel all
+    rows through one partition at scale.
+    """
+    symbol = F.regexp_extract(F.col("coin_id"), "_(C[0-9]+)$", 1).alias("coin_symbol")
+    per_symbol = price.groupBy(symbol).agg(
+        F.sum("volume").alias("symbol_volume"), F.max("timestamp").alias("max_ts")
+    )
+    totals = per_symbol.agg(
+        F.sum("symbol_volume").alias("total_volume"),
+        F.max("max_ts").alias("snapshot_ts"),
+    )
+    return (
+        per_symbol.crossJoin(F.broadcast(totals))
+        .select(
+            "coin_symbol",
+            F.col("snapshot_ts").alias("timestamp"),
+            (F.lit(100.0) * F.col("symbol_volume") / F.col("total_volume")).alias(
+                "market_cap_percentage"
+            ),
+        )
+    )

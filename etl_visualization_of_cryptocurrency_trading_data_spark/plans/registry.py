@@ -1,0 +1,268 @@
+"""Query + oracle registry: the driver-facing correctness surface.
+
+Every implemented operator from SURVEY §2 appears here as a named query
+(builder taking ``(spark, sf_dir)``) with, where SQL-expressible, a
+DuckDB oracle computing the identical result from the same parquet
+fixtures. Column names/aliases are pinned identical on both sides
+(the driver hashes values under a by-name column sort).
+
+The EMA family (ema_20 / macd) is oracle-checked via the closed form of
+``ewm(adjust=False)``:  with w = 1 - 2/(span+1),
+
+    e_t = w^t * p_0 + (1-w) * sum_{i=1..t} w^(t-i) * p_i
+        = w^t * (p_0 + alpha * (S_t - p_0)),   S_t = sum_{i<=t} w^(-i) p_i
+
+S_t is a plain prefix-sum window, so DuckDB can express the recursion
+exactly (numerically safe at oracle scale: groups are ~10^2 rows at
+sf0.01, so w^(-i) stays far below double overflow).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import derive
+from ..operators.indicators import technical_indicators
+from . import serving
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (DuckDB SQL over the pre-registered views)
+# ---------------------------------------------------------------------------
+
+PRICE_DATA_CTE = """
+price_data AS (
+  SELECT coin_id, exchange, timestamp, price, volume,
+         CASE WHEN lag(price, 1)  OVER w <> 0 THEN price / lag(price, 1)  OVER w - 1 END AS change_1h,
+         CASE WHEN lag(price, 4)  OVER w <> 0 THEN price / lag(price, 4)  OVER w - 1 END AS change_1d,
+         CASE WHEN lag(price, 12) OVER w <> 0 THEN price / lag(price, 12) OVER w - 1 END AS change_1w,
+         CASE WHEN lag(price, 24) OVER w <> 0 THEN price / lag(price, 24) OVER w - 1 END AS change_1m
+  FROM (
+    SELECT event_type || '_C' || user_id AS coin_id,
+           event_type AS exchange,
+           ts AS timestamp,
+           value AS price,
+           abs(value) * 100 AS volume,
+           event_id
+    FROM events) b
+  WINDOW w AS (PARTITION BY coin_id ORDER BY timestamp, event_id)
+)"""
+
+COINS_CTE = """
+coins AS (
+  SELECT DISTINCT event_type || '_C' || user_id AS id,
+         'Coin ' || user_id AS name,
+         'C' || user_id AS symbol,
+         event_type AS exchange
+  FROM events
+)"""
+
+OHLC_CTE = """
+ohlc_data AS (
+  SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
+         arg_min(price, timestamp) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         arg_max(price, timestamp) AS close
+  FROM price_data
+  GROUP BY coin_id, exchange, date_trunc('hour', timestamp)
+)"""
+
+INDICATORS_CTE = """
+ind0 AS (
+  SELECT coin_id, exchange, timestamp, price,
+         row_number() OVER wo AS rn,
+         first_value(price) OVER wo AS p0,
+         CASE WHEN count(*) OVER w20 = 20 THEN avg(price) OVER w20 END AS sma_20,
+         price - lag(price) OVER wo AS delta
+  FROM price_data
+  WINDOW wo AS (PARTITION BY coin_id, exchange ORDER BY timestamp),
+         w20 AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+ind1 AS (
+  SELECT *,
+         sum(price * power(19.0/21.0, -(rn-1))) OVER ws AS s20,
+         sum(price * power(11.0/13.0, -(rn-1))) OVER ws AS s12,
+         sum(price * power(25.0/27.0, -(rn-1))) OVER ws AS s26,
+         CASE WHEN rn >= 14
+              THEN avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w14 END AS avg_gain,
+         CASE WHEN rn >= 14
+              THEN avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w14 END AS avg_loss
+  FROM ind0
+  WINDOW ws AS (PARTITION BY coin_id, exchange ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w14 AS (PARTITION BY coin_id, exchange ORDER BY rn
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+technical_indicators AS (
+  SELECT coin_id, exchange, timestamp, sma_20,
+         power(19.0/21.0, rn-1) * (p0 + (2.0/21.0) * (s20 - p0)) AS ema_20,
+         CASE WHEN rn < 14 THEN NULL
+              WHEN avg_loss = 0 AND avg_gain = 0 THEN NULL
+              WHEN avg_loss = 0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi_14,
+         power(11.0/13.0, rn-1) * (p0 + (2.0/13.0) * (s12 - p0))
+           - power(25.0/27.0, rn-1) * (p0 + (2.0/27.0) * (s26 - p0)) AS macd
+  FROM ind1
+)"""
+
+LATEST_CTES = """
+latest_price AS (
+  SELECT coin_id, exchange, timestamp AS price_ts, price, volume FROM (
+    SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
+                                 ORDER BY timestamp DESC) AS lrn
+    FROM price_data) WHERE lrn = 1
+),
+latest_ohlc AS (
+  SELECT coin_id, exchange, open, high, low, close FROM (
+    SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
+                                 ORDER BY timestamp DESC) AS lrn
+    FROM ohlc_data) WHERE lrn = 1
+),
+latest_ind AS (
+  SELECT coin_id, exchange, sma_20, ema_20, rsi_14, macd FROM (
+    SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
+                                 ORDER BY timestamp DESC) AS lrn
+    FROM technical_indicators) WHERE lrn = 1
+)"""
+
+
+def _with(*ctes: str, select: str) -> str:
+    return "WITH " + ",".join(ctes) + "\n" + select
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def q_coins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive.coins(_events(spark, sf_dir))
+
+
+def q_price_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive.price_data(_events(spark, sf_dir))
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive.ohlc_data(derive.price_data(_events(spark, sf_dir)))
+
+
+def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return technical_indicators(derive.price_data(_events(spark, sf_dir)))
+
+
+def q_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive.coin_market_cap(derive.price_data(_events(spark, sf_dir)))
+
+
+def q_price_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.price_chart(q_price_data(spark, sf_dir), "C7", "1w")
+
+
+def q_ohlc_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.ohlc_chart(q_ohlc(spark, sf_dir), "C7", "1w")
+
+
+def q_indicator_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.indicator_chart(q_indicators(spark, sf_dir), "C7", limit=200)
+
+
+def q_market_cap_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.market_cap_chart(q_market_cap(spark, sf_dir))
+
+
+def q_coin_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    price = derive.price_data(ev)
+    return serving.coin_table(
+        derive.coins(ev), price, derive.ohlc_data(price), technical_indicators(price)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "coins_dim": q_coins,
+    "price_data": q_price_data,
+    "ohlc_candles": q_ohlc,
+    "technical_indicators": q_indicators,
+    "coin_market_cap": q_market_cap,
+    "price_chart": q_price_chart,
+    "ohlc_chart": q_ohlc_chart,
+    "indicator_chart": q_indicator_chart,
+    "coin_table": q_coin_table,
+}
+
+ORACLES: dict[str, str] = {
+    "coins_dim": _with(COINS_CTE, select="SELECT id, name, symbol, exchange FROM coins"),
+    "price_data": _with(
+        PRICE_DATA_CTE,
+        select="SELECT coin_id, exchange, timestamp, price, volume,"
+        " change_1h, change_1d, change_1w, change_1m FROM price_data",
+    ),
+    "ohlc_candles": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
+    ),
+    "technical_indicators": _with(
+        PRICE_DATA_CTE, INDICATORS_CTE,
+        select="SELECT coin_id, exchange, timestamp, sma_20, ema_20, rsi_14, macd"
+        " FROM technical_indicators",
+    ),
+    "coin_market_cap": _with(
+        PRICE_DATA_CTE,
+        select="""
+  SELECT 'C' || CAST(u AS VARCHAR) AS coin_symbol,
+         (SELECT max(timestamp) FROM price_data) AS timestamp,
+         100.0 * symbol_volume / sum(symbol_volume) OVER () AS market_cap_percentage
+  FROM (SELECT regexp_extract(coin_id, '_C([0-9]+)$', 1) AS u,
+               sum(volume) AS symbol_volume
+        FROM price_data GROUP BY 1)""",
+    ),
+    "price_chart": _with(
+        PRICE_DATA_CTE,
+        select="""
+  SELECT exchange, timestamp, price, volume
+  FROM price_data
+  WHERE ends_with(coin_id, '_C7')
+    AND timestamp > (SELECT max(timestamp) FROM price_data
+                     WHERE ends_with(coin_id, '_C7')) - INTERVAL 168 HOURS""",
+    ),
+    "ohlc_chart": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT exchange, timestamp, open, high, low, close
+  FROM ohlc_data
+  WHERE ends_with(coin_id, '_C7')
+    AND timestamp > (SELECT max(timestamp) FROM ohlc_data
+                     WHERE ends_with(coin_id, '_C7')) - INTERVAL 168 HOURS""",
+    ),
+    "indicator_chart": _with(
+        PRICE_DATA_CTE, INDICATORS_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp, sma_20, ema_20, rsi_14, macd
+  FROM technical_indicators
+  WHERE ends_with(coin_id, '_C7')
+  ORDER BY timestamp, exchange
+  LIMIT 200""",
+    ),
+    "coin_table": _with(
+        PRICE_DATA_CTE, COINS_CTE, OHLC_CTE, INDICATORS_CTE, LATEST_CTES,
+        select="""
+  SELECT c.id, c.name, c.symbol, c.exchange, p.price_ts, p.price, p.volume,
+         o.open, o.high, o.low, o.close, i.sma_20, i.ema_20, i.rsi_14, i.macd
+  FROM coins c
+  JOIN latest_price p ON p.coin_id = c.id AND p.exchange = c.exchange
+  JOIN latest_ohlc  o ON o.coin_id = c.id AND o.exchange = c.exchange
+  JOIN latest_ind   i ON i.coin_id = c.id AND i.exchange = c.exchange""",
+    ),
+}

@@ -1,0 +1,105 @@
+"""Indicator semantics vs the reference's own pandas definitions
+(reference spark-streaming.py:164-188): SMA/EMA/RSI/MACD computed by the
+engine must equal a direct pandas rolling/ewm recomputation to 1e-9,
+including the pinned edge cases (FIXTURES.md §C)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+    technical_indicators,
+)
+
+
+def reference_indicators(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The reference UDF body, verbatim semantics (spark-streaming.py:164-188)."""
+    out = []
+    for (coin_id, exchange), g in pdf.groupby(["coin_id", "exchange"]):
+        g = g.sort_values("timestamp").copy()
+        g["sma_20"] = g["price"].rolling(window=20).mean()
+        g["ema_20"] = g["price"].ewm(span=20, adjust=False).mean()
+        delta = g["price"].diff()
+        gain = delta.where(delta > 0, 0)
+        loss = (-delta).where(delta < 0, 0)
+        avg_gain = gain.rolling(window=14).mean()
+        avg_loss = loss.rolling(window=14).mean()
+        rs = avg_gain / avg_loss
+        g["rsi_14"] = 100 - (100 / (1 + rs))
+        ema_12 = g["price"].ewm(span=12, adjust=False).mean()
+        ema_26 = g["price"].ewm(span=26, adjust=False).mean()
+        g["macd"] = ema_12 - ema_26
+        out.append(g[["coin_id", "exchange", "timestamp", "sma_20", "ema_20", "rsi_14", "macd"]])
+    return pd.concat(out, ignore_index=True)
+
+
+def make_price(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["coin_id", "exchange", "timestamp", "price"])
+    pdf["timestamp"] = pd.to_datetime(pdf["timestamp"])
+    pdf["volume"] = pdf["price"].abs() * 100
+    return spark.createDataFrame(pdf)
+
+
+def series_rows(coin, exch, prices, start="2024-01-01"):
+    ts = pd.date_range(start, periods=len(prices), freq="1h")
+    return [(coin, exch, t, p) for t, p in zip(ts, prices)]
+
+
+def check(spark, rows):
+    df = make_price(spark, rows)
+    got = (
+        technical_indicators(df)
+        .toPandas()
+        .sort_values(["coin_id", "exchange", "timestamp"])
+        .reset_index(drop=True)
+    )
+    want = (
+        reference_indicators(df.toPandas())
+        .sort_values(["coin_id", "exchange", "timestamp"])
+        .reset_index(drop=True)
+    )
+    for c in ["sma_20", "ema_20", "rsi_14", "macd"]:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        # engine emits NULL where pandas float semantics yield NaN/inf-derived values
+        w = np.where(np.isinf(w), np.nan, w)
+        assert np.isclose(g, w, rtol=1e-9, atol=1e-12, equal_nan=True).all(), (
+            f"{c}:\n{got[c]}\nvs\n{want[c]}"
+        )
+
+
+def test_random_series_matches_pandas(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for coin, exch, n in [("a_C1", "a", 60), ("b_C1", "b", 25), ("a_C2", "a", 5)]:
+        rows += series_rows(coin, exch, rng.normal(100, 10, n).round(4))
+    check(spark, rows)
+
+
+def test_short_group_all_null_sma_rsi(spark):
+    """Groups with <20 (and <14) rows: SMA/RSI all NULL (FIXTURES §C)."""
+    rows = series_rows("x_C1", "x", [1.0, 2.0, 3.0])
+    check(spark, rows)
+
+
+def test_monotonic_rises_rsi_100(spark):
+    """Strictly rising prices → zero rolling loss → RSI 100 (FIXTURES §C)."""
+    prices = list(np.linspace(1, 50, 40))
+    check(spark, series_rows("up_C1", "up", prices))
+
+
+def test_constant_prices_rsi_null(spark):
+    """Constant prices → 0/0 → pandas NaN → engine NULL."""
+    check(spark, series_rows("flat_C1", "flat", [5.0] * 30))
+
+
+def test_falling_prices_rsi_0(spark):
+    prices = list(np.linspace(50, 1, 40))
+    check(spark, series_rows("dn_C1", "dn", prices))
+
+
+@pytest.mark.parametrize("n", [1, 14, 19, 20, 21])
+def test_boundary_lengths(spark, n):
+    rng = np.random.default_rng(n)
+    check(spark, series_rows("b_C1", "b", rng.uniform(1, 9, n).round(3)))

@@ -1,0 +1,66 @@
+"""Mirror of the driver's DuckDB-oracle gate (SURVEY §5.2), run at
+sf0.001 for speed: every registry query's Spark result must match its
+oracle SQL on row count, column names, and values (floats to 1e-9 rel)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import TABLES
+from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import ORACLES, QUERIES
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            s = pd.to_datetime(pdf[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_object_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: columns differ"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            av = a[c].astype(float).to_numpy()
+            bv = b[c].astype(float).to_numpy()
+            assert np.isnan(av).sum() == np.isnan(bv).sum(), f"{name}.{c}: null counts differ"
+            ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
+            assert ok.all(), (
+                f"{name}.{c}: {~ok.sum()} values differ; first: "
+                f"{av[~ok][:3]} vs {bv[~ok][:3]}"
+            )
+        else:
+            assert a[c].equals(b[c]), f"{name}.{c}: values differ\n{a[c]}\n{b[c]}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    odf = duck.sql(ORACLES[name]).df()
+    assert_frames_match(sdf, odf, name)
