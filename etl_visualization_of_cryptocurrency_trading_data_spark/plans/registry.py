@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators import derive
+from ..operators import dedup, derive, multimodal, similarity, text
 from ..operators.indicators import technical_indicators
 from . import serving
 
@@ -186,6 +186,139 @@ def q_coin_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(_documents(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return text.quality_score(_documents(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return text.token_counts(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_documents(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.doc_fingerprint(_documents(spark, sf_dir))
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_documents(spark, sf_dir), n=3, max_hamming=3)
+
+
+def q_knn_brute(spark, sf_dir):
+    return similarity.knn_brute(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_knn_lsh(spark, sf_dir):
+    return similarity.knn_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_media_metadata(spark, sf_dir):
+    return multimodal.media_metadata(_documents(spark, sf_dir))
+
+
+def q_media_features(spark, sf_dir):
+    return multimodal.decode_features(
+        multimodal.media_table(_documents(spark, sf_dir))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle fragments for the text/dedup/similarity surface
+# ---------------------------------------------------------------------------
+
+# Pinned tokenization: lowercase, split on whitespace runs, drop empties.
+WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+STOPWORDS_SQL = "('the','a','of','and','to','in','is','on','for','with')"
+
+TEXT_STATS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text, length(text) AS n_chars, {WORDS_SQL} AS ws FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       len(ws)::BIGINT AS n_words,
+       CASE WHEN len(ws) > 0
+            THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS avg_word_len,
+       CASE WHEN n_chars > 0
+            THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / n_chars END AS punct_ratio,
+       CASE WHEN len(ws) > 0
+            THEN len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws) END AS stopword_ratio
+FROM w"""
+
+SHINGLES_CTE = f"""
+docs AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM docs WHERE len(ws) >= 3
+)"""
+
+
+def _knn_sql(bucketed: bool) -> str:
+    planes = similarity.hyperplanes()
+    bucket_expr = " + ".join(
+        f"CASE WHEN list_dot_product(emb, {plane!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    bucket_col = f", ({bucket_expr}) AS bucket" if bucketed else ""
+    join = (
+        "JOIN probes ON base.bucket = probes.probe_bucket AND vec_id <> probe_id"
+        if bucketed
+        else "CROSS JOIN probes WHERE vec_id <> probe_id"
+    )
+    probe_bucket = ", bucket AS probe_bucket" if bucketed else ""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb{bucket_col} FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS probe_id, emb AS probe_emb{probe_bucket} FROM base WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT probe_id, vec_id AS neighbor_id,
+         list_dot_product(probe_emb, emb)
+         / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(emb, emb))) AS cosine
+  FROM base {join}
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5"""
+
+
+LANGS_SQL = {
+    "de": "('der','und','die','ist','ein')",
+    "en": "('the','and','of','is','a')",
+    "es": "('el','y','la','es','un')",
+    "fr": "('le','et','la','est','un')",
+}
+_GREATEST = "greatest(score_de, score_en, score_es, score_fr)"
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -200,6 +333,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_chart": q_ohlc_chart,
     "indicator_chart": q_indicator_chart,
     "coin_table": q_coin_table,
+    # --- LLM-data-pipeline surface (brief §beyond-the-reference) ---
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_lsh_pairs": q_minhash_lsh,   # rows-only: xxhash64 family not in DuckDB
+    "simhash_pairs": q_simhash_pairs,     # rows-only: xxhash64 family not in DuckDB
+    "knn_brute": q_knn_brute,
+    "knn_lsh": q_knn_lsh,
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,   # rows-only: stubbed decode is not SQL
 }
 
 ORACLES: dict[str, str] = {
@@ -265,4 +412,68 @@ ORACLES: dict[str, str] = {
   JOIN latest_ohlc  o ON o.coin_id = c.id AND o.exchange = c.exchange
   JOIN latest_ind   i ON i.coin_id = c.id AND i.exchange = c.exchange""",
     ),
+    "text_stats": TEXT_STATS_SQL,
+    "quality_score": f"""
+WITH s AS ({TEXT_STATS_SQL})
+SELECT doc_id, n_words,
+       (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality,
+       (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) >= 0.7 AS is_quality
+FROM s""",
+    "token_counts": f"""
+SELECT doc_id,
+       len({WORDS_SQL})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS regex_tokens
+FROM documents""",
+    "lang_id": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(ws, x -> x IN {LANGS_SQL['de']}))::BIGINT AS score_de,
+         len(list_filter(ws, x -> x IN {LANGS_SQL['en']}))::BIGINT AS score_en,
+         len(list_filter(ws, x -> x IN {LANGS_SQL['es']}))::BIGINT AS score_es,
+         len(list_filter(ws, x -> x IN {LANGS_SQL['fr']}))::BIGINT AS score_fr
+  FROM (SELECT doc_id, lang, {WORDS_SQL} AS ws FROM documents)
+)
+SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+       CASE WHEN {_GREATEST} = 0 THEN 'und'
+            WHEN score_de = {_GREATEST} THEN 'de'
+            WHEN score_en = {_GREATEST} THEN 'en'
+            WHEN score_es = {_GREATEST} THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN {_GREATEST} = 0 THEN 'und'
+             WHEN score_de = {_GREATEST} THEN 'de'
+             WHEN score_en = {_GREATEST} THEN 'en'
+             WHEN score_es = {_GREATEST} THEN 'es'
+             ELSE 'fr' END) = lang AS label_match
+FROM s""",
+    "doc_fingerprint": f"""
+SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
+       length(text)::BIGINT AS n_chars
+FROM documents""",
+    "exact_dedup": f"""
+SELECT md5({NORM_TEXT_SQL}) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1""",
+    "ngram_jaccard_pairs": f"""
+WITH {SHINGLES_CTE}
+SELECT * FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+         / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5""",
+    "knn_brute": _knn_sql(bucketed=False),
+    "knn_lsh": _knn_sql(bucketed=True),
+    "media_metadata": """
+SELECT doc_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha256,
+       (64 + doc_id % 448)::INT AS width,
+       (64 + (doc_id * 7) % 448)::INT AS height
+FROM documents""",
 }

@@ -1,0 +1,76 @@
+"""Quality/agreement tests for the approximate dedup + ANN operators
+that have no SQL oracle (MinHash-LSH, SimHash, LSH-ANN): they must agree
+with their exact counterparts on the fixture corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+def pairs_set(df):
+    return {(r.doc_id_a, r.doc_id_b) for r in df.select("doc_id_a", "doc_id_b").collect()}
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark, docs):
+    """Every pair LSH emits is jaccard-verified (precision 1.0 by
+    construction); recall vs exact inverted-index pairs must be high —
+    the fixtures' planted near-dups are far above threshold."""
+    exact = pairs_set(dedup.ngram_jaccard_pairs(docs, threshold=0.5))
+    approx = pairs_set(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+    assert approx <= exact, "LSH emitted a pair exact Jaccard rejects"
+    assert len(exact) > 0, "fixture should contain planted near-dups"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2f} too low ({len(approx)}/{len(exact)})"
+
+
+def test_simhash_pairs_overlap_near_dups(spark, docs):
+    """SimHash hamming<=3 pairs must be a plausible near-dup set: all
+    verified pairs correspond to high-Jaccard pairs of the exact op."""
+    exact_low = pairs_set(dedup.ngram_jaccard_pairs(docs, threshold=0.3))
+    sim = pairs_set(dedup.simhash_pairs(docs, max_hamming=3))
+    assert len(sim) > 0, "planted near-dups should collide in simhash"
+    false_pos = sim - exact_low
+    assert len(false_pos) <= max(2, len(sim) // 5), f"too many simhash false positives: {false_pos}"
+
+
+def test_knn_lsh_subset_of_brute(spark):
+    """Bucketed ANN returns pairs from the same bucket only; each
+    (probe, neighbor) it reports must appear in the exact top-50 of
+    that probe (sanity: buckets keep genuinely-similar vectors)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    brute50 = similarity.knn_brute(emb, k=50)
+    lsh = similarity.knn_lsh(emb, k=5)
+    b = {(r.probe_id, r.neighbor_id) for r in brute50.collect()}
+    l = [(r.probe_id, r.neighbor_id) for r in lsh.collect()]
+    assert len(l) > 0
+    hit = sum(1 for p in l if p in b) / len(l)
+    assert hit >= 0.6, f"LSH neighbors poorly ranked vs brute force: {hit:.2f}"
+
+
+def test_media_features_deterministic_shape(spark, docs):
+    out = multimodal.decode_features(multimodal.media_table(docs.limit(20)))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    rows2 = multimodal.decode_features(multimodal.media_table(docs.limit(20))).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_real_decode_gated(spark, docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(multimodal.media_table(docs), real_decode=True)
