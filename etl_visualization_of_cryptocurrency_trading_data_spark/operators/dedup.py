@@ -12,15 +12,21 @@ Scale design (the whole point — these must work at 100 TB):
   ``max_df`` drops ultra-frequent shingles (stopword-grams), the
   standard guard against posting-list blowup; leave None only at
   oracle scale.
-- **minhash_lsh_pairs**: per-row signature via nested higher-order
-  functions (no explode, no shuffle to build signatures), banded LSH
-  bucket join to generate candidates, exact-Jaccard verification of
+- **minhash_lsh_pairs**: signatures via explode(shingles) -> one
+  xxhash64 per shingle -> K derived long-mix hashes -> groupBy(doc_id)
+  with K codegen'd MIN aggregates. Everything stays inside
+  whole-stage codegen (higher-order-function lambdas are interpreted
+  in Spark and ~2 orders of magnitude slower); map-side partial
+  aggregation means the shuffle carries one K*8-byte row per doc, and
+  the bucket self-join reuses the exchange (ReusedExchangeExec).
+  Banded LSH bucket join generates candidates; exact-Jaccard verifies
   candidates only. Hot buckets are bounded by the band hash width; the
   candidate join is doc_a < doc_b on bucket keys.
-- **simhash_pairs**: 64-bit SimHash per row (again pure column
-  expressions), near-dup candidates = equal 16-bit bands (Hamming<=3
-  guarantee via pigeonhole across 4 bands), verified by true Hamming
-  distance via xor+bit_count.
+- **simhash_pairs**: same explode + codegen'd aggregate shape — 64
+  signed-bit SUM aggregates per doc_id, sign -> fingerprint bits.
+  Near-dup candidates = equal 16-bit bands (Hamming<=3 guarantee via
+  pigeonhole across 4 bands), verified by true Hamming distance via
+  xor+bit_count.
 
 MinHash/SimHash use Spark's xxhash64 as the base hash family — not
 reproducible in DuckDB SQL, so those two register rows-only oracle
@@ -44,9 +50,40 @@ LSH_ROWS = 4
 
 
 def _with_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return documents.select(
-        "doc_id", word_shingles(words(F.col("text")), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # Tokenize in a SEPARATE projection: interpreted higher-order
+    # functions get no common-subexpression elimination, so inlining
+    # words() into the shingle expression re-runs split+filter per
+    # element_at reference (~20x slower at 5k docs). For the same
+    # reason the short-doc filter is on size(ws), not size(shingles):
+    # predicate pushdown would inline the whole shingle expression
+    # into a scan-side Filter and evaluate it twice per row.
+    toks = _tokens(documents, n)
+    return toks.select("doc_id", word_shingles(F.col("ws"), n).alias("shingles"))
+
+
+def _tokens(documents: DataFrame, n: int) -> DataFrame:
+    return documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= n
+    )
+
+
+def _shingle_postings(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle-hash) posting list. Shingles are xxhash64'd so
+    the posting join shuffles 8-byte keys instead of strings (a false
+    collision inflates one pair's intersection count with probability
+    ~2^-64 — negligible). Explodes the shingle EXPRESSION, not a
+    materialized column: InferFiltersFromGenerate skips generators
+    containing lambdas, but for a plain column it infers
+    ``size(col) > 0`` which predicate pushdown then substitutes through
+    the projections — inlining the whole tokenize+shingle expression
+    into a scan-side filter and re-evaluating it ~6x per row."""
+    toks = _tokens(documents, n)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(word_shingles(F.col("ws"), n), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -76,7 +113,7 @@ def ngram_jaccard_pairs(
     """
     sh = _with_shingles(documents, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    postings = _shingle_postings(documents, n)
     if max_df is not None:
         df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
         postings = postings.join(
@@ -105,21 +142,30 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
-    """K-wide MinHash signature per document, built entirely with
-    column expressions (nested TRANSFORM + ARRAY_MIN over the shingle
-    array) — no explode, no shuffle; cost is K*|shingles| JVM hash
-    calls per row."""
+    """K-wide MinHash signature per document.
+
+    Each shingle is string-hashed ONCE (xxhash64); the K family members
+    are cheap long re-hashes ``xxhash64(i, h)`` computed inside K
+    codegen'd MIN aggregates over the exploded shingles. Partial
+    (map-side) aggregation collapses each doc to one K*8-byte row
+    before the shuffle, so signature build cost is O(|shingles|) string
+    hashing + O(K*|shingles|) long hashing, all in whole-stage codegen.
+    """
     sh = _with_shingles(documents, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    # Hash INSIDE the array, then explode longs: the generator output
+    # is a concrete attribute, so the optimizer cannot inline the
+    # string hash into each of the K aggregate expressions (which
+    # would re-hash the shingle string K times per row).
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
     )
-    return sh.select("doc_id", "shingles", sig.alias("signature"))
+    wide = hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(k)]
+    )
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -163,7 +209,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    sh = sigs.select("doc_id", "shingles")
+    sh = _with_shingles(documents, n)
     verified = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "shingles": "sh_a"}), "doc_id_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "shingles": "sh_b"}), "doc_id_b")
@@ -182,29 +228,32 @@ def minhash_lsh_pairs(
 def simhash(documents: DataFrame, n: int = 3) -> DataFrame:
     """64-bit SimHash per document from shingle hashes: bit j of the
     fingerprint is the sign of sum over shingles of (+1 if bit j of
-    xxhash64(shingle) else -1). Pure column expressions."""
+    xxhash64(shingle) else -1).
+
+    Computed as 64 codegen'd signed-bit SUM aggregates over the
+    exploded shingles (one string hash per shingle); map-side combine
+    keeps the shuffle at one 64-long row per doc."""
     sh = _with_shingles(documents, n)
     hashed = sh.select(
         "doc_id",
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hs"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
     )
-    bit = lambda j: F.when(  # noqa: E731
-        F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        > 0,
-        F.lit(1).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    with_bits = hashed.select(
-        "doc_id", F.array(*[bit(j) for j in range(64)]).alias("bits")
+    wide = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
     )
     fp = F.lit(0).cast("long")
     for j in range(64):
-        fp = fp.bitwiseOR(F.shiftleft(F.element_at(F.col("bits"), j + 1), j))
-    return with_bits.select("doc_id", fp.alias("simhash"))
+        fp = fp.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j
+            )
+        )
+    return wide.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:

@@ -3,9 +3,14 @@ reference": language-ID, quality scoring, token counting, document
 fingerprinting) over the ``documents`` table.
 
 Everything here is built-in `pyspark.sql.functions` + higher-order
-lambdas — fully JVM-side, whole-stage-codegen'd, zero Python UDFs, so
-per-row cost is constant and the operators scale embarrassingly (pure
-map, no shuffle at all).
+lambdas — fully JVM-side, zero Python UDFs, so per-row cost is constant
+and the operators scale embarrassingly (pure map, no shuffle at all).
+
+NOTE: higher-order functions are interpreted (CodegenFallback) and get
+no common-subexpression elimination, so the token array is always
+materialized in its own projection before being referenced repeatedly
+— inlining ``words()`` into N references costs N full re-tokenizations
+per row.
 """
 
 from __future__ import annotations
@@ -28,11 +33,12 @@ LANG_LEXICONS = {
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document surface statistics: char/word counts, average word
     length, punctuation density, stopword ratio."""
-    ws = words(F.col("text"))
+    base = documents.select("doc_id", "text", words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     n_words = F.size(ws)
     n_chars = F.length("text")
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    return documents.select(
+    return base.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
@@ -85,9 +91,10 @@ def lang_id(documents: DataFrame) -> DataFrame:
     lexicon-hit count; predict the argmax (ties -> lexicographically
     first language, pinned for determinism). Emits per-language scores,
     the prediction, and agreement with the labeled ``lang`` column."""
-    ws = words(F.col("text"))
+    base = documents.select("doc_id", "lang", words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     langs = sorted(LANG_LEXICONS)
-    scored = documents.select(
+    scored = base.select(
         "doc_id",
         "lang",
         *[
