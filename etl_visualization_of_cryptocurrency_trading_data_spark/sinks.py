@@ -1,0 +1,136 @@
+"""Batch sinks: the reference's Cassandra table-router re-expressed as
+schema->path parquet dispatch (SURVEY §2.1 S7, §2.9 T2, §2.6 O1).
+
+Reference behavior being re-expressed:
+- ``write_to_cassandra`` routes each batch DataFrame to a table by
+  COLUMN PRESENCE (reference spark-streaming.py:119-149): ``"id"`` ->
+  coins, ``"price"`` -> price_data, ``"open"`` -> ohlc_data,
+  ``"sma_20"`` -> technical_indicators, ``"market_cap_percentage"`` ->
+  coin_market_cap. The reference's ``"ema_20"`` branch (:131-132) is
+  dead code — ``"sma_20"`` at :127 always matches first — and is
+  deliberately NOT reproduced.
+- Upsert semantics come only from Cassandra primary-key overwrite
+  (T2); our ``upsert_by_key`` makes that explicit: latest row wins per
+  key, resolved by a row_number window, rewritten atomically.
+- ``CLUSTERING ORDER BY (timestamp DESC)`` (O1, reference
+  spark-streaming.py:74-75 etc.) becomes ``sortWithinPartitions`` on
+  write so parquet row-groups are time-clustered and min/max row-group
+  stats make time predicates prune I/O.
+
+Scale notes (100 TB): fact tables append partition-by-date-style dirs
+(here: by ``exchange``, the reference's physical partition key prefix);
+upserts rewrite only the dimension (dimension-sized, cheap). Writes are
+executor-side parquet — no driver funnel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Routing by column presence, first match wins — reference
+# spark-streaming.py:121-132 (minus its dead ema_20 branch).
+ROUTES: tuple[tuple[str, str], ...] = (
+    ("id", "coins"),
+    ("price", "price_data"),
+    ("open", "ohlc_data"),
+    ("sma_20", "technical_indicators"),
+    ("market_cap_percentage", "coin_market_cap"),
+)
+
+# Per-table primary keys (reference DDL spark-streaming.py:51-116).
+TABLE_KEYS: dict[str, tuple[str, ...]] = {
+    "coins": ("id", "exchange"),
+    "price_data": ("coin_id", "exchange", "timestamp"),
+    "ohlc_data": ("coin_id", "exchange", "timestamp"),
+    "technical_indicators": ("coin_id", "exchange", "timestamp"),
+    "coin_market_cap": ("coin_symbol", "timestamp"),
+}
+
+# Fact tables are directory-partitioned by exchange (the reference's
+# partition-key prefix); coins/mcap are dimension-sized, unpartitioned.
+PARTITION_COLS: dict[str, tuple[str, ...]] = {
+    "price_data": ("exchange",),
+    "ohlc_data": ("exchange",),
+    "technical_indicators": ("exchange",),
+}
+
+
+def route_table(df: DataFrame) -> str:
+    """Pick the destination table for a batch by column presence."""
+    cols = set(df.columns)
+    for marker, table in ROUTES:
+        if marker in cols:
+            return table
+    raise ValueError(f"no route for columns {sorted(cols)}")
+
+
+def table_dir(base_dir: str, table: str) -> str:
+    return os.path.join(base_dir, table)
+
+
+def write_table(df: DataFrame, base_dir: str, table: str | None = None) -> str:
+    """Append one batch to its (routed) table as time-clustered parquet."""
+    table = table or route_table(df)
+    parts = PARTITION_COLS.get(table, ())
+    out = df
+    if "timestamp" in df.columns:
+        out = out.sortWithinPartitions(F.desc("timestamp"))
+    writer = out.write.mode("append")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    path = table_dir(base_dir, table)
+    writer.parquet(path)
+    return table
+
+
+def upsert_by_key(
+    df: DataFrame,
+    base_dir: str,
+    table: str | None = None,
+    order_col: str = "timestamp",
+) -> str:
+    """Keyed upsert: merge the batch with the existing table, keep the
+    newest row per primary key (latest ``order_col``; batch rows win
+    ties), and atomically replace the table.
+
+    This is the explicit form of the reference's rely-on-Cassandra-PK
+    overwrite (T2). Intended for dimension-sized tables (``coins``);
+    facts should append via ``write_table``.
+    """
+    table = table or route_table(df)
+    keys = list(TABLE_KEYS[table])
+    path = table_dir(base_dir, table)
+    spark = df.sparkSession
+    tagged = df.withColumn("_pref", F.lit(0))
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path).withColumn("_pref", F.lit(1))
+        tagged = tagged.unionByName(existing)
+    order = [F.col("_pref")] + (
+        [F.col(order_col).desc()] if order_col in df.columns else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pref")
+    )
+    # Two-phase rewrite: the merged result must be materialized before
+    # overwriting the directory it reads from.
+    tmp = path + "._staging"
+    latest.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    _rm_tree(tmp)
+    return table
+
+
+def read_table(spark: SparkSession, base_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(table_dir(base_dir, table))
+
+
+def _rm_tree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,7 @@
+from .pipeline import (  # noqa: F401
+    ohlc_stream,
+    read_price_stream,
+    run_ingest,
+    stream_ohlc_to_dir,
+)
+from .stateful import stateful_indicators  # noqa: F401

@@ -1,0 +1,133 @@
+"""Structured Streaming pipeline (SURVEY §2.9 T1-T8, re-expressed).
+
+Reference -> engine mapping:
+- Kafka source (T-/S1) -> parquet file stream over a spool directory:
+  same incremental-append semantics, no broker dependency. On a real
+  deployment the one-line swap back to ``format("kafka")`` keeps every
+  downstream operator unchanged.
+- 5 independent writeStream queries, each re-reading the topic (T4) ->
+  ONE source; ``foreachBatch`` fans out all per-batch tables from a
+  single pass (the batch DataFrame is persisted during the fan-out).
+- output modes (T2): coins upserts by key, facts append.
+- NO watermark / event-time windows in the reference (T6) -> we add
+  ``withWatermark`` + tumbling-window OHLC candles, the idiomatic
+  replacement for its per-candle REST fetches (S4): late rows within
+  the delay still land in their window; older rows are dropped with
+  bounded state.
+- no checkpointing (T7) -> every query here takes a ``checkpoint_dir``
+  and is restart-safe; sink writes are per-batch parquet appends keyed
+  by batch routing (idempotent per epoch for the upsert table).
+- default trigger (T1) -> explicit ``availableNow`` for deterministic
+  drain-the-spool runs (tests) and ``processingTime`` for continuous.
+
+Scale notes: the only stateful operators are the watermarked window
+aggregation and applyInPandasWithState — both shard state by key
+across executors via the shuffle; watermarks bound state size. The
+foreachBatch fan-out adds zero extra source reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import sinks
+
+# Schema of the spooled price ticks (file streams require an explicit
+# schema — there is no inference on a stream).
+PRICE_SCHEMA = (
+    "coin_id string, exchange string, timestamp timestamp, "
+    "price double, volume double"
+)
+
+
+def read_price_stream(spark: SparkSession, spool_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Incremental parquet file-stream of price ticks (S1-equivalent)."""
+    reader = spark.readStream.schema(PRICE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(spool_dir)
+
+
+def ohlc_stream(price: DataFrame, delay: str = "10 minutes", window: str = "1 hour") -> DataFrame:
+    """Event-time tumbling OHLC candles with late-data handling (T6).
+
+    open/close are argmin/argmax-by-time via struct-ordering MIN/MAX —
+    pure declarative aggregates, so partial aggregation and watermarked
+    state cleanup work unchanged. Output matches the batch
+    ``operators.derive.ohlc_data`` schema.
+    """
+    return (
+        price.withWatermark("timestamp", delay)
+        .groupBy("coin_id", "exchange", F.window("timestamp", window).alias("w"))
+        .agg(
+            F.min(F.struct("timestamp", "price")).alias("_first"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(F.struct("timestamp", "price")).alias("_last"),
+        )
+        .select(
+            "coin_id",
+            "exchange",
+            F.col("w.start").alias("timestamp"),
+            F.col("_first.price").alias("open"),
+            "high",
+            "low",
+            F.col("_last.price").alias("close"),
+        )
+    )
+
+
+def stream_ohlc_to_dir(
+    price: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Run the candle aggregation to parquet in append mode: a window
+    emits exactly once, when the watermark passes its end."""
+    candles = ohlc_stream(price, delay=delay)
+    writer = (
+        candles.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sinks.table_dir(out_dir, "ohlc_data"))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_ingest(
+    price: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """One-pass fan-out (T4 fixed): each micro-batch appends price rows
+    and upserts the coins dimension from the SAME batch DataFrame —
+    the reference runs five queries that each re-read the topic.
+    """
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            sinks.write_table(batch, out_dir, "price_data")
+            coins = batch.select(
+                F.col("coin_id").alias("id"),
+                F.regexp_replace("coin_id", "^.*_", "Coin ").alias("name"),
+                F.regexp_extract("coin_id", "_(C[0-9]+)$", 1).alias("symbol"),
+                "exchange",
+                "timestamp",
+            )
+            sinks.upsert_by_key(coins, out_dir, "coins")
+        finally:
+            batch.unpersist()
+
+    writer = price.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,192 @@
+"""Streaming-module tests (SURVEY §5.2): batch≡stream equivalence for
+the stateful indicator path and the watermarked OHLC aggregation, plus
+the foreachBatch ingest fan-out — all under deterministic availableNow
+triggers with real checkpoints."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_visualization_of_cryptocurrency_trading_data_spark import sinks, streaming
+from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+    technical_indicators,
+)
+
+from conftest import SF_SMOKE
+
+KEYCOLS = ["coin_id", "exchange", "timestamp"]
+INDCOLS = ["sma_20", "ema_20", "rsi_14", "macd"]
+
+
+@pytest.fixture(scope="module")
+def price_df(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    return (
+        derive.price_data(events)
+        .select("coin_id", "exchange", "timestamp", "price", "volume")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def expected_indicators(price_df):
+    pdf = technical_indicators(price_df).toPandas()
+    return pdf.sort_values(KEYCOLS).reset_index(drop=True)
+
+
+def make_spool(tmp_path, price_df, n_chunks):
+    """Write the price feed as n time-ordered parquet spool files, with
+    strictly increasing mtimes so the file stream replays them in order."""
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    bounds = [
+        r[0]
+        for r in price_df.selectExpr(
+            f"percentile(cast(timestamp as double), array({','.join(str((i + 1) / n_chunks) for i in range(n_chunks - 1))}))"
+        ).collect()
+    ][0] if n_chunks > 1 else []
+    edges = [float("-inf"), *bounds, float("inf")]
+    base_mtime = 1_700_000_000
+    for i in range(n_chunks):
+        chunk = price_df.filter(
+            (F.col("timestamp").cast("double") > edges[i])
+            & (F.col("timestamp").cast("double") <= edges[i + 1])
+        )
+        path = os.path.join(spool, f"chunk_{i}")
+        chunk.coalesce(1).write.parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (base_mtime + i, base_mtime + i))
+    # flatten: move part files up so the stream sees plain files in order
+    flat = []
+    for i in range(n_chunks):
+        d = os.path.join(spool, f"chunk_{i}")
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(spool, f"{i:03d}.parquet")
+                os.rename(os.path.join(d, f_), dst)
+                os.utime(dst, (base_mtime + i, base_mtime + i))
+                flat.append(dst)
+        import shutil
+
+        shutil.rmtree(d)
+    assert len(flat) == n_chunks
+    return spool
+
+
+def assert_indicators_equal(got: pd.DataFrame, expected: pd.DataFrame):
+    got = got.sort_values(KEYCOLS).reset_index(drop=True)
+    assert len(got) == len(expected)
+    pd.testing.assert_frame_equal(
+        got[KEYCOLS].reset_index(drop=True), expected[KEYCOLS].reset_index(drop=True)
+    )
+    for c in INDCOLS:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), expected[c].to_numpy(), rtol=1e-9, equal_nan=True
+        )
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stateful_indicators_match_batch(spark, tmp_path, price_df, expected_indicators, n_chunks):
+    """State carried across micro-batches ⇒ output is independent of
+    batch boundaries and identical to the batch recompute (T5 fixed)."""
+    spool = make_spool(tmp_path, price_df, n_chunks)
+    stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    name = f"ind_out_{n_chunks}"
+    q = (
+        streaming.stateful_indicators(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table(name).toPandas()
+    assert_indicators_equal(got, expected_indicators)
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path, price_df):
+    """Watermarked tumbling candles: every window the stream emitted
+    must equal the batch candle; all windows closed by the final
+    watermark must have been emitted."""
+    spool = make_spool(tmp_path, price_df, 4)
+    stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    out_dir = str(tmp_path / "out")
+    q = streaming.stream_ohlc_to_dir(
+        stream, out_dir, str(tmp_path / "ckpt"), delay="0 seconds"
+    )
+    assert q.awaitTermination(300)
+    got = (
+        spark.read.parquet(sinks.table_dir(out_dir, "ohlc_data"))
+        .toPandas()
+        .sort_values(KEYCOLS)
+        .reset_index(drop=True)
+    )
+    batch = derive.ohlc_data(price_df).toPandas()
+    assert len(got) > 0
+    merged = got.merge(
+        batch, on=KEYCOLS, how="left", suffixes=("", "_b"), indicator=True
+    )
+    assert (merged["_merge"] == "both").all(), "stream emitted a candle batch lacks"
+    for c in ["open", "high", "low", "close"]:
+        np.testing.assert_allclose(merged[c], merged[f"{c}_b"], rtol=1e-12)
+    # completeness: candles from all but the last spool chunk must be out
+    chunk_max = pd.Timestamp(
+        spark.read.parquet(os.path.join(spool, "002.parquet"))
+        .agg(F.max("timestamp"))
+        .collect()[0][0]
+    )
+    closed = batch[batch["timestamp"] + pd.Timedelta(hours=1) <= chunk_max]
+    assert len(got) >= len(closed)
+
+
+def test_run_ingest_fanout(spark, tmp_path, price_df):
+    """foreachBatch fan-out: price rows all appended; coins upserted to
+    exactly one (latest) row per key."""
+    spool = make_spool(tmp_path, price_df, 3)
+    stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    out_dir = str(tmp_path / "out")
+    q = streaming.run_ingest(stream, out_dir, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    written = sinks.read_table(spark, out_dir, "price_data")
+    assert written.count() == price_df.count()
+    coins = sinks.read_table(spark, out_dir, "coins").toPandas()
+    assert coins["id"].is_unique
+    n_keys = price_df.select("coin_id", "exchange").distinct().count()
+    assert len(coins) == n_keys
+    latest = (
+        price_df.groupBy("coin_id").agg(F.max("timestamp").alias("ts")).toPandas()
+    )
+    merged = coins.merge(latest, left_on="id", right_on="coin_id")
+    assert (merged["timestamp"] == merged["ts"]).all()
+
+
+def test_router_and_upsert_semantics(spark, tmp_path):
+    """Unit check of the sink router (S7) + keyed upsert (T2)."""
+    base = str(tmp_path / "tables")
+    df1 = spark.createDataFrame(
+        [("binance_C1", "Coin 1", "C1", "binance", 1)],
+        "id string, name string, symbol string, exchange string, timestamp long",
+    )
+    assert sinks.route_table(df1) == "coins"
+    sinks.upsert_by_key(df1, base)
+    df2 = spark.createDataFrame(
+        [("binance_C1", "Coin 1 v2", "C1", "binance", 2),
+         ("kraken_C2", "Coin 2", "C2", "kraken", 1)],
+        "id string, name string, symbol string, exchange string, timestamp long",
+    )
+    sinks.upsert_by_key(df2, base)
+    got = sinks.read_table(spark, base, "coins").toPandas().sort_values("id")
+    assert list(got["id"]) == ["binance_C1", "kraken_C2"]
+    assert got.loc[got["id"] == "binance_C1", "name"].item() == "Coin 1 v2"
+    with pytest.raises(ValueError):
+        sinks.route_table(spark.createDataFrame([(1,)], "x long"))
