@@ -1,0 +1,117 @@
+"""Relational stretch operators (SURVEY §2.3 "not present" joins,
+§2.4 grouping sets, §2.6 top-k, §2.7 set ops) — capabilities the
+reference lacks but a user of this engine gets natively from Spark,
+each wired to an exact DuckDB oracle in plans/registry.
+
+Scale notes per operator are inline; none of these collects to the
+driver or cross-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` on the same keys (ties: the right row is
+    visible to a left row at the exact same timestamp).
+
+    Implemented as the union-and-carry-forward pattern — the scalable
+    formulation: tag both sides, union, and ``last_value(..., ignoreNulls)``
+    over (keys ORDER BY ts, side) carries each right row's payload
+    forward to the left rows that follow it. ONE shuffle on the keys,
+    no range-condition join (which Spark would execute as a broadcast
+    nested loop), state bounded by the window sort.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        *[c for c in left.columns if c not in keys and c != left_ts],
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys and c != left_ts
+        ],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[c for c in left.columns if c not in keys and c != left_ts],
+        *[F.col(f"_rv_{c}").alias(c) for c in right_cols],
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """EXISTS: left rows with at least one key match on the right.
+    Spark plans a left-semi hash join (broadcast when right is small);
+    right side is deduplicated implicitly — no row multiplication."""
+    return left.join(right, keys, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """NOT EXISTS: left rows with no key match on the right."""
+    return left.join(right, keys, "left_anti")
+
+
+def union_feeds(*feeds: DataFrame) -> DataFrame:
+    """Multi-source feed merge by column NAME (§2.7): position-safe,
+    missing columns become nulls. Pure narrow op — no shuffle."""
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def top_k(
+    df: DataFrame, order_col: str, k: int, tiebreak: str, ascending: bool = False
+) -> DataFrame:
+    """Deterministic top-k: ORDER BY measure [DESC], tiebreak, LIMIT k.
+    Spark executes TakeOrderedAndProject — per-partition heaps of size
+    k, then a k-row merge on the driver; no global sort of the data."""
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        F.col(tiebreak).asc(),
+    ]
+    return df.orderBy(*order).limit(k)
+
+
+def volume_rollup(price: DataFrame) -> DataFrame:
+    """ROLLUP (exchange, coin_id): per-coin, per-exchange subtotal and
+    grand-total volume in one pass — partial aggregation handles the
+    hierarchy; one shuffle."""
+    return (
+        price.rollup("exchange", "coin_id")
+        .agg(F.sum("volume").alias("total_volume"), F.count("*").alias("n_ticks"))
+    )

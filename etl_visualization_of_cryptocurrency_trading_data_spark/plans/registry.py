@@ -24,8 +24,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators import dedup, derive, multimodal, similarity, text
+from ..operators import dedup, derive, multimodal, relational, similarity, text
 from ..operators.indicators import technical_indicators
+from ..sources import envelope
 from . import serving
 
 # ---------------------------------------------------------------------------
@@ -245,6 +246,143 @@ def q_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Envelope (M3) + relational-stretch builders
+# ---------------------------------------------------------------------------
+
+
+def _decoded(spark: SparkSession, sf_dir: str):
+    return envelope.decode_envelopes(
+        envelope.build_envelopes(_events(spark, sf_dir))
+    )
+
+
+def q_envelope_price(spark, sf_dir):
+    return envelope.decode_price(_decoded(spark, sf_dir))
+
+
+def q_envelope_coins(spark, sf_dir):
+    return envelope.decode_coins(_decoded(spark, sf_dir))
+
+
+def q_envelope_ohlc(spark, sf_dir):
+    return envelope.decode_ohlc(_decoded(spark, sf_dir))
+
+
+def q_envelope_mcap(spark, sf_dir):
+    return envelope.decode_market_cap(_decoded(spark, sf_dir))
+
+
+def _price_base(spark, sf_dir):
+    return derive.price_data(_events(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp", "price", "volume"
+    )
+
+
+def q_asof_price_candle(spark, sf_dir):
+    price = _price_base(spark, sf_dir)
+    candles = derive.ohlc_data(derive.price_data(_events(spark, sf_dir)))
+    return relational.asof_join(
+        price, candles, keys=["coin_id", "exchange"],
+        right_cols=["open", "high", "low", "close"],
+    )
+
+
+def _cutoff_days(price: DataFrame, days: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cut = price.agg(
+        F.max("timestamp").alias("_max_ts")
+    ).select((F.col("_max_ts") - F.expr(f"INTERVAL {days} DAYS")).alias("_cutoff"))
+    return price.crossJoin(F.broadcast(cut)).filter(
+        F.col("timestamp") > F.col("_cutoff")
+    ).drop("_cutoff")
+
+
+def q_active_coins_semi(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    recent = _cutoff_days(derive.price_data(ev), 3).selectExpr(
+        "coin_id AS id", "exchange"
+    )
+    return relational.semi_join(derive.coins(ev), recent, ["id", "exchange"])
+
+
+def q_stale_coins_anti(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    recent = _cutoff_days(derive.price_data(ev), 3).selectExpr(
+        "coin_id AS id", "exchange"
+    )
+    return relational.anti_join(derive.coins(ev), recent, ["id", "exchange"])
+
+
+def q_union_price_feeds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    price = _price_base(spark, sf_dir)
+    otc = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("otc_C"), F.col("o_custkey") % 15).alias("coin_id"),
+        F.lit("otc").alias("exchange"),
+        F.col("o_orderdate").alias("timestamp"),
+        (F.col("o_totalprice") / 1000.0).alias("price"),
+        F.col("o_totalprice").alias("volume"),
+    )
+    return (
+        relational.union_feeds(price, otc)
+        .groupBy("exchange")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum("volume").alias("total_volume"),
+        )
+    )
+
+
+def q_top_coins_by_volume(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    per_coin = (
+        _price_base(spark, sf_dir)
+        .groupBy("coin_id", "exchange")
+        .agg(F.sum("volume").alias("total_volume"))
+    )
+    return relational.top_k(per_coin, "total_volume", 10, tiebreak="coin_id")
+
+
+def q_volume_rollup(spark, sf_dir):
+    return relational.volume_rollup(_price_base(spark, sf_dir))
+
+
+PRICE_BASE_SQL = """
+SELECT event_type || '_C' || user_id AS coin_id,
+       event_type AS exchange,
+       ts AS timestamp,
+       value AS price,
+       abs(value) * 100 AS volume
+FROM events"""
+
+ENVELOPE_TICK_OHLC_SQL = """
+SELECT coin_id, exchange,
+       time_bucket(INTERVAL '5 minutes', timestamp) AS timestamp,
+       arg_min(price, timestamp) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, timestamp) AS close
+FROM (%s) p
+GROUP BY 1, 2, 3""" % PRICE_BASE_SQL
+
+ENVELOPE_MCAP_SQL = """
+WITH base AS (%s),
+per_symbol AS (
+  SELECT time_bucket(INTERVAL '5 minutes', timestamp) AS tick_ts,
+         regexp_extract(coin_id, '_(C[0-9]+)$', 1) AS coin_symbol,
+         sum(volume) AS symbol_volume
+  FROM base GROUP BY 1, 2
+)
+SELECT coin_symbol, tick_ts AS timestamp,
+       100.0 * symbol_volume / sum(symbol_volume) OVER (PARTITION BY tick_ts)
+         AS market_cap_percentage
+FROM per_symbol""" % PRICE_BASE_SQL
+
+
+# ---------------------------------------------------------------------------
 # Oracle fragments for the text/dedup/similarity surface
 # ---------------------------------------------------------------------------
 
@@ -347,6 +485,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,   # rows-only: stubbed decode is not SQL
+    # --- envelope ingest parity (SURVEY §2.1 S2/S6, §2.2 P1/P2) ---
+    "envelope_price": q_envelope_price,
+    "envelope_coins": q_envelope_coins,
+    "envelope_ohlc": q_envelope_ohlc,
+    "envelope_mcap": q_envelope_mcap,
+    # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
+    "asof_price_candle": q_asof_price_candle,
+    "active_coins_semi": q_active_coins_semi,
+    "stale_coins_anti": q_stale_coins_anti,
+    "union_price_feeds": q_union_price_feeds,
+    "top_coins_by_volume": q_top_coins_by_volume,
+    "volume_rollup": q_volume_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -476,4 +626,61 @@ SELECT doc_id,
        (64 + doc_id % 448)::INT AS width,
        (64 + (doc_id * 7) % 448)::INT AS height
 FROM documents""",
+    "envelope_price": PRICE_BASE_SQL,
+    "envelope_coins": _with(COINS_CTE, select="SELECT * FROM coins"),
+    "envelope_ohlc": ENVELOPE_TICK_OHLC_SQL,
+    "envelope_mcap": ENVELOPE_MCAP_SQL,
+    "asof_price_candle": f"""
+WITH price AS ({PRICE_BASE_SQL}),
+ohlc AS (
+  SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
+         arg_min(price, timestamp) AS open, max(price) AS high,
+         min(price) AS low, arg_max(price, timestamp) AS close
+  FROM price GROUP BY 1, 2, 3
+)
+SELECT p.coin_id, p.exchange, p.timestamp, p.price, p.volume,
+       o.open, o.high, o.low, o.close
+FROM price p
+ASOF LEFT JOIN ohlc o
+  ON p.coin_id = o.coin_id AND p.exchange = o.exchange
+ AND o.timestamp <= p.timestamp""",
+    "active_coins_semi": _with(
+        COINS_CTE,
+        select=f"""
+, price AS ({PRICE_BASE_SQL}),
+cut AS (SELECT max(timestamp) - INTERVAL 3 DAYS AS cutoff FROM price)
+SELECT c.* FROM coins c WHERE EXISTS (
+  SELECT 1 FROM price p, cut
+  WHERE p.coin_id = c.id AND p.exchange = c.exchange AND p.timestamp > cut.cutoff)""",
+    ),
+    "stale_coins_anti": _with(
+        COINS_CTE,
+        select=f"""
+, price AS ({PRICE_BASE_SQL}),
+cut AS (SELECT max(timestamp) - INTERVAL 3 DAYS AS cutoff FROM price)
+SELECT c.* FROM coins c WHERE NOT EXISTS (
+  SELECT 1 FROM price p, cut
+  WHERE p.coin_id = c.id AND p.exchange = c.exchange AND p.timestamp > cut.cutoff)""",
+    ),
+    "union_price_feeds": f"""
+WITH feed AS (
+  {PRICE_BASE_SQL}
+  UNION ALL
+  SELECT 'otc_C' || (o_custkey % 15) AS coin_id, 'otc' AS exchange,
+         o_orderdate AS timestamp, o_totalprice / 1000.0 AS price,
+         o_totalprice AS volume
+  FROM orders
+)
+SELECT exchange, count(*)::BIGINT AS n_ticks, sum(volume) AS total_volume
+FROM feed GROUP BY exchange""",
+    "top_coins_by_volume": f"""
+SELECT coin_id, exchange, sum(volume) AS total_volume
+FROM ({PRICE_BASE_SQL}) p
+GROUP BY coin_id, exchange
+ORDER BY total_volume DESC, coin_id
+LIMIT 10""",
+    "volume_rollup": f"""
+SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
+FROM ({PRICE_BASE_SQL}) p
+GROUP BY ROLLUP (exchange, coin_id)""",
 }
