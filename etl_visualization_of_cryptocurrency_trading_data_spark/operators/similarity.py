@@ -99,6 +99,133 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup modality for
+    embedded corpora): banded sign-bit LSH generates candidates — two
+    vectors are candidates iff some band of ``n_planes/bands`` sign
+    bits matches exactly — then exact cosine verifies each candidate
+    against ``threshold``.
+
+    Scale shape mirrors MinHash-LSH dedup: band-bucket equi-join (one
+    shuffle on 8-byte band keys), candidates only pay the exact-cosine
+    cost, pair explosion bounded by bucket sizes. The hyperplanes are
+    deterministic literals, so the DuckDB oracle reproduces the same
+    candidate set bit-for-bit (exact parity, not rows-only).
+    """
+    planes = hyperplanes(n_planes)
+    r = n_planes // bands
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    bits = base.select(
+        "vec_id",
+        "emb",
+        *[
+            F.when(_dot(F.col("emb"), F.array(*[F.lit(v) for v in plane])) > 0, 1)
+            .otherwise(0)
+            .alias(f"bit{i}")
+            for i, plane in enumerate(planes)
+        ],
+    )
+    banded = bits.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sum(
+                            F.col(f"bit{b * r + j}") * (1 << j) for j in range(r)
+                        ).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.val")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = base
+    return (
+        cand.join(emb.withColumnsRenamed({"vec_id": "id_a", "emb": "emb_a"}), "id_a")
+        .join(emb.withColumnsRenamed({"vec_id": "id_b", "emb": "emb_b"}), "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    probe_filter: Column | None = None,
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_modulus: int = 101,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the second scale path next to LSH.
+
+    Coarse index: a deterministic ~1% sample of the corpus serves as
+    centroids (``vec_id % centroid_modulus == 1``); every vector joins
+    its nearest centroid's inverted list. A probe scans only the
+    ``n_probe`` nearest lists. Fully declarative (crossJoin against
+    the broadcast centroid set + argmax window), so at scale the list
+    id becomes a partition key and each probe touches n_probe/C of the
+    corpus; the oracle replays the identical assignment in SQL.
+    """
+    if probe_filter is None:
+        probe_filter = F.col("vec_id") % 50 == 0
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        "cent_id",
+        cosine(F.col("emb"), F.col("cent_emb")).alias("cent_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    lists = ranked.filter(F.col("crank") == 1).select("vec_id", "emb", "cent_id")
+    probe_lists = (
+        ranked.filter(probe_filter)
+        .filter(F.col("crank") <= n_probe)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("emb").alias("probe_emb"),
+            "cent_id",
+        )
+    )
+    cand = (
+        lists.join(F.broadcast(probe_lists), "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("probe_emb"), F.col("emb")).alias("cosine"),
+        )
+    )  # each vector lives in exactly one list => pairs already unique
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     probe_filter: Column | None = None,

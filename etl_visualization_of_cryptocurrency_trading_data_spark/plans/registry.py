@@ -235,6 +235,16 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_knn_ivf(spark, sf_dir):
+    return similarity.knn_ivf(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_embedding_dup(spark, sf_dir):
+    return similarity.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     return multimodal.media_metadata(_documents(spark, sf_dir))
 
@@ -449,6 +459,80 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= 5"""
 
 
+def _embedding_dup_sql(threshold: float = 0.5, n_planes: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle replaying the banded sign-bit LSH bit-for-bit."""
+    planes = similarity.hyperplanes(n_planes)
+    r = n_planes // bands
+    bit_cols = ",\n         ".join(
+        f"CASE WHEN list_dot_product(emb, {plane!r}::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS bit{i}"
+        for i, plane in enumerate(planes)
+    )
+    band_cols = ", ".join(
+        "(" + " + ".join(f"bit{b * r + j} * {1 << j}" for j in range(r)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, band{b} AS val FROM banded" for b in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bits AS (
+  SELECT vec_id, emb,
+         {bit_cols}
+  FROM base
+),
+banded AS (SELECT *, {band_cols} FROM bits),
+bb AS (
+{band_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       list_dot_product(x.emb, y.emb)
+       / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) AS cosine
+FROM cand
+JOIN base x ON x.vec_id = id_a
+JOIN base y ON y.vec_id = id_b
+WHERE cosine >= {threshold}"""
+
+
+KNN_IVF_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+centroids AS (
+  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id % 101 = 1
+),
+scored AS (
+  SELECT vec_id, emb, cent_id,
+         list_dot_product(emb, cent_emb)
+         / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent_emb, cent_emb))) AS cent_cos
+  FROM base CROSS JOIN centroids
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM scored
+),
+lists AS (SELECT vec_id, emb, cent_id FROM ranked WHERE crank = 1),
+probe_lists AS (
+  SELECT vec_id AS probe_id, emb AS probe_emb, cent_id
+  FROM ranked WHERE vec_id % 50 = 0 AND crank <= 2
+),
+cand AS (
+  SELECT probe_id, l.vec_id AS neighbor_id,
+         list_dot_product(probe_emb, l.emb)
+         / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(l.emb, l.emb))) AS cosine
+  FROM lists l JOIN probe_lists p ON l.cent_id = p.cent_id
+  WHERE l.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= 5"""
+
+
 LANGS_SQL = {
     "de": "('der','und','die','ist','ein')",
     "en": "('the','and','of','is','a')",
@@ -483,6 +567,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,     # rows-only: xxhash64 family not in DuckDB
     "knn_brute": q_knn_brute,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "embedding_dup_pairs": q_embedding_dup,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,   # rows-only: stubbed decode is not SQL
     # --- envelope ingest parity (SURVEY §2.1 S2/S6, §2.2 P1/P2) ---
@@ -618,6 +704,8 @@ SELECT * FROM (
 WHERE jaccard >= 0.5""",
     "knn_brute": _knn_sql(bucketed=False),
     "knn_lsh": _knn_sql(bucketed=True),
+    "knn_ivf": KNN_IVF_SQL,
+    "embedding_dup_pairs": _embedding_dup_sql(),
     "media_metadata": """
 SELECT doc_id,
        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

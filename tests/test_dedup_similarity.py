@@ -62,6 +62,29 @@ def test_knn_lsh_subset_of_brute(spark):
     assert hit >= 0.6, f"LSH neighbors poorly ranked vs brute force: {hit:.2f}"
 
 
+def test_knn_ivf_neighbors_plausible(spark):
+    """IVF candidates come only from the probe's n_probe nearest lists;
+    every reported neighbor must rank in the probe's exact top-50."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    b = {(r.probe_id, r.neighbor_id) for r in similarity.knn_brute(emb, k=50).collect()}
+    ivf = [(r.probe_id, r.neighbor_id) for r in similarity.knn_ivf(emb, k=5).collect()]
+    assert len(ivf) > 0
+    hit = sum(1 for p in ivf if p in b) / len(ivf)
+    assert hit >= 0.6, f"IVF neighbors poorly ranked vs brute force: {hit:.2f}"
+
+
+def test_embedding_dup_pairs_verified(spark):
+    """Banded-LSH dup pairs are exact-cosine verified: every emitted
+    pair must clear the threshold, and candidates must be symmetric-free
+    (id_a < id_b, no duplicates)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    rows = similarity.embedding_dup_pairs(emb, threshold=0.4).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(r.cosine >= 0.4 for r in rows)
+
+
 def test_media_features_deterministic_shape(spark, docs):
     out = multimodal.decode_features(multimodal.media_table(docs.limit(20)))
     rows = out.collect()
