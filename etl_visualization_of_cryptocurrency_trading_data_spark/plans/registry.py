@@ -554,6 +554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
     "indicator_chart": q_indicator_chart,
+    "market_cap_chart": q_market_cap_chart,
     "coin_table": q_coin_table,
     # --- LLM-data-pipeline surface (brief §beyond-the-reference) ---
     "text_stats": q_text_stats,
@@ -602,6 +603,16 @@ ORACLES: dict[str, str] = {
         " FROM technical_indicators",
     ),
     "coin_market_cap": _with(
+        PRICE_DATA_CTE,
+        select="""
+  SELECT 'C' || CAST(u AS VARCHAR) AS coin_symbol,
+         (SELECT max(timestamp) FROM price_data) AS timestamp,
+         100.0 * symbol_volume / sum(symbol_volume) OVER () AS market_cap_percentage
+  FROM (SELECT regexp_extract(coin_id, '_C([0-9]+)$', 1) AS u,
+               sum(volume) AS symbol_volume
+        FROM price_data GROUP BY 1)""",
+    ),
+    "market_cap_chart": _with(
         PRICE_DATA_CTE,
         select="""
   SELECT 'C' || CAST(u AS VARCHAR) AS coin_symbol,

@@ -170,6 +170,41 @@ def test_run_ingest_fanout(spark, tmp_path, price_df):
     assert (merged["timestamp"] == merged["ts"]).all()
 
 
+def test_checkpoint_recovery_continues_state(spark, tmp_path, price_df, expected_indicators):
+    """T7: stop after draining part of the spool, then restart from the
+    SAME checkpoint with new files — carried state must make the union
+    of both runs identical to the batch recompute (no reprocessing, no
+    gap, no batch-boundary artifacts)."""
+    spool = make_spool(tmp_path, price_df, 2)
+    held_back = str(tmp_path / "held.parquet")
+    os.rename(os.path.join(spool, "001.parquet"), held_back)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+        q = (
+            streaming.stateful_indicators(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(out).toPandas()
+
+    first = drain()
+    assert 0 < len(first) < len(expected_indicators)
+    os.rename(held_back, os.path.join(spool, "001.parquet"))
+    combined = drain()  # cumulative: run-1 rows + restarted run-2 rows
+    assert len(combined) == len(expected_indicators), (
+        "restart reprocessed or dropped rows"
+    )
+    assert_indicators_equal(combined, expected_indicators)
+
+
 def test_router_and_upsert_semantics(spark, tmp_path):
     """Unit check of the sink router (S7) + keyed upsert (T2)."""
     base = str(tmp_path / "tables")
