@@ -111,9 +111,16 @@ def ngram_jaccard_pairs(
     jaccard >= threshold. ``max_df`` (document-frequency cap per
     shingle) bounds posting-list join cost at scale.
     """
-    sh = _with_shingles(documents, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     postings = _shingle_postings(documents, n)
+    # Set size = posting count per doc (shingles are distinct within a
+    # doc). Counting the postings instead of size(word_shingles(...))
+    # matters: the jaccard threshold below makes Catalyst infer
+    # isnotnull(size_a/size_b) constraints, and predicate pushdown
+    # would inline the whole tokenize+shingle expression into the size
+    # branch's scan filter (re-tokenizing per reference — measured 4x
+    # the entire query's cost). A count aggregate gives the constraint
+    # nothing expensive to push.
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if max_df is not None:
         df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
         postings = postings.join(
