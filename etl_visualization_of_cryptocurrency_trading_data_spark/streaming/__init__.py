@@ -1,5 +1,7 @@
 from .pipeline import (  # noqa: F401
+    envelope_price_stream,
     ohlc_stream,
+    read_envelope_stream,
     read_price_stream,
     run_ingest,
     stream_ohlc_to_dir,

@@ -49,6 +49,27 @@ def read_price_stream(spark: SparkSession, spool_dir: str, max_files_per_trigger
     return reader.parquet(spool_dir)
 
 
+def read_envelope_stream(
+    spark: SparkSession, spool_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """JSON-envelope text file-stream: one envelope per line — the exact
+    consumer shape of the reference's Kafka topic (S1+S2; reference
+    spark-streaming.py:269-278), minus the broker. Swapping this reader
+    for ``format("kafka")`` + the same decode is a one-line change."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(spool_dir)
+
+
+def envelope_price_stream(envelopes: DataFrame) -> DataFrame:
+    """Decoded streaming price ticks from an envelope stream — pure map
+    (from_json + explode + to_timestamp), streaming-safe."""
+    from ..sources import envelope as env
+
+    return env.decode_price(env.decode_envelopes(envelopes))
+
+
 def ohlc_stream(price: DataFrame, delay: str = "10 minutes", window: str = "1 hour") -> DataFrame:
     """Event-time tumbling OHLC candles with late-data handling (T6).
 

@@ -170,6 +170,49 @@ def test_run_ingest_fanout(spark, tmp_path, price_df):
     assert (merged["timestamp"] == merged["ts"]).all()
 
 
+def test_envelope_stream_end_to_end(spark, tmp_path):
+    """Full Kafka-consumer parity without the broker: JSON envelope
+    lines -> from_json decode -> explode price -> stateful indicators,
+    equal to the batch recompute over the decoded ticks."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import envelope as env
+
+    events = load_table(spark, SF_SMOKE, "events")
+    envelopes = env.build_envelopes(events).orderBy("tick_ts").cache()
+    n = envelopes.count()
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    lines = [r.value for r in envelopes.select("value").collect()]
+    half = len(lines) // 2
+    for i, chunk in enumerate([lines[:half], lines[half:]]):
+        p = os.path.join(spool, f"{i:03d}.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = streaming.envelope_price_stream(
+        streaming.read_envelope_stream(spark, spool, max_files_per_trigger=1)
+    )
+    q = (
+        streaming.stateful_indicators(stream)
+        .writeStream.format("memory")
+        .queryName("env_ind")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("env_ind").toPandas()
+    batch_price = env.decode_price(env.decode_envelopes(envelopes))
+    expected = (
+        technical_indicators(batch_price)
+        .toPandas()
+        .sort_values(KEYCOLS)
+        .reset_index(drop=True)
+    )
+    assert n > 1 and len(got) == len(expected)
+    assert_indicators_equal(got, expected)
+
+
 def test_checkpoint_recovery_continues_state(spark, tmp_path, price_df, expected_indicators):
     """T7: stop after draining part of the spool, then restart from the
     SAME checkpoint with new files — carried state must make the union
