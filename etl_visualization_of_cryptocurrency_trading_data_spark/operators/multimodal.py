@@ -69,6 +69,98 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks]) / 255.0
 
 
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, real_decode: bool = False
+) -> DataFrame:
+    """Resize step: metadata transform is real (new width/height,
+    deterministic output byte size); the pixel resample itself is the
+    stubbed part (payload re-hashed to the target size — swap for
+    PIL ``Image.resize`` in production). Same mapInPandas batch shape."""
+    if real_decode:
+        raise NotImplementedError(
+            "real resize requires image codecs not present in this container"
+        )
+    schema = "doc_id long, media_type string, payload binary, width int, height int"
+    out_len = target_w * target_h // 64  # stub: deterministic byte budget
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes((np.resize(np.frombuffer(p, dtype=np.uint8), out_len)))
+                if len(p)
+                else b"\x00" * out_len
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                }
+            )
+
+    return media.select(
+        "doc_id", "media_type", "payload", "width", "height"
+    ).mapInPandas(resize, schema)
+
+
+def frame_schedule(media: DataFrame, every_s: float = 10.0) -> DataFrame:
+    """Frame-sampling schedule for video rows: one output row per
+    sampled frame timestamp. This part is PURE declarative Spark —
+    ``explode(sequence(...))`` over the duration metadata — so the
+    fan-out (the scale-relevant piece: row counts, partitioning) is
+    engine-side and oracle-checkable; only pixel extraction is stubbed
+    (``extract_frames``)."""
+    n_frames = (F.col("duration_s") / F.lit(float(every_s))).cast("int")
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "duration_s",
+            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * float(every_s)).alias("frame_ts"),
+        )
+    )
+
+
+def extract_frames(
+    media: DataFrame, every_s: float = 10.0, real_decode: bool = False
+) -> DataFrame:
+    """Frame extraction: schedule (real) joined back to payloads, frame
+    bytes produced by the stubbed decoder per (payload, frame_ts)."""
+    if real_decode:
+        raise NotImplementedError(
+            "real frame extraction requires video codecs not present in "
+            "this container; wire ffmpeg/PyAV here"
+        )
+    sched = frame_schedule(media, every_s)
+    joined = sched.join(media.select("doc_id", "payload"), "doc_id")
+    schema = "doc_id long, frame_idx int, frame_ts double, frame_features array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                list(_fake_decode(p[int(i) % max(len(p), 1):] or p))
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts": pdf["frame_ts"],
+                    "frame_features": feats,
+                }
+            )
+
+    return joined.mapInPandas(extract, schema)
+
+
 def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas — the
     production batch shape (Arrow record batches of binary columns in,

@@ -107,6 +107,39 @@ def top_k(
     return df.orderBy(*order).limit(k)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: replicate the smaller side ``buckets``
+    times, salt the big side by a deterministic row hash, join on
+    (keys + salt). A hot key's rows then spread across ``buckets``
+    shuffle partitions instead of funneling into one straggler task.
+
+    Use when BOTH sides are too large to broadcast and the key
+    distribution is heavy-tailed (AQE's skew-join split handles sort-
+    merge skew at runtime; explicit salting also covers aggregations
+    downstream of the join and engines/paths AQE does not reach).
+    Identical results to a plain join for any ``how`` that preserves
+    the big side's rows (inner/left).
+    """
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    # deterministic row-hash salt: duplicates land together (harmless),
+    # every key's rows spread uniformly.
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets)).cast(
+            "int"
+        ),
+    )
+    return salted_big.join(salted_small, [*keys, "_salt"], how).drop("_salt")
+
+
 def volume_rollup(price: DataFrame) -> DataFrame:
     """ROLLUP (exchange, coin_id): per-coin, per-exchange subtotal and
     grand-total volume in one pass — partial aggregation handles the

@@ -255,6 +255,18 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_frame_schedule(spark, sf_dir):
+    return multimodal.frame_schedule(
+        multimodal.media_table(_documents(spark, sf_dir)), every_s=10.0
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    return multimodal.extract_frames(
+        multimodal.media_table(_documents(spark, sf_dir)), every_s=10.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Envelope (M3) + relational-stretch builders
 # ---------------------------------------------------------------------------
@@ -572,6 +584,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,   # rows-only: stubbed decode is not SQL
+    "frame_schedule": q_frame_schedule,
+    "media_frames": q_media_frames,       # rows-only: stubbed frame decode
     # --- envelope ingest parity (SURVEY §2.1 S2/S6, §2.2 P1/P2) ---
     "envelope_price": q_envelope_price,
     "envelope_coins": q_envelope_coins,
@@ -725,6 +739,11 @@ SELECT doc_id,
        (64 + doc_id % 448)::INT AS width,
        (64 + (doc_id * 7) % 448)::INT AS height
 FROM documents""",
+    "frame_schedule": """
+SELECT doc_id, unnest(generate_series(0, floor(duration_s / 10.0)::INT))::INT AS frame_idx,
+       unnest(generate_series(0, floor(duration_s / 10.0)::INT)) * 10.0 AS frame_ts
+FROM (SELECT doc_id, ((doc_id % 120) + 1)::DOUBLE AS duration_s
+      FROM documents WHERE doc_id % 3 = 2)""",
     "envelope_price": PRICE_BASE_SQL,
     "envelope_coins": _with(COINS_CTE, select="SELECT * FROM coins"),
     "envelope_ohlc": ENVELOPE_TICK_OHLC_SQL,

@@ -97,3 +97,25 @@ def test_media_features_deterministic_shape(spark, docs):
 def test_real_decode_gated(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(multimodal.media_table(docs), real_decode=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(multimodal.media_table(docs), real_decode=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_frames(multimodal.media_table(docs), real_decode=True)
+
+
+def test_resize_media_shape(spark, docs):
+    out = multimodal.resize_media(multimodal.media_table(docs.limit(10)), 224, 224)
+    rows = out.collect()
+    assert len(rows) == 10
+    expected_len = 224 * 224 // 64
+    assert all(len(r.payload) == expected_len for r in rows)
+    assert all(r.width == 224 and r.height == 224 for r in rows)
+
+
+def test_frame_extract_matches_schedule(spark, docs):
+    media = multimodal.media_table(docs)
+    sched = multimodal.frame_schedule(media, every_s=10.0)
+    frames = multimodal.extract_frames(media, every_s=10.0)
+    assert frames.count() == sched.count()
+    r = frames.limit(5).collect()
+    assert all(len(x.frame_features) == multimodal.FEATURE_DIM for x in r)

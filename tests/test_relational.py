@@ -36,6 +36,75 @@ def test_semi_anti_partition(spark):
     assert semi | anti == {"a", "b", "c"}
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change results: hot-keyed fact (5 distinct
+    exchanges) joined to an exchange dim, salted vs plain."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    from conftest import SF_SMOKE
+
+    price = derive.price_data(load_table(spark, SF_SMOKE, "events")).select(
+        "coin_id", "exchange", "timestamp", "price"
+    )
+    dim = price.select("exchange").distinct().withColumn(
+        "exchange_tier", relational.F.length("exchange") % 3
+    )
+    plain = price.join(dim, ["exchange"]).orderBy("coin_id", "timestamp")
+    salted = relational.salted_join(price, dim, ["exchange"], buckets=8).orderBy(
+        "coin_id", "timestamp"
+    )
+    assert plain.count() == salted.count() == price.count()
+    assert sorted(map(str, plain.collect())) == sorted(map(str, salted.collect()))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: engine as-of join == pandas merge_asof over random
+    keyed series (allow_exact_matches semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c"], 60),
+            "timestamp": rng.integers(0, 1000, 60),
+        }
+    ).drop_duplicates(["key", "timestamp"])
+    right = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c"], 30),
+            "timestamp": rng.integers(0, 1000, 30),
+            "val": rng.normal(size=30).round(6),
+        }
+    ).drop_duplicates(["key", "timestamp"])
+    got = (
+        relational.asof_join(
+            spark.createDataFrame(left.assign(timestamp=left.timestamp.astype("int64"))),
+            spark.createDataFrame(right.assign(timestamp=right.timestamp.astype("int64"))),
+            ["key"],
+        )
+        .toPandas()
+        .sort_values(["key", "timestamp"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("timestamp"),
+            right.sort_values("timestamp"),
+            on="timestamp",
+            by="key",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        .sort_values(["key", "timestamp"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["key", "timestamp", "val"]], want[["key", "timestamp", "val"]]
+    )
+
+
 def test_union_feeds_missing_columns(spark):
     a = spark.createDataFrame([(1, "x")], "id long, only_a string")
     b = spark.createDataFrame([(2, 3.0)], "id long, only_b double")
