@@ -28,6 +28,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
 
+    # Warm the JVM/codegen path once so the first query's timing is the
+    # query's cost, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name, build in QUERIES.items():
         df = build(spark, sf_dir)

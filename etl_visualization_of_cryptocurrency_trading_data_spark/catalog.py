@@ -65,3 +65,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def create_crypto_database(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "crypto_analysis",
+    location: str | None = None,
+) -> None:
+    """Materialize the reference's five-table keyspace (S8 parity:
+    CREATE KEYSPACE/TABLE IF NOT EXISTS, reference spark-streaming.py:
+    41-116) as a Spark SQL database of managed parquet tables, queryable
+    as ``<database>.<table>`` from any SQL client of this session.
+
+    One pass over events derives all five tables; each ``saveAsTable``
+    is an executor-side parquet write into the warehouse. Facts are
+    partitioned by exchange (the reference's partition-key prefix).
+    """
+    from .operators import derive
+    from .operators.indicators import technical_indicators
+
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+    events = load_table(spark, sf_dir, "events")
+    price = derive.price_data(events)
+    tables: dict[str, tuple[DataFrame, tuple[str, ...]]] = {
+        "coins": (derive.coins(events), ()),
+        "price_data": (price, ("exchange",)),
+        "ohlc_data": (derive.ohlc_data(price), ("exchange",)),
+        "technical_indicators": (technical_indicators(price), ("exchange",)),
+        "coin_market_cap": (derive.coin_market_cap(price), ()),
+    }
+    for name, (df, parts) in tables.items():
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.saveAsTable(f"{database}.{name}")

@@ -40,12 +40,66 @@ def test_flagship_expressible_in_sql(spark):
 def test_filter_pushdown_reaches_scan(spark):
     """Predicate + projection reach the parquet scan (SURVEY §4.1: the
     reference cannot push its client-side filters; Catalyst does)."""
-    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("lang") == "en").select(
-        "doc_id", "lang"
+    # nation is never .cache()d by other tests, so the parquet scan (and
+    # its pushdown annotations) stays visible in the physical plan.
+    df = load_table(spark, SF_SMOKE, "nation").filter(
+        F.col("n_name") == "FRANCE"
+    ).select("n_nationkey", "n_name")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_name), EqualTo(n_name,FRANCE)]" in plan
+    assert "ReadSchema: struct<n_nationkey:" in plan  # projection pruned to 2 cols
+    assert ",n_name:string>" in plan
+
+
+def test_create_crypto_database(spark, tmp_path):
+    """S8 parity: the reference's five-table keyspace materializes as a
+    Spark SQL database of managed parquet tables."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import (
+        create_crypto_database,
     )
-    plan = docs._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
-    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+    db = "crypto_analysis_test"
+    create_crypto_database(spark, SF_SMOKE, db, location=str(tmp_path / "wh"))
+    try:
+        tables = {
+            r.tableName
+            for r in spark.sql(f"SHOW TABLES IN {db}").collect()
+            if not r.isTemporary
+        }
+        assert tables == {
+            "coins", "price_data", "ohlc_data",
+            "technical_indicators", "coin_market_cap",
+        }
+        n_coins = spark.table(f"{db}.coins").count()
+        assert n_coins == spark.table(f"{db}.price_data").select(
+            "coin_id", "exchange"
+        ).distinct().count()
+        # partitioned facts prune on the partition column
+        plan = (
+            spark.table(f"{db}.price_data")
+            .filter(F.col("exchange") == "view")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [isnotnull(exchange" in plan
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_envelope_decode_tolerates_malformed_lines(spark):
+    """A corrupt envelope line decodes to NULL (from_json PERMISSIVE)
+    and contributes zero exploded rows; valid lines are unaffected."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import envelope as env
+
+    events = load_table(spark, SF_SMOKE, "events").limit(50)
+    good = env.build_envelopes(events).select("value")
+    n_good_price = env.decode_price(env.decode_envelopes(good)).count()
+    corrupt = spark.createDataFrame(
+        [("{not json",), ('{"coins": "wrong-type"}',), ("",)], "value string"
+    )
+    mixed = good.unionByName(corrupt)
+    decoded = env.decode_envelopes(mixed)
+    assert env.decode_price(decoded).count() == n_good_price
+    assert decoded.count() == mixed.count()  # rows survive as nulls, not errors
 
 
 def test_partition_pruning_on_written_table(spark, tmp_path):
