@@ -1,4 +1,5 @@
 from .pipeline import (  # noqa: F401
+    dedup_stream,
     envelope_price_stream,
     ohlc_stream,
     read_envelope_stream,

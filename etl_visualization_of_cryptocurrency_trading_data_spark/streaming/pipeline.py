@@ -70,6 +70,20 @@ def envelope_price_stream(envelopes: DataFrame) -> DataFrame:
     return env.decode_price(env.decode_envelopes(envelopes))
 
 
+def dedup_stream(
+    price: DataFrame,
+    keys: list[str] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingestion dedup (absent in the reference, SURVEY T6):
+    drop re-delivered ticks on the natural key within the watermark —
+    the at-least-once -> effectively-once guard for replayed sources.
+    State is bounded: a key's fingerprint is dropped once the watermark
+    passes it."""
+    keys = keys or ["coin_id", "exchange", "timestamp"]
+    return price.withWatermark("timestamp", delay).dropDuplicatesWithinWatermark(keys)
+
+
 def ohlc_stream(price: DataFrame, delay: str = "10 minutes", window: str = "1 hour") -> DataFrame:
     """Event-time tumbling OHLC candles with late-data handling (T6).
 

@@ -5,6 +5,8 @@ with their exact counterparts on the fixture corpus."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
@@ -60,6 +62,45 @@ def test_knn_lsh_subset_of_brute(spark):
     assert len(l) > 0
     hit = sum(1 for p in l if p in b) / len(l)
     assert hit >= 0.6, f"LSH neighbors poorly ranked vs brute force: {hit:.2f}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_ngram_jaccard_property_vs_bruteforce(spark, word_lists):
+    """Property: engine inverted-index Jaccard pairs == brute-force
+    Python set computation for arbitrary tiny corpora (including docs
+    shorter than the shingle width, duplicates, and empty docs)."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i, a in enumerate(word_lists):
+        for j in range(i + 1, len(word_lists)):
+            sa, sb = shingles(a), shingles(word_lists[j])
+            if sa and sb:
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.3:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
 
 
 def test_knn_ivf_neighbors_plausible(spark):

@@ -248,6 +248,34 @@ def test_checkpoint_recovery_continues_state(spark, tmp_path, price_df, expected
     assert_indicators_equal(combined, expected_indicators)
 
 
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path, price_df):
+    """At-least-once replay (every spool file delivered twice) collapses
+    to exactly the distinct tick set."""
+    spool = make_spool(tmp_path, price_df, 2)
+    for f in list(sorted(os.listdir(spool))):
+        src = os.path.join(spool, f)
+        dup = os.path.join(spool, f.replace(".parquet", "_redelivered.parquet"))
+        import shutil
+
+        shutil.copy(src, dup)
+        os.utime(dup, (1_700_000_100, 1_700_000_100))
+    stream = streaming.dedup_stream(
+        streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("dedup_out")
+    assert got.count() == price_df.count()
+    assert got.select("coin_id", "exchange", "timestamp").distinct().count() == got.count()
+
+
 def test_router_and_upsert_semantics(spark, tmp_path):
     """Unit check of the sink router (S7) + keyed upsert (T2)."""
     base = str(tmp_path / "tables")
