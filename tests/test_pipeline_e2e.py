@@ -1,0 +1,84 @@
+"""Capstone integration test — the full SURVEY §3 lifecycle in one run:
+
+  events -> 5-min JSON envelopes (producer S6)
+         -> envelope text spool (the topic)
+         -> streaming from_json decode (consumer S2/P1/P2)
+         -> foreachBatch fan-out: price appends + coins upserts (S7/T2-T4)
+         -> serving route over the written tables (§3.3)
+
+Every stage's output is compared against the equivalent batch
+computation — proving the pieces compose, not just pass in isolation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_visualization_of_cryptocurrency_trading_data_spark import sinks, streaming
+from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+from etl_visualization_of_cryptocurrency_trading_data_spark.plans import serving
+from etl_visualization_of_cryptocurrency_trading_data_spark.sources import envelope as env
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    events = load_table(spark, SF_SMOKE, "events")
+    envelopes = env.build_envelopes(events).orderBy("tick_ts").cache()
+    lines = [r.value for r in envelopes.select("value").collect()]
+    spool = str(tmp / "spool")
+    os.makedirs(spool)
+    third = max(len(lines) // 3, 1)
+    for i in range(3):
+        chunk = lines[i * third :] if i == 2 else lines[i * third : (i + 1) * third]
+        p = os.path.join(spool, f"{i:03d}.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(chunk) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    out_dir = str(tmp / "tables")
+    stream = streaming.envelope_price_stream(
+        streaming.read_envelope_stream(spark, spool, max_files_per_trigger=1)
+    )
+    q = streaming.run_ingest(stream, out_dir, str(tmp / "ckpt"))
+    assert q.awaitTermination(300)
+    batch_price = env.decode_price(env.decode_envelopes(envelopes)).cache()
+    return out_dir, batch_price
+
+
+def test_written_price_equals_batch_decode(spark, pipeline_out):
+    out_dir, batch_price = pipeline_out
+    written = sinks.read_table(spark, out_dir, "price_data")
+    assert written.count() == batch_price.count()
+    cols = ["coin_id", "exchange", "timestamp", "price", "volume"]
+    w = sorted(map(str, written.select(*cols).collect()))
+    b = sorted(map(str, batch_price.select(*cols).collect()))
+    assert w == b
+
+
+def test_written_coins_upserted_to_latest(spark, pipeline_out):
+    out_dir, batch_price = pipeline_out
+    coins = sinks.read_table(spark, out_dir, "coins")
+    keys = batch_price.select("coin_id", "exchange").distinct()
+    assert coins.count() == keys.count()
+    latest = batch_price.groupBy("coin_id").agg(F.max("timestamp").alias("ts"))
+    joined = coins.join(latest, coins.id == latest.coin_id)
+    assert joined.filter(F.col("timestamp") != F.col("ts")).count() == 0
+
+
+def test_serving_route_over_written_tables(spark, pipeline_out):
+    """§3.3: the price_chart route runs unchanged over the streamed-in
+    table and equals the same route over the batch decode."""
+    out_dir, batch_price = pipeline_out
+    written = sinks.read_table(spark, out_dir, "price_data")
+    sym = "C7"
+    via_stream = serving.price_chart(written, sym, "1w")
+    via_batch = serving.price_chart(batch_price, sym, "1w")
+    assert sorted(map(str, via_stream.collect())) == sorted(
+        map(str, via_batch.collect())
+    )
+    assert via_batch.count() > 0
