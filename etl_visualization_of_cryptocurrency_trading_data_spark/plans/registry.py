@@ -372,6 +372,46 @@ def q_volume_rollup(spark, sf_dir):
     return relational.volume_rollup(_price_base(spark, sf_dir))
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """Classic OLAP multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation. Dimension sides broadcast; the lineitem-orders
+    join is the only large shuffle and AQE sizes it."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("rev").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_suppliers(spark, sf_dir):
+    """Top-10 suppliers by shipped value: join + agg + deterministic
+    top-k (TakeOrderedAndProject)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = li.groupBy("l_suppkey").agg(F.sum("val").alias("shipped_value"))
+    joined = per.join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "shipped_value"
+    )
+    return relational.top_k(joined, "shipped_value", 10, tiebreak="s_suppkey")
+
+
 PRICE_BASE_SQL = """
 SELECT event_type || '_C' || user_id AS coin_id,
        event_type AS exchange,
@@ -598,6 +638,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
     "volume_rollup": q_volume_rollup,
+    # --- generic OLAP over the TPC-H-ish fixtures ---
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_suppliers": q_top_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -801,4 +844,20 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "revenue_by_nation": """
+SELECT n_name AS nation,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    "top_suppliers": """
+SELECT s_suppkey, s_name, shipped_value FROM (
+  SELECT l_suppkey AS s_suppkey, sum(l_extendedprice * l_quantity) AS shipped_value
+  FROM lineitem GROUP BY l_suppkey) v
+JOIN (SELECT s_suppkey AS sk, s_name FROM supplier) s ON s_suppkey = sk
+ORDER BY shipped_value DESC, s_suppkey
+LIMIT 10""",
 }
