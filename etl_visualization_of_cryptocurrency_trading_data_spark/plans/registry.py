@@ -412,6 +412,33 @@ def q_top_suppliers(spark, sf_dir):
     return relational.top_k(joined, "shipped_value", 10, tiebreak="s_suppkey")
 
 
+def q_momentum_ranks(spark, sf_dir):
+    """Window-function breadth (SURVEY §2.5 lists rank/dense_rank/
+    ntile/lead as absent from the reference): per-exchange momentum
+    leaderboard over the latest tick of every coin — rank, dense_rank,
+    quartile ntile, and next-coin lead in ONE window pass (single
+    shuffle on exchange after the latest-per-group collapse)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.latest import latest_per_group
+
+    price = derive.price_data(_events(spark, sf_dir))
+    latest = latest_per_group(price, ["coin_id", "exchange"]).filter(
+        F.col("change_1h").isNotNull()
+    )
+    w = Window.partitionBy("exchange").orderBy(F.desc("change_1h"), F.asc("coin_id"))
+    return latest.select(
+        "exchange",
+        "coin_id",
+        "change_1h",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("coin_id", 1).over(w).alias("next_coin"),
+    )
+
+
 PRICE_BASE_SQL = """
 SELECT event_type || '_C' || user_id AS coin_id,
        event_type AS exchange,
@@ -641,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- generic OLAP over the TPC-H-ish fixtures ---
     "revenue_by_nation": q_revenue_by_nation,
     "top_suppliers": q_top_suppliers,
+    "momentum_ranks": q_momentum_ranks,
 }
 
 ORACLES: dict[str, str] = {
@@ -844,6 +872,23 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "momentum_ranks": _with(
+        PRICE_DATA_CTE,
+        select="""
+, latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
+                                 ORDER BY timestamp DESC) AS lrn
+    FROM price_data) WHERE lrn = 1 AND change_1h IS NOT NULL
+)
+SELECT exchange, coin_id, change_1h,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       lead(coin_id, 1) OVER w AS next_coin
+FROM latest
+WINDOW w AS (PARTITION BY exchange ORDER BY change_1h DESC, coin_id)""",
+    ),
     "revenue_by_nation": """
 SELECT n_name AS nation,
        sum(l_extendedprice * (1 - l_discount)) AS revenue,
