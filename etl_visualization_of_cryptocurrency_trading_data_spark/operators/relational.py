@@ -140,6 +140,46 @@ def salted_join(
     return salted_big.join(salted_small, [*keys, "_salt"], how).drop("_salt")
 
 
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    gap_minutes: int = 60,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): rows closer than
+    ``gap_minutes`` to their predecessor share a session; a session's
+    end is last event + gap (matching Structured Streaming's
+    ``session_window`` semantics, so batch and stream agree).
+
+    One window pass (lag + running sum) + one aggregation — two
+    shuffles on the entity keys total.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    new_session = (
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_id = df.withColumn(
+        "_session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy(*keys, "_session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            (F.max(ts_col) + gap).alias("session_end"),
+            F.count("*").alias("n_ticks"),
+            F.min("price").alias("low"),
+            F.max("price").alias("high"),
+        )
+        .drop("_session_id")
+    )
+
+
 def volume_rollup(price: DataFrame) -> DataFrame:
     """ROLLUP (exchange, coin_id): per-coin, per-exchange subtotal and
     grand-total volume in one pass — partial aggregation handles the

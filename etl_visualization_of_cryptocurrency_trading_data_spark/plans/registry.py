@@ -412,6 +412,14 @@ def q_top_suppliers(spark, sf_dir):
     return relational.top_k(joined, "shipped_value", 10, tiebreak="s_suppkey")
 
 
+def q_trading_sessions(spark, sf_dir):
+    """Gaps-and-islands sessionization of the tick stream (batch twin
+    of streaming session_window; gap 6h)."""
+    return relational.sessionize(
+        _price_base(spark, sf_dir), ["coin_id", "exchange"], gap_minutes=360
+    )
+
+
 def q_momentum_ranks(spark, sf_dir):
     """Window-function breadth (SURVEY §2.5 lists rank/dense_rank/
     ntile/lead as absent from the reference): per-exchange momentum
@@ -669,6 +677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_suppliers": q_top_suppliers,
     "momentum_ranks": q_momentum_ranks,
+    "trading_sessions": q_trading_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -872,6 +881,26 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "trading_sessions": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+marked AS (
+  SELECT *, CASE WHEN epoch(timestamp) - epoch(lag(timestamp) OVER w) > 360*60
+                 THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+),
+ids AS (
+  SELECT *, sum(ns) OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT coin_id, exchange,
+       min(timestamp) AS session_start,
+       max(timestamp) + INTERVAL 360 MINUTES AS session_end,
+       count(*)::BIGINT AS n_ticks,
+       min(price) AS low,
+       max(price) AS high
+FROM ids GROUP BY coin_id, exchange, sid""",
     "momentum_ranks": _with(
         PRICE_DATA_CTE,
         select="""

@@ -71,17 +71,34 @@ def table_dir(base_dir: str, table: str) -> str:
     return os.path.join(base_dir, table)
 
 
-def write_table(df: DataFrame, base_dir: str, table: str | None = None) -> str:
-    """Append one batch to its (routed) table as time-clustered parquet."""
+def write_table(
+    df: DataFrame,
+    base_dir: str,
+    table: str | None = None,
+    epoch_id: int | None = None,
+) -> str:
+    """Append one batch to its (routed) table as time-clustered parquet.
+
+    With ``epoch_id`` (streaming foreachBatch), the batch lands in a
+    ``batch_epoch=N`` partition directory written with overwrite —
+    re-running the same epoch after a failure REPLACES its output
+    instead of double-appending, giving effectively-once file output
+    on top of the checkpointed source offsets (T7). ``read_table``
+    hides the bookkeeping column.
+    """
     table = table or route_table(df)
     parts = PARTITION_COLS.get(table, ())
     out = df
     if "timestamp" in df.columns:
         out = out.sortWithinPartitions(F.desc("timestamp"))
-    writer = out.write.mode("append")
+    path = table_dir(base_dir, table)
+    if epoch_id is not None:
+        path = os.path.join(path, f"batch_epoch={epoch_id}")
+        writer = out.write.mode("overwrite")
+    else:
+        writer = out.write.mode("append")
     if parts:
         writer = writer.partitionBy(*parts)
-    path = table_dir(base_dir, table)
     writer.parquet(path)
     return table
 
@@ -127,7 +144,12 @@ def upsert_by_key(
 
 
 def read_table(spark: SparkSession, base_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(table_dir(base_dir, table))
+    df = spark.read.option("basePath", table_dir(base_dir, table)).parquet(
+        table_dir(base_dir, table)
+    )
+    if "batch_epoch" in df.columns:  # epoch bookkeeping, not user data
+        df = df.drop("batch_epoch")
+    return df
 
 
 def _rm_tree(path: str) -> None:

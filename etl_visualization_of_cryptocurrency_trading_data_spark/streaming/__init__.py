@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     read_envelope_stream,
     read_price_stream,
     run_ingest,
+    session_stream,
     stream_ohlc_to_dir,
 )
 from .stateful import stateful_indicators  # noqa: F401

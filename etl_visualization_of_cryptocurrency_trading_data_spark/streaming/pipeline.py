@@ -70,6 +70,37 @@ def envelope_price_stream(envelopes: DataFrame) -> DataFrame:
     return env.decode_price(env.decode_envelopes(envelopes))
 
 
+def session_stream(
+    price: DataFrame, gap_minutes: int = 60, delay: str = "10 minutes"
+) -> DataFrame:
+    """Event-time session windows per entity (T6 extension): a session
+    closes ``gap_minutes`` after its last tick; watermark bounds open-
+    session state. Output schema matches ``relational.sessionize`` so
+    batch === stream is testable."""
+    return (
+        price.withWatermark("timestamp", delay)
+        .groupBy(
+            "coin_id",
+            "exchange",
+            F.session_window("timestamp", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.min("price").alias("low"),
+            F.max("price").alias("high"),
+        )
+        .select(
+            "coin_id",
+            "exchange",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+            "low",
+            "high",
+        )
+    )
+
+
 def dedup_stream(
     price: DataFrame,
     keys: list[str] | None = None,
@@ -148,7 +179,7 @@ def run_ingest(
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.persist()
         try:
-            sinks.write_table(batch, out_dir, "price_data")
+            sinks.write_table(batch, out_dir, "price_data", epoch_id=epoch_id)
             coins = batch.select(
                 F.col("coin_id").alias("id"),
                 F.regexp_replace("coin_id", "^.*_", "Coin ").alias("name"),

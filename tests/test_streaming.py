@@ -248,6 +248,52 @@ def test_checkpoint_recovery_continues_state(spark, tmp_path, price_df, expected
     assert_indicators_equal(combined, expected_indicators)
 
 
+def test_session_stream_matches_batch_sessionize(spark, tmp_path, price_df):
+    """Event-time session windows: every closed session the stream
+    emits equals the batch gaps-and-islands result."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import relational
+
+    spool = make_spool(tmp_path, price_df, 3)
+    stream = streaming.session_stream(
+        streaming.read_price_stream(spark, spool, max_files_per_trigger=1),
+        gap_minutes=360,
+        delay="0 seconds",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("sess_out").toPandas()
+    batch = relational.sessionize(
+        price_df, ["coin_id", "exchange"], gap_minutes=360
+    ).toPandas()
+    assert len(got) > 0
+    key = ["coin_id", "exchange", "session_start"]
+    merged = got.merge(batch, on=key, suffixes=("", "_b"), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "stream emitted a session batch lacks"
+    for c in ["session_end", "n_ticks", "low", "high"]:
+        assert (merged[c] == merged[f"{c}_b"]).all(), c
+
+
+def test_epoch_write_is_idempotent(spark, tmp_path, price_df):
+    """Re-running a foreachBatch epoch (failure retry) replaces its
+    output instead of double-appending."""
+    base = str(tmp_path / "tables")
+    batch = price_df.limit(100)
+    sinks.write_table(batch, base, "price_data", epoch_id=7)
+    sinks.write_table(batch, base, "price_data", epoch_id=7)  # retry
+    got = sinks.read_table(spark, base, "price_data")
+    assert got.count() == 100
+    assert "batch_epoch" not in got.columns
+    sinks.write_table(batch, base, "price_data", epoch_id=8)
+    assert sinks.read_table(spark, base, "price_data").count() == 200
+
+
 def test_dedup_stream_drops_redelivered_rows(spark, tmp_path, price_df):
     """At-least-once replay (every spool file delivered twice) collapses
     to exactly the distinct tick set."""
