@@ -146,10 +146,14 @@ def with_ema_macd(
     keys = list(KEYS)
     passthrough = list(passthrough)
     fast, slow = macd_spans
+    ema_col = f"ema_{ema_span}"
+    pass_ddl = "".join(
+        f"{c} {df.schema[c].dataType.simpleString()}, " for c in passthrough
+    )
     schema = (
         "coin_id string, exchange string, timestamp timestamp, "
-        + "".join(f"{c} double, " for c in passthrough)
-        + "ema_20 double, macd double"
+        + pass_ddl
+        + f"{ema_col} double, macd double"
     )
     part = (
         df.select(*keys, "timestamp", col, *[c for c in passthrough if c != col])
@@ -163,11 +167,11 @@ def with_ema_macd(
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         price_g = _grouped_series(pdf, keys, col)
-        pdf["ema_20"] = price_g.ewm(span=ema_span, adjust=False).mean().to_numpy()
+        pdf[ema_col] = price_g.ewm(span=ema_span, adjust=False).mean().to_numpy()
         pdf["macd"] = (
             price_g.ewm(span=fast, adjust=False).mean().to_numpy()
             - price_g.ewm(span=slow, adjust=False).mean().to_numpy()
         )
-        yield pdf[["coin_id", "exchange", "timestamp", *passthrough, "ema_20", "macd"]]
+        yield pdf[["coin_id", "exchange", "timestamp", *passthrough, ema_col, "macd"]]
 
     return part.mapInPandas(compute, schema)

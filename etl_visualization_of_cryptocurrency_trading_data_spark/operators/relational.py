@@ -32,21 +32,30 @@ def asof_join(
     no range-condition join (which Spark would execute as a broadcast
     nested loop), state bounded by the window sort.
     """
+    from pyspark.sql.types import StructField, StructType
+
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
+    # The whole right payload travels as ONE struct: last(ignorenulls)
+    # then skips only the left rows' NULL placeholders, never a
+    # legitimate NULL field inside a matched right row — and all
+    # carried fields always come from the SAME right row.
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     lhs = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
         *[c for c in left.columns if c not in keys and c != left_ts],
     )
     rhs = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*right_cols).alias("_r"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -59,17 +68,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_rv")
     )
     return carried.filter(F.col("_side") == 1).select(
         *keys,
         F.col("_ts").alias(left_ts),
         *[c for c in left.columns if c not in keys and c != left_ts],
-        *[F.col(f"_rv_{c}").alias(c) for c in right_cols],
+        *[F.col("_rv")[c].alias(c) for c in right_cols],
     )
 
 
@@ -156,10 +161,13 @@ def sessionize(
     """
     w = Window.partitionBy(*keys).orderBy(ts_col)
     gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    # >= not >: streaming session_window spans [t, t+gap) with an
+    # EXCLUSIVE end, so an event exactly gap after its predecessor
+    # starts a new session — batch must agree for batch === stream.
     new_session = (
         F.when(
             F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
-            > gap_minutes * 60,
+            >= gap_minutes * 60,
             1,
         )
         .otherwise(0)

@@ -114,19 +114,21 @@ LATEST_CTES = """
 latest_price AS (
   SELECT coin_id, exchange, timestamp AS price_ts, price, volume FROM (
     SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
-                                 ORDER BY timestamp DESC) AS lrn
+                                 ORDER BY timestamp DESC, price DESC, volume DESC) AS lrn
     FROM price_data) WHERE lrn = 1
 ),
 latest_ohlc AS (
   SELECT coin_id, exchange, open, high, low, close FROM (
     SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
-                                 ORDER BY timestamp DESC) AS lrn
+                                 ORDER BY timestamp DESC, open DESC, high DESC,
+                                          low DESC, close DESC) AS lrn
     FROM ohlc_data) WHERE lrn = 1
 ),
 latest_ind AS (
   SELECT coin_id, exchange, sma_20, ema_20, rsi_14, macd FROM (
     SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
-                                 ORDER BY timestamp DESC) AS lrn
+                                 ORDER BY timestamp DESC, sma_20 DESC, ema_20 DESC,
+                                          rsi_14 DESC, macd DESC) AS lrn
     FROM technical_indicators) WHERE lrn = 1
 )"""
 
@@ -432,9 +434,9 @@ def q_momentum_ranks(spark, sf_dir):
     from ..operators.latest import latest_per_group
 
     price = derive.price_data(_events(spark, sf_dir))
-    latest = latest_per_group(price, ["coin_id", "exchange"]).filter(
-        F.col("change_1h").isNotNull()
-    )
+    latest = latest_per_group(
+        price, ["coin_id", "exchange"], tiebreak=["change_1h"]
+    ).filter(F.col("change_1h").isNotNull())
     w = Window.partitionBy("exchange").orderBy(F.desc("change_1h"), F.asc("coin_id"))
     return latest.select(
         "exchange",
@@ -884,7 +886,7 @@ GROUP BY ROLLUP (exchange, coin_id)""",
     "trading_sessions": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 marked AS (
-  SELECT *, CASE WHEN epoch(timestamp) - epoch(lag(timestamp) OVER w) > 360*60
+  SELECT *, CASE WHEN epoch(timestamp) - epoch(lag(timestamp) OVER w) >= 360*60
                  THEN 1 ELSE 0 END AS ns
   FROM base
   WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
@@ -907,7 +909,7 @@ FROM ids GROUP BY coin_id, exchange, sid""",
 , latest AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
-                                 ORDER BY timestamp DESC) AS lrn
+                                 ORDER BY timestamp DESC, change_1h DESC) AS lrn
     FROM price_data) WHERE lrn = 1 AND change_1h IS NOT NULL
 )
 SELECT exchange, coin_id, change_1h,

@@ -94,14 +94,25 @@ def coin_table(
     join and the many-to-many blow-up never materializes. At 100 TB the
     latest-per-group collapse is the only shuffle (one per fact table).
     """
-    lp = latest_per_group(price, ["coin_id", "exchange"]).select(
+    # Tiebreaks over the projected measures: if two rows share the max
+    # timestamp, the pick is pinned (and identical in the oracle SQL) —
+    # fixtures have no such ties today, but real feeds will.
+    lp = latest_per_group(
+        price, ["coin_id", "exchange"], tiebreak=["price", "volume"]
+    ).select(
         F.col("coin_id").alias("id"), "exchange",
         F.col("timestamp").alias("price_ts"), "price", "volume",
     )
-    lo = latest_per_group(ohlc, ["coin_id", "exchange"]).select(
+    lo = latest_per_group(
+        ohlc, ["coin_id", "exchange"], tiebreak=["open", "high", "low", "close"]
+    ).select(
         F.col("coin_id").alias("id"), "exchange", "open", "high", "low", "close"
     )
-    li = latest_per_group(indicators, ["coin_id", "exchange"]).select(
+    li = latest_per_group(
+        indicators,
+        ["coin_id", "exchange"],
+        tiebreak=["sma_20", "ema_20", "rsi_14", "macd"],
+    ).select(
         F.col("coin_id").alias("id"), "exchange", "sma_20", "ema_20", "rsi_14", "macd"
     )
     keys = ["id", "exchange"]

@@ -125,8 +125,13 @@ def upsert_by_key(
     if os.path.isdir(path):
         existing = spark.read.parquet(path).withColumn("_pref", F.lit(1))
         tagged = tagged.unionByName(existing)
-    order = [F.col("_pref")] + (
-        [F.col(order_col).desc()] if order_col in df.columns else []
+    # Newest order_col wins; the batch row (_pref=0) wins exact ties.
+    # order_col must come FIRST — preferring the batch outright would
+    # let a replayed stale row overwrite newer data.
+    order = (
+        [F.col(order_col).desc(), F.col("_pref").asc()]
+        if order_col in df.columns
+        else [F.col("_pref").asc()]
     )
     w = Window.partitionBy(*keys).orderBy(*order)
     latest = (

@@ -182,7 +182,9 @@ def run_ingest(
             sinks.write_table(batch, out_dir, "price_data", epoch_id=epoch_id)
             coins = batch.select(
                 F.col("coin_id").alias("id"),
-                F.regexp_replace("coin_id", "^.*_", "Coin ").alias("name"),
+                F.concat(
+                    F.lit("Coin "), F.regexp_extract("coin_id", "_C([0-9]+)$", 1)
+                ).alias("name"),
                 F.regexp_extract("coin_id", "_(C[0-9]+)$", 1).alias("symbol"),
                 "exchange",
                 "timestamp",

@@ -91,11 +91,17 @@ def _indicator_func(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Dat
     coin_id, exchange = key
     st = state.get if state.exists else None
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("timestamp")
-        for ts, price in zip(pdf["timestamp"], pdf["price"]):
-            st, (sma, ema, rsi, macd) = _step(st, float(price))
-            out_rows.append((coin_id, exchange, ts, sma, ema, rsi, macd))
+    # Concatenate ALL Arrow chunks before sorting: a large group arrives
+    # as multiple chunks whose time-ranges interleave; sorting each
+    # chunk alone would feed the sequential recursion out of order.
+    chunks = list(pdfs)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values("timestamp")
+    for ts, price in zip(pdf["timestamp"], pdf["price"]):
+        st, (sma, ema, rsi, macd) = _step(st, float(price))
+        out_rows.append((coin_id, exchange, ts, sma, ema, rsi, macd))
     state.update(st)
     if out_rows:
         yield pd.DataFrame(

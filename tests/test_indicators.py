@@ -99,6 +99,25 @@ def test_falling_prices_rsi_0(spark):
     check(spark, series_rows("dn_C1", "dn", prices))
 
 
+def test_with_ema_macd_span_naming_and_passthrough_types(spark):
+    """ema_span controls the output column name; non-double passthrough
+    columns keep their types."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_ema_macd,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = series_rows("a_C1", "a", [1.0, 2.0, 3.0, 4.0])
+    df = make_price(spark, rows).withColumn("n_trades", F.lit(5).cast("long"))
+    out = with_ema_macd(df, ema_span=50, passthrough=["n_trades"])
+    assert "ema_50" in out.columns and "ema_20" not in out.columns
+    assert dict(out.dtypes)["n_trades"] == "bigint"
+    got = out.orderBy("timestamp").toPandas()
+    want = pd.Series([1.0, 2.0, 3.0, 4.0]).ewm(span=50, adjust=False).mean()
+    assert np.allclose(got["ema_50"], want)
+
+
 @pytest.mark.parametrize("n", [1, 14, 19, 20, 21])
 def test_boundary_lengths(spark, n):
     rng = np.random.default_rng(n)

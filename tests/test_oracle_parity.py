@@ -54,7 +54,7 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
             assert np.isnan(av).sum() == np.isnan(bv).sum(), f"{name}.{c}: null counts differ"
             ok = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
             assert ok.all(), (
-                f"{name}.{c}: {~ok.sum()} values differ; first: "
+                f"{name}.{c}: {(~ok).sum()} values differ; first: "
                 f"{av[~ok][:3]} vs {bv[~ok][:3]}"
             )
         else:

@@ -26,6 +26,23 @@ def test_asof_join_tie_and_missing(spark):
     assert len(got) == 4                  # every left row exactly once
 
 
+def test_asof_join_carries_legit_nulls_and_whole_rows(spark):
+    """A matched right row whose payload field is NULL must yield NULL
+    (not a stale earlier value), and multi-column payloads must all
+    come from the SAME right row."""
+    left = spark.createDataFrame([("k", 6), ("k", 2)], "key string, timestamp long")
+    right = spark.createDataFrame(
+        [("k", 1, 7.0, "a"), ("k", 5, None, "b")],
+        "key string, timestamp long, val double, tag string",
+    )
+    got = {
+        r.timestamp: (r.val, r.tag)
+        for r in relational.asof_join(left, right, ["key"]).collect()
+    }
+    assert got[2] == (7.0, "a")
+    assert got[6] == (None, "b"), "stale non-NULL leaked through or columns mixed"
+
+
 def test_semi_anti_partition(spark):
     left = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
     right = spark.createDataFrame([("b",), ("b",), ("x",)], "k string")

@@ -340,5 +340,13 @@ def test_router_and_upsert_semantics(spark, tmp_path):
     got = sinks.read_table(spark, base, "coins").toPandas().sort_values("id")
     assert list(got["id"]) == ["binance_C1", "kraken_C2"]
     assert got.loc[got["id"] == "binance_C1", "name"].item() == "Coin 1 v2"
+    # a replayed STALE batch must not overwrite newer stored data
+    df3 = spark.createDataFrame(
+        [("binance_C1", "Coin 1 stale", "C1", "binance", 0)],
+        "id string, name string, symbol string, exchange string, timestamp long",
+    )
+    sinks.upsert_by_key(df3, base)
+    got = sinks.read_table(spark, base, "coins").toPandas()
+    assert got.loc[got["id"] == "binance_C1", "name"].item() == "Coin 1 v2"
     with pytest.raises(ValueError):
         sinks.route_table(spark.createDataFrame([(1,)], "x long"))
