@@ -248,6 +248,31 @@ def test_checkpoint_recovery_continues_state(spark, tmp_path, price_df, expected
     assert_indicators_equal(combined, expected_indicators)
 
 
+def test_stateful_indicators_multichunk_group(spark, tmp_path, price_df, expected_indicators):
+    """Groups larger than one Arrow batch arrive as multiple chunks in
+    arbitrary order — the handler must sort ACROSS chunks before the
+    sequential recursion (regression for the per-chunk-sort bug)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        spool = make_spool(tmp_path, price_df, 1)
+        stream = streaming.read_price_stream(spark, spool)
+        q = (
+            streaming.stateful_indicators(stream)
+            .writeStream.format("memory")
+            .queryName("chunked_ind")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        got = spark.table("chunked_ind").toPandas()
+        assert_indicators_equal(got, expected_indicators)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_session_stream_matches_batch_sessionize(spark, tmp_path, price_df):
     """Event-time session windows: every closed session the stream
     emits equals the batch gaps-and-islands result."""
