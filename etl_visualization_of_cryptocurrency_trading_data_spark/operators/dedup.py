@@ -232,6 +232,76 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, cluster_id) where cluster_id is the minimum doc_id
+    reachable through dup edges — the canonical representative. Keep
+    ``doc_id == cluster_id`` (plus unpaired docs) to dedup a corpus.
+
+    Pregel-style min-label propagation: each iteration joins labels
+    across edges and keeps the per-node minimum, converging in
+    O(log(diameter)) rounds; each round is one shuffle join + one
+    aggregation, and the driver only reads a single changed-row count
+    (no data collected). Dup clusters are small by construction, so
+    this converges in a handful of rounds at any corpus size.
+    """
+    # Persist the edge set once — every propagation round references it,
+    # and without a persist each round would recompute the whole
+    # upstream pair pipeline through lineage.
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnsRenamed({"doc_id": "dst", "cluster_id": "nb_label"}),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+                ).alias("new_cluster_id"),
+                "cluster_id",
+            )
+        )
+        # Persist the new labels BEFORE counting: the count materializes
+        # them, truncating the per-round lineage growth; then the
+        # previous round's cache is released.
+        new_labels = updated.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        ).persist()
+        changed = updated.filter(
+            F.col("new_cluster_id") != F.col("cluster_id")
+        ).count()
+        old = labels
+        labels = new_labels
+        labels.count()
+        if old is not new_labels:
+            old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(documents: DataFrame, n: int = 3) -> DataFrame:
     """64-bit SimHash per document from shingle hashes: bit j of the
     fingerprint is the sign of sum over shingles of (+1 if bit j of

@@ -221,6 +221,13 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Canonical-doc resolution: connected components over the exact
+    near-dup pair graph (min-label propagation, SURVEY M8 extension)."""
+    pairs = dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+    return dedup.dup_clusters(pairs)
+
+
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
 
@@ -653,6 +660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh,   # rows-only: xxhash64 family not in DuckDB
     "simhash_pairs": q_simhash_pairs,     # rows-only: xxhash64 family not in DuckDB
     "knn_brute": q_knn_brute,
@@ -809,6 +817,27 @@ SELECT * FROM (
          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 WHERE jaccard >= 0.5""",
+    "dup_clusters": f"""
+WITH RECURSIVE {SHINGLES_CTE},
+pairs AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""",
     "knn_brute": _knn_sql(bucketed=False),
     "knn_lsh": _knn_sql(bucketed=True),
     "knn_ivf": KNN_IVF_SQL,

@@ -103,6 +103,17 @@ def test_ngram_jaccard_property_vs_bruteforce(spark, word_lists):
         assert abs(got[k] - want[k]) < 1e-12
 
 
+def test_dup_clusters_chain_graph(spark):
+    """Min-label propagation must cross multiple hops: a 5-node chain
+    collapses to one cluster labeled by its minimum doc_id."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 10: 10, 11: 10}
+
+
 def test_knn_ivf_neighbors_plausible(spark):
     """IVF candidates come only from the probe's n_probe nearest lists;
     every reported neighbor must rank in the probe's exact top-50."""
