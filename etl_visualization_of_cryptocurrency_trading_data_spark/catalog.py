@@ -78,8 +78,10 @@ def create_crypto_database(
     41-116) as a Spark SQL database of managed parquet tables, queryable
     as ``<database>.<table>`` from any SQL client of this session.
 
-    One pass over events derives all five tables; each ``saveAsTable``
-    is an executor-side parquet write into the warehouse. Facts are
+    The derived ``price_data`` feeds four of the five tables, so it is
+    persisted for the duration of the writes — each ``saveAsTable`` is
+    an executor-side parquet write reading the cached price rows, not a
+    re-execution of the events scan + window pass. Facts are
     partitioned by exchange (the reference's partition-key prefix).
     """
     from .operators import derive
@@ -88,16 +90,19 @@ def create_crypto_database(
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
     events = load_table(spark, sf_dir, "events")
-    price = derive.price_data(events)
-    tables: dict[str, tuple[DataFrame, tuple[str, ...]]] = {
-        "coins": (derive.coins(events), ()),
-        "price_data": (price, ("exchange",)),
-        "ohlc_data": (derive.ohlc_data(price), ("exchange",)),
-        "technical_indicators": (technical_indicators(price), ("exchange",)),
-        "coin_market_cap": (derive.coin_market_cap(price), ()),
-    }
-    for name, (df, parts) in tables.items():
-        writer = df.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.saveAsTable(f"{database}.{name}")
+    price = derive.price_data(events).persist()
+    try:
+        tables: dict[str, tuple[DataFrame, tuple[str, ...]]] = {
+            "coins": (derive.coins(events), ()),
+            "price_data": (price, ("exchange",)),
+            "ohlc_data": (derive.ohlc_data(price), ("exchange",)),
+            "technical_indicators": (technical_indicators(price), ("exchange",)),
+            "coin_market_cap": (derive.coin_market_cap(price), ()),
+        }
+        for name, (df, parts) in tables.items():
+            writer = df.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.saveAsTable(f"{database}.{name}")
+    finally:
+        price.unpersist()

@@ -232,18 +232,20 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (doc_id, cluster_id) where cluster_id is the minimum doc_id
     reachable through dup edges — the canonical representative. Keep
     ``doc_id == cluster_id`` (plus unpaired docs) to dedup a corpus.
 
     Pregel-style min-label propagation: each iteration joins labels
-    across edges and keeps the per-node minimum, converging in
-    O(log(diameter)) rounds; each round is one shuffle join + one
-    aggregation, and the driver only reads a single changed-row count
-    (no data collected). Dup clusters are small by construction, so
-    this converges in a handful of rounds at any corpus size.
+    across edges and keeps the per-node minimum — the min label moves
+    one hop per round, so convergence takes O(component diameter)
+    rounds; each round is one shuffle join + one aggregation, and the
+    driver only reads a single changed-row count (no data collected).
+    Dup clusters are nearly cliques in practice (diameter ~2-3), so
+    the default bound is generous; if a pathological chain exceeds it
+    the function RAISES rather than returning wrong clusters.
     """
     # Persist the edge set once — every propagation round references it,
     # and without a persist each round would recompute the whole
@@ -263,6 +265,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    prev_updated = None
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -272,6 +276,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("nb_label").alias("nb_min"))
         )
+        # Persist the JOINED frame: both the changed-count and the next
+        # round's labels read this one cached result, so the expensive
+        # join+aggregation runs exactly once per round.
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -281,24 +288,23 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("new_cluster_id"),
                 "cluster_id",
             )
+            .persist()
         )
-        # Persist the new labels BEFORE counting: the count materializes
-        # them, truncating the per-round lineage growth; then the
-        # previous round's cache is released.
-        new_labels = updated.select(
-            "doc_id", F.col("new_cluster_id").alias("cluster_id")
-        ).persist()
         changed = updated.filter(
             F.col("new_cluster_id") != F.col("cluster_id")
         ).count()
-        old = labels
-        labels = new_labels
-        labels.count()
-        if old is not new_labels:
-            old.unpersist()
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if prev_updated is not None:
+            prev_updated.unpersist()
+        prev_updated = updated
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 

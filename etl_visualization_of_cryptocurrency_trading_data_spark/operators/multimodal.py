@@ -80,30 +80,27 @@ def resize_media(
         raise NotImplementedError(
             "real resize requires image codecs not present in this container"
         )
-    schema = "doc_id long, media_type string, payload binary, width int, height int"
+    # Preserve every input column (duration_s etc.) so resize composes
+    # with the other media stages; only payload/width/height change.
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields
+    )
     out_len = target_w * target_h // 64  # stub: deterministic byte budget
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
+            pdf = pdf.copy()
+            pdf["payload"] = [
                 bytes((np.resize(np.frombuffer(p, dtype=np.uint8), out_len)))
                 if len(p)
                 else b"\x00" * out_len
                 for p in pdf["payload"]
             ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "payload": resized,
-                    "width": np.full(len(pdf), target_w, dtype=np.int32),
-                    "height": np.full(len(pdf), target_h, dtype=np.int32),
-                }
-            )
+            pdf["width"] = np.full(len(pdf), target_w, dtype=np.int32)
+            pdf["height"] = np.full(len(pdf), target_h, dtype=np.int32)
+            yield pdf
 
-    return media.select(
-        "doc_id", "media_type", "payload", "width", "height"
-    ).mapInPandas(resize, schema)
+    return media.mapInPandas(resize, schema)
 
 
 def frame_schedule(media: DataFrame, every_s: float = 10.0) -> DataFrame:
@@ -113,13 +110,16 @@ def frame_schedule(media: DataFrame, every_s: float = 10.0) -> DataFrame:
     fan-out (the scale-relevant piece: row counts, partitioning) is
     engine-side and oracle-checkable; only pixel extraction is stubbed
     (``extract_frames``)."""
-    n_frames = (F.col("duration_s") / F.lit(float(every_s))).cast("int")
+    # Frames at every_s*idx for idx in [0, ceil(duration/every)) — the
+    # last frame timestamp stays strictly below duration_s (a frame AT
+    # the duration does not exist; decoders reject it).
+    n_frames = F.ceil(F.col("duration_s") / F.lit(float(every_s))).cast("int")
     return (
         media.filter(F.col("media_type") == "video")
         .select(
             "doc_id",
             "duration_s",
-            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
         )
         .select(
             "doc_id",

@@ -150,15 +150,25 @@ def sessionize(
     keys: list[str],
     ts_col: str = "timestamp",
     gap_minutes: int = 60,
+    agg_exprs: list | None = None,
 ) -> DataFrame:
     """Batch sessionization (gaps-and-islands): rows closer than
     ``gap_minutes`` to their predecessor share a session; a session's
     end is last event + gap (matching Structured Streaming's
     ``session_window`` semantics, so batch and stream agree).
 
+    ``agg_exprs`` customizes the per-session aggregates (default: tick
+    count + price low/high, matching ``streaming.session_stream``).
+
     One window pass (lag + running sum) + one aggregation — two
     shuffles on the entity keys total.
     """
+    if agg_exprs is None:
+        agg_exprs = [
+            F.count("*").alias("n_ticks"),
+            F.min("price").alias("low"),
+            F.max("price").alias("high"),
+        ]
     w = Window.partitionBy(*keys).orderBy(ts_col)
     gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
     # >= not >: streaming session_window spans [t, t+gap) with an
@@ -180,9 +190,7 @@ def sessionize(
         .agg(
             F.min(ts_col).alias("session_start"),
             (F.max(ts_col) + gap).alias("session_end"),
-            F.count("*").alias("n_ticks"),
-            F.min("price").alias("low"),
-            F.max("price").alias("high"),
+            *agg_exprs,
         )
         .drop("_session_id")
     )

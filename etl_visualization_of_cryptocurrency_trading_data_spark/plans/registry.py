@@ -851,8 +851,8 @@ SELECT doc_id,
        (64 + (doc_id * 7) % 448)::INT AS height
 FROM documents""",
     "frame_schedule": """
-SELECT doc_id, unnest(generate_series(0, floor(duration_s / 10.0)::INT))::INT AS frame_idx,
-       unnest(generate_series(0, floor(duration_s / 10.0)::INT)) * 10.0 AS frame_ts
+SELECT doc_id, unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1))::INT AS frame_idx,
+       unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1)) * 10.0 AS frame_ts
 FROM (SELECT doc_id, ((doc_id % 120) + 1)::DOUBLE AS duration_s
       FROM documents WHERE doc_id % 3 = 2)""",
     "envelope_price": PRICE_BASE_SQL,

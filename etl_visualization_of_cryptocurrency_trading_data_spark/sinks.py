@@ -92,10 +92,26 @@ def write_table(
     if "timestamp" in df.columns:
         out = out.sortWithinPartitions(F.desc("timestamp"))
     path = table_dir(base_dir, table)
+    # Epoch and non-epoch layouts are mutually exclusive per table:
+    # mixing them puts data files at two directory depths, which Spark's
+    # partition discovery rejects ("Conflicting directory structures").
+    has_epoch_dirs = os.path.isdir(path) and any(
+        e.startswith("batch_epoch=") for e in os.listdir(path)
+    )
     if epoch_id is not None:
+        if os.path.isdir(path) and not has_epoch_dirs and os.listdir(path):
+            raise ValueError(
+                f"table {table!r} already has non-epoch data; cannot mix "
+                "epoch and plain appends in one table directory"
+            )
         path = os.path.join(path, f"batch_epoch={epoch_id}")
         writer = out.write.mode("overwrite")
     else:
+        if has_epoch_dirs:
+            raise ValueError(
+                f"table {table!r} is epoch-partitioned; pass epoch_id "
+                "to append (mixing layouts breaks partition discovery)"
+            )
         writer = out.write.mode("append")
     if parts:
         writer = writer.partitionBy(*parts)

@@ -171,3 +171,17 @@ def test_frame_extract_matches_schedule(spark, docs):
     assert frames.count() == sched.count()
     r = frames.limit(5).collect()
     assert all(len(x.frame_features) == multimodal.FEATURE_DIM for x in r)
+    # no frame timestamp at or past the clip duration (fencepost)
+    joined = sched.join(
+        media.select("doc_id", "duration_s"), "doc_id"
+    )
+    assert joined.filter(F.col("frame_ts") >= F.col("duration_s")).count() == 0
+
+
+def test_media_stages_compose(spark, docs):
+    """resize keeps all metadata, so frame sampling runs on its output."""
+    media = multimodal.media_table(docs.limit(30))
+    resized = multimodal.resize_media(media, 224, 224)
+    assert set(resized.columns) == set(media.columns)
+    frames = multimodal.extract_frames(resized, every_s=10.0)
+    assert frames.count() == multimodal.frame_schedule(media, 10.0).count()
