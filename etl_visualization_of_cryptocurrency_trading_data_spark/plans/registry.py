@@ -213,6 +213,26 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_documents(spark, sf_dir))
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles of document length per language
+    (percentile is absent from the reference, SURVEY §2.5) — one
+    hash-agg; swap percentile for approx_percentile (t-digest sketch,
+    mergeable map-side) when exactness can be traded at 100 TB."""
+    from pyspark.sql import functions as F
+
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("percentile(n_chars, 0.25)").alias("p25"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.expr("percentile(n_chars, 0.75)").alias("p75"),
+            F.expr("percentile(n_chars, 0.95)").alias("p95"),
+        )
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_documents(spark, sf_dir))
 
@@ -658,6 +678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -804,6 +825,13 @@ FROM s""",
 SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
        length(text)::BIGINT AS n_chars
 FROM documents""",
+    "doc_length_quantiles": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.95) AS p95
+FROM documents GROUP BY lang""",
     "exact_dedup": f"""
 SELECT md5({NORM_TEXT_SQL}) AS fingerprint,
        min(doc_id) AS keep_doc_id,
