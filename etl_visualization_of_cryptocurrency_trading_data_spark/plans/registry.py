@@ -213,6 +213,24 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_documents(spark, sf_dir))
 
 
+def q_exchange_cardinality(spark, sf_dir):
+    """Distinct aggregation (absent in the reference, SURVEY §2.4):
+    exact distinct coins + tick count per exchange. Spark expands
+    count(DISTINCT) into a two-phase aggregate (dedup then count) with
+    partial aggregation on both phases; approx_count_distinct (HLL,
+    single-phase mergeable sketch) is the 100 TB alternative."""
+    from pyspark.sql import functions as F
+
+    return (
+        _price_base(spark, sf_dir)
+        .groupBy("exchange")
+        .agg(
+            F.countDistinct("coin_id").alias("n_coins"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Exact interpolated percentiles of document length per language
     (percentile is absent from the reference, SURVEY §2.5) — one
@@ -679,6 +697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "exchange_cardinality": q_exchange_cardinality,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -825,6 +844,10 @@ FROM s""",
 SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
        length(text)::BIGINT AS n_chars
 FROM documents""",
+    "exchange_cardinality": f"""
+SELECT exchange, count(DISTINCT coin_id)::BIGINT AS n_coins,
+       count(*)::BIGINT AS n_ticks
+FROM ({PRICE_BASE_SQL}) p GROUP BY exchange""",
     "doc_length_quantiles": """
 SELECT lang, count(*)::BIGINT AS n_docs,
        quantile_cont(n_chars, 0.25) AS p25,

@@ -4,6 +4,7 @@ from .pipeline import (  # noqa: F401
     ohlc_stream,
     read_envelope_stream,
     read_price_stream,
+    run_full_pipeline,
     run_ingest,
     session_stream,
     stream_ohlc_to_dir,

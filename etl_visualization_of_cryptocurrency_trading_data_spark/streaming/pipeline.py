@@ -165,6 +165,55 @@ def stream_ohlc_to_dir(
     return writer.start()
 
 
+def run_full_pipeline(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_root: str,
+    available_now: bool = True,
+    ohlc_delay: str = "0 seconds",
+):
+    """The reference's five-concurrent-queries topology (T4), done
+    right: THREE queries off one spool — foreachBatch ingest (price
+    appends + coins upserts in one pass), watermarked OHLC candles,
+    and stateful indicators — each with its own checkpoint. Returns
+    the started queries; with ``available_now`` they drain the spool
+    and stop (call ``q.awaitTermination()`` on each).
+
+    Unlike the reference (five queries each re-reading the topic, no
+    checkpoints), state and offsets are tracked per query, and each
+    query reads the spool incrementally.
+    """
+    import os
+
+    def src():
+        return read_price_stream(spark, spool_dir)
+
+    qs = [
+        run_ingest(
+            src(), out_dir, os.path.join(checkpoint_root, "ingest"),
+            available_now=available_now,
+        ),
+        stream_ohlc_to_dir(
+            src(), out_dir, os.path.join(checkpoint_root, "ohlc"),
+            delay=ohlc_delay, available_now=available_now,
+        ),
+    ]
+    from .stateful import stateful_indicators
+
+    ind_writer = (
+        stateful_indicators(src())
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sinks.table_dir(out_dir, "technical_indicators"))
+        .option("checkpointLocation", os.path.join(checkpoint_root, "indicators"))
+    )
+    if available_now:
+        ind_writer = ind_writer.trigger(availableNow=True)
+    qs.append(ind_writer.start())
+    return qs
+
+
 def run_ingest(
     price: DataFrame,
     out_dir: str,

@@ -319,6 +319,30 @@ def test_epoch_write_is_idempotent(spark, tmp_path, price_df):
     assert sinks.read_table(spark, base, "price_data").count() == 200
 
 
+def test_run_full_pipeline_three_queries(spark, tmp_path, price_df, expected_indicators):
+    """The multi-query topology drains one spool into price, coins,
+    candles, and indicators — indicators identical to the batch
+    recompute, candles a verified subset (watermark tail)."""
+    spool = make_spool(tmp_path, price_df, 3)
+    out_dir = str(tmp_path / "tables")
+    qs = streaming.run_full_pipeline(
+        spark, spool, out_dir, str(tmp_path / "ckpt")
+    )
+    assert len(qs) == 3
+    for q_ in qs:
+        assert q_.awaitTermination(300)
+    assert sinks.read_table(spark, out_dir, "price_data").count() == price_df.count()
+    assert sinks.read_table(spark, out_dir, "coins").count() == (
+        price_df.select("coin_id", "exchange").distinct().count()
+    )
+    got_ind = sinks.read_table(spark, out_dir, "technical_indicators").toPandas()
+    assert_indicators_equal(got_ind, expected_indicators)
+    candles = sinks.read_table(spark, out_dir, "ohlc_data")
+    batch = derive.ohlc_data(price_df)
+    joined = candles.join(batch, KEYCOLS, "left_anti")
+    assert candles.count() > 0 and joined.count() == 0
+
+
 def test_dedup_stream_drops_redelivered_rows(spark, tmp_path, price_df):
     """At-least-once replay (every spool file delivered twice) collapses
     to exactly the distinct tick set."""
