@@ -99,6 +99,73 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def knn_brute_vectorized(
+    embeddings: DataFrame,
+    probe_filter: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized twin of ``knn_brute``: the probe matrix is broadcast
+    once (probes are small by construction — the same bound the LSH/IVF
+    variants rely on) and each Arrow batch of corpus vectors scores
+    against ALL probes with one numpy matmul, emitting only its local
+    top-k per probe; a final window merges the per-batch candidates.
+
+    This is the 100 TB shape for dense math: corpus streams through a
+    map stage (no corpus shuffle), compute is BLAS inside Arrow
+    batches, and the merge input is |batches| * |probes| * k rows, not
+    |corpus| * |probes|. Results equal ``knn_brute`` up to float
+    summation order (~1e-15), which can flip exact ties in rank.
+    """
+    import numpy as np
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if probe_filter is None:
+        probe_filter = F.col("vec_id") % 50 == 0
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    probes_pd = base.filter(probe_filter).toPandas()
+    probe_ids = probes_pd["vec_id"].to_numpy()
+    pmat = np.stack(probes_pd["emb"].to_numpy())
+    pnorm = np.linalg.norm(pmat, axis=1)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((probe_ids, pmat, pnorm))
+
+    schema = "probe_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pids, pm, pn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["emb"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            sims = (mat @ pm.T) / (np.linalg.norm(mat, axis=1)[:, None] * pn[None, :])
+            out = []
+            for j, pid in enumerate(pids):
+                col = sims[:, j]
+                mask = ids != pid
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {"probe_id": pid, "neighbor_id": ids[top], "cosine": col[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = base.mapInPandas(score, schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.5,

@@ -282,6 +282,12 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_knn_brute_vectorized(spark, sf_dir):
+    return similarity.knn_brute_vectorized(
+        load_table(spark, sf_dir, "embeddings"), k=5
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(load_table(spark, sf_dir, "embeddings"), k=5)
 
@@ -704,6 +710,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh,   # rows-only: xxhash64 family not in DuckDB
     "simhash_pairs": q_simhash_pairs,     # rows-only: xxhash64 family not in DuckDB
     "knn_brute": q_knn_brute,
+    "knn_brute_vectorized": q_knn_brute_vectorized,  # rows-only: matmul
+    # summation order differs from the left-to-right SQL dot product at
+    # ~1e-15, so value-hash parity is pinned vs knn_brute in pytest
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,

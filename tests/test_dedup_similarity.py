@@ -50,6 +50,23 @@ def test_simhash_pairs_overlap_near_dups(spark, docs):
     assert len(false_pos) <= max(2, len(sim) // 5), f"too many simhash false positives: {false_pos}"
 
 
+def test_knn_vectorized_matches_hof_brute(spark):
+    """The numpy-matmul path must return the same neighbors as the
+    higher-order-function path (cosines equal to ~1e-12; identical
+    ordering under the shared tiebreak)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    a = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in similarity.knn_brute(emb, k=5).collect()}
+    b = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in similarity.knn_brute_vectorized(emb, k=5).collect()}
+    assert set(a) == set(b)
+    mismatched = [
+        k for k in a
+        if a[k][0] != b[k][0] and abs(a[k][1] - b[k][1]) > 1e-9
+    ]
+    assert not mismatched, f"neighbor sets diverge beyond float noise: {mismatched[:5]}"
+
+
 def test_knn_lsh_subset_of_brute(spark):
     """Bucketed ANN returns pairs from the same bucket only; each
     (probe, neighbor) it reports must appear in the exact top-50 of
