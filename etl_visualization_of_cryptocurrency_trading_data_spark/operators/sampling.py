@@ -1,0 +1,54 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines (brief §beyond-the-reference).
+
+Random-seed sampling (``df.sample``/``sampleBy``) is partition-order
+dependent and irreproducible across engines, so these use CONTENT
+HASHING: a row's bucket is a pure function of its key, making splits
+(a) stable under re-runs, repartitioning, and engine changes, (b)
+disjoint and exhaustive by construction, and (c) exactly replayable in
+the DuckDB oracle (md5 is available on both sides).
+
+Scale: pure map operators — no shuffle, no state; the hash is one md5
+over a short key string per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets): integer value of the first 8 hex
+    digits of md5(salt || key) — identical in any engine with md5."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Append a ``split`` column ('train'/'val'/'test') by hash-bucket
+    thresholds. Same key => same split, forever — the property that
+    keeps eval sets uncontaminated across pipeline re-runs."""
+    train_end = int(weights[0] * BUCKETS)
+    val_end = train_end + int(weights[1] * BUCKETS)
+    b = hash_bucket(F.col(key), salt=salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_end, "train").when(b < val_end, "val").otherwise("test"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~fraction of rows by hash threshold: reproducible, engine-
+    independent, and consistent (a kept key stays kept when the
+    fraction grows)."""
+    return df.filter(hash_bucket(F.col(key), salt=salt) < int(fraction * BUCKETS))

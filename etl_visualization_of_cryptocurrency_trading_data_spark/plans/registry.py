@@ -24,7 +24,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators import dedup, derive, multimodal, relational, similarity, text
+from ..operators import (
+    dedup,
+    derive,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 from ..operators.indicators import technical_indicators
 from ..sources import envelope
 from . import serving
@@ -211,6 +219,27 @@ def q_lang_id(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_documents(spark, sf_dir))
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split by content hash: counts per
+    (split, lang) — the reproducible-split primitive for training
+    corpora (same key => same split across runs and engines)."""
+    from pyspark.sql import functions as F
+
+    return (
+        sampling.train_val_test_split(_documents(spark, sf_dir), "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-threshold 10% sample of documents — reproducible and
+    consistent (kept keys stay kept when the fraction grows)."""
+    return sampling.deterministic_sample(
+        _documents(spark, sf_dir), "doc_id", 0.1
+    ).select("doc_id", "lang", "n_chars")
 
 
 def q_exchange_cardinality(spark, sf_dir):
@@ -704,6 +733,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_quantiles": q_doc_length_quantiles,
     "exchange_cardinality": q_exchange_cardinality,
+    "dataset_split": q_dataset_split,
+    "deterministic_sample": q_deterministic_sample,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -853,6 +884,22 @@ FROM s""",
 SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
        length(text)::BIGINT AS n_chars
 FROM documents""",
+    "dataset_split": """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1, 2""",
+    "deterministic_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5('sample' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 10000 < 1000""",
     "exchange_cardinality": f"""
 SELECT exchange, count(DISTINCT coin_id)::BIGINT AS n_coins,
        count(*)::BIGINT AS n_ticks
