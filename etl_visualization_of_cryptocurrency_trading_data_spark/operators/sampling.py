@@ -36,8 +36,10 @@ def train_val_test_split(
     """Append a ``split`` column ('train'/'val'/'test') by hash-bucket
     thresholds. Same key => same split, forever — the property that
     keeps eval sets uncontaminated across pipeline re-runs."""
-    train_end = int(weights[0] * BUCKETS)
-    val_end = train_end + int(weights[1] * BUCKETS)
+    # round(), not int(): 0.043*10000 is 429.9999... in binary floating
+    # point and would truncate a bucket out of its split
+    train_end = round(weights[0] * BUCKETS)
+    val_end = train_end + round(weights[1] * BUCKETS)
     b = hash_bucket(F.col(key), salt=salt)
     return df.withColumn(
         "split",
@@ -51,4 +53,4 @@ def deterministic_sample(
     """Keep ~fraction of rows by hash threshold: reproducible, engine-
     independent, and consistent (a kept key stays kept when the
     fraction grows)."""
-    return df.filter(hash_bucket(F.col(key), salt=salt) < int(fraction * BUCKETS))
+    return df.filter(hash_bucket(F.col(key), salt=salt) < round(fraction * BUCKETS))

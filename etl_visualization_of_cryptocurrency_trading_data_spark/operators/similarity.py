@@ -115,6 +115,12 @@ def knn_brute_vectorized(
     batches, and the merge input is |batches| * |probes| * k rows, not
     |corpus| * |probes|. Results equal ``knn_brute`` up to float
     summation order (~1e-15), which can flip exact ties in rank.
+
+    Semantics notes: building the plan materializes the probe set (an
+    index-construction step, like IVF centroid training — this builder
+    is eager, unlike the pure-declarative variants); zero-norm corpus
+    vectors are EXCLUDED (their cosine is undefined — the HOF path
+    surfaces them as NaN, which Spark's desc ordering ranks first).
     """
     import numpy as np
     from collections.abc import Iterator
@@ -125,13 +131,14 @@ def knn_brute_vectorized(
         probe_filter = F.col("vec_id") % 50 == 0
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     probes_pd = base.filter(probe_filter).toPandas()
+    schema = "probe_id long, neighbor_id long, cosine double"
+    spark = embeddings.sparkSession
+    if probes_pd.empty:
+        return spark.createDataFrame([], schema + ", rank int")
     probe_ids = probes_pd["vec_id"].to_numpy()
     pmat = np.stack(probes_pd["emb"].to_numpy())
     pnorm = np.linalg.norm(pmat, axis=1)
-    spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast((probe_ids, pmat, pnorm))
-
-    schema = "probe_id long, neighbor_id long, cosine double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pids, pm, pn = bc.value
@@ -140,22 +147,23 @@ def knn_brute_vectorized(
                 continue
             mat = np.stack(pdf["emb"].to_numpy())
             ids = pdf["vec_id"].to_numpy()
-            sims = (mat @ pm.T) / (np.linalg.norm(mat, axis=1)[:, None] * pn[None, :])
-            out = []
+            norms = np.linalg.norm(mat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ pm.T) / (norms[:, None] * pn[None, :])
             for j, pid in enumerate(pids):
                 col = sims[:, j]
-                mask = ids != pid
-                cand_idx = np.nonzero(mask)[0]
+                # exclude self-matches and undefined (zero-norm) cosines
+                cand_idx = np.nonzero((ids != pid) & np.isfinite(col))[0]
                 if not len(cand_idx):
                     continue
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
-                out.append(
-                    pd.DataFrame(
-                        {"probe_id": pid, "neighbor_id": ids[top], "cosine": col[top]}
-                    )
+                # pinned tiebreak (cosine desc, vec_id asc) must hold in
+                # the LOCAL prune too, or a tied lower-id neighbor could
+                # be dropped before the global merge sees it
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                top = cand_idx[order]
+                yield pd.DataFrame(
+                    {"probe_id": pid, "neighbor_id": ids[top], "cosine": col[top]}
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
     candidates = base.mapInPandas(score, schema)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

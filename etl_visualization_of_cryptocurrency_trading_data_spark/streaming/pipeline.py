@@ -173,16 +173,21 @@ def run_full_pipeline(
     available_now: bool = True,
     ohlc_delay: str = "0 seconds",
 ):
-    """The reference's five-concurrent-queries topology (T4), done
-    right: THREE queries off one spool — foreachBatch ingest (price
-    appends + coins upserts in one pass), watermarked OHLC candles,
-    and stateful indicators — each with its own checkpoint. Returns
-    the started queries; with ``available_now`` they drain the spool
-    and stop (call ``q.awaitTermination()`` on each).
+    """The reference's five-concurrent-queries topology (T4): THREE
+    checkpointed queries — foreachBatch ingest (price appends + coins
+    upserts from ONE pass over its batch), watermarked OHLC candles,
+    and stateful indicators. Returns the started queries; with
+    ``available_now`` they drain the spool and stop (call
+    ``q.awaitTermination()`` on each).
 
-    Unlike the reference (five queries each re-reading the topic, no
-    checkpoints), state and offsets are tracked per query, and each
-    query reads the spool incrementally.
+    Source reads: like the reference, each STREAMING QUERY maintains
+    its own offsets and scans the source independently (Structured
+    Streaming cannot share one stream across queries) — so this is 3x
+    source I/O, down from the reference's 5x. The genuine single-pass
+    saving is INSIDE run_ingest, whose foreachBatch derives two tables
+    from one persisted batch; collapsing further (candles + indicators
+    in the same foreachBatch) trades per-query checkpoints/watermarks
+    for one source read — both are offered, pick per deployment.
     """
     import os
 

@@ -60,11 +60,10 @@ def test_knn_vectorized_matches_hof_brute(spark):
     b = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine)
          for r in similarity.knn_brute_vectorized(emb, k=5).collect()}
     assert set(a) == set(b)
-    mismatched = [
-        k for k in a
-        if a[k][0] != b[k][0] and abs(a[k][1] - b[k][1]) > 1e-9
-    ]
-    assert not mismatched, f"neighbor sets diverge beyond float noise: {mismatched[:5]}"
+    # cosines must always agree; neighbor ids may differ only when the
+    # cosines tie within float noise
+    mismatched = [k for k in a if abs(a[k][1] - b[k][1]) > 1e-9]
+    assert not mismatched, f"cosines diverge beyond float noise: {mismatched[:5]}"
 
 
 def test_knn_lsh_subset_of_brute(spark):
