@@ -161,6 +161,43 @@ def extract_frames(
     return joined.mapInPandas(extract, schema)
 
 
+def decode_features_flat(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Driver/oracle-facing projection of :func:`decode_features`: the
+    feature vector as per-dimension double columns ``f0..f{DIM-1}``
+    instead of one ``array<double>`` column.
+
+    The stub decode is exact integer arithmetic (chunk means of uint8
+    payload bytes), so every fj is bit-reproducible in DuckDB SQL and
+    the flat shape hashes cleanly under the driver's canonicalization
+    (an array column does not). Internal pipelines that want the vector
+    (e.g. to feed similarity search) keep using ``decode_features``.
+    """
+    feats = decode_features(media, real_decode)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
+def extract_frames_flat(
+    media: DataFrame, every_s: float = 10.0, real_decode: bool = False
+) -> DataFrame:
+    """Flat twin of :func:`extract_frames` (see
+    :func:`decode_features_flat` for why): per-dimension frame-feature
+    columns ``f0..f{DIM-1}``."""
+    fr = extract_frames(media, every_s, real_decode)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts",
+        *[
+            F.element_at("frame_features", i + 1).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+
+
 def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas — the
     production batch shape (Arrow record batches of binary columns in,

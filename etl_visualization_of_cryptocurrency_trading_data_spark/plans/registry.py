@@ -332,7 +332,10 @@ def q_media_metadata(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    return multimodal.decode_features(
+    # Flat (per-dim column) shape: hashable by the driver's canonicalizer
+    # and bit-reproducible in SQL; the array-returning decode_features
+    # stays the internal composition surface.
+    return multimodal.decode_features_flat(
         multimodal.media_table(_documents(spark, sf_dir))
     )
 
@@ -344,7 +347,7 @@ def q_frame_schedule(spark, sf_dir):
 
 
 def q_media_frames(spark, sf_dir):
-    return multimodal.extract_frames(
+    return multimodal.extract_frames_flat(
         multimodal.media_table(_documents(spark, sf_dir)), every_s=10.0
     )
 
@@ -702,6 +705,81 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= 5"""
 
 
+# --- media stub-decode oracle -------------------------------------------
+# The stubbed media decode (multimodal._fake_decode) is exact integer
+# arithmetic: np.array_split the uint8 payload into 8 chunks (first
+# n % 8 chunks one byte longer) and take mean(chunk)/255. Integer sums
+# are exact in float64 regardless of summation order, so DuckDB's
+# list_avg reproduces every feature BIT-EXACTLY — validated at fixture
+# scale (0 mismatches over all docs/frames). Payload bytes are recovered
+# in SQL from hex(encode(text)).
+MEDIA_BYTES_CTE = """
+mraw AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+mbytes AS (
+  SELECT doc_id, media_type, n,
+         list_transform(range(1, n + 1),
+           i -> (strpos('0123456789ABCDEF', h[2*i-1]) - 1) * 16
+                + strpos('0123456789ABCDEF', h[2*i]) - 1) AS b
+  FROM mraw
+)"""
+
+
+def _chunk_mean_cols(lst: str, length: str, dim: int = 8) -> str:
+    """f0..f{dim-1} chunk-mean exprs replaying np.array_split semantics:
+    chunk j starts at j*(L//dim) + min(j, L%dim) and has L//dim (+1 for
+    the first L%dim chunks) elements; empty chunks (L < dim) yield 0."""
+    cols = []
+    for j in range(dim):
+        start = f"({j} * (({length}) // {dim}) + least({j}, ({length}) % {dim}))"
+        size = (
+            f"((({length}) // {dim})"
+            f" + CASE WHEN {j} < ({length}) % {dim} THEN 1 ELSE 0 END)"
+        )
+        cols.append(
+            f"CASE WHEN {size} = 0 THEN 0.0 ELSE "
+            f"list_avg(list_slice({lst}, {start} + 1, {start} + {size})) / 255.0 END"
+            f" AS f{j}"
+        )
+    return ",\n       ".join(cols)
+
+
+MEDIA_FEATURES_SQL = f"""
+WITH {MEDIA_BYTES_CTE}
+SELECT doc_id, media_type,
+       {_chunk_mean_cols('b', 'n')}
+FROM mbytes"""
+
+# Frame features: payload sliced from offset frame_idx % n (the stub's
+# per-frame "seek"), then the same chunk means over the n - offset tail.
+MEDIA_FRAMES_SQL = f"""
+WITH {MEDIA_BYTES_CTE},
+vid AS (
+  SELECT doc_id, n, b, ((doc_id % 120) + 1)::DOUBLE AS duration_s
+  FROM mbytes WHERE media_type = 'video'
+),
+fr AS (
+  SELECT doc_id, n, b,
+         unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1))::INT AS frame_idx
+  FROM vid
+),
+sliced AS (
+  SELECT doc_id, frame_idx, frame_idx * 10.0 AS frame_ts,
+         list_slice(b, (frame_idx % n) + 1, n) AS sb,
+         n - (frame_idx % n) AS m
+  FROM fr
+)
+SELECT doc_id, frame_idx, frame_ts,
+       {_chunk_mean_cols('sb', 'm')}
+FROM sliced"""
+
+
 LANGS_SQL = {
     "de": "('der','und','die','ist','ein')",
     "en": "('the','and','of','is','a')",
@@ -748,9 +826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
     "media_metadata": q_media_metadata,
-    "media_features": q_media_features,   # rows-only: stubbed decode is not SQL
+    "media_features": q_media_features,
     "frame_schedule": q_frame_schedule,
-    "media_frames": q_media_frames,       # rows-only: stubbed frame decode
+    "media_frames": q_media_frames,
     # --- envelope ingest parity (SURVEY §2.1 S2/S6, §2.2 P1/P2) ---
     "envelope_price": q_envelope_price,
     "envelope_coins": q_envelope_coins,
@@ -962,6 +1040,8 @@ SELECT doc_id, unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1))::INT
        unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1)) * 10.0 AS frame_ts
 FROM (SELECT doc_id, ((doc_id % 120) + 1)::DOUBLE AS duration_s
       FROM documents WHERE doc_id % 3 = 2)""",
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_frames": MEDIA_FRAMES_SQL,
     "envelope_price": PRICE_BASE_SQL,
     "envelope_coins": _with(COINS_CTE, select="SELECT * FROM coins"),
     "envelope_ohlc": ENVELOPE_TICK_OHLC_SQL,
