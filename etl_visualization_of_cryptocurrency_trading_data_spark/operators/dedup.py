@@ -10,8 +10,8 @@ Scale design (the whole point — these must work at 100 TB):
   postings with doc_a < doc_b, count common shingles per pair), not an
   all-pairs cross join — cost is sum over shingles of df^2, not N^2.
   ``max_df`` drops ultra-frequent shingles (stopword-grams), the
-  standard guard against posting-list blowup; leave None only at
-  oracle scale.
+  standard guard against posting-list blowup — ON by default
+  (filtered-universe Jaccard; opting out requires an explicit None).
 - **minhash_lsh_pairs**: signatures via explode(shingles) -> one
   xxhash64 per shingle -> K derived long-mix hashes -> groupBy(doc_id)
   with K codegen'd MIN aggregates. Everything stays inside
@@ -103,17 +103,32 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted index.
 
     Emits (doc_id_a, doc_id_b, jaccard) for doc_id_a < doc_id_b with
-    jaccard >= threshold. ``max_df`` (document-frequency cap per
-    shingle) bounds posting-list join cost at scale.
+    jaccard >= threshold.
+
+    ``max_df`` (document-frequency cap per shingle) bounds the posting
+    self-join at sum(df^2) <= max_df * |postings| — without it one
+    stopword-trigram at web scale makes a single posting list
+    quadratic. It is ON by default (the scale-safe posture; pass None
+    to opt out at oracle scale). Semantics are the *filtered-universe*
+    Jaccard: capped shingles are removed from BOTH the intersection and
+    the set sizes, so the ratio stays internally consistent (mixing
+    filtered intersections with unfiltered sizes would systematically
+    underestimate and silently drop true near-dups).
     """
     postings = _shingle_postings(documents, n)
-    # Set size = posting count per doc (shingles are distinct within a
-    # doc). Counting the postings instead of size(word_shingles(...))
+    if max_df is not None:
+        df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
+        postings = postings.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    # Set size = posting count per doc AFTER the df cap (filtered
+    # universe — see docstring; shingles are distinct within a doc).
+    # Counting the postings instead of size(word_shingles(...))
     # matters: the jaccard threshold below makes Catalyst infer
     # isnotnull(size_a/size_b) constraints, and predicate pushdown
     # would inline the whole tokenize+shingle expression into the size
@@ -121,11 +136,6 @@ def ngram_jaccard_pairs(
     # the entire query's cost). A count aggregate gives the constraint
     # nothing expensive to push.
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    if max_df is not None:
-        df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
-        postings = postings.join(
-            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
     a = postings.alias("a")
     b = postings.alias("b")
     common = (

@@ -284,14 +284,26 @@ def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_documents(spark, sf_dir))
 
 
+# Registered df cap: a genuine posting-list bound (sum(df^2) per shingle
+# <= cap * postings) that does NOT bind at fixture scale — max shingle df
+# is 9/7/25 at sf0.001/0.01/0.1 — so capped results equal uncapped there
+# (pinned by pytest); the oracle replays the cap's filtered-universe
+# semantics so the row stays green even when the cap binds.
+NGRAM_MAX_DF = 1000
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+    )
 
 
 def q_dup_clusters(spark, sf_dir):
     """Canonical-doc resolution: connected components over the exact
     near-dup pair graph (min-label propagation, SURVEY M8 extension)."""
-    pairs = dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+    )
     return dedup.dup_clusters(pairs)
 
 
@@ -595,6 +607,25 @@ sh AS (
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                         for i in range(1, len(ws) - 1)]) AS shingles
   FROM docs WHERE len(ws) >= 3
+)"""
+
+# df-capped pair generation (mirrors ngram_jaccard_pairs(max_df=...):
+# shingles above the document-frequency cap are removed from every doc
+# BEFORE sizes/intersections, i.e. the filtered-universe Jaccard).
+CAPPED_PAIRS_CTES = f"""{SHINGLES_CTE},
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+keep AS (SELECT s FROM post GROUP BY s HAVING count(*) <= {NGRAM_MAX_DF}),
+fsh AS (
+  SELECT doc_id, list(post.s) AS shingles
+  FROM post JOIN keep USING (s) GROUP BY doc_id
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM fsh a JOIN fsh b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5
 )"""
 
 
@@ -995,23 +1026,10 @@ SELECT md5({NORM_TEXT_SQL}) AS fingerprint,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1""",
     "ngram_jaccard_pairs": f"""
-WITH {SHINGLES_CTE}
-SELECT * FROM (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         len(list_intersect(a.shingles, b.shingles))::DOUBLE
-         / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-WHERE jaccard >= 0.5""",
+WITH {CAPPED_PAIRS_CTES}
+SELECT doc_id_a, doc_id_b, jaccard FROM pairs""",
     "dup_clusters": f"""
-WITH RECURSIVE {SHINGLES_CTE},
-pairs AS (
-  SELECT * FROM (
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           len(list_intersect(a.shingles, b.shingles))::DOUBLE
-           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-  WHERE jaccard >= 0.5
-),
+WITH RECURSIVE {CAPPED_PAIRS_CTES},
 edges AS (
   SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
   UNION ALL

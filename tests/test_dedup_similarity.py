@@ -119,6 +119,53 @@ def test_ngram_jaccard_property_vs_bruteforce(spark, word_lists):
         assert abs(got[k] - want[k]) < 1e-12
 
 
+def test_ngram_max_df_cap_does_not_bind_at_fixture_scale(spark, docs):
+    """The registered df cap (1000) is a pure scale guard here: max
+    shingle df in the fixtures is single/double digits, so capped and
+    uncapped results must be IDENTICAL (values included — same integer
+    counts feed the same division)."""
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000).collect()
+    }
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_ngram_max_df_filtered_universe_semantics(spark):
+    """When the cap binds, the dropped shingle leaves BOTH the
+    intersection and the set sizes (consistent filtered-universe
+    Jaccard), rather than only the intersection (which would
+    underestimate). 'w1 w2 w3' has df=3 and is dropped at max_df=2;
+    the surviving sets are d0={w2w3w4}, d1={w2w3w5},
+    d2={w2w3w4, w3w4w6} -> only (d0,d2) with jaccard 1/2."""
+    docs = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4"),
+            (1, "w1 w2 w3 w5"),
+            (2, "w1 w2 w3 w4 w6"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.4, max_df=2).collect()
+    }
+    assert got == {(0, 2): 0.5}
+    # inconsistent sizes would have yielded 1/(2+2-1) = 1/3 < 0.4 and
+    # dropped the (0,2) pair entirely; and the capped run prunes the
+    # (0,1) stopword-gram-only link that uncapped still sees (1/3)
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()
+    }
+    assert (0, 1) in uncapped
+
+
 def test_dup_clusters_chain_graph(spark):
     """Min-label propagation must cross multiple hops: a 5-node chain
     collapses to one cluster labeled by its minimum doc_id."""
