@@ -103,6 +103,8 @@ def knn_brute_vectorized(
     embeddings: DataFrame,
     probe_filter: Column | None = None,
     k: int = 5,
+    probes: "object | None" = None,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Vectorized twin of ``knn_brute``: the probe matrix is broadcast
     once (probes are small by construction — the same bound the LSH/IVF
@@ -114,13 +116,23 @@ def knn_brute_vectorized(
     map stage (no corpus shuffle), compute is BLAS inside Arrow
     batches, and the merge input is |batches| * |probes| * k rows, not
     |corpus| * |probes|. Results equal ``knn_brute`` up to float
-    summation order (~1e-15), which can flip exact ties in rank.
+    summation order (~1e-15), which can flip exact ties in rank;
+    ``round_decimals`` pins the emitted cosine (and the rank order) to
+    a fixed precision so the result is reproducible across summation
+    orders — candidates are pruned and ranked on the ROUNDED value with
+    the (cosine desc, vec_id asc) tiebreak.
 
-    Semantics notes: building the plan materializes the probe set (an
-    index-construction step, like IVF centroid training — this builder
-    is eager, unlike the pure-declarative variants); zero-norm corpus
-    vectors are EXCLUDED (their cosine is undefined — the HOF path
-    surfaces them as NaN, which Spark's desc ordering ranks first).
+    EAGER BUILD WARNING: unless ``probes`` is supplied, calling this
+    function runs a Spark job to collect the probe set (an
+    index-construction step, like IVF centroid training) — unlike the
+    pure-declarative variants, building the plan touches the cluster.
+    Pass ``probes`` (a pandas DataFrame with ``vec_id``/``emb`` columns,
+    e.g. a previously collected probe table) to keep plan construction
+    lazy and reuse one probe matrix across calls.
+
+    Zero-norm corpus vectors are EXCLUDED (their cosine is undefined —
+    the HOF path's 0/0 divide yields NULL in non-ANSI mode, which desc
+    ordering sorts last, so both variants agree on the exclusion).
     """
     import numpy as np
     from collections.abc import Iterator
@@ -130,7 +142,7 @@ def knn_brute_vectorized(
     if probe_filter is None:
         probe_filter = F.col("vec_id") % 50 == 0
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    probes_pd = base.filter(probe_filter).toPandas()
+    probes_pd = probes if probes is not None else base.filter(probe_filter).toPandas()
     schema = "probe_id long, neighbor_id long, cosine double"
     spark = embeddings.sparkSession
     if probes_pd.empty:
@@ -150,6 +162,8 @@ def knn_brute_vectorized(
             norms = np.linalg.norm(mat, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (mat @ pm.T) / (norms[:, None] * pn[None, :])
+            if round_decimals is not None:
+                sims = np.round(sims, round_decimals)
             for j, pid in enumerate(pids):
                 col = sims[:, j]
                 # exclude self-matches and undefined (zero-norm) cosines

@@ -324,8 +324,11 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_brute_vectorized(spark, sf_dir):
+    # round_decimals=9 pins the BLAS-summation cosine to a precision
+    # where it equals the SQL left-fold dot product exactly, making the
+    # result (incl. rank ties) oracle-checkable.
     return similarity.knn_brute_vectorized(
-        load_table(spark, sf_dir, "embeddings"), k=5
+        load_table(spark, sf_dir, "embeddings"), k=5, round_decimals=9
     )
 
 
@@ -629,7 +632,7 @@ pairs AS (
 )"""
 
 
-def _knn_sql(bucketed: bool) -> str:
+def _knn_sql(bucketed: bool, round_decimals: int | None = None) -> str:
     planes = similarity.hyperplanes()
     bucket_expr = " + ".join(
         f"CASE WHEN list_dot_product(emb, {plane!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END"
@@ -642,6 +645,14 @@ def _knn_sql(bucketed: bool) -> str:
         else "CROSS JOIN probes WHERE vec_id <> probe_id"
     )
     probe_bucket = ", bucket AS probe_bucket" if bucketed else ""
+    cos = (
+        "list_dot_product(probe_emb, emb)"
+        " / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(emb, emb)))"
+    )
+    if round_decimals is not None:
+        # rank on the rounded value too — the engine's vectorized path
+        # prunes and ranks on rounded cosines, so ties must match
+        cos = f"round({cos}, {round_decimals})"
     return f"""
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb{bucket_col} FROM embeddings
@@ -651,8 +662,7 @@ probes AS (
 ),
 scored AS (
   SELECT probe_id, vec_id AS neighbor_id,
-         list_dot_product(probe_emb, emb)
-         / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(emb, emb))) AS cosine
+         {cos} AS cosine
   FROM base {join}
 )
 SELECT probe_id, neighbor_id, cosine, rank FROM (
@@ -850,9 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh,   # rows-only: xxhash64 family not in DuckDB
     "simhash_pairs": q_simhash_pairs,     # rows-only: xxhash64 family not in DuckDB
     "knn_brute": q_knn_brute,
-    "knn_brute_vectorized": q_knn_brute_vectorized,  # rows-only: matmul
-    # summation order differs from the left-to-right SQL dot product at
-    # ~1e-15, so value-hash parity is pinned vs knn_brute in pytest
+    "knn_brute_vectorized": q_knn_brute_vectorized,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
@@ -1042,6 +1050,7 @@ reach(node, r) AS (
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""",
     "knn_brute": _knn_sql(bucketed=False),
+    "knn_brute_vectorized": _knn_sql(bucketed=False, round_decimals=9),
     "knn_lsh": _knn_sql(bucketed=True),
     "knn_ivf": KNN_IVF_SQL,
     "embedding_dup_pairs": _embedding_dup_sql(),
