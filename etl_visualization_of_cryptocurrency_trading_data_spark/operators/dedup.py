@@ -28,10 +28,16 @@ Scale design (the whole point — these must work at 100 TB):
   pigeonhole across 4 bands), verified by true Hamming distance via
   xor+bit_count.
 
-MinHash/SimHash use Spark's xxhash64 as the base hash family — not
-reproducible in DuckDB SQL, so those two register rows-only oracle
-checks; their quality/agreement with exact Jaccard is pinned by pytest
-instead (tests/test_dedup.py).
+Hash families: the production default is Spark's ``xxhash64`` (fastest
+JVM-side 64-bit hash). Both operators also accept
+``hash_family="md5"`` — identical plan shape, but every hash is md5
+(present in DuckDB too), which makes the full LSH pipeline
+bit-reproducible in SQL: the registered queries run the md5 family and
+get exact three-way oracle checks, while the xxhash64 default's
+quality/agreement with exact Jaccard is pinned by pytest. MinHash md5
+signatures exploit that fixed-width lowercase-hex strings order
+lexicographically exactly like the 128-bit integers they encode, so
+``MIN(md5)`` is a valid minhash in both engines.
 """
 
 from __future__ import annotations
@@ -158,28 +164,51 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """K-wide MinHash signature per document.
 
-    Each shingle is string-hashed ONCE (xxhash64); the K family members
-    are cheap long re-hashes ``xxhash64(i, h)`` computed inside K
-    codegen'd MIN aggregates over the exploded shingles. Partial
-    (map-side) aggregation collapses each doc to one K*8-byte row
-    before the shuffle, so signature build cost is O(|shingles|) string
-    hashing + O(K*|shingles|) long hashing, all in whole-stage codegen.
+    xxhash64 (production): each shingle is string-hashed ONCE; the K
+    family members are cheap long re-hashes ``xxhash64(i, h)`` computed
+    inside K codegen'd MIN aggregates over the exploded shingles.
+    Partial (map-side) aggregation collapses each doc to one K*8-byte
+    row before the shuffle, so signature build cost is O(|shingles|)
+    string hashing + O(K*|shingles|) long hashing, all in whole-stage
+    codegen.
+
+    md5 (oracle mode): family member i is ``md5('i|' || shingle)`` and
+    the signature entry is the lexicographic MIN of the 32-char hex
+    strings (fixed-width lowercase hex orders exactly like the encoded
+    integer, and both Spark and DuckDB compare strings bytewise) —
+    bit-reproducible in DuckDB at K x the string-hash cost.
     """
     sh = _with_shingles(documents, n)
-    # Hash INSIDE the array, then explode longs: the generator output
-    # is a concrete attribute, so the optimizer cannot inline the
-    # string hash into each of the K aggregate expressions (which
-    # would re-hash the shingle string K times per row).
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
-    )
-    wide = hashed.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(k)]
-    )
+    if hash_family == "md5":
+        ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+        wide = ex.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+                for i in range(k)
+            ]
+        )
+    elif hash_family == "xxhash64":
+        # Hash INSIDE the array, then explode longs: the generator output
+        # is a concrete attribute, so the optimizer cannot inline the
+        # string hash into each of the K aggregate expressions (which
+        # would re-hash the shingle string K times per row).
+        hashed = sh.select(
+            "doc_id",
+            F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"),
+        )
+        wide = hashed.groupBy("doc_id").agg(
+            *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(k)]
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return wide.select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("signature")
     )
@@ -191,15 +220,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
     signature -> B band keys (hash of R consecutive minhashes) ->
     bucket equi-join (doc_a < doc_b) -> distinct candidates -> exact
     Jaccard on the shingle sets -> threshold filter. Only candidates
-    pay the set-intersection cost.
+    pay the set-intersection cost. ``hash_family="md5"`` keeps the
+    identical plan but is DuckDB-reproducible (see module docstring).
     """
-    sigs = minhash_signatures(documents, n, bands * rows)
+    band_hash = F.md5 if hash_family == "md5" else F.xxhash64
+    sigs = minhash_signatures(documents, n, bands * rows, hash_family)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -207,7 +239,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
-                    F.xxhash64(
+                    band_hash(
                         F.concat_ws(",", F.slice(F.col("signature"), band * rows + 1, rows))
                     ).alias("bucket"),
                 ),
@@ -349,13 +381,102 @@ def simhash(documents: DataFrame, n: int = 3) -> DataFrame:
     return wide.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:
+def _simhash_bands_md5(documents: DataFrame, n: int = 3) -> DataFrame:
+    """md5-family SimHash, shaped as 4 x 16-bit band columns.
+
+    The 64 fingerprint bits come from the first 16 hex chars of
+    md5(shingle), parsed as two 32-bit ints (``conv`` in Spark, a
+    '0x' cast in DuckDB — identical values); bit j of the fingerprint
+    is the sign of the per-doc sum of (2*bit_j(hash) - 1). Emitting the
+    fingerprint as four 16-bit ints instead of one signed 64-bit long
+    sidesteps signed-shift overflow differences between engines while
+    keeping Hamming distance = sum of per-band xor popcounts.
+    """
+    sh = _with_shingles(documents, n)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: F.md5(s))).alias("m"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("v2"),
+    )
+
+    def bit(j: int):
+        src = F.col("v1") if j < 32 else F.col("v2")
+        return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+
+    wide = hashed.groupBy("doc_id").agg(
+        *[F.sum(bit(j).cast("long") * 2 - 1).alias(f"b{j}") for j in range(64)]
+    )
+    bands = [
+        sum(
+            F.when(F.col(f"b{16 * k + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(16)
+        ).alias(f"band{k}")
+        for k in range(4)
+    ]
+    return wide.select("doc_id", *bands)
+
+
+def _simhash_pairs_md5(documents: DataFrame, n: int, max_hamming: int) -> DataFrame:
+    fps = _simhash_bands_md5(documents, n)
+    banded = fps.select(
+        "doc_id",
+        *[F.col(f"band{k}") for k in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"band{k}").alias("bucket")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "band0", "band1", "band2", "band3", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}")).cast("long")
+        )
+        for k in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance <= max_hamming.
 
     Candidates via 4x16-bit band equality (pigeonhole: any pair within
     Hamming 3 of 64 bits agrees exactly on at least one 16-bit quarter),
-    then verified with xor + bit_count.
+    then verified with xor + bit_count. ``hash_family="md5"`` runs the
+    same banded plan on DuckDB-reproducible md5 bits (module docstring).
     """
+    if hash_family == "md5":
+        return _simhash_pairs_md5(documents, n, max_hamming)
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     fps = simhash(documents, n)
     banded = fps.select(
         "doc_id",

@@ -308,11 +308,19 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+    # md5 family: same banded-LSH plan as the xxhash64 production
+    # default, but reproducible in DuckDB => full three-way oracle row.
+    # The xxhash64 default's recall vs exact Jaccard is pinned in pytest.
+    return dedup.minhash_lsh_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.5, hash_family="md5"
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(_documents(spark, sf_dir), n=3, max_hamming=3)
+    # md5 family for oracle reproducibility (see q_minhash_lsh).
+    return dedup.simhash_pairs(
+        _documents(spark, sf_dir), n=3, max_hamming=3, hash_family="md5"
+    )
 
 
 def q_knn_brute(spark, sf_dir):
@@ -632,6 +640,96 @@ pairs AS (
 )"""
 
 
+def _minhash_lsh_sql(
+    bands: int = 16, rows: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle replaying the md5-family MinHash+LSH bit-for-bit:
+    family member i of a shingle is md5('i|' || shingle); MIN over
+    32-char lowercase hex strings == MIN over the encoded integers in
+    both engines; band buckets are md5 over the comma-joined signature
+    slice; candidates verified with exact Jaccard."""
+    k = bands * rows
+    sig_entries = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))" for i in range(k)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" md5(array_to_string(sg[{b * rows + 1}:{(b + 1) * rows}], ',')) AS bucket"
+        " FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, [
+    {sig_entries}
+  ] AS sg FROM sh
+),
+bb AS (
+{band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+FROM cand
+JOIN sh x ON x.doc_id = doc_id_a
+JOIN sh y ON y.doc_id = doc_id_b
+WHERE jaccard >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB oracle for the md5-family SimHash: 64 signed-bit sums
+    over the first 16 hex chars of md5(shingle) (parsed as two 32-bit
+    ints — the same '0x' cast values Spark's conv produces), assembled
+    into 4x16-bit bands; pigeonhole candidates; xor+bit_count verify."""
+    sums = ",\n         ".join(
+        f"sum((((v{1 if j < 32 else 2} >> {j % 32}) & 1) * 2 - 1)) AS b{j}"
+        for j in range(64)
+    )
+    band_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN b{16 * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        )
+        + f") AS band{k}"
+        for k in range(4)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band, band{k} AS bucket FROM bands" for k in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(x.band{k}, y.band{k}))" for k in range(4))
+    return f"""
+WITH {SHINGLES_CTE},
+hashes AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS v1,
+         CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS v2
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashes GROUP BY doc_id
+),
+bands AS (SELECT doc_id, {band_cols} FROM sums),
+bb AS (
+{band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, ({hamming})::BIGINT AS hamming
+FROM cand
+JOIN bands x ON x.doc_id = doc_id_a
+JOIN bands y ON y.doc_id = doc_id_b
+WHERE hamming <= {max_hamming}"""
+
+
 def _knn_sql(bucketed: bool, round_decimals: int | None = None) -> str:
     planes = similarity.hyperplanes()
     bucket_expr = " + ".join(
@@ -857,8 +955,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
-    "minhash_lsh_pairs": q_minhash_lsh,   # rows-only: xxhash64 family not in DuckDB
-    "simhash_pairs": q_simhash_pairs,     # rows-only: xxhash64 family not in DuckDB
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
     "knn_brute": q_knn_brute,
     "knn_brute_vectorized": q_knn_brute_vectorized,
     "knn_lsh": q_knn_lsh,
@@ -1049,6 +1147,8 @@ reach(node, r) AS (
   SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""",
+    "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "simhash_pairs": _simhash_sql(),
     "knn_brute": _knn_sql(bucketed=False),
     "knn_brute_vectorized": _knn_sql(bucketed=False, round_decimals=9),
     "knn_lsh": _knn_sql(bucketed=True),

@@ -50,6 +50,27 @@ def test_simhash_pairs_overlap_near_dups(spark, docs):
     assert len(false_pos) <= max(2, len(sim) // 5), f"too many simhash false positives: {false_pos}"
 
 
+def test_minhash_md5_family_same_guarantees(spark, docs):
+    """The md5 (oracle-mode) hash family runs the identical banded-LSH
+    plan: precision 1.0 (verified pairs only) and high recall vs the
+    exact inverted-index pairs, same as the xxhash64 default."""
+    exact = pairs_set(dedup.ngram_jaccard_pairs(docs, threshold=0.5))
+    approx = pairs_set(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, hash_family="md5")
+    )
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"md5-family LSH recall {recall:.2f} too low"
+
+
+def test_simhash_md5_family_bounded_false_positives(spark, docs):
+    sim = pairs_set(dedup.simhash_pairs(docs, max_hamming=3, hash_family="md5"))
+    exact_low = pairs_set(dedup.ngram_jaccard_pairs(docs, threshold=0.3))
+    assert len(sim) > 0
+    false_pos = sim - exact_low
+    assert len(false_pos) <= max(2, len(sim) // 5)
+
+
 def test_knn_vectorized_matches_hof_brute(spark):
     """The numpy-matmul path must return the same neighbors as the
     higher-order-function path (cosines equal to ~1e-12; identical
