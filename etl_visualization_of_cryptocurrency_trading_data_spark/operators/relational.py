@@ -78,6 +78,15 @@ def asof_join(
     )
 
 
+def left_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Plain left outer join with null extension (reference J3: the
+    choropleth's ``world.merge(df, how="left")``, flask/app.py:233-269
+    — kept geo-free per SURVEY). Wrap the right side in
+    ``F.broadcast`` at the call site when it is dimension-sized so no
+    shuffle of the preserved side is planned."""
+    return left.join(right, keys, "left")
+
+
 def semi_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
     """EXISTS: left rows with at least one key match on the right.
     Spark plans a left-semi hash join (broadcast when right is small);

@@ -408,6 +408,37 @@ def _price_base(spark, sf_dir):
     )
 
 
+def q_coin_indicators_left(spark, sf_dir):
+    """Plain left outer join with real null extension (reference J3):
+    every coin, left-joined to its latest FULL indicator row (sma_20
+    non-null needs >= 20 ticks, which many fixture coins lack, so the
+    null-extended branch is genuinely exercised). The right side
+    collapses to one row per coin before the join and is broadcast —
+    at 100 TB the preserved side streams with no shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.latest import latest_per_group
+
+    ev = _events(spark, sf_dir)
+    ind = technical_indicators(derive.price_data(ev)).filter(
+        F.col("sma_20").isNotNull()
+    )
+    latest = latest_per_group(
+        ind, ["coin_id", "exchange"], tiebreak=["sma_20", "ema_20", "rsi_14", "macd"]
+    ).select(
+        F.col("coin_id").alias("id"),
+        "exchange",
+        F.col("timestamp").alias("ind_ts"),
+        "sma_20",
+        "ema_20",
+        "rsi_14",
+        "macd",
+    )
+    return relational.left_join(
+        derive.coins(ev), F.broadcast(latest), ["id", "exchange"]
+    )
+
+
 def q_asof_price_candle(spark, sf_dir):
     price = _price_base(spark, sf_dir)
     candles = derive.ohlc_data(derive.price_data(_events(spark, sf_dir)))
@@ -972,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "envelope_ohlc": q_envelope_ohlc,
     "envelope_mcap": q_envelope_mcap,
     # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
+    "coin_indicators_left": q_coin_indicators_left,
     "asof_price_candle": q_asof_price_candle,
     "active_coins_semi": q_active_coins_semi,
     "stale_coins_anti": q_stale_coins_anti,
@@ -1173,6 +1205,21 @@ FROM (SELECT doc_id, ((doc_id % 120) + 1)::DOUBLE AS duration_s
     "envelope_coins": _with(COINS_CTE, select="SELECT * FROM coins"),
     "envelope_ohlc": ENVELOPE_TICK_OHLC_SQL,
     "envelope_mcap": ENVELOPE_MCAP_SQL,
+    "coin_indicators_left": _with(
+        PRICE_DATA_CTE, COINS_CTE, INDICATORS_CTE,
+        select="""
+, latest_full_ind AS (
+  SELECT coin_id, exchange, timestamp AS ind_ts, sma_20, ema_20, rsi_14, macd FROM (
+    SELECT *, row_number() OVER (PARTITION BY coin_id, exchange
+                                 ORDER BY timestamp DESC, sma_20 DESC, ema_20 DESC,
+                                          rsi_14 DESC, macd DESC) AS lrn
+    FROM technical_indicators WHERE sma_20 IS NOT NULL) WHERE lrn = 1
+)
+SELECT c.id, c.name, c.symbol, c.exchange,
+       i.ind_ts, i.sma_20, i.ema_20, i.rsi_14, i.macd
+FROM coins c
+LEFT JOIN latest_full_ind i ON i.coin_id = c.id AND i.exchange = c.exchange""",
+    ),
     "asof_price_candle": f"""
 WITH price AS ({PRICE_BASE_SQL}),
 ohlc AS (
