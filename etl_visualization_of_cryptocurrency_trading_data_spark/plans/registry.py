@@ -280,6 +280,51 @@ def q_doc_length_quantiles(spark, sf_dir):
     )
 
 
+def q_exchange_cardinality_approx(spark, sf_dir):
+    """The 100 TB variant of exchange_cardinality: HLL++ mergeable
+    sketch (single-phase, map-side combinable, fixed memory per group)
+    instead of the two-phase exact distinct. rsd=0.005 is the max
+    precision tier. No DuckDB oracle — its HLL implementation produces
+    different estimates by construction — so this registers rows-only;
+    the estimate's relative error vs exact is pinned by pytest at two
+    scales (tests/test_sql_api.py)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _price_base(spark, sf_dir)
+        .groupBy("exchange")
+        .agg(
+            F.approx_count_distinct("coin_id", 0.005).alias("n_coins_approx"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+def q_doc_length_quantiles_approx(spark, sf_dir):
+    """The 100 TB variant of doc_length_quantiles: approx_percentile
+    (Greenwald-Khanna summary, mergeable map-side, bounded memory)
+    instead of the exact sort-based percentile. At accuracy=100000 the
+    summary is in its EXACT regime for oracle-scale groups (it buffers
+    fewer rows than the error bound), and its exact-regime answer —
+    the lower discrete quantile — equals DuckDB's quantile_disc, so
+    this keeps a full value oracle; the approximation contract outside
+    the exact regime is pinned by pytest."""
+    from pyspark.sql import functions as F
+
+    acc = 100000
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.expr(f"approx_percentile(n_chars, {q}, {acc})").alias(f"p{int(q*100)}")
+                for q in (0.25, 0.5, 0.75, 0.95)
+            ],
+        )
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_documents(spark, sf_dir))
 
@@ -980,7 +1025,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,  # rows-only:
+    # DuckDB's HLL yields different estimates by construction; error
+    # vs exact pinned in pytest
     "dataset_split": q_dataset_split,
     "deterministic_sample": q_deterministic_sample,
     "exact_dedup": q_exact_dedup,
@@ -1157,6 +1206,13 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        quantile_cont(n_chars, 0.5)  AS p50,
        quantile_cont(n_chars, 0.75) AS p75,
        quantile_cont(n_chars, 0.95) AS p95
+FROM documents GROUP BY lang""",
+    "doc_length_quantiles_approx": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       quantile_disc(n_chars, 0.25) AS p25,
+       quantile_disc(n_chars, 0.5)  AS p50,
+       quantile_disc(n_chars, 0.75) AS p75,
+       quantile_disc(n_chars, 0.95) AS p95
 FROM documents GROUP BY lang""",
     "exact_dedup": f"""
 SELECT md5({NORM_TEXT_SQL}) AS fingerprint,

@@ -116,3 +116,55 @@ def test_partition_pruning_on_written_table(spark, tmp_path):
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert f"PartitionFilters: [isnotnull(exchange" in plan
     assert read.count() > 0
+
+
+def test_approx_cardinality_error_bounded(spark):
+    """HLL++ sketch estimates (the 100 TB cardinality path) stay within
+    a few rsd of exact — pinned here because DuckDB's different HLL
+    makes the registered query rows-only."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        approx = {
+            r.exchange: r.n_coins_approx
+            for r in registry.q_exchange_cardinality_approx(spark, sf_dir).collect()
+        }
+        exact = {
+            r.exchange: r.n_coins
+            for r in registry.q_exchange_cardinality(spark, sf_dir).collect()
+        }
+        assert set(approx) == set(exact)
+        for ex, n in exact.items():
+            rel = abs(approx[ex] - n) / n
+            assert rel <= 0.02, f"{sf_dir} {ex}: HLL rel error {rel:.3f} > 2%"
+
+
+def test_approx_percentile_exact_regime_and_contract(spark):
+    """At accuracy=100000 the GK summary is exact for fixture-scale
+    groups (this is what makes the registered oracle valid); at a
+    coarse accuracy the answers must still be actual data values
+    between min and max with monotone quantiles."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fine = (
+        docs.groupBy("lang")
+        .agg(
+            F.expr("approx_percentile(n_chars, 0.5, 100000)").alias("gk"),
+            F.expr("percentile_approx(n_chars, 0.5, 10)").alias("coarse"),
+            F.expr("min(n_chars)").alias("lo"),
+            F.expr("max(n_chars)").alias("hi"),
+            F.expr("sort_array(collect_list(n_chars))").alias("vals"),
+        )
+        .collect()
+    )
+    for r in fine:
+        # exact regime: equals the lower discrete median (the same
+        # definition DuckDB's quantile_disc uses in the oracle)
+        n = len(r.vals)
+        disc_median = r.vals[max(0, math.ceil(0.5 * n) - 1)]
+        assert r.gk == disc_median, f"{r.lang}: gk {r.gk} != disc {disc_median}"
+        # coarse summaries still answer with a real data value in range
+        assert r.lo <= r.coarse <= r.hi
