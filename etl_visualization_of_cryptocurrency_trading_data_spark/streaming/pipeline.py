@@ -62,6 +62,39 @@ def read_envelope_stream(
     return reader.text(spool_dir)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "cryptoAllData",
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """The reference's actual transport (S1): a Kafka streaming source
+    with the consumer options the reference uses (topic
+    ``cryptoAllData``, ``startingOffsets=earliest``,
+    ``failOnDataLoss=false`` — reference spark-streaming.py:269-278).
+
+    The returned frame carries Kafka's (key, value binary, topic,
+    partition, offset, timestamp, ...) columns; ``decode_envelopes``
+    consumes it unchanged (it casts ``value`` to string itself), so
+    swapping ``read_envelope_stream`` for this builder is the
+    documented one-line change.
+
+    Requires the ``spark-sql-kafka-0-10`` package on the cluster; in
+    environments without it (this sandbox has no broker or connector
+    jar) ``.load()`` raises AnalysisException — the builder and its
+    option construction are unit-tested for exactly that boundary.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
 def envelope_price_stream(envelopes: DataFrame) -> DataFrame:
     """Decoded streaming price ticks from an envelope stream — pure map
     (from_json + explode + to_timestamp), streaming-safe."""

