@@ -95,9 +95,15 @@ def ohlc_data(price: DataFrame) -> DataFrame:
     fetch, dags/crypto_data_streaming.py:102-112; schema parity with DDL
     spark-streaming.py:78-91).
 
-    Pure groupBy aggregation — partial (map-side) min/max/min_by/max_by
-    combine before the single shuffle, so this scales linearly; no window
+    Pure groupBy aggregation — partial (map-side) struct-min/max combine
+    before the single shuffle, so this scales linearly; no window
     function, no per-group sort.
+
+    open/close are struct-ordering MIN/MAX over (timestamp, price) —
+    NOT min_by/max_by(price, timestamp), whose answer is arbitrary when
+    two ticks share a timestamp. The struct form pins ties by price,
+    identically to the streaming ohlc_stream / envelope build and the
+    DuckDB struct-min oracle, so batch === stream on any feed.
     """
     hour = F.date_trunc("hour", F.col("timestamp"))
     return (
@@ -105,10 +111,19 @@ def ohlc_data(price: DataFrame) -> DataFrame:
             "coin_id", "exchange", hour.alias("timestamp")
         )
         .agg(
-            F.min_by("price", "timestamp").alias("open"),
+            F.min(F.struct("timestamp", "price")).alias("_first"),
             F.max("price").alias("high"),
             F.min("price").alias("low"),
-            F.max_by("price", "timestamp").alias("close"),
+            F.max(F.struct("timestamp", "price")).alias("_last"),
+        )
+        .select(
+            "coin_id",
+            "exchange",
+            "timestamp",
+            F.col("_first.price").alias("open"),
+            "high",
+            "low",
+            F.col("_last.price").alias("close"),
         )
     )
 

@@ -68,13 +68,16 @@ coins AS (
   FROM events
 )"""
 
+# open/close via struct-ordering min/max — ties on timestamp break by
+# price, matching the engine's min/max(struct(timestamp, price)) in
+# batch AND streaming (arg_min(price, timestamp) is arbitrary on ties).
 OHLC_CTE = """
 ohlc_data AS (
   SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
-         arg_min(price, timestamp) AS open,
+         (min({'t': timestamp, 'p': price})).p AS open,
          max(price) AS high,
          min(price) AS low,
-         arg_max(price, timestamp) AS close
+         (max({'t': timestamp, 'p': price})).p AS close
   FROM price_data
   GROUP BY coin_id, exchange, date_trunc('hour', timestamp)
 )"""
@@ -642,10 +645,10 @@ FROM events"""
 ENVELOPE_TICK_OHLC_SQL = """
 SELECT coin_id, exchange,
        time_bucket(INTERVAL '5 minutes', timestamp) AS timestamp,
-       arg_min(price, timestamp) AS open,
+       (min({'t': timestamp, 'p': price})).p AS open,
        max(price) AS high,
        min(price) AS low,
-       arg_max(price, timestamp) AS close
+       (max({'t': timestamp, 'p': price})).p AS close
 FROM (%s) p
 GROUP BY 1, 2, 3""" % PRICE_BASE_SQL
 
@@ -1280,8 +1283,8 @@ LEFT JOIN latest_full_ind i ON i.coin_id = c.id AND i.exchange = c.exchange""",
 WITH price AS ({PRICE_BASE_SQL}),
 ohlc AS (
   SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
-         arg_min(price, timestamp) AS open, max(price) AS high,
-         min(price) AS low, arg_max(price, timestamp) AS close
+         (min({{'t': timestamp, 'p': price}})).p AS open, max(price) AS high,
+         min(price) AS low, (max({{'t': timestamp, 'p': price}})).p AS close
   FROM price GROUP BY 1, 2, 3
 )
 SELECT p.coin_id, p.exchange, p.timestamp, p.price, p.volume,

@@ -155,12 +155,22 @@ def upsert_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_pref")
     )
-    # Two-phase rewrite: the merged result must be materialized before
-    # overwriting the directory it reads from.
+    # Atomic-swap rewrite: materialize the merged result in a staging
+    # dir (it reads from the live dir, so it must be written out first),
+    # then swap directories with two renames — readers never observe a
+    # partially rewritten table. Crash recovery: if the process dies
+    # between the renames, the complete merged copy is in ._staging and
+    # the previous table in ._old; re-running the upsert or renaming
+    # either into place restores service.
     tmp = path + "._staging"
-    latest.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    old = path + "._old"
     _rm_tree(tmp)
+    _rm_tree(old)
+    latest.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    _rm_tree(old)
     return table
 
 
