@@ -67,6 +67,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by its join
+    keys — the co-located-join layout for 100 TB fact-to-fact joins.
+
+    Two tables bucketed by the same keys into the same bucket count
+    join with ZERO Exchange on either side (bucketing pre-applies the
+    hash partitioning at write time, amortized across every later join
+    or aggregation on those keys), and matching ``sortBy`` also removes
+    the per-task Sort of a sort-merge join. ``test_bucketed_join_plan``
+    pins the no-Exchange plan. Only ``saveAsTable`` supports bucket
+    metadata (the bucketing spec lives in the catalog, not the files).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def create_crypto_database(
     spark: SparkSession,
     sf_dir: str,

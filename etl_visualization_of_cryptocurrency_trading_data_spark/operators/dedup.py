@@ -180,18 +180,31 @@ def minhash_signatures(
     string hashing + O(K*|shingles|) long hashing, all in whole-stage
     codegen.
 
-    md5 (oracle mode): family member i is ``md5('i|' || shingle)`` and
-    the signature entry is the lexicographic MIN of the 32-char hex
-    strings (fixed-width lowercase hex orders exactly like the encoded
-    integer, and both Spark and DuckDB compare strings bytewise) —
-    bit-reproducible in DuckDB at K x the string-hash cost.
+    md5 (oracle mode): each shingle is md5-hashed ONCE; two 28-bit
+    integers h1, h2 come from the first 14 hex chars, and family member
+    i is the Kirsch-Mitzenmacher combination ``h1 + i*h2`` (max value
+    65 * 2^28 — far from overflow, so Spark's wrapping longs and
+    DuckDB's checked BIGINTs agree). The K MIN aggregates then run on
+    longs exactly like the production path — one string hash per
+    shingle, not K.
     """
     sh = _with_shingles(documents, n)
     if hash_family == "md5":
-        ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+        # Explode a transform() EXPRESSION (even an identity lambda):
+        # InferFiltersFromGenerate skips lambda-bearing generators, so
+        # the optimizer cannot infer size(shingles)>0 and push the whole
+        # tokenize+shingle expression into a scan-side filter (measured
+        # ~3x this query's cost when exploding the plain column).
+        ex = sh.select(
+            "doc_id", F.explode(F.transform("shingles", lambda s: F.md5(s))).alias("m")
+        ).select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 7), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("m", 8, 7), 16, 10).cast("long").alias("h2"),
+        )
         wide = ex.groupBy("doc_id").agg(
             *[
-                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+                F.min(F.col("h1") + i * F.col("h2")).alias(f"mh{i}")
                 for i in range(k)
             ]
         )

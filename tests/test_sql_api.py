@@ -168,3 +168,39 @@ def test_approx_percentile_exact_regime_and_contract(spark):
         assert r.gk == disc_median, f"{r.lang}: gk {r.gk} != disc {disc_median}"
         # coarse summaries still answer with a real data value in range
         assert r.lo <= r.coarse <= r.hi
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
+    """Co-located join layout: two tables bucketed by the same keys and
+    bucket count must sort-merge join with no Exchange (shuffle) on
+    either side — the write-time layout every repeated fact-to-fact
+    join amortizes at 100 TB."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import (
+        write_bucketed_table,
+    )
+
+    price = derive.price_data(load_table(spark, SF_SMOKE, "events"))
+    ohlc = derive.ohlc_data(price)
+    old_wh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            price.select("coin_id", "exchange", "timestamp", "price"),
+            "b_price", ["coin_id", "exchange"], 8, ["coin_id", "exchange"],
+        )
+        write_bucketed_table(
+            ohlc, "b_ohlc", ["coin_id", "exchange"], 8, ["coin_id", "exchange"]
+        )
+        joined = spark.table("b_price").join(
+            spark.table("b_ohlc").withColumnRenamed("timestamp", "hour_ts"),
+            ["coin_id", "exchange"],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # sanity: the join actually produces rows
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_wh)
+        spark.sql("DROP TABLE IF EXISTS b_price")
+        spark.sql("DROP TABLE IF EXISTS b_ohlc")
