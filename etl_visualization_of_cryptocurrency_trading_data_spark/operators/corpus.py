@@ -1,0 +1,195 @@
+"""Corpus-curation operators for LLM training-data pipelines (brief
+§beyond-the-reference): stratified sampling, token-budget packing,
+vocabulary heavy hitters, PII redaction, and dedup survivorship.
+
+Like the rest of the text family these are pure built-in-function
+plans — zero Python UDFs — so every operator is either shuffle-free
+(map-only) or shuffles once on an explicit, documented key. Each has
+an exactly-matching DuckDB oracle in plans/registry.
+
+Scale notes per operator are in the docstrings; the common theme is
+that per-document work is map-side and the only shuffles are (a) the
+shard-local window in ``pack_chunks`` (keyed by the shard column, so
+parallelism == number of shards) and (b) the term aggregation in
+``top_terms`` (partial aggregation absorbs hot-term skew map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import words
+from .sampling import BUCKETS, hash_bucket
+
+# RE2-compatible (and Java-regex-compatible) patterns so the Spark plan
+# and the DuckDB oracle redact identically. Deliberately simple: corpus
+# scrubbing wants high recall on obvious spans, not RFC-grade parsing.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = r"[0-9]{6,}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep ~``fractions[stratum]``
+    of each stratum's rows by content-hash threshold (strata absent
+    from ``fractions`` are dropped). The language-rebalancing
+    primitive for corpus mixing — up/down-weight languages or sources
+    with exact reproducibility (same key => same verdict, any engine).
+
+    Scale: map-only (one md5 per row against a literal when-chain of
+    thresholds — no join, no shuffle, no driver state); consistent
+    (a kept key stays kept when its stratum's fraction grows).
+    """
+    b = hash_bucket(F.col(key), salt=salt)
+    threshold = F.lit(0)
+    for stratum in sorted(fractions):
+        threshold = F.when(
+            F.col(strata_col) == stratum, round(fractions[stratum] * BUCKETS)
+        ).otherwise(threshold)
+    return df.filter(b < threshold)
+
+
+def pack_chunks(
+    documents: DataFrame,
+    budget: int = 512,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``order_col`` order within each shard and cut into fixed
+    ``budget``-token context windows (the standard LLM pretraining
+    layout). Emits, per document, its token count and the half-open
+    range of chunk ids it lands in — the manifest a packing writer
+    needs to place every document without materializing the chunks.
+
+    Token counts use the BPE-ish regex tokenizer (letter runs / digit
+    runs / single other non-space), matching ``text.token_counts``.
+
+    Scale: one shuffle on the shard column; the running sum is a
+    shard-local window, so parallelism equals the shard count — at
+    100 TB use a shard key with >= cluster-core cardinality (e.g.
+    source x date). No state beyond the window; empty documents get
+    n_chunks = 0 with NULL chunk bounds.
+    """
+    n_tokens = F.regexp_count(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    ).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = documents.select(
+        F.col(order_col),
+        F.col(shard_col),
+        n_tokens.alias("n_tokens"),
+    ).withColumn("end_tokens", F.sum("n_tokens").over(w))
+    start = F.col("end_tokens") - F.col("n_tokens")
+    return base.select(
+        order_col,
+        shard_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.floor(start / budget)).alias("first_chunk"),
+        F.when(
+            F.col("n_tokens") > 0, F.floor((F.col("end_tokens") - 1) / budget)
+        ).alias("last_chunk"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("end_tokens") - 1) / budget) - F.floor(start / budget) + 1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("n_chunks"),
+    )
+
+
+def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Per-language top-k vocabulary terms by document-token frequency
+    with deterministic ties (count desc, term asc) — the heavy-hitters
+    view used for stopword mining and corpus drift checks.
+
+    Scale: explode + two-phase hash aggregation; hot terms (Zipf head)
+    are absorbed by map-side partial aggregation before the shuffle,
+    so skew on 'the' never concentrates on one reducer. The final
+    top-k is a per-language sort of the aggregated vocabulary —
+    Spark plans the rank filter as WindowGroupLimit, keeping only k
+    rows per language per partition before the final shuffle.
+    """
+    tokens = documents.select(
+        "lang", F.explode(words(F.col("text"))).alias("term")
+    )
+    counts = tokens.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "term", "n", "rank")
+    )
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub obvious PII spans — URLs, emails, long digit runs — with
+    typed placeholders, counting each span kind as it is removed
+    (counts are sequential: emails are counted after URL removal, so
+    an address inside a URL counts once as URL, not twice).
+
+    Emits the redacted text plus its md5 so downstream exact-dedup can
+    key on scrubbed content.
+
+    Scale: map-only, three regex passes per row, no shuffle. At 100 TB
+    this is scan-bound; the patterns are RE2-compatible so the same
+    operator runs on engines with linear-time regex.
+    """
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, URL_PATTERN, "<URL>")
+    t2 = F.regexp_replace(t1, EMAIL_PATTERN, "<EMAIL>")
+    t3 = F.regexp_replace(t2, LONG_NUMBER_PATTERN, "<NUM>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(URL_PATTERN)).cast("long").alias("n_urls"),
+        F.regexp_count(t1, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(t2, F.lit(LONG_NUMBER_PATTERN))
+        .cast("long")
+        .alias("n_long_numbers"),
+        t3.alias("redacted_text"),
+        F.md5(t3).alias("redacted_md5"),
+    )
+
+
+def dedup_survivors(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Survivorship policy over resolved duplicate clusters: keep every
+    unclustered document plus each cluster's canonical representative
+    (minimum doc_id == its cluster_id label). This is the final step
+    of the dedup pipeline — pairs -> connected components -> one
+    survivor per component — emitting the deduplicated corpus roster.
+
+    Scale: clusters only contain documents that had at least one dup
+    edge (a small fraction of the corpus), so the join is a broadcast
+    of the cluster map against the full corpus scan; no shuffle of the
+    corpus itself.
+    """
+    marked = documents.join(
+        F.broadcast(clusters.withColumnRenamed("doc_id", "_cdoc")),
+        documents["doc_id"] == F.col("_cdoc"),
+        "left",
+    )
+    return (
+        marked.filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("cluster_id").isNotNull(), F.lit("canonical"))
+            .otherwise(F.lit("unique"))
+            .alias("kept_as"),
+        )
+    )

@@ -157,3 +157,67 @@ def coin_market_cap(price: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def price_correlation(
+    price: DataFrame,
+    top_n: int = 20,
+    min_obs: int = 5,
+    round_decimals: int = 7,
+    bucket: str = "day",
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of per-``bucket`` closes
+    between the ``top_n`` highest-volume coins — the cross-asset
+    co-movement view a trading dashboard builds from the candle store
+    (upper triangle only, coin_a < coin_b; pairs with fewer than
+    ``min_obs`` aligned buckets are dropped as statistically
+    meaningless). Daily buckets by default: alignment needs both coins
+    to trade in the same bucket, and daily is the standard horizon for
+    cross-asset correlation.
+
+    The correlation is rounded to ``round_decimals`` in-plan: Spark's
+    co-moment merge order varies run-to-run across partitions, so the
+    raw double is only reproducible to ~1e-12 relative — rounding pins
+    the value bit-exactly for the oracle AND for repeated runs.
+
+    Scale: the top-n set comes from a per-coin volume aggregate (one
+    shuffle, map-side combine) + TakeOrderedAndProject — never a global
+    sort. Bucket closes of the selected coins (top_n x buckets rows)
+    broadcast self-join on the bucket, so the N^2 pair expansion
+    touches only the filtered sliver; corr() itself is a mergeable
+    co-moment aggregate with map-side partials. The full corpus is
+    scanned once.
+    """
+    top = (
+        price.groupBy("coin_id")
+        .agg(F.sum("volume").alias("v"))
+        .orderBy(F.col("v").desc(), F.col("coin_id").asc())
+        .limit(top_n)
+        .select("coin_id")
+    )
+    closes = (
+        price.join(F.broadcast(top), "coin_id", "left_semi")
+        .groupBy("coin_id", F.date_trunc(bucket, "timestamp").alias("bucket_ts"))
+        .agg(F.max(F.struct("timestamp", "price")).alias("_last"))
+        .select("coin_id", "bucket_ts", F.col("_last.price").alias("close"))
+    )
+    a = closes.select(
+        F.col("coin_id").alias("coin_a"),
+        "bucket_ts",
+        F.col("close").alias("close_a"),
+    )
+    b = closes.select(
+        F.col("coin_id").alias("coin_b"),
+        "bucket_ts",
+        F.col("close").alias("close_b"),
+    )
+    return (
+        a.join(F.broadcast(b), "bucket_ts")
+        .filter(F.col("coin_a") < F.col("coin_b"))
+        .groupBy("coin_a", "coin_b")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.corr("close_a", "close_b"), round_decimals).alias("correlation"),
+        )
+        .filter(F.col("n_obs") >= min_obs)
+    )

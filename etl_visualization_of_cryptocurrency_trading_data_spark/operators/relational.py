@@ -78,6 +78,57 @@ def asof_join(
     )
 
 
+def interval_join_binned(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval) join without an equi key: each fact row joins
+    every interval with ``start <= ts < end``, executed as an EQUI
+    join on time bins instead of the theta join Spark would otherwise
+    plan as a broadcast nested loop (or, with neither side small, a
+    cartesian).
+
+    Each interval is exploded into the bins it covers (``sequence`` +
+    ``explode``), each fact maps to its single bin, both sides
+    equi-join on the bin, and the exact range predicate filters the
+    boundary bins. A fact's bin is unique and an interval lists each
+    covered bin once, so no post-join dedup is needed.
+
+    Scale: shuffle keyed by time bin — pick ``bin_seconds`` near the
+    median interval length so interval replication stays O(1) per
+    interval while each bin's fan-in stays bounded; hot bins shard
+    further under AQE skew-join. This is the standard bin-bucketed
+    range-join strategy (same family as Databricks' range-join hints,
+    which open-source Spark lacks).
+    """
+    bin_of = lambda c: F.floor(F.col(c).cast("double") / bin_seconds)  # noqa: E731
+    # empty intervals match nothing; dropping them up front also keeps
+    # sequence() strictly ascending
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                bin_of(start_col),
+                # end is exclusive: an interval ending exactly on a bin
+                # boundary does not cover that bin
+                F.floor(
+                    (F.col(end_col).cast("double") - 1e-6) / bin_seconds
+                ),
+            )
+        ),
+    )
+    fx = facts.withColumn("_bin", bin_of(ts_col))
+    joined = fx.join(iv, "_bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bin")
+
+
 def left_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
     """Plain left outer join with null extension (reference J3: the
     choropleth's ``world.merge(df, how="left")``, flask/app.py:233-269

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators import (
+    corpus,
     dedup,
     derive,
     multimodal,
@@ -1033,6 +1034,106 @@ LANGS_SQL = {
 _GREATEST = "greatest(score_de, score_en, score_es, score_fr)"
 
 # ---------------------------------------------------------------------------
+# Corpus-curation queries (operators/corpus.py) + range join + correlation
+# ---------------------------------------------------------------------------
+
+# Per-language sampling rates for the registered stratified sample:
+# heavy downsample of the majority language, full keep of a minority
+# one, and implicit drop of strata not listed (zh).
+STRATA_FRACTIONS = {"en": 0.05, "de": 0.25, "es": 0.5, "fr": 1.0}
+PACK_BUDGET = 512
+TOP_TERMS_K = 10
+
+
+def _strata_case_sql() -> str:
+    """Threshold when-chain for the stratified-sample oracle, derived
+    from STRATA_FRACTIONS so query and oracle can never drift."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {round(f * 10000)}"
+        for s, f in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: rebalance the corpus by
+    language with content-hash thresholds (map-only, reproducible)."""
+    return corpus.stratified_sample(
+        _documents(spark, sf_dir), "doc_id", "lang", STRATA_FRACTIONS
+    ).select("doc_id", "lang", "source")
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk token packing manifest per source shard
+    (budget 512 regex tokens per context window)."""
+    return corpus.pack_chunks(_documents(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_top_terms(spark, sf_dir):
+    """Per-language top-10 vocabulary heavy hitters, deterministic
+    ties (count desc, term asc)."""
+    return corpus.top_terms(_documents(spark, sf_dir), k=TOP_TERMS_K)
+
+
+def q_redact_pii(spark, sf_dir):
+    """URL/email/long-number scrub with sequential span counts and a
+    content hash of the redacted text."""
+    return corpus.redact_pii(_documents(spark, sf_dir))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end dedup survivorship: near-dup pairs -> connected
+    components -> one canonical doc per cluster + all unique docs."""
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+    )
+    return corpus.dedup_survivors(docs, dedup.dup_clusters(pairs))
+
+
+def q_session_range_join(spark, sf_dir):
+    """Pure range join (no equi key): every tick of every coin against
+    the trading sessions of the single highest-volume coin — binned
+    interval join (operators/relational.interval_join_binned), never a
+    broadcast nested loop. Aggregates market-wide activity per session
+    window of the market mover."""
+    from pyspark.sql import functions as F
+
+    price = _price_base(spark, sf_dir)
+    top1 = (
+        price.groupBy("coin_id")
+        .agg(F.sum("volume").alias("v"))
+        .orderBy(F.col("v").desc(), F.col("coin_id").asc())
+        .limit(1)
+        .select("coin_id")
+    )
+    mover = price.join(F.broadcast(top1), "coin_id", "left_semi")
+    sessions = relational.sessionize(
+        mover, ["coin_id", "exchange"], gap_minutes=360
+    ).select("session_start", "session_end")
+    joined = relational.interval_join_binned(
+        price.select("coin_id", "timestamp", "volume"),
+        sessions,
+        "timestamp",
+        "session_start",
+        "session_end",
+    )
+    return joined.groupBy("session_start", "session_end").agg(
+        F.count("*").alias("n_ticks"),
+        F.countDistinct("coin_id").alias("n_coins"),
+        F.round(F.sum("volume"), 6).alias("total_volume"),
+    )
+
+
+def q_price_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of hourly closes across the
+    top-20 coins by volume (upper triangle, >= 5 aligned candles)."""
+    return derive.price_correlation(
+        _price_base(spark, sf_dir), top_n=20, min_obs=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1062,6 +1163,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # vs exact pinned in pytest
     "dataset_split": q_dataset_split,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "pack_chunks": q_pack_chunks,
+    "top_terms": q_top_terms,
+    "redact_pii": q_redact_pii,
+    "dedup_survivors": q_dedup_survivors,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -1094,6 +1200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_suppliers": q_top_suppliers,
     "momentum_ranks": q_momentum_ranks,
     "trading_sessions": q_trading_sessions,
+    "session_range_join": q_session_range_join,
+    "price_correlation": q_price_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -1236,6 +1344,55 @@ FROM b GROUP BY 1, 2""",
 SELECT doc_id, lang, n_chars FROM documents
 WHERE CAST(('0x' || substring(md5('sample' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
       % 10000 < 1000""",
+    "stratified_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substring(md5('strat' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 10000 < {_strata_case_sql()}""",
+    "pack_chunks": f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  -- ::BIGINT: DuckDB's sum() over BIGINT widens to HUGEINT, which
+  -- pandas would surface as float64 and break the int-dtype hash
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       (CASE WHEN n_tokens > 0 THEN (end_tokens - n_tokens) // {PACK_BUDGET} END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens > 0 THEN (end_tokens - 1) // {PACK_BUDGET} END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens > 0
+             THEN (end_tokens - 1) // {PACK_BUDGET} - (end_tokens - n_tokens) // {PACK_BUDGET} + 1
+             ELSE 0 END)::BIGINT AS n_chunks
+FROM c""",
+    "top_terms": f"""
+WITH tok AS (SELECT lang, unnest({WORDS_SQL}) AS term FROM documents),
+cnt AS (SELECT lang, term, count(*)::BIGINT AS n FROM tok GROUP BY lang, term),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC)::BIGINT AS "rank"
+      FROM cnt)
+SELECT lang, term, n, "rank" FROM r WHERE "rank" <= {TOP_TERMS_K}""",
+    # plain string (not f-string): the regex quantifiers use literal braces
+    "redact_pii": """
+WITH s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+  FROM documents),
+s2 AS (
+  SELECT *, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT *, regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS t3
+  FROM s2)
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+       len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t2, '[0-9]{6,}'))::BIGINT AS n_long_numbers,
+       t3 AS redacted_text,
+       md5(t3) AS redacted_md5
+FROM s3""",
     "exchange_cardinality": f"""
 SELECT exchange, count(DISTINCT coin_id)::BIGINT AS n_coins,
        count(*)::BIGINT AS n_ticks
@@ -1275,6 +1432,23 @@ reach(node, r) AS (
   SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""",
+    "dedup_survivors": f"""
+WITH RECURSIVE {CAPPED_PAIRS_CTES},
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang,
+       CASE WHEN c.cluster_id IS NOT NULL THEN 'canonical' ELSE 'unique' END AS kept_as
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash_pairs": _simhash_sql(),
     "knn_brute": _knn_sql(bucketed=False),
@@ -1389,6 +1563,50 @@ SELECT coin_id, exchange,
        min(price) AS low,
        max(price) AS high
 FROM ids GROUP BY coin_id, exchange, sid""",
+    "session_range_join": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+top1 AS (SELECT coin_id FROM base GROUP BY coin_id
+         ORDER BY sum(volume) DESC, coin_id LIMIT 1),
+mover AS (SELECT b.* FROM base b JOIN top1 USING (coin_id)),
+marked AS (
+  SELECT *, CASE WHEN epoch(timestamp) - epoch(lag(timestamp) OVER w) >= 360*60
+                 THEN 1 ELSE 0 END AS ns
+  FROM mover
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+),
+ids AS (
+  SELECT *, sum(ns) OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT min(timestamp) AS session_start,
+         max(timestamp) + INTERVAL 360 MINUTES AS session_end
+  FROM ids GROUP BY coin_id, exchange, sid
+)
+SELECT s.session_start, s.session_end,
+       count(*)::BIGINT AS n_ticks,
+       count(DISTINCT t.coin_id)::BIGINT AS n_coins,
+       round(sum(t.volume), 6) AS total_volume
+FROM base t JOIN sess s
+  ON t.timestamp >= s.session_start AND t.timestamp < s.session_end
+GROUP BY s.session_start, s.session_end""",
+    "price_correlation": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+top AS (SELECT coin_id FROM base GROUP BY coin_id
+        ORDER BY sum(volume) DESC, coin_id LIMIT 20),
+candles AS (
+  SELECT coin_id, date_trunc('day', timestamp) AS ts,
+         (max({{'t': timestamp, 'p': price}})).p AS close
+  FROM base JOIN top USING (coin_id)
+  GROUP BY coin_id, date_trunc('day', timestamp)
+)
+SELECT a.coin_id AS coin_a, b.coin_id AS coin_b,
+       count(*)::BIGINT AS n_obs,
+       round(corr(a.close, b.close), 7) AS correlation
+FROM candles a JOIN candles b ON a.ts = b.ts AND a.coin_id < b.coin_id
+GROUP BY a.coin_id, b.coin_id
+HAVING count(*) >= 5""",
     "momentum_ranks": _with(
         PRICE_DATA_CTE,
         select="""

@@ -1,0 +1,244 @@
+"""Unit tests for the corpus-curation operators (operators/corpus.py),
+the binned interval join, and the price-correlation matrix — edge
+semantics on tiny literal frames plus fixture-scale equivalence checks
+(SURVEY §5.2 operator-family tests)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
+    corpus,
+    derive,
+    relational,
+)
+
+from conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+def test_stratified_sample_rates_and_drop(spark):
+    docs = _docs(spark)
+    frac = {"en": 0.2, "de": 1.0}
+    got = corpus.stratified_sample(docs, "doc_id", "lang", frac)
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"en", "de"}          # unlisted strata dropped
+    assert counts["de"] == totals["de"]          # fraction 1.0 keeps all
+    # 20% +/- sampling noise on ~200 docs
+    assert 0.05 < counts["en"] / totals["en"] < 0.45
+
+
+def test_stratified_sample_consistent_supersets(spark):
+    """A key kept at a lower fraction stays kept at a higher one."""
+    docs = _docs(spark)
+    small = {
+        r.doc_id
+        for r in corpus.stratified_sample(docs, "doc_id", "lang", {"en": 0.1}).collect()
+    }
+    big = {
+        r.doc_id
+        for r in corpus.stratified_sample(docs, "doc_id", "lang", {"en": 0.4}).collect()
+    }
+    assert small <= big and len(small) < len(big)
+
+
+# ---------------------------------------------------------------------------
+# pack_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_layout(spark):
+    # tokens per doc under the BPE-ish regex: 'a b' -> 2, etc.
+    rows = [
+        (1, "s", "one two three"),          # 3 tokens  -> [0, 3)
+        (2, "s", "x " * 4),                 # 4 tokens  -> [3, 7)
+        (3, "s", ""),                       # 0 tokens  -> no chunk
+        (4, "s", "y " * 6),                 # 6 tokens  -> [7, 13)
+        (5, "t", "z " * 3),                 # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r
+        for r in corpus.pack_chunks(df, budget=4, shard_col="source").collect()
+    }
+    assert (got[1].first_chunk, got[1].last_chunk, got[1].n_chunks) == (0, 0, 1)
+    assert (got[2].first_chunk, got[2].last_chunk, got[2].n_chunks) == (0, 1, 2)
+    assert got[3].n_chunks == 0 and got[3].first_chunk is None
+    assert (got[4].first_chunk, got[4].last_chunk, got[4].n_chunks) == (1, 3, 3)
+    assert (got[5].first_chunk, got[5].last_chunk, got[5].n_chunks) == (0, 0, 1)
+
+
+def test_pack_chunks_conservation(spark):
+    """Shard token totals equal the max chunk end; every document's
+    span is consistent (first <= last, n_chunks = last - first + 1)."""
+    got = corpus.pack_chunks(_docs(spark), budget=512).cache()
+    bad = got.filter(
+        (F.col("n_tokens") > 0)
+        & (
+            (F.col("first_chunk") > F.col("last_chunk"))
+            | (F.col("n_chunks") != F.col("last_chunk") - F.col("first_chunk") + 1)
+            # a doc spanning k chunks must exceed the capacity of k-1
+            | (F.col("n_tokens") + 2 * (512 - 1) < (F.col("n_chunks") - 1) * 512)
+        )
+    ).count()
+    assert bad == 0
+    got.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_counts_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "b b a a c"),
+            (2, "en", "a b"),
+            (3, "fr", "z"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = corpus.top_terms(df, k=2).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append((r.rank, r.term, r.n))
+    # a and b both appear 3x in en: tie broken term-asc -> a first
+    assert by_lang["en"] == [(1, "a", 3), (2, "b", 3)]
+    assert by_lang["fr"] == [(1, "z", 1)]
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_spans_and_sequential_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or call 1234567 now"),
+            (2, "see https://x.test/a?u=alice@example.com for details"),
+            (3, "clean text, short 123"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus.redact_pii(df).collect()}
+    assert (got[1].n_urls, got[1].n_emails, got[1].n_long_numbers) == (0, 1, 1)
+    assert got[1].redacted_text == "mail me at <EMAIL> or call <NUM> now"
+    # the address inside the URL is swallowed by the URL span: counted once
+    assert (got[2].n_urls, got[2].n_emails, got[2].n_long_numbers) == (1, 0, 0)
+    assert got[2].redacted_text == "see <URL> for details"
+    assert (got[3].n_urls, got[3].n_emails, got[3].n_long_numbers) == (0, 0, 0)
+    assert got[3].redacted_text == "clean text, short 123"
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivors
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_survivors_policy(spark):
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr")],
+        "doc_id long, lang string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    got = {r.doc_id: r.kept_as for r in corpus.dedup_survivors(docs, clusters).collect()}
+    assert got == {1: "canonical", 3: "unique", 4: "unique"}  # 2 dropped
+
+
+# ---------------------------------------------------------------------------
+# interval_join_binned
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_binned_matches_naive_theta_join(spark):
+    """Binned equi-join strategy returns exactly the naive theta join,
+    including boundary semantics (start inclusive, end exclusive) and
+    intervals spanning multiple bins / sharing bins."""
+    ts = lambda m: datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(i, ts(7 * i)) for i in range(200)], "fact_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, ts(0), ts(60)),        # exactly one bin
+            (1, ts(30), ts(300)),      # spans several bins
+            (2, ts(59), ts(61)),       # straddles a bin boundary
+            (3, ts(100), ts(100)),     # empty: matches nothing
+            (4, ts(980), ts(2000)),    # tail interval
+        ],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    got = {
+        (r.fact_id, r.iv_id)
+        for r in relational.interval_join_binned(
+            facts, intervals, "ts", "start", "end", bin_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r.fact_id, r.iv_id)
+        for r in facts.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# price_correlation
+# ---------------------------------------------------------------------------
+
+
+def test_price_correlation_matches_pandas(spark):
+    """Engine correlations equal pandas' pairwise Pearson on the same
+    daily closes (rounded to the pinned precision)."""
+    import pandas as pd
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        q_price_correlation,
+    )
+
+    got = {
+        (r.coin_a, r.coin_b): (r.n_obs, r.correlation)
+        for r in q_price_correlation(spark, SF_ORACLE).collect()
+    }
+    assert len(got) > 50  # daily alignment yields a dense matrix
+
+    events = load_table(spark, SF_ORACLE, "events").toPandas()
+    pdf = pd.DataFrame(
+        {
+            "coin_id": events.event_type + "_C" + events.user_id.astype(str),
+            "ts": events.ts,
+            "price": events.value,
+            "volume": events.value.abs() * 100,
+        }
+    )
+    top = set(pdf.groupby("coin_id").volume.sum().nlargest(20).index)
+    sub = pdf[pdf.coin_id.isin(top)].sort_values("ts")
+    closes = (
+        sub.groupby(["coin_id", sub.ts.dt.floor("D")])
+        .price.last()
+        .unstack(level=0)
+    )
+    for (a, b), (n_obs, corr_val) in list(got.items())[:25]:
+        aligned = closes[[a, b]].dropna()
+        assert len(aligned) == n_obs
+        expect = round(aligned[a].corr(aligned[b]), 7)
+        assert abs(corr_val - expect) < 1e-6, (a, b)
