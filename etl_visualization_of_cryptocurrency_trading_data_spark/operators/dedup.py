@@ -164,6 +164,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_split_contamination(
+    documents: DataFrame,
+    n: int = 3,
+    max_df: int | None = 100,
+    split_weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+) -> DataFrame:
+    """Train/test decontamination: for every TRAIN document, count the
+    distinct n-gram shingles it shares with any TEST document (and how
+    many test documents it touches). A train doc quoting an eval
+    benchmark lights up here; the emitted ``contamination_ratio`` (hit
+    shingles / the doc's shingles surviving the df cap) is the usual
+    drop/keep knob.
+
+    Splits come from the deterministic hash split
+    ([[sampling.train_val_test_split]] on doc_id), so the contamination
+    report is replayable in any engine.
+
+    ``max_df`` drops shingles whose TOTAL document frequency exceeds
+    the cap before matching — ultra-common grams ("in the end of") are
+    phrase-frequency noise, not leakage, and they are exactly what
+    makes the posting join quadratic at web scale. ON by default;
+    sizes use the same filtered universe so the ratio stays internally
+    consistent (see ngram_jaccard_pairs).
+
+    Scale: the train-test match is an equi-join of train postings to
+    test postings on the 8-byte shingle hash — inherently a self-join
+    of the posting stream, so the corpus is tokenized exactly TWICE
+    and never more. Both the df cap and the per-doc size are count
+    WINDOWS inlined into each branch (partitionBy shingle / doc_id)
+    rather than aggregate-plus-join: the join formulation duplicates
+    the whole scan+shingle subtree into every consumer (a 6-scan
+    physical plan, measured), while a window is one keyed exchange in
+    the branch it filters. Join cost is bounded by max_df * |test
+    postings|; the final groupBy is on the train doc_id. No all-pairs
+    work anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from .sampling import train_val_test_split
+
+    # The split is a pure function of doc_id, so it is re-derived on the
+    # posting rows directly (a withColumn) — no join back to documents.
+    postings = train_val_test_split(
+        _shingle_postings(documents, n), "doc_id", weights=split_weights
+    )
+    if max_df is not None:
+        postings = postings.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_df)
+    train = (
+        postings.filter(F.col("split") == "train")
+        .select("doc_id", "shingle")
+        .withColumn(
+            "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    )
+    test = postings.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    return (
+        train.join(test, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_hit_shingles"),
+            F.count_distinct("test_doc_id").alias("n_test_docs"),
+            F.max("n_shingles").alias("n_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_hit_shingles",
+            "n_test_docs",
+            "n_shingles",
+            (F.col("n_hit_shingles").cast("double") / F.col("n_shingles")).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     n: int = 3,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import STOPWORDS, normalized_text, stopword_count, words
 
@@ -113,6 +114,111 @@ def lang_id(documents: DataFrame) -> DataFrame:
         pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), lang).otherwise(pred)
     return scored.withColumn("predicted_lang", pred).withColumn(
         "label_match", F.col("predicted_lang") == F.col("lang")
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    non-empty lines that are exact duplicates of an earlier line, and
+    the share of tokens taken by the single most frequent word. High
+    values on either flag boilerplate / machine-generated text that
+    quality filters should drop before training.
+
+    dup_line_ratio counts surplus copies ((n_lines - n_distinct) /
+    n_lines), so a document whose every line is unique scores 0.0 and
+    one line repeated N times scores (N-1)/N.
+
+    Scale: the line metrics are map-only array ops. top_word_share
+    needs a per-(doc, word) count — explode + two-phase hash
+    aggregation (Zipf-head words are absorbed map-side), re-keyed to
+    doc_id for the final agg and sort-merge-joined back to the line
+    metrics. Two keyed shuffles, both on doc_id-bounded cardinality;
+    no window over the full corpus.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = documents.select(
+        "doc_id", lines.alias("ls"), words(F.col("text")).alias("ws")
+    )
+    n_lines = F.size("ls")
+    n_distinct = F.size(F.array_distinct("ls"))
+    line_stats = base.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        n_distinct.cast("long").alias("n_distinct_lines"),
+        F.when(
+            n_lines > 0, (n_lines - n_distinct).cast("double") / n_lines
+        ).alias("dup_line_ratio"),
+        F.size("ws").cast("long").alias("n_words"),
+    )
+    word_freq = (
+        documents.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n").cast("double") / F.sum("n")).alias("top_word_share"))
+    )
+    return line_stats.join(word_freq, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        "dup_line_ratio",
+        "n_words",
+        "top_word_share",
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf (tf = in-doc count, idf =
+    ln(N / df) over document frequency, N = corpus document count) —
+    the classic keyword/topic-signature extraction over a corpus.
+
+    Ties and floats are pinned for cross-engine reproducibility: the
+    score is rounded to 7 decimals in-plan (ln() and double
+    multiplication agree across engines well beyond that), and ranking
+    orders by (rounded score desc, term asc).
+
+    Scale: ONE tokenize pass over the corpus. df comes from a count
+    window over the term partition of the already-aggregated (doc_id,
+    term) frame — formulating it as ``tf.groupBy(term)`` + join would
+    make Catalyst re-derive the distinct from a second full scan
+    (exchange reuse does not kick in because the unused tf count gets
+    pruned from the df branch). Shuffles: (doc_id, term) tf
+    aggregation with map-side combine, re-key to term for the df
+    window, re-key to doc_id for top-k — which Spark executes as
+    WindowGroupLimit (k rows per doc retained before the final
+    shuffle). N arrives via a broadcast 1-row cross join on a
+    zero-column scan (parquet metadata count), so nothing collects on
+    the driver.
+    """
+    tf = (
+        documents.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = F.count("*").over(Window.partitionBy("term"))
+    n_docs = documents.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", df_)
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 7
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
     )
 
 

@@ -241,6 +241,22 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_documents(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    return text.repetition_stats(_documents(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return text.tfidf_top_terms(_documents(spark, sf_dir), k=3)
+
+
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination report: shared-shingle counts between
+    the deterministic hash split's train and test documents."""
+    return dedup.cross_split_contamination(
+        _documents(spark, sf_dir), n=3, max_df=100
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test split by content hash: counts per
     (split, lang) — the reproducible-split primitive for training
@@ -1155,6 +1171,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination": q_contamination,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
@@ -1328,6 +1347,82 @@ FROM s""",
 SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
        length(text)::BIGINT AS n_chars
 FROM documents""",
+    "repetition_stats": f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS ls,
+         {WORDS_SQL} AS ws
+  FROM documents
+),
+line_stats AS (
+  SELECT doc_id,
+         len(ls)::BIGINT AS n_lines,
+         len(list_distinct(ls))::BIGINT AS n_distinct_lines,
+         CASE WHEN len(ls) > 0
+              THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END
+           AS dup_line_ratio,
+         len(ws)::BIGINT AS n_words
+  FROM base
+),
+wf AS (
+  SELECT doc_id, max(n)::DOUBLE / sum(n) AS top_word_share
+  FROM (
+    SELECT doc_id, w, count(*) AS n
+    FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT l.doc_id, n_lines, n_distinct_lines, dup_line_ratio, n_words,
+       top_word_share
+FROM line_stats l LEFT JOIN wf USING (doc_id)""",
+    "tfidf_top_terms": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term, tf,
+         round(tf * ln(n_docs::DOUBLE / df), 7) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 3""",
+    "contamination": f"""
+WITH {SHINGLES_CTE},
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sp AS (
+  SELECT doc_id, s,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, s,
+           CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM post
+  )
+),
+kept AS (SELECT s FROM sp GROUP BY s HAVING count(*) <= 100),
+fp AS (SELECT sp.doc_id, sp.s, sp.split FROM sp JOIN kept USING (s)),
+train AS (SELECT doc_id, s FROM fp WHERE split = 'train'),
+test AS (SELECT doc_id AS test_doc_id, s FROM fp WHERE split = 'test'),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT doc_id,
+         count(DISTINCT s)::BIGINT AS n_hit_shingles,
+         count(DISTINCT test_doc_id)::BIGINT AS n_test_docs
+  FROM train JOIN test USING (s) GROUP BY doc_id
+)
+SELECT doc_id, n_hit_shingles, n_test_docs, n_shingles,
+       n_hit_shingles::DOUBLE / n_shingles AS contamination_ratio
+FROM hits JOIN sizes USING (doc_id)""",
     "dataset_split": """
 WITH b AS (
   SELECT lang,

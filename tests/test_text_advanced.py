@@ -1,0 +1,141 @@
+"""Unit tests for the repetition, tf-idf, and decontamination operators
+(operators/text.py, operators/dedup.py) — hand-built literal frames with
+independently computed expectations (SURVEY §5.2 operator-family tests)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup, text
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_built(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "spam" 3x -> dup ratio (4-2)/4 = 0.5;
+            # words: spam x3 + ok -> top share 3/4
+            (1, "spam\nspam\n\n  spam  \nok"),
+            # all lines unique, words all unique -> 0.0 and 1/3
+            (2, "alpha\nbeta gamma"),
+            # empty doc: no lines, no words -> nulls
+            (3, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert rows[1].n_lines == 4 and rows[1].n_distinct_lines == 2
+    assert rows[1].dup_line_ratio == pytest.approx(0.5)
+    assert rows[1].top_word_share == pytest.approx(3 / 4)
+    assert rows[2].dup_line_ratio == 0.0
+    assert rows[2].top_word_share == pytest.approx(1 / 3)
+    assert rows[3].n_lines == 0 and rows[3].dup_line_ratio is None
+    assert rows[3].n_words == 0 and rows[3].top_word_share is None
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_scores_and_ties(spark):
+    # 3 docs; "common" appears in all (idf=0), "rare" only in doc 1.
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common shared"),
+            (3, "common shared zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.rank): r
+        for r in text.tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 1: rare tf=2 idf=ln(3) -> top; common idf=0 -> score 0
+    r = got[(1, 1)]
+    assert r.term == "rare"
+    assert r.tfidf == pytest.approx(round(2 * math.log(3), 7))
+    assert got[(1, 2)].term == "common" and got[(1, 2)].tfidf == 0.0
+    # docs 2 and 3: shared (idf=ln(1.5)) beats common (0); doc 3's
+    # zz (idf=ln(3)) wins rank 1
+    assert got[(2, 1)].term == "shared"
+    assert got[(3, 1)].term == "zz" and got[(3, 2)].term == "shared"
+    # k=2 honored
+    assert all(rank <= 2 for (_, rank) in got)
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    # Two terms with identical tf and df -> identical score; rank order
+    # must be alphabetical.
+    docs = spark.createDataFrame(
+        [(1, "bb aa"), (2, "cc cc")], ["doc_id", "text"]
+    )
+    got = [
+        (r.rank, r.term)
+        for r in text.tfidf_top_terms(docs, k=2)
+        .filter(F.col("doc_id") == 1)
+        .collect()
+    ]
+    assert sorted(got) == [(1, "aa"), (2, "bb")]
+
+
+# ---------------------------------------------------------------------------
+# cross_split_contamination
+# ---------------------------------------------------------------------------
+
+
+def _split_of(spark, doc_id: int) -> str:
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    df = spark.createDataFrame([(doc_id, "x")], ["doc_id", "text"])
+    return train_val_test_split(df, "doc_id").collect()[0].split
+
+
+def test_contamination_detects_shared_shingles(spark):
+    # Find concrete ids landing in train vs test so the fixture is
+    # robust to the hash function's assignment.
+    train_id = next(i for i in range(1, 200) if _split_of(spark, i) == "train")
+    test_id = next(i for i in range(1, 200) if _split_of(spark, i) == "test")
+    other_train = next(
+        i
+        for i in range(train_id + 1, 400)
+        if _split_of(spark, i) == "train"
+    )
+    leaked = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (train_id, f"intro words here {leaked} outro"),
+            (test_id, leaked),
+            (other_train, "completely different content entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup.cross_split_contamination(docs).collect()}
+    # only the leaking train doc is reported
+    assert set(rows) == {train_id}
+    r = rows[train_id]
+    # test doc has 3 trigrams, all present in the train doc
+    assert r.n_hit_shingles == 3 and r.n_test_docs == 1
+    assert r.n_shingles == 7  # 9-word train doc -> 7 trigrams
+    assert r.contamination_ratio == pytest.approx(3 / 7)
+
+
+def test_contamination_max_df_drops_common_grams(spark):
+    train_id = next(i for i in range(1, 200) if _split_of(spark, i) == "train")
+    test_id = next(i for i in range(1, 200) if _split_of(spark, i) == "test")
+    shared = "one two three"
+    docs = spark.createDataFrame(
+        [(train_id, shared), (test_id, shared)], ["doc_id", "text"]
+    )
+    # df of the shared trigram is 2 -> capped out at max_df=1
+    assert dedup.cross_split_contamination(docs, max_df=1).count() == 0
+    assert dedup.cross_split_contamination(docs, max_df=None).count() == 1
