@@ -164,6 +164,77 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     )
 
 
+def curation_pipeline(
+    documents: DataFrame,
+    contamination_threshold: float = 0.5,
+    persist_intermediate: bool = False,
+) -> DataFrame:
+    """The composed training-corpus curation pipeline, end to end:
+
+    1. quality gate  — C4/Gopher heuristic ([[text.with_quality]]),
+       map-only;
+    2. exact dedup   — keep the minimum doc_id per normalized-content
+       fingerprint (one window over the fingerprint);
+    3. split         — deterministic hash train/val/test
+       ([[sampling.train_val_test_split]]), map-only;
+    4. decontaminate — drop train documents whose capped-shingle
+       overlap with test documents reaches ``contamination_threshold``
+       ([[dedup.cross_split_contamination]]), a broadcast anti-join of
+       the (small) contaminated-id set;
+    5. manifest      — per (split, lang) document and token counts,
+       the corpus card a training run starts from.
+
+    Scale: stages 1-3 are one scan + one fingerprint-keyed shuffle.
+    Stage 4 consumes the deduped stream twice more (the posting
+    self-join inside the contamination check), so the LAZY composition
+    evaluates the stage-1-3 prefix three times. At sf scale that is
+    fine (and it keeps the registered query a pure DataFrame the
+    oracle can replay); at 100 TB materialize the stage-3 output
+    between stages — write it to parquet via ``sinks`` and feed the
+    re-read to stage 4, the standard checkpoint boundary for
+    multi-pass pipeline stages. ``persist_intermediate=True`` is the
+    in-session equivalent (caches the deduped corpus across the three
+    consumers); it changes no results.
+    """
+    from .dedup import cross_split_contamination
+    from .sampling import train_val_test_split
+    from .text import with_quality
+
+    quality = with_quality(documents).filter(F.col("is_quality"))
+    w = Window.partitionBy(F.md5(_norm_text())).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*documents.columns)
+    )
+    if persist_intermediate:
+        deduped = deduped.persist()
+    split = train_val_test_split(deduped, "doc_id")
+    contaminated = cross_split_contamination(deduped).filter(
+        F.col("contamination_ratio") >= contamination_threshold
+    )
+    clean = split.join(
+        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
+    )
+    n_tokens = F.regexp_count(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    ).cast("long")
+    return (
+        clean.withColumn("_t", n_tokens)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+        )
+    )
+
+
+def _norm_text():
+    from ..functions.text import normalized_text
+
+    return normalized_text(F.col("text"))
+
+
 def dedup_survivors(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     """Survivorship policy over resolved duplicate clusters: keep every
     unclustered document plus each cluster's canonical representative

@@ -58,6 +58,34 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def with_quality(documents: DataFrame) -> DataFrame:
+    """Append the composite quality score (and its boolean gate) to the
+    input WITHOUT dropping any columns — the map-only form used when a
+    pipeline needs both the verdict and the document content in one
+    pass (a quality_score + join-back would shuffle the corpus on
+    doc_id for columns a projection computes for free). Same formula as
+    [[quality_score]]."""
+    base = documents.withColumn("ws", words(F.col("text")))
+    ws = F.col("ws")
+    n_words = F.size(ws)
+    avg_wl = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / n_words,
+    )
+    stop_ratio = F.when(n_words > 0, stopword_count(ws).cast("double") / n_words)
+    in_band = (
+        F.when((n_words >= 20) & (n_words <= 2000), 0.4).otherwise(0.0)
+        + F.when((avg_wl >= 2.0) & (avg_wl <= 12.0), 0.3).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+    )
+    return base.select(
+        *documents.columns,
+        in_band.alias("quality"),
+        (in_band >= 0.7).alias("is_quality"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score in [0, 1] from the surface statistics —
     the shape of a C4/Gopher-style heuristic filter (word-count band,

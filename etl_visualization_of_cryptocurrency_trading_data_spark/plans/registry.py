@@ -257,6 +257,14 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed end-to-end corpus pipeline: quality gate -> exact
+    dedup -> deterministic split -> decontamination -> per-(split,
+    lang) manifest. One registered query proving the operators compose
+    as DataFrames."""
+    return corpus.curation_pipeline(_documents(spark, sf_dir))
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test split by content hash: counts per
     (split, lang) — the reproducible-split primitive for training
@@ -1174,6 +1182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
+    "curation_pipeline": q_curation_pipeline,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
@@ -1423,6 +1432,72 @@ hits AS (
 SELECT doc_id, n_hit_shingles, n_test_docs, n_shingles,
        n_hit_shingles::DOUBLE / n_shingles AS contamination_ratio
 FROM hits JOIN sizes USING (doc_id)""",
+    "curation_pipeline": f"""
+WITH qw AS (
+  SELECT doc_id, text, lang, {WORDS_SQL} AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
+                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM qw
+  ) WHERE quality >= 0.7
+),
+d AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5({NORM_TEXT_SQL}) ORDER BY doc_id
+    ) AS rn FROM q
+  ) WHERE rn = 1
+),
+sp AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM d
+),
+dws AS (SELECT doc_id, {WORDS_SQL} AS ws FROM d),
+dsh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM dws WHERE len(ws) >= 3
+),
+post AS (SELECT doc_id, unnest(shingles) AS sg FROM dsh),
+spp AS (
+  SELECT post.doc_id, post.sg, sp.split
+  FROM post JOIN sp ON post.doc_id = sp.doc_id
+),
+kept AS (SELECT sg FROM spp GROUP BY sg HAVING count(*) <= 100),
+fpp AS (SELECT spp.doc_id, spp.sg, spp.split FROM spp JOIN kept USING (sg)),
+tr AS (SELECT doc_id, sg FROM fpp WHERE split = 'train'),
+te AS (SELECT doc_id AS tdoc, sg FROM fpp WHERE split = 'test'),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.sg) AS n_hit
+  FROM tr JOIN te USING (sg) GROUP BY tr.doc_id
+),
+contaminated AS (
+  SELECT hits.doc_id FROM hits JOIN sizes USING (doc_id)
+  WHERE n_hit::DOUBLE / n_sh >= 0.5
+),
+clean AS (
+  SELECT * FROM sp
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')))::BIGINT AS n_tokens
+FROM clean GROUP BY split, lang""",
     "dataset_split": """
 WITH b AS (
   SELECT lang,

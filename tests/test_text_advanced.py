@@ -139,3 +139,61 @@ def test_contamination_max_df_drops_common_grams(spark):
     # df of the shared trigram is 2 -> capped out at max_df=1
     assert dedup.cross_split_contamination(docs, max_df=1).count() == 0
     assert dedup.cross_split_contamination(docs, max_df=None).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_stage_effects(spark):
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import corpus
+
+    quality_text = " ".join(
+        ["the quick brown fox jumps over the lazy dog again today"] * 3
+    )  # 33 words, stopword-rich -> passes the quality gate
+    train_id, test_id, dup_id = None, None, None
+    for i in range(1, 500):
+        s = _split_of(spark, i)
+        if s == "train" and train_id is None:
+            train_id = i
+        elif s == "train" and train_id is not None and dup_id is None and i != train_id:
+            dup_id = i
+        elif s == "test" and test_id is None:
+            test_id = i
+        if train_id and test_id and dup_id:
+            break
+    docs = spark.createDataFrame(
+        [
+            (train_id, quality_text, "en"),          # survives everything
+            (dup_id, quality_text, "en"),            # exact dup -> dropped
+            (test_id, "tiny", "en"),                 # low quality -> dropped
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {(r.split, r.lang): r for r in corpus.curation_pipeline(docs).collect()}
+    # only the canonical quality doc remains, in train
+    assert set(out) == {("train", "en")}
+    assert out[("train", "en")].n_docs == 1
+    assert out[("train", "en")].n_tokens == 33
+
+    # a contaminated train doc (same content in a TEST doc, but not an
+    # exact dup after normalization differences) is dropped
+    docs2 = spark.createDataFrame(
+        [
+            (train_id, quality_text, "en"),
+            (test_id, quality_text + " extra", "en"),  # different fingerprint
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out2 = {(r.split,): r for r in corpus.curation_pipeline(docs2).collect()}
+    # train doc shares nearly all shingles with the test doc -> dropped;
+    # the test doc itself remains
+    assert set(out2) == {("test",)}
+
+    # persist_intermediate changes nothing
+    a = sorted(map(tuple, corpus.curation_pipeline(docs2).collect()))
+    b = sorted(
+        map(tuple, corpus.curation_pipeline(docs2, persist_intermediate=True).collect())
+    )
+    assert a == b
