@@ -57,6 +57,74 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def digest_i6(arr: Column) -> Column:
+    """Engine-independent content digest of a double array: each value
+    is scaled to an integer via ``floor(x * 1e6 + 0.5)`` (pure IEEE
+    ops, bit-identical in any engine — unlike printing doubles, whose
+    formatting differs), joined with commas, md5'd. The registered
+    queries use this to hash array outputs that the driver's
+    canonicalizer cannot sort on directly."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                arr, lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long").cast("string")
+            ),
+        )
+    )
+
+
+def normalize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """L2-normalize the embedding column: unit vectors make cosine a
+    plain dot product, which at scale lets every downstream scorer
+    (brute, LSH, IVF) skip the per-row norm. Zero vectors normalize to
+    NULL (no direction), surfaced rather than silently kept.
+
+    Emits (vec_id, emb, l2_norm): ``emb`` is array<double> for
+    composition; the registered query projects it through
+    [[digest_i6]] for the oracle. Map-only — no shuffle; the norm is
+    materialized in its own projection so the per-element division
+    does not re-run the aggregate per element (interpreted HOFs get
+    no common-subexpression elimination)."""
+    base = embeddings.select("vec_id", _as_double("embedding").alias("raw"))
+    with_norm = base.withColumn("l2_norm", _norm(F.col("raw")))
+    return with_norm.select(
+        "vec_id",
+        F.when(
+            F.col("l2_norm") > 0,
+            F.transform("raw", lambda x: x / F.col("l2_norm")),
+        ).alias("emb"),
+        "l2_norm",
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    q_i = floor(x_i * scale + 0.5) — the standard 4x storage/bandwidth
+    shrink before ANN serving (dot products on int8 with one
+    dequantize multiply at the end). floor(x + 0.5) instead of
+    round(): both engines' round() diverge on banker's-rounding edge
+    cases, floor is pinned IEEE everywhere.
+
+    Emits (vec_id, scale, q) with q int array; all-zero vectors get
+    NULL scale/q. Map-only, no shuffle."""
+    base = embeddings.select("vec_id", _as_double("embedding").alias("raw"))
+    with_max = base.withColumn(
+        "_m", F.array_max(F.transform("raw", lambda x: F.abs(x)))
+    )
+    scale = F.lit(127.0) / F.col("_m")
+    return with_max.select(
+        "vec_id",
+        F.when(F.col("_m") > 0, scale).alias("scale"),
+        F.when(
+            F.col("_m") > 0,
+            F.transform(
+                "raw", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+            ),
+        ).alias("q"),
+    )
+
+
 def knn_brute(
     embeddings: DataFrame,
     probe_filter: Column | None = None,

@@ -418,6 +418,37 @@ def q_knn_brute(spark, sf_dir):
     return similarity.knn_brute(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_embedding_normalize(spark, sf_dir):
+    """L2 normalization with an engine-independent digest of the unit
+    vector (the driver's canonicalizer cannot hash raw arrays)."""
+    from pyspark.sql import functions as F
+
+    norm = similarity.normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return norm.select(
+        "vec_id",
+        F.round("l2_norm", 7).alias("l2_norm"),
+        F.when(
+            F.col("emb").isNotNull(), similarity.digest_i6(F.col("emb"))
+        ).alias("emb_digest"),
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization: per-vector scale plus a digest of
+    the quantized codes."""
+    from pyspark.sql import functions as F
+
+    qt = similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return qt.select(
+        "vec_id",
+        F.round("scale", 7).alias("scale"),
+        F.when(
+            F.col("q").isNotNull(),
+            F.md5(F.concat_ws(",", F.transform("q", lambda x: x.cast("string")))),
+        ).alias("q_digest"),
+    )
+
+
 def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
 
@@ -1202,6 +1233,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "knn_brute": q_knn_brute,
+    "embedding_normalize": q_embedding_normalize,
+    "embedding_quantize": q_embedding_quantize,
     "knn_brute_vectorized": q_knn_brute_vectorized,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -1622,6 +1655,25 @@ WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash_pairs": _simhash_sql(),
     "knn_brute": _knn_sql(bucketed=False),
+    "embedding_normalize": """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+n AS (SELECT vec_id, raw, sqrt(list_dot_product(raw, raw)) AS l2 FROM base)
+SELECT vec_id, round(l2, 7) AS l2_norm,
+       CASE WHEN l2 > 0 THEN md5(array_to_string(
+         list_transform(raw, x -> CAST(floor(x / l2 * 1000000 + 0.5) AS BIGINT)),
+         ',')) END AS emb_digest
+FROM n""",
+    "embedding_quantize": """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+m AS (SELECT vec_id, raw,
+             list_max(list_transform(raw, x -> abs(x))) AS mx FROM base)
+SELECT vec_id,
+       CASE WHEN mx > 0 THEN round(127.0 / mx, 7) END AS scale,
+       CASE WHEN mx > 0 THEN md5(array_to_string(
+         list_transform(raw,
+           x -> CAST(CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER) AS VARCHAR)),
+         ',')) END AS q_digest
+FROM m""",
     "knn_brute_vectorized": _knn_sql(bucketed=False, round_decimals=9),
     "knn_lsh": _knn_sql(bucketed=True),
     "knn_ivf": KNN_IVF_SQL,

@@ -269,3 +269,42 @@ def test_media_stages_compose(spark, docs):
     assert set(resized.columns) == set(media.columns)
     frames = multimodal.extract_frames(resized, every_s=10.0)
     assert frames.count() == multimodal.frame_schedule(media, 10.0).count()
+
+
+# ---------------------------------------------------------------------------
+# normalize / quantize
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_embeddings_units_and_zero(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.normalize_embeddings(emb).collect()}
+    assert rows[1].l2_norm == pytest.approx(5.0)
+    assert rows[1].emb == pytest.approx([0.6, 0.8])
+    # unit norm after normalization
+    assert math.hypot(*rows[1].emb) == pytest.approx(1.0)
+    # zero vector -> null direction, norm 0
+    assert rows[2].emb is None and rows[2].l2_norm == 0.0
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
+    r = rows[1]
+    # max|x| = 1.0 -> scale 127; codes are round(x * 127)
+    assert r.scale == pytest.approx(127.0)
+    assert r.q == [64, -127, 32]  # floor(63.5+0.5), floor(-127+0.5), floor(31.75+0.5)
+    # dequantized error bounded by half a quantization step
+    for orig, code in zip([0.5, -1.0, 0.25], r.q):
+        assert abs(orig - code / r.scale) <= 0.5 / r.scale + 1e-12
+    assert rows[2].scale is None and rows[2].q is None
