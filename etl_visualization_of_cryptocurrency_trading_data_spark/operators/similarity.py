@@ -125,6 +125,73 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    iters: int = 2,
+    centroid_modulus: int = 101,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the trainer for the
+    IVF coarse index ([[knn_ivf]] currently uses the deterministic
+    sample this starts from; feeding it refined centroids cuts list
+    imbalance). Returns (cent_id, n_members, cent) after ``iters``
+    assign/update rounds; empty clusters drop out (standard Lloyd).
+
+    Determinism across engines and runs is pinned in two places:
+    distances and centroid dimensions are rounded to
+    ``round_decimals`` — Spark's partial-sum order and an oracle's
+    summation order both drift ~1e-12 relative, far under the 1e-9
+    grid — and argmin ties break by cent_id.
+
+    Scale: each round is one corpus scan — assignment is a crossJoin
+    against the BROADCAST centroid set (k * dim doubles; k is
+    inverted-list count, thousands at most) + an argmin window keyed
+    by vec_id, and the update re-keys by (cent_id, dim) with map-side
+    partial avg, so the hot shuffle is k * dim rows. The composition
+    is fully lazy — with fixed small ``iters`` the plan is a linear
+    chain (each round's subtree consumed exactly once, no
+    re-evaluation blow-up); for tens of rounds checkpoint each round
+    like dup_clusters does.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (n_members comes from the last update)")
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent")
+    )
+    for _ in range(iters):
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(F.col("emb"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            round_decimals,
+        )
+        scored = base.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "emb", "cent_id", dist.alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "emb", "cent_id")
+        )
+        upd = (
+            assign.select("cent_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("v").alias("v"), F.count("*").alias("n"))
+        )
+        centroids = upd.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: F.round(s["v"], round_decimals),
+            ).alias("cent"),
+            F.max("n").alias("n_members"),
+        )
+    return centroids.select("cent_id", "n_members", "cent")
+
+
 def knn_brute(
     embeddings: DataFrame,
     probe_filter: Column | None = None,

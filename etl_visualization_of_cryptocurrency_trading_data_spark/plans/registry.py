@@ -418,6 +418,21 @@ def q_knn_brute(spark, sf_dir):
     return similarity.knn_brute(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Two Lloyd rounds from the deterministic init: per-cluster size
+    plus a digest of the refined centroid."""
+    from pyspark.sql import functions as F
+
+    cent = similarity.kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings"), iters=2
+    )
+    return cent.select(
+        "cent_id",
+        "n_members",
+        similarity.digest_i6(F.col("cent")).alias("cent_digest"),
+    )
+
+
 def q_embedding_normalize(spark, sf_dir):
     """L2 normalization with an engine-independent digest of the unit
     vector (the driver's canonicalizer cannot hash raw arrays)."""
@@ -1233,6 +1248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "knn_brute": q_knn_brute,
+    "kmeans_centroids": q_kmeans_centroids,
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
     "knn_brute_vectorized": q_knn_brute_vectorized,
@@ -1655,6 +1671,56 @@ WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash_pairs": _simhash_sql(),
     "knn_brute": _knn_sql(bucketed=False),
+    "kmeans_centroids": """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE vec_id % 101 = 1),
+s1 AS (
+  SELECT b.vec_id, b.emb, c.cent_id,
+         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
+                         for i in range(1, 65)]), 9) AS dist
+  FROM base b CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cent_id) AS rn
+    FROM s1) WHERE rn = 1
+),
+u1 AS (
+  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v, count(*) AS n
+  FROM a1, range(1, 65) t(i) GROUP BY cent_id, t.i
+),
+c1 AS (
+  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
+         max(n) AS n_members
+  FROM u1 GROUP BY cent_id
+),
+s2 AS (
+  SELECT b.vec_id, b.emb, c.cent_id,
+         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
+                         for i in range(1, 65)]), 9) AS dist
+  FROM base b CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cent_id) AS rn
+    FROM s2) WHERE rn = 1
+),
+u2 AS (
+  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v, count(*) AS n
+  FROM a2, range(1, 65) t(i) GROUP BY cent_id, t.i
+),
+c2 AS (
+  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
+         max(n) AS n_members
+  FROM u2 GROUP BY cent_id
+)
+SELECT cent_id, n_members,
+       md5(array_to_string(
+         list_transform(cent, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)),
+         ',')) AS cent_digest
+FROM c2""",
     "embedding_normalize": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
 n AS (SELECT vec_id, raw, sqrt(list_dot_product(raw, raw)) AS l2 FROM base)

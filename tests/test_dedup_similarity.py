@@ -308,3 +308,26 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     for orig, code in zip([0.5, -1.0, 0.25], r.q):
         assert abs(orig - code / r.scale) <= 0.5 / r.scale + 1e-12
     assert rows[2].scale is None and rows[2].q is None
+
+
+def test_kmeans_centroids_converges_to_cluster_means(spark):
+    # Two well-separated clusters; ids 1 and 102 (both ≡ 1 mod 101)
+    # seed the two initial centroids.
+    pts = {
+        1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0],          # cluster A
+        102: [10.0, 10.0], 103: [11.0, 10.0], 104: [10.0, 11.0],  # cluster B
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<float>"
+    )
+    rows = {r.cent_id: r for r in similarity.kmeans_centroids(emb, iters=2).collect()}
+    assert set(rows) == {1, 102}
+    assert rows[1].n_members == 3 and rows[102].n_members == 3
+    assert rows[1].cent == pytest.approx([1 / 3, 1 / 3])
+    assert rows[102].cent == pytest.approx([31 / 3, 31 / 3])
+
+
+def test_kmeans_requires_at_least_one_iter(spark):
+    emb = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.kmeans_centroids(emb, iters=0)
