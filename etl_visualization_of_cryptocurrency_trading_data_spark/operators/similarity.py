@@ -398,6 +398,7 @@ def knn_ivf(
     k: int = 5,
     n_probe: int = 2,
     centroid_modulus: int = 101,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the second scale path next to LSH.
 
@@ -408,13 +409,24 @@ def knn_ivf(
     the broadcast centroid set + argmax window), so at scale the list
     id becomes a partition key and each probe touches n_probe/C of the
     corpus; the oracle replays the identical assignment in SQL.
+
+    Pass ``centroids`` (the (cent_id, cent) output of
+    [[kmeans_centroids]], extra columns ignored) to search against a
+    TRAINED coarse index instead of the sample — refined centroids
+    balance the inverted lists, which at scale evens out per-probe
+    cost. Assignment here ranks by cosine; k-means trains by
+    euclidean — for unit-norm embeddings (see
+    [[normalize_embeddings]]) the two orders coincide.
     """
     if probe_filter is None:
         probe_filter = F.col("vec_id") % 50 == 0
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
-    )
+    if centroids is None:
+        centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
+        )
+    else:
+        centroids = centroids.select("cent_id", F.col("cent").alias("cent_emb"))
     scored = base.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "emb",

@@ -331,3 +331,15 @@ def test_kmeans_requires_at_least_one_iter(spark):
     emb = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         similarity.kmeans_centroids(emb, iters=0)
+
+
+def test_knn_ivf_accepts_trained_centroids(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute = {(r.probe_id, r.neighbor_id) for r in similarity.knn_brute(emb, k=5).collect()}
+    cents = similarity.kmeans_centroids(emb, iters=2)
+    trained = similarity.knn_ivf(emb, k=5, centroids=cents)
+    got = {(r.probe_id, r.neighbor_id) for r in trained.collect()}
+    # same output contract as the sample-centroid path
+    assert trained.columns == similarity.knn_ivf(emb, k=5).columns
+    # measured 0.62 at this sf; floor well below to avoid flakiness
+    assert len(got & brute) / len(brute) >= 0.5
