@@ -159,6 +159,37 @@ def coin_market_cap(price: DataFrame) -> DataFrame:
     )
 
 
+def user_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention over the raw event stream: each user is
+    cohorted by first-active day; for every (cohort_day, day_offset)
+    the count of that cohort's users active ``day_offset`` days later.
+    The classic triangle a growth dashboard plots — and the engagement
+    view the reference's per-coin charts never had.
+
+    Scale: one distinct over (user_id, day) with map-side partial
+    aggregation (the raw event fan-in per user-day collapses before
+    the shuffle), then the cohort day via a min window keyed by
+    user_id — no join back to a cohort table — and a final (cohort,
+    offset) aggregation whose cardinality is days^2/2, tiny. Three
+    keyed shuffles total, none carrying raw events.
+    """
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    withc = activity.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return (
+        withc.groupBy(
+            # DATE -> TIMESTAMP purely for cross-engine result typing
+            # (pandas/Arrow render Spark dates as python objects)
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def price_correlation(
     price: DataFrame,
     top_n: int = 20,

@@ -688,6 +688,11 @@ def q_top_suppliers(spark, sf_dir):
     return relational.top_k(joined, "shipped_value", 10, tiebreak="s_suppkey")
 
 
+def q_user_retention(spark, sf_dir):
+    """Cohort retention triangle over the raw event stream."""
+    return derive.user_retention(load_table(spark, sf_dir, "events"))
+
+
 def q_trading_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization of the tick stream (batch twin
     of streaming session_window; gap 6h)."""
@@ -1277,6 +1282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_suppliers": q_top_suppliers,
     "momentum_ranks": q_momentum_ranks,
     "trading_sessions": q_trading_sessions,
+    "user_retention": q_user_retention,
     "session_range_join": q_session_range_join,
     "price_correlation": q_price_correlation,
 }
@@ -1831,6 +1837,14 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "user_retention": """
+WITH activity AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM activity)
+SELECT cohort_day::TIMESTAMP AS cohort_day,
+       (day - cohort_day)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM c GROUP BY 1, 2""",
     "trading_sessions": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 marked AS (
