@@ -413,3 +413,41 @@ def test_kafka_reader_constructed_with_reference_options(spark):
         streaming.pipeline.read_kafka_stream(
             spark, "broker-1:9092", topic="cryptoAllData"
         )
+
+
+def test_corpus_operators_compose_with_streaming(spark, tmp_path):
+    """The map-only corpus operators (quality gate, PII redaction,
+    fingerprinting) run unchanged on a readStream of documents — the
+    streaming-ingest shape of a training-data pipeline. availableNow
+    result must equal the batch result exactly."""
+    import os
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import corpus, text
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60).cache()
+    spool = str(tmp_path / "docspool")
+    os.makedirs(spool)
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(spool, "part1"))
+
+    def curate(df):
+        scrubbed = corpus.redact_pii(text.with_quality(df).filter(F.col("is_quality")))
+        return scrubbed.select("doc_id", "n_urls", "n_emails", "redacted_md5")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(spool, "part1"))
+    )
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("curated_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    expected = curate(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(expected)
+    docs.unpersist()
