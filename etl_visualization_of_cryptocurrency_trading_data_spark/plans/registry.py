@@ -688,6 +688,27 @@ def q_top_suppliers(spark, sf_dir):
     return relational.top_k(joined, "shipped_value", 10, tiebreak="s_suppkey")
 
 
+def q_event_props_stats(spark, sf_dir):
+    """Semi-structured path extraction outside the envelope family: the
+    events.props JSON payload parsed in-plan (get_json_object) and
+    aggregated per event_type. Scale: map-side JSON path + one keyed
+    aggregation with partial combine."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_user_retention(spark, sf_dir):
     """Cohort retention triangle over the raw event stream."""
     return derive.user_retention(load_table(spark, sf_dir, "events"))
@@ -1283,6 +1304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "momentum_ranks": q_momentum_ranks,
     "trading_sessions": q_trading_sessions,
     "user_retention": q_user_retention,
+    "event_props_stats": q_event_props_stats,
     "session_range_join": q_session_range_join,
     "price_correlation": q_price_correlation,
 }
@@ -1837,6 +1859,12 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "event_props_stats": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(props->>'k' AS BIGINT))::BIGINT AS min_k,
+       max(CAST(props->>'k' AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY event_type""",
     "user_retention": """
 WITH activity AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
 c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
