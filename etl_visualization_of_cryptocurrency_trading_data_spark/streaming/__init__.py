@@ -1,8 +1,10 @@
 from .pipeline import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
     envelope_price_stream,
     ohlc_stream,
     read_envelope_stream,
+    read_kafka_stream,
     read_price_stream,
     run_full_pipeline,
     run_ingest,

@@ -62,6 +62,17 @@ def read_envelope_stream(
     return reader.text(spool_dir)
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream
+    left-joins the (broadcast) static dimension — the standard lookup
+    pattern for attaching coin/exchange metadata to the tick feed.
+    Spark re-resolves the static side per micro-batch, so a dimension
+    refreshed by the upsert sink is picked up between batches without
+    restarting the query. Left join: a tick with no dimension row
+    flows through null-extended rather than silently dropping."""
+    return stream.join(F.broadcast(dim), keys, "left")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -451,3 +451,39 @@ def test_corpus_operators_compose_with_streaming(spark, tmp_path):
     expected = curate(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(expected)
     docs.unpersist()
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, price_df):
+    """Stream-static broadcast join: ticks enriched with the coins
+    dimension per micro-batch equal the batch join exactly."""
+    spool = make_spool(tmp_path, price_df, 3)
+    coins_dim = derive.coins(load_table(spark, SF_SMOKE, "events")).select(
+        F.col("id").alias("coin_id"), "name", "symbol"
+    ).cache()
+    stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    q = (
+        streaming.enrich_stream(stream, coins_dim, ["coin_id"])
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("enriched_stream")
+        .toPandas()
+        .sort_values(["coin_id", "exchange", "timestamp"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        price_df.join(F.broadcast(coins_dim), ["coin_id"], "left")
+        .toPandas()
+        .sort_values(["coin_id", "exchange", "timestamp"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(expected.columns)
+    assert got.equals(expected)
+    # every tick got its dimension row (left join, none dropped)
+    assert got["name"].notna().all()
+    coins_dim.unpersist()
