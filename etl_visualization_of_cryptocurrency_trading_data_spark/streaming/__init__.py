@@ -1,4 +1,5 @@
 from .pipeline import (  # noqa: F401
+    cross_exchange_stream_join,
     dedup_stream,
     enrich_stream,
     envelope_price_stream,

@@ -73,6 +73,62 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFra
     return stream.join(F.broadcast(dim), keys, "left")
 
 
+def cross_exchange_stream_join(
+    ticks: DataFrame,
+    exchange_a: str,
+    exchange_b: str,
+    tolerance_minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: for every tick of a symbol
+    on ``exchange_a``, the ticks of the same symbol on ``exchange_b``
+    within ±``tolerance_minutes`` — the cross-exchange alignment feed a
+    spread/arbitrage monitor consumes. Emits the price spread per
+    matched pair.
+
+    State stays bounded because BOTH sides carry a watermark and the
+    join condition bounds event time on each side relative to the
+    other: Spark evicts buffered rows once they can no longer match
+    (requires ``watermark`` >= the tolerance span — enforced here).
+    With availableNow over a time-ordered spool the result equals the
+    batch theta join exactly (pinned in tests).
+    """
+    if int(watermark.split()[0]) * (60 if "min" in watermark else 1) < (
+        tolerance_minutes * 60
+    ):
+        raise ValueError("watermark must cover the join tolerance")
+    sym = F.regexp_extract(F.col("coin_id"), "_(C[0-9]+)$", 1)
+
+    def side(exchange: str, suffix: str) -> DataFrame:
+        return (
+            ticks.filter(F.col("exchange") == exchange)
+            .select(
+                sym.alias(f"symbol_{suffix}"),
+                F.col("timestamp").alias(f"ts_{suffix}"),
+                F.col("price").alias(f"price_{suffix}"),
+            )
+            .withWatermark(f"ts_{suffix}", watermark)
+        )
+
+    a, b = side(exchange_a, "a"), side(exchange_b, "b")
+    joined = a.join(
+        b,
+        F.expr(
+            f"symbol_a = symbol_b AND "
+            f"ts_b BETWEEN ts_a - INTERVAL {tolerance_minutes} MINUTES "
+            f"AND ts_a + INTERVAL {tolerance_minutes} MINUTES"
+        ),
+    )
+    return joined.select(
+        F.col("symbol_a").alias("symbol"),
+        "ts_a",
+        "price_a",
+        "ts_b",
+        "price_b",
+        (F.col("price_b") - F.col("price_a")).alias("spread"),
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -487,3 +487,36 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, price_df):
     # every tick got its dimension row (left join, none dropped)
     assert got["name"].notna().all()
     coins_dim.unpersist()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, price_df):
+    """Watermarked stream-stream join (cross-exchange alignment within
+    ±5 min) under availableNow equals the batch theta join."""
+    spool = make_spool(tmp_path, price_df, 3)
+    stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    q = (
+        streaming.cross_exchange_stream_join(stream, "click", "view")
+        .writeStream.format("memory")
+        .queryName("xchg_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    key = ["symbol", "ts_a", "ts_b"]
+    got = spark.table("xchg_stream").toPandas().sort_values(key).reset_index(drop=True)
+    expected = (
+        streaming.cross_exchange_stream_join(price_df, "click", "view")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(expected) > 0  # fixture actually produces matches
+    assert got.equals(expected)
+
+
+def test_stream_stream_join_rejects_short_watermark(spark, price_df):
+    with pytest.raises(ValueError):
+        streaming.cross_exchange_stream_join(
+            price_df, "click", "view", tolerance_minutes=30, watermark="10 minutes"
+        )
