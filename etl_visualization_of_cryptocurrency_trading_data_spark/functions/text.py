@@ -42,3 +42,27 @@ def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     trim — so visually-identical documents hash identically."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# BPE-ish tokenizer: letter runs / digit runs / single other non-space.
+# ONE definition — token_counts, pack_chunks, and the curation manifest
+# must agree on the token budget, so they all call regex_token_count.
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def regex_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex — the cheap proxy for LLM
+    token budgeting shared by every operator that publishes a budget."""
+    return F.regexp_count(F.lower(text), F.lit(TOKEN_REGEX)).cast("long")
+
+
+def quality_band(n_words: Column, avg_word_len: Column, stopword_ratio: Column) -> Column:
+    """The C4/Gopher-style quality score in [0, 1] — word-count band,
+    mean-word-length band, stopword presence. ONE definition shared by
+    quality_score (the registered query) and with_quality (the
+    pipeline gate) so the two can never drift."""
+    return (
+        F.when((n_words >= 20) & (n_words <= 2000), 0.4).otherwise(0.0)
+        + F.when((avg_word_len >= 2.0) & (avg_word_len <= 12.0), 0.3).otherwise(0.0)
+        + F.when(stopword_ratio >= 0.05, 0.3).otherwise(0.0)
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import words
+from ..functions.text import regex_token_count, words
 from .sampling import BUCKETS, hash_bucket
 
 # RE2-compatible (and Java-regex-compatible) patterns so the Spark plan
@@ -79,9 +79,7 @@ def pack_chunks(
     source x date). No state beyond the window; empty documents get
     n_chunks = 0 with NULL chunk bounds.
     """
-    n_tokens = F.regexp_count(
-        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
-    ).cast("long")
+    n_tokens = regex_token_count(F.col("text"))
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col)
@@ -216,9 +214,7 @@ def curation_pipeline(
     clean = split.join(
         F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
     )
-    n_tokens = F.regexp_count(
-        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
-    ).cast("long")
+    n_tokens = regex_token_count(F.col("text"))
     return (
         clean.withColumn("_t", n_tokens)
         .groupBy("split", "lang")

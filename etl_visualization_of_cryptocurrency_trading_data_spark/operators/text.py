@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import STOPWORDS, normalized_text, stopword_count, words
+from ..functions.text import (
+    STOPWORDS,
+    normalized_text,
+    quality_band,
+    regex_token_count,
+    stopword_count,
+    words,
+)
 
 # Tiny per-language lexicons for the n-gram/stopword lang-ID heuristic.
 # Deterministic and literal so the oracle SQL embeds the same lists.
@@ -74,11 +81,7 @@ def with_quality(documents: DataFrame) -> DataFrame:
         / n_words,
     )
     stop_ratio = F.when(n_words > 0, stopword_count(ws).cast("double") / n_words)
-    in_band = (
-        F.when((n_words >= 20) & (n_words <= 2000), 0.4).otherwise(0.0)
-        + F.when((avg_wl >= 2.0) & (avg_wl <= 12.0), 0.3).otherwise(0.0)
-        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
-    )
+    in_band = quality_band(n_words, avg_wl, stop_ratio)
     return base.select(
         *documents.columns,
         in_band.alias("quality"),
@@ -92,10 +95,8 @@ def quality_score(documents: DataFrame) -> DataFrame:
     mean word length band, stopword presence), expressed as columns so
     the filter itself is pushdown-able."""
     s = text_stats(documents)
-    in_band = (
-        F.when((F.col("n_words") >= 20) & (F.col("n_words") <= 2000), 0.4).otherwise(0.0)
-        + F.when((F.col("avg_word_len") >= 2.0) & (F.col("avg_word_len") <= 12.0), 0.3).otherwise(0.0)
-        + F.when(F.col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
+    in_band = quality_band(
+        F.col("n_words"), F.col("avg_word_len"), F.col("stopword_ratio")
     )
     return s.select(
         "doc_id",
@@ -110,11 +111,10 @@ def token_counts(documents: DataFrame) -> DataFrame:
     BPE-ish regex (letter runs / digit runs / single other non-space) —
     the standard cheap proxy for LLM token budgeting."""
     ws_tokens = F.size(words(F.col("text")))
-    bpe_tokens = F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
     return documents.select(
         "doc_id",
         ws_tokens.cast("long").alias("ws_tokens"),
-        bpe_tokens.cast("long").alias("regex_tokens"),
+        regex_token_count(F.col("text")).alias("regex_tokens"),
     )
 
 

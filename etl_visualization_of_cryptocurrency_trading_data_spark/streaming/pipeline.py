@@ -78,7 +78,7 @@ def cross_exchange_stream_join(
     exchange_a: str,
     exchange_b: str,
     tolerance_minutes: int = 5,
-    watermark: str = "10 minutes",
+    watermark_minutes: int = 10,
 ) -> DataFrame:
     """Watermarked stream-stream inner join: for every tick of a symbol
     on ``exchange_a``, the ticks of the same symbol on ``exchange_b``
@@ -89,13 +89,15 @@ def cross_exchange_stream_join(
     State stays bounded because BOTH sides carry a watermark and the
     join condition bounds event time on each side relative to the
     other: Spark evicts buffered rows once they can no longer match
-    (requires ``watermark`` >= the tolerance span — enforced here).
+    (requires ``watermark_minutes`` >= the tolerance — enforced here;
+    both are numeric so there is no interval-string parsing to get
+    wrong). Ticks whose coin_id lacks the ``_C<n>`` symbol suffix are
+    dropped before the join — with the suffix regex they would all
+    share symbol '' and pair with each other across coins.
     With availableNow over a time-ordered spool the result equals the
     batch theta join exactly (pinned in tests).
     """
-    if int(watermark.split()[0]) * (60 if "min" in watermark else 1) < (
-        tolerance_minutes * 60
-    ):
+    if watermark_minutes < tolerance_minutes:
         raise ValueError("watermark must cover the join tolerance")
     sym = F.regexp_extract(F.col("coin_id"), "_(C[0-9]+)$", 1)
 
@@ -107,7 +109,8 @@ def cross_exchange_stream_join(
                 F.col("timestamp").alias(f"ts_{suffix}"),
                 F.col("price").alias(f"price_{suffix}"),
             )
-            .withWatermark(f"ts_{suffix}", watermark)
+            .filter(F.col(f"symbol_{suffix}") != "")
+            .withWatermark(f"ts_{suffix}", f"{watermark_minutes} minutes")
         )
 
     a, b = side(exchange_a, "a"), side(exchange_b, "b")

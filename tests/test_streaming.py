@@ -518,5 +518,5 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, price_df):
 def test_stream_stream_join_rejects_short_watermark(spark, price_df):
     with pytest.raises(ValueError):
         streaming.cross_exchange_stream_join(
-            price_df, "click", "view", tolerance_minutes=30, watermark="10 minutes"
+            price_df, "click", "view", tolerance_minutes=30, watermark_minutes=10
         )
