@@ -174,6 +174,67 @@ def upsert_by_key(
     return table
 
 
+def compact_table(
+    spark: SparkSession,
+    base_dir: str,
+    table: str,
+    target_rows_per_file: int = 1_000_000,
+    order_col: str = "timestamp",
+) -> int:
+    """Small-files compaction: streaming appends land one parquet file
+    per micro-batch per shuffle partition, and at scale the FILE COUNT
+    (driver listing, task scheduling fan-out, open/close overhead) —
+    not the byte count — becomes the read bottleneck. Rewrites the
+    table as ceil(rows / target_rows_per_file) time-range-clustered
+    files and atomically swaps directories (same two-rename protocol
+    as upsert_by_key; readers never see a partial table). Returns the
+    new file count.
+
+    Range-partitioning on ``order_col`` (plus any table partition
+    columns) keeps time-locality, so time-range queries after
+    compaction skip whole files via parquet min/max stats.
+
+    Maintenance utility, not a query: it runs a count() to size the
+    output. Compacting an epoch-partitioned table FINALIZES it — the
+    epoch bookkeeping is flattened away, and a restarted stream that
+    tries to append another epoch fails write_table's layout guard
+    loudly instead of corrupting the directory.
+    """
+    import math
+
+    path = table_dir(base_dir, table)
+    df = read_table(spark, base_dir, table)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    parts = [c for c in PARTITION_COLS.get(table, ()) if c in df.columns]
+    cluster = parts + ([order_col] if order_col in df.columns else [])
+    out = (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster])
+        if cluster
+        else df.repartition(n_files)
+    )
+    if order_col in df.columns:
+        out = out.sortWithinPartitions(order_col)
+    tmp, old = path + "._staging", path + "._old"
+    _rm_tree(tmp)
+    _rm_tree(old)
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    )
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(tmp)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    _rm_tree(old)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f_ in files
+        if f_.endswith(".parquet")
+    )
+
+
 def read_table(spark: SparkSession, base_dir: str, table: str) -> DataFrame:
     df = spark.read.option("basePath", table_dir(base_dir, table)).parquet(
         table_dir(base_dir, table)

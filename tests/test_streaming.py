@@ -520,3 +520,28 @@ def test_stream_stream_join_rejects_short_watermark(spark, price_df):
         streaming.cross_exchange_stream_join(
             price_df, "click", "view", tolerance_minutes=30, watermark_minutes=10
         )
+
+
+def test_compact_table_preserves_rows_and_shrinks_files(spark, tmp_path, price_df):
+    """Many small appended batches compact to few time-clustered files
+    with identical content; epoch bookkeeping is flattened away."""
+    base = str(tmp_path / "warehouse")
+    chunks = price_df.randomSplit([1.0] * 8, seed=7)
+    for i, c in enumerate(chunks):
+        sinks.write_table(c.repartition(4), base, "price_data", epoch_id=i)
+    before = sum(
+        1
+        for root, _, files in os.walk(sinks.table_dir(base, "price_data"))
+        for f_ in files
+        if f_.endswith(".parquet")
+    )
+    expected = sinks.read_table(spark, base, "price_data").toPandas()
+    n_after = sinks.compact_table(spark, base, "price_data", target_rows_per_file=10_000)
+    # one file per exchange partition dir (~200 rows each fit one file)
+    n_exchanges = price_df.select("exchange").distinct().count()
+    assert n_after < before and n_after == n_exchanges
+    got = sinks.read_table(spark, base, "price_data").toPandas()
+    key = ["coin_id", "exchange", "timestamp"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        expected.sort_values(key).reset_index(drop=True)
+    )
