@@ -250,6 +250,51 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram model — the KenLM-style perplexity proxy quality filters
+    use: garbled or machine-mangled text scores far below fluent prose
+    because its word transitions are rare in the corpus. Unsmoothed by
+    construction (every observed bigram includes itself in the counts,
+    so no zero probabilities); documents under 2 tokens are absent
+    from the output.
+
+    Emits (doc_id, n_bigrams, avg_logprob) with the score rounded to 7
+    decimals — the mean's partial-sum order drifts ~1e-14, far under
+    the rounding grid, so results are reproducible across engines.
+
+    Scale: ONE tokenize scan. Both model counts (bigram count and
+    left-context count) are count windows over the exploded bigram
+    stream — partitionBy (w1, w2) and (w1) — rather than
+    aggregate-plus-join, which would re-scan the corpus per count
+    (same plan lesson as cross_split_contamination). Final per-doc
+    mean re-keys by doc_id. Three keyed exchanges, no joins.
+    """
+    toks = documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    idx = F.sequence(F.lit(0), F.size("ws") - 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    counted = bi.withColumn(
+        "n2", F.count("*").over(Window.partitionBy("w1", "w2"))
+    ).withColumn("n1", F.count("*").over(Window.partitionBy("w1")))
+    return counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("n2") / F.col("n1"))), 7).alias("avg_logprob"),
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     The join key for exact dedup across shards — identical content

@@ -241,6 +241,11 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_documents(spark, sf_dir))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-LM perplexity proxy: mean bigram log-probability per doc."""
+    return text.bigram_logprob(_documents(spark, sf_dir))
+
+
 def q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(_documents(spark, sf_dir))
 
@@ -1252,6 +1257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
+    "bigram_logprob": q_bigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
@@ -1433,6 +1439,27 @@ FROM s""",
 SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
        length(text)::BIGINT AS n_chars
 FROM documents""",
+    "bigram_logprob": f"""
+WITH docs AS (
+  SELECT doc_id, ws FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents)
+  WHERE len(ws) >= 2
+),
+bi AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest([{{'w1': ws[i], 'w2': ws[i+1]}}
+                   for i in range(1, len(ws))]) AS bg
+    FROM docs)
+),
+c AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY w1, w2) AS n2,
+         count(*) OVER (PARTITION BY w1) AS n1
+  FROM bi
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(n2::DOUBLE / n1)), 7) AS avg_logprob
+FROM c GROUP BY doc_id""",
     "repetition_stats": f"""
 WITH base AS (
   SELECT doc_id,

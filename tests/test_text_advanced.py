@@ -197,3 +197,25 @@ def test_curation_pipeline_stage_effects(spark):
         map(tuple, corpus.curation_pipeline(docs2, persist_intermediate=True).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_built(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in text.bigram_logprob(docs).collect()}
+    # corpus counts: n1(a)=3, n1(b)=1; n2(a,b)=2, n2(b,a)=1, n2(a,c)=1
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_logprob == pytest.approx(
+        round((math.log(2 / 3) + math.log(1 / 1) + math.log(1 / 3)) / 3, 7)
+    )
+    assert rows[2].n_bigrams == 1
+    assert rows[2].avg_logprob == pytest.approx(round(math.log(2 / 3), 7))
+    assert 3 not in rows  # single-token doc has no bigrams
+    # fluent repetition of corpus-frequent transitions scores higher
+    assert rows[2].avg_logprob > rows[1].avg_logprob
