@@ -438,6 +438,12 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_knn_quantized(spark, sf_dir):
+    """Top-k cosine over int8-quantized codes (exact integer-dot
+    oracle, no rounding pin needed)."""
+    return similarity.knn_quantized(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_embedding_normalize(spark, sf_dir):
     """L2 normalization with an engine-independent digest of the unit
     vector (the driver's canonicalizer cannot hash raw arrays)."""
@@ -1281,6 +1287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "knn_brute": q_knn_brute,
     "kmeans_centroids": q_kmeans_centroids,
+    "knn_quantized": q_knn_quantized,
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
     "knn_brute_vectorized": q_knn_brute_vectorized,
@@ -1776,6 +1783,29 @@ SELECT cent_id, n_members,
          list_transform(cent, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)),
          ',')) AS cent_digest
 FROM c2""",
+    "knn_quantized": """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+m AS (SELECT vec_id, raw,
+             list_max(list_transform(raw, x -> abs(x))) AS mx FROM base),
+q AS (
+  SELECT vec_id,
+         list_transform(raw,
+           x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS q
+  FROM m WHERE mx > 0
+),
+sized AS (SELECT vec_id, q, list_dot_product(q, q) AS n FROM q),
+probes AS (SELECT vec_id AS probe_id, q AS q_p, n AS np
+           FROM sized WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT probe_id, vec_id AS neighbor_id,
+         list_dot_product(q, q_p)
+           / (sqrt(n::DOUBLE) * sqrt(np::DOUBLE)) AS cosine_q8
+  FROM sized CROSS JOIN probes WHERE vec_id <> probe_id
+)
+SELECT probe_id, neighbor_id, cosine_q8, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine_q8 DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5""",
     "embedding_normalize": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
 n AS (SELECT vec_id, raw, sqrt(list_dot_product(raw, raw)) AS l2 FROM base)

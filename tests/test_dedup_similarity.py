@@ -343,3 +343,12 @@ def test_knn_ivf_accepts_trained_centroids(spark):
     assert trained.columns == similarity.knn_ivf(emb, k=5).columns
     # measured 0.62 at this sf; floor well below to avoid flakiness
     assert len(got & brute) / len(brute) >= 0.5
+
+
+def test_knn_quantized_recall_vs_exact(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute = {(r.probe_id, r.neighbor_id) for r in similarity.knn_brute(emb, k=5).collect()}
+    q8 = {(r.probe_id, r.neighbor_id) for r in similarity.knn_quantized(emb, k=5).collect()}
+    # int8 cosine distorts ranks only near ties; recall stays high
+    recall = len(q8 & brute) / len(brute)
+    assert recall >= 0.8, recall
