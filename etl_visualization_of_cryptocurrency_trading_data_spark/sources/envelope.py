@@ -154,10 +154,41 @@ def build_envelopes(events: DataFrame) -> DataFrame:
 
 def decode_envelopes(envelopes: DataFrame) -> DataFrame:
     """Kafka-consumer parse parity (S2 + P1): cast the payload to
-    string, from_json with the canonical schema, flatten the struct."""
+    string, from_json with the canonical schema, flatten the struct.
+
+    Unparseable payloads decode to a NULL struct and vanish silently
+    at the downstream explodes — route [[corrupt_envelopes]] to a
+    quarantine sink alongside this to keep a dead-letter trail."""
     return envelopes.select(
         F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("data")
     ).select("data.*")
+
+
+def corrupt_envelopes(envelopes: DataFrame) -> DataFrame:
+    """Dead-letter view of the envelope feed: raw payloads that fail
+    the canonical-schema parse (malformed JSON, or JSON whose top
+    level carries none of the four expected branches). Streaming-safe
+    (pure map) — in the reference topology these rows would poison the
+    consumer or disappear; here they route to a quarantine sink and
+    the feed keeps flowing.
+
+    Note from_json is permissive: valid JSON with a WRONG but
+    object-shaped payload parses to a struct of NULL branches, which
+    is exactly what the all-branches-null predicate catches. A payload
+    with any one well-formed branch is not corrupt — partial
+    envelopes flow through the normal decode.
+    """
+    sel = envelopes.select(F.col("value").cast("string").alias("raw")).filter(
+        F.col("raw").isNotNull()
+    )
+    data = F.from_json(F.col("raw"), ENVELOPE_SCHEMA)
+    all_null = data.isNull() | (
+        data["coins"].isNull()
+        & data["price_data"].isNull()
+        & data["ohlc_data"].isNull()
+        & data["coin_market_cap"].isNull()
+    )
+    return sel.filter(all_null)
 
 
 def _explode_branch(decoded: DataFrame, branch: str, ts_cols: tuple[str, ...]) -> DataFrame:

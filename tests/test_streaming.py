@@ -545,3 +545,34 @@ def test_compact_table_preserves_rows_and_shrinks_files(spark, tmp_path, price_d
     assert got.sort_values(key).reset_index(drop=True).equals(
         expected.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_corrupt_envelope_dead_letter(spark, tmp_path):
+    """Malformed payloads land in the dead-letter view; good ones keep
+    decoding — including under a stream."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import envelope as env
+
+    events = load_table(spark, SF_SMOKE, "events")
+    good = [r.value for r in env.build_envelopes(events).limit(3).select("value").collect()]
+    bad = ["{not json", '{"totally": "unrelated"}', "12345"]
+    feed = spark.createDataFrame([(v,) for v in good + bad], ["value"])
+    corrupt = env.corrupt_envelopes(feed).toPandas()
+    assert sorted(corrupt["raw"]) == sorted(bad)
+    decoded = env.decode_envelopes(feed)
+    assert env.decode_price(decoded).count() > 0
+    # streaming: same dead-letter transform on a text file stream
+    spool = str(tmp_path / "dlspool")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "000.txt"), "w") as f:
+        f.write("\n".join(good + bad) + "\n")
+    q = (
+        env.corrupt_envelopes(spark.readStream.text(spool))
+        .writeStream.format("memory")
+        .queryName("dead_letters")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dead_letters").toPandas()
+    assert sorted(got["raw"]) == sorted(bad)
