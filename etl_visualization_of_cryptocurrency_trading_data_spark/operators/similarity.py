@@ -49,6 +49,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product (long accumulator — exact, no float drift);
+    the int8-code counterpart of _dot."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -217,14 +227,9 @@ def knn_quantized(
     if probe_filter is None:
         probe_filter = F.col("vec_id") % 50 == 0
     codes = quantize_embeddings(embeddings).filter(F.col("q").isNotNull())
-    idot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     # norms computed ONCE per vector (before the pair join fans rows
     # out |probes|-fold), carried as columns through the join
-    sized = codes.select("vec_id", "q", idot(F.col("q"), F.col("q")).alias("_n"))
+    sized = codes.select("vec_id", "q", _idot(F.col("q"), F.col("q")).alias("_n"))
     probes = sized.filter(probe_filter).select(
         F.col("vec_id").alias("probe_id"),
         F.col("q").alias("q_p"),
@@ -236,7 +241,7 @@ def knn_quantized(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
         (
-            idot(F.col("q"), F.col("q_p"))
+            _idot(F.col("q"), F.col("q_p"))
             / (F.sqrt(F.col("_n").cast("double")) * F.sqrt(F.col("_np").cast("double")))
         ).alias("cosine_q8"),
     )

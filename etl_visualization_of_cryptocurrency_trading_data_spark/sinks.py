@@ -155,23 +155,29 @@ def upsert_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_pref")
     )
-    # Atomic-swap rewrite: materialize the merged result in a staging
-    # dir (it reads from the live dir, so it must be written out first),
-    # then swap directories with two renames — readers never observe a
-    # partially rewritten table. Crash recovery: if the process dies
-    # between the renames, the complete merged copy is in ._staging and
-    # the previous table in ._old; re-running the upsert or renaming
-    # either into place restores service.
+    _swap_into_place(path, lambda tmp: latest.write.mode("overwrite").parquet(tmp))
+    return table
+
+
+def _swap_into_place(path: str, write_to) -> None:
+    """Atomic-swap rewrite shared by upsert_by_key and compact_table:
+    materialize the new table in a staging dir (it may read from the
+    live dir, so it must be written out first), then swap directories
+    with two renames — readers never observe a partially rewritten
+    table. Crash recovery: if the process dies between the renames,
+    the complete new copy is in ._staging and the previous table in
+    ._old; re-running the operation or renaming either into place
+    restores service. NOT safe against a concurrently WRITING stream —
+    quiesce writers first (see compact_table's docstring)."""
     tmp = path + "._staging"
     old = path + "._old"
     _rm_tree(tmp)
     _rm_tree(old)
-    latest.write.mode("overwrite").parquet(tmp)
+    write_to(tmp)
     if os.path.isdir(path):
         os.replace(path, old)
     os.replace(tmp, path)
     _rm_tree(old)
-    return table
 
 
 def compact_table(
@@ -195,10 +201,20 @@ def compact_table(
     compaction skip whole files via parquet min/max stats.
 
     Maintenance utility, not a query: it runs a count() to size the
-    output. Compacting an epoch-partitioned table FINALIZES it — the
-    epoch bookkeeping is flattened away, and a restarted stream that
-    tries to append another epoch fails write_table's layout guard
-    loudly instead of corrupting the directory.
+    output, and it REQUIRES the table's writers to be quiesced first —
+    the directory swap cannot defend against a stream that writes
+    between its two renames (an epoch landing mid-swap is either
+    stranded in ._old or makes the final rename fail with the table
+    recoverable from ._old). Stop the streaming query, compact, then
+    restart. Compacting an epoch-partitioned table also FINALIZES it —
+    the epoch bookkeeping is flattened away, and a RESTARTED stream
+    that tries to append another epoch fails write_table's layout
+    guard loudly instead of corrupting the directory.
+
+    Rows are clustered newest-first within files (same
+    ``CLUSTERING ORDER BY timestamp DESC`` re-expression as
+    write_table), so compaction does not flip the documented row
+    order.
     """
     import math
 
@@ -214,19 +230,17 @@ def compact_table(
         else df.repartition(n_files)
     )
     if order_col in df.columns:
-        out = out.sortWithinPartitions(order_col)
-    tmp, old = path + "._staging", path + "._old"
-    _rm_tree(tmp)
-    _rm_tree(old)
-    writer = out.write.mode("overwrite").option(
-        "maxRecordsPerFile", target_rows_per_file
-    )
-    if parts:
-        writer = writer.partitionBy(*parts)
-    writer.parquet(tmp)
-    os.replace(path, old)
-    os.replace(tmp, path)
-    _rm_tree(old)
+        out = out.sortWithinPartitions(F.desc(order_col))
+
+    def write_to(tmp: str) -> None:
+        writer = out.write.mode("overwrite").option(
+            "maxRecordsPerFile", target_rows_per_file
+        )
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(tmp)
+
+    _swap_into_place(path, write_to)
     return sum(
         1
         for root, _, files in os.walk(path)

@@ -176,19 +176,35 @@ def corrupt_envelopes(envelopes: DataFrame) -> DataFrame:
     object-shaped payload parses to a struct of NULL branches, which
     is exactly what the all-branches-null predicate catches. A payload
     with any one well-formed branch is not corrupt — partial
-    envelopes flow through the normal decode.
+    envelopes flow through the normal decode. NULL payloads (Kafka
+    tombstones, producer bugs) are corrupt too: they would disappear
+    from the decode path just as silently, so they belong in the
+    trail (raw comes back NULL for them).
+
+    The parsed struct is materialized through a single-element
+    ``explode(array(from_json(...)))`` — a generator, which predicate
+    pushdown cannot cross. A plain projection does NOT protect it:
+    PushDownPredicate substitutes the alias and inlines the parse into
+    the filter once per reference (measured: five JsonToStructs per
+    row in the physical plan; the generator form parses once).
     """
-    sel = envelopes.select(F.col("value").cast("string").alias("raw")).filter(
-        F.col("raw").isNotNull()
+    raw = F.col("value").cast("string")
+    parsed = envelopes.select(
+        raw.alias("raw"),
+        F.explode(F.array(F.from_json(raw, ENVELOPE_SCHEMA))).alias("_data"),
     )
-    data = F.from_json(F.col("raw"), ENVELOPE_SCHEMA)
-    all_null = data.isNull() | (
-        data["coins"].isNull()
-        & data["price_data"].isNull()
-        & data["ohlc_data"].isNull()
-        & data["coin_market_cap"].isNull()
+    d = F.col("_data")
+    all_null = (
+        F.col("raw").isNull()
+        | d.isNull()
+        | (
+            d["coins"].isNull()
+            & d["price_data"].isNull()
+            & d["ohlc_data"].isNull()
+            & d["coin_market_cap"].isNull()
+        )
     )
-    return sel.filter(all_null)
+    return parsed.filter(all_null).select("raw")
 
 
 def _explode_branch(decoded: DataFrame, branch: str, ts_cols: tuple[str, ...]) -> DataFrame:
