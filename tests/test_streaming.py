@@ -555,9 +555,11 @@ def test_corrupt_envelope_dead_letter(spark, tmp_path):
     events = load_table(spark, SF_SMOKE, "events")
     good = [r.value for r in env.build_envelopes(events).limit(3).select("value").collect()]
     bad = ["{not json", '{"totally": "unrelated"}', "12345"]
-    feed = spark.createDataFrame([(v,) for v in good + bad], ["value"])
+    feed = spark.createDataFrame([(v,) for v in good + bad + [None]], ["value"])
     corrupt = env.corrupt_envelopes(feed).toPandas()
-    assert sorted(corrupt["raw"]) == sorted(bad)
+    # the three garbage payloads AND the null tombstone are quarantined
+    assert sorted(corrupt["raw"].dropna()) == sorted(bad)
+    assert corrupt["raw"].isna().sum() == 1
     decoded = env.decode_envelopes(feed)
     assert env.decode_price(decoded).count() > 0
     # streaming: same dead-letter transform on a text file stream
