@@ -62,6 +62,7 @@ def pack_chunks(
     budget: int = 512,
     shard_col: str = "source",
     order_col: str = "doc_id",
+    stride: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are concatenated in
     ``order_col`` order within each shard and cut into fixed
@@ -69,6 +70,13 @@ def pack_chunks(
     layout). Emits, per document, its token count and the half-open
     range of chunk ids it lands in — the manifest a packing writer
     needs to place every document without materializing the chunks.
+
+    ``stride`` (default = budget, i.e. disjoint windows) < budget
+    gives SLIDING overlapping windows — the RAG-style chunking where
+    chunk j covers tokens [j*stride, j*stride + budget); a document
+    then lists every chunk whose window intersects its token span.
+    With stride == budget the formulas reduce to the disjoint layout
+    exactly.
 
     Token counts use the BPE-ish regex tokenizer (letter runs / digit
     runs / single other non-space), matching ``text.token_counts``.
@@ -79,6 +87,9 @@ def pack_chunks(
     source x date). No state beyond the window; empty documents get
     n_chunks = 0 with NULL chunk bounds.
     """
+    stride = budget if stride is None else stride
+    if not 0 < stride <= budget:
+        raise ValueError("stride must be in (0, budget]")
     n_tokens = regex_token_count(F.col("text"))
     w = (
         Window.partitionBy(shard_col)
@@ -91,18 +102,19 @@ def pack_chunks(
         n_tokens.alias("n_tokens"),
     ).withColumn("end_tokens", F.sum("n_tokens").over(w))
     start = F.col("end_tokens") - F.col("n_tokens")
+    # chunk j covers [j*stride, j*stride + budget); a doc spanning
+    # [start, end) intersects j iff j*stride < end AND j*stride+budget
+    # > start, so j_min = max(0, floor((start - budget)/stride) + 1)
+    # and j_max = floor((end - 1)/stride).
+    first = F.greatest(F.lit(0), F.floor((start - budget) / stride) + 1)
+    last = F.floor((F.col("end_tokens") - 1) / stride)
     return base.select(
         order_col,
         shard_col,
         "n_tokens",
-        F.when(F.col("n_tokens") > 0, F.floor(start / budget)).alias("first_chunk"),
-        F.when(
-            F.col("n_tokens") > 0, F.floor((F.col("end_tokens") - 1) / budget)
-        ).alias("last_chunk"),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.floor((F.col("end_tokens") - 1) / budget) - F.floor(start / budget) + 1,
-        )
+        F.when(F.col("n_tokens") > 0, first).alias("first_chunk"),
+        F.when(F.col("n_tokens") > 0, last).alias("last_chunk"),
+        F.when(F.col("n_tokens") > 0, last - first + 1)
         .otherwise(0)
         .cast("long")
         .alias("n_chunks"),

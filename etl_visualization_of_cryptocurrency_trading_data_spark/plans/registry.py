@@ -1148,6 +1148,7 @@ _GREATEST = "greatest(score_de, score_en, score_es, score_fr)"
 # heavy downsample of the majority language, full keep of a minority
 # one, and implicit drop of strata not listed (zh).
 STRATA_FRACTIONS = {"en": 0.05, "de": 0.25, "es": 0.5, "fr": 1.0}
+PACK_STRIDE = 256
 PACK_BUDGET = 512
 TOP_TERMS_K = 10
 
@@ -1174,6 +1175,14 @@ def q_pack_chunks(spark, sf_dir):
     """Concat-and-chunk token packing manifest per source shard
     (budget 512 regex tokens per context window)."""
     return corpus.pack_chunks(_documents(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_pack_chunks_overlap(spark, sf_dir):
+    """Sliding-window (RAG-style) packing manifest: budget 512, stride
+    256 — each document lists every overlapping window it touches."""
+    return corpus.pack_chunks(
+        _documents(spark, sf_dir), budget=PACK_BUDGET, stride=PACK_BUDGET // 2
+    )
 
 
 def q_top_terms(spark, sf_dir):
@@ -1277,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
     "pack_chunks": q_pack_chunks,
+    "pack_chunks_overlap": q_pack_chunks_overlap,
     "top_terms": q_top_terms,
     "redact_pii": q_redact_pii,
     "dedup_survivors": q_dedup_survivors,
@@ -1647,6 +1657,28 @@ SELECT doc_id, source, n_tokens,
              THEN (end_tokens - 1) // {PACK_BUDGET} - (end_tokens - n_tokens) // {PACK_BUDGET} + 1
              ELSE 0 END)::BIGINT AS n_chunks
 FROM c""",
+    "pack_chunks_overlap": f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM t),
+b AS (
+  -- floor() over DOUBLE division: the first-chunk numerator can go
+  -- negative, where integer // would have engine-specific semantics
+  SELECT doc_id, source, n_tokens, end_tokens,
+         greatest(0, CAST(floor((end_tokens - n_tokens - {PACK_BUDGET})::DOUBLE
+                                / {PACK_STRIDE}) AS BIGINT) + 1) AS first_c,
+         CAST(floor((end_tokens - 1)::DOUBLE / {PACK_STRIDE}) AS BIGINT) AS last_c
+  FROM c)
+SELECT doc_id, source, n_tokens,
+       (CASE WHEN n_tokens > 0 THEN first_c END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens > 0 THEN last_c END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens > 0 THEN last_c - first_c + 1 ELSE 0 END)::BIGINT AS n_chunks
+FROM b""",
     "top_terms": f"""
 WITH tok AS (SELECT lang, unnest({WORDS_SQL}) AS term FROM documents),
 cnt AS (SELECT lang, term, count(*)::BIGINT AS n FROM tok GROUP BY lang, term),

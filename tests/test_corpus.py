@@ -242,3 +242,23 @@ def test_price_correlation_matches_pandas(spark):
         assert len(aligned) == n_obs
         expect = round(aligned[a].corr(aligned[b]), 7)
         assert abs(corr_val - expect) < 1e-6, (a, b)
+
+
+def test_pack_chunks_sliding_overlap(spark):
+    """budget 8, stride 4: every overlapping window a doc touches is
+    listed (hand-computed intersections)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 10, "s"), (2, "w " * 5, "s")], ["doc_id", "text", "source"]
+    )
+    got = {r.doc_id: r for r in corpus.pack_chunks(docs, budget=8, stride=4).collect()}
+    # doc 1 spans tokens [0,10): windows [0,8) [4,12) [8,16) -> chunks 0..2
+    assert (got[1].first_chunk, got[1].last_chunk, got[1].n_chunks) == (0, 2, 3)
+    # doc 2 spans [10,15): windows [4,12) [8,16) [12,20) -> chunks 1..3
+    assert (got[2].first_chunk, got[2].last_chunk, got[2].n_chunks) == (1, 3, 3)
+    # stride == budget reduces to the disjoint layout
+    dis = {r.doc_id: r for r in corpus.pack_chunks(docs, budget=8).collect()}
+    assert (dis[1].first_chunk, dis[1].last_chunk) == (0, 1)
+    with _pytest.raises(ValueError):
+        corpus.pack_chunks(docs, budget=8, stride=9)
