@@ -266,8 +266,14 @@ def q_curation_pipeline(spark, sf_dir):
     """The composed end-to-end corpus pipeline: quality gate -> exact
     dedup -> deterministic split -> decontamination -> per-(split,
     lang) manifest. One registered query proving the operators compose
-    as DataFrames."""
-    return corpus.curation_pipeline(_documents(spark, sf_dir))
+    as DataFrames. persist_intermediate caches the (dimension-sized)
+    deduped corpus across the pipeline's three consumers — the
+    in-session stand-in for the stage-materialization boundary the
+    operator docstring prescribes at 100 TB; results are identical
+    either way (pinned in pytest)."""
+    return corpus.curation_pipeline(
+        _documents(spark, sf_dir), persist_intermediate=True
+    )
 
 
 def q_dataset_split(spark, sf_dir):
