@@ -1259,61 +1259,23 @@ def q_price_correlation(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+# Ordering note: the driver's correctness gate checks the FIRST 50 entries
+# of this dict at each round.  Every query is pinned at sf0.001 by
+# tests/test_oracle_parity.py regardless of position; the first 50 slots are
+# rotated per round so that every registered query accumulates a green
+# driver-side CORRECTNESS row.  Round 3 front-loads the 20 queries that fell
+# outside round 2's window (envelope ingest, relational/OLAP stretch,
+# media_frames) plus every query whose implementation changed this round;
+# the tail holds queries already driver-green in rounds 1 AND 2 and
+# unchanged since.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- core reference parity (SURVEY §2.1-§2.6) ---
     "coins_dim": q_coins,
     "price_data": q_price_data,
     "ohlc_candles": q_ohlc,
     "technical_indicators": q_indicators,
     "coin_market_cap": q_market_cap,
-    "price_chart": q_price_chart,
-    "ohlc_chart": q_ohlc_chart,
-    "indicator_chart": q_indicator_chart,
-    "market_cap_chart": q_market_cap_chart,
     "coin_table": q_coin_table,
-    "coin_display": q_coin_display,
-    # --- LLM-data-pipeline surface (brief §beyond-the-reference) ---
-    "text_stats": q_text_stats,
-    "quality_score": q_quality_score,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "repetition_stats": q_repetition_stats,
-    "bigram_logprob": q_bigram_logprob,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "contamination": q_contamination,
-    "curation_pipeline": q_curation_pipeline,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
-    "exchange_cardinality": q_exchange_cardinality,
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,  # rows-only:
-    # DuckDB's HLL yields different estimates by construction; error
-    # vs exact pinned in pytest
-    "dataset_split": q_dataset_split,
-    "deterministic_sample": q_deterministic_sample,
-    "stratified_sample": q_stratified_sample,
-    "pack_chunks": q_pack_chunks,
-    "pack_chunks_overlap": q_pack_chunks_overlap,
-    "top_terms": q_top_terms,
-    "redact_pii": q_redact_pii,
-    "dedup_survivors": q_dedup_survivors,
-    "exact_dedup": q_exact_dedup,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
-    "dup_clusters": q_dup_clusters,
-    "minhash_lsh_pairs": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
-    "knn_brute": q_knn_brute,
-    "kmeans_centroids": q_kmeans_centroids,
-    "knn_quantized": q_knn_quantized,
-    "embedding_normalize": q_embedding_normalize,
-    "embedding_quantize": q_embedding_quantize,
-    "knn_brute_vectorized": q_knn_brute_vectorized,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
-    "embedding_dup_pairs": q_embedding_dup,
-    "media_metadata": q_media_metadata,
-    "media_features": q_media_features,
-    "frame_schedule": q_frame_schedule,
-    "media_frames": q_media_frames,
     # --- envelope ingest parity (SURVEY §2.1 S2/S6, §2.2 P1/P2) ---
     "envelope_price": q_envelope_price,
     "envelope_coins": q_envelope_coins,
@@ -1336,6 +1298,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_stats": q_event_props_stats,
     "session_range_join": q_session_range_join,
     "price_correlation": q_price_correlation,
+    # --- LLM-data-pipeline surface (brief §beyond-the-reference) ---
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
+    "text_stats": q_text_stats,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination": q_contamination,
+    "curation_pipeline": q_curation_pipeline,
+    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
+    "exchange_cardinality": q_exchange_cardinality,
+    "pack_chunks_overlap": q_pack_chunks_overlap,
+    "dedup_survivors": q_dedup_survivors,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_brute": q_knn_brute,
+    "kmeans_centroids": q_kmeans_centroids,
+    "knn_quantized": q_knn_quantized,
+    "embedding_normalize": q_embedding_normalize,
+    "embedding_quantize": q_embedding_quantize,
+    "knn_brute_vectorized": q_knn_brute_vectorized,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "embedding_dup_pairs": q_embedding_dup,
+    # ---- end of driver correctness window (50 entries above) ----
+    # Tail: driver-green in r01 AND r02, unchanged this round; still pinned
+    # at sf0.001 every session by tests/test_oracle_parity.py.
+    "price_chart": q_price_chart,
+    "ohlc_chart": q_ohlc_chart,
+    "indicator_chart": q_indicator_chart,
+    "coin_display": q_coin_display,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bigram_logprob": q_bigram_logprob,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,  # rows-only:
+    # DuckDB's HLL yields different estimates by construction; error
+    # vs exact pinned in pytest
+    "dataset_split": q_dataset_split,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "pack_chunks": q_pack_chunks,
+    "top_terms": q_top_terms,
+    "redact_pii": q_redact_pii,
+    "media_metadata": q_media_metadata,
+    "frame_schedule": q_frame_schedule,
 }
 
 ORACLES: dict[str, str] = {
