@@ -32,24 +32,32 @@ def main() -> None:
     # query's cost, not session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Per-query isolation: one broken query must never zero out the
+    # whole artifact (round 3's bench died on query 22 of 69 and
+    # recorded nothing). Failures land as {"error": ...} entries; the
+    # JSON line is always printed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, build in QUERIES.items():
-        df = build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -42,18 +42,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning + predicate pushdown into
     the parquet scan are Catalyst's job — callers just select/filter.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native
-    type for — read it as int64 nanos (legacy conf) and truncate to
-    microseconds with integer division (``div``, not float ``/`` — int64
-    epoch-nanos exceed double's 2^53 exact range), matching DuckDB's
-    ns→us handling so the oracle sees identical values.
+    Timestamp normalization: the driver's fixture encoding for
+    ``events.ts`` has changed across rounds — parquet TIMESTAMP(NANOS)
+    (no native Spark type → int64 nanos under the legacy conf, truncated
+    here to micros with integer ``div``; int64 epoch-nanos exceed
+    double's 2^53 exact range, so never float-divide), then plain
+    ``timestamp[us]`` with no UTC flag, which Spark 4 reads as
+    TIMESTAMP_NTZ and forbids casting to numeric. Every timestamp column
+    is therefore canonicalized HERE to session-TZ TIMESTAMP (LTZ), and
+    the session TZ is pinned to UTC so the NTZ→LTZ cast is
+    value-preserving and epoch math matches DuckDB's naive-as-UTC
+    semantics. Done per-load (runtime conf), not only in session.py,
+    because the driver harness supplies its own SparkSession.
+    ``tests/test_sql_api.py::test_fixture_timestamp_dtypes`` is the
+    canary that fails loudly if the encoding changes again.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

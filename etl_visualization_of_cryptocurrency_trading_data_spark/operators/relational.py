@@ -105,24 +105,35 @@ def interval_join_binned(
     range-join strategy (same family as Databricks' range-join hints,
     which open-source Spark lacks).
     """
-    bin_of = lambda c: F.floor(F.col(c).cast("double") / bin_seconds)  # noqa: E731
+    # Bin in exact integer microseconds. unix_micros needs an LTZ
+    # timestamp, and TIMESTAMP_NTZ cannot cast to numeric in Spark 4, so
+    # route any timestamp flavor through cast("timestamp") first; plain
+    # numeric columns pass through unchanged. Floor-division via pmod is
+    # exact for the full int64 range (no float rounding anywhere).
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _us(c: str):
+        dt = dict(
+            (f.name, f.dataType.simpleString())
+            for f in facts.schema.fields + intervals.schema.fields
+        ).get(c, "")
+        if dt.startswith("timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        return (F.col(c) * 1_000_000).cast("long")
+
+    def _bin_of(col):
+        return ((col - F.pmod(col, F.lit(bin_us))) / F.lit(bin_us)).cast("long")
+
     # empty intervals match nothing; dropping them up front also keeps
-    # sequence() strictly ascending
+    # sequence() ascending (end > start  =>  last covered bin >= first)
     intervals = intervals.filter(F.col(end_col) > F.col(start_col))
-    iv = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                bin_of(start_col),
-                # end is exclusive: an interval ending exactly on a bin
-                # boundary does not cover that bin
-                F.floor(
-                    (F.col(end_col).cast("double") - 1e-6) / bin_seconds
-                ),
-            )
-        ),
-    )
-    fx = facts.withColumn("_bin", bin_of(ts_col))
+    first_bin = _bin_of(_us(start_col))
+    # end is EXCLUSIVE: an interval ending exactly on a bin boundary does
+    # not cover that bin, hence bin(end - 1us); greatest() pins the
+    # never-descends invariant structurally rather than by argument.
+    last_bin = F.greatest(first_bin, _bin_of(_us(end_col) - 1))
+    iv = intervals.withColumn("_bin", F.explode(F.sequence(first_bin, last_bin)))
+    fx = facts.withColumn("_bin", _bin_of(_us(ts_col)))
     joined = fx.join(iv, "_bin").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
@@ -234,13 +245,11 @@ def sessionize(
     # >= not >: streaming session_window spans [t, t+gap) with an
     # EXCLUSIVE end, so an event exactly gap after its predecessor
     # starts a new session — batch must agree for batch === stream.
+    # Pure interval arithmetic (ts - lag(ts) >= INTERVAL): valid for
+    # both TIMESTAMP and TIMESTAMP_NTZ, unlike a numeric cast which
+    # Spark 4 rejects for NTZ (the round-3 fixture-encoding breakage).
     new_session = (
-        F.when(
-            F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
-            >= gap_minutes * 60,
-            1,
-        )
-        .otherwise(0)
+        F.when(F.col(ts_col) - F.lag(ts_col).over(w) >= gap, 1).otherwise(0)
     )
     with_id = df.withColumn(
         "_session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))

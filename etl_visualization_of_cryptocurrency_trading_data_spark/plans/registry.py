@@ -340,19 +340,27 @@ def q_exchange_cardinality_approx(spark, sf_dir):
     sketch (single-phase, map-side combinable, fixed memory per group)
     instead of the two-phase exact distinct. rsd=0.01 doubles the
     default precision at ~4x fewer registers than the 0.005 max tier
-    (measured 6x faster; observed error <=0.7% at fixture scales). No
-    DuckDB oracle — its HLL implementation produces different estimates
-    by construction — so this registers rows-only; the estimate's
-    relative error vs exact is pinned by pytest at two scales
+    (measured 6x faster; observed error <=0.7% at fixture scales).
+
+    Driver-checkable contract: DuckDB's HLL produces different raw
+    estimates by construction, so instead of emitting the estimate this
+    emits the exact count plus an IN-PLAN accuracy bound
+    (|approx - exact| / exact <= 0.05) as a boolean — the oracle states
+    the bound as a literal TRUE and value-hash equality then verifies
+    the sketch's accuracy, not its engine-specific register contents.
+    The tighter per-scale error (<=2%) stays pinned by pytest
     (tests/test_sql_api.py)."""
     from pyspark.sql import functions as F
 
+    exact = F.countDistinct("coin_id")
+    approx = F.approx_count_distinct("coin_id", 0.01)
     return (
         _price_base(spark, sf_dir)
         .groupBy("exchange")
         .agg(
-            F.approx_count_distinct("coin_id", 0.01).alias("n_coins_approx"),
+            exact.alias("n_coins"),
             F.count("*").alias("n_ticks"),
+            (F.abs(approx - exact) / exact <= 0.05).alias("approx_within_5pct"),
         )
     )
 
@@ -486,16 +494,49 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_brute_vectorized(spark, sf_dir):
-    # round_decimals=9 pins the BLAS-summation cosine to a precision
-    # where it equals the SQL left-fold dot product exactly, making the
-    # result (incl. rank ties) oracle-checkable.
+    """round_decimals=9 pins the BLAS-summation cosine to a precision
+    where it equals the SQL left-fold dot product exactly, making the
+    result (incl. rank ties) oracle-checkable.
+
+    The probe matrix (the index-build step) is read locally via pyarrow
+    — the probe set is tiny by construction (vec_id % 50 == 0) — so
+    building this plan never runs a Spark job; the cluster only sees
+    the declarative mapInPandas scan. On a real deployment the probes
+    would come from a previously persisted probe table the same way.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    probes = tbl[tbl["vec_id"] % 50 == 0].rename(columns={"embedding": "emb"})
+    # match _as_double's float->double widening (exact, value-preserving)
+    probes["emb"] = probes["emb"].map(lambda a: np.asarray(a, dtype=np.float64))
     return similarity.knn_brute_vectorized(
-        load_table(spark, sf_dir, "embeddings"), k=5, round_decimals=9
+        load_table(spark, sf_dir, "embeddings"),
+        k=5,
+        probes=probes.reset_index(drop=True),
+        round_decimals=9,
     )
 
 
 def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_knn_ivf_trained(spark, sf_dir):
+    """IVF search against the TRAINED coarse index: kmeans_centroids'
+    two Lloyd rounds feed knn_ivf's ``centroids=`` hook — one fully
+    lazy plan (train + assign + search), closing the loop the
+    similarity docstrings promise. At scale the training subtree is a
+    persisted table and only the assignment/search re-runs per query
+    batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(emb, iters=2)
+    return similarity.knn_ivf(emb, k=5, centroids=cent)
 
 
 def q_embedding_dup(spark, sf_dir):
@@ -1062,6 +1103,82 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
   FROM cand)
 WHERE rank <= 5"""
 
+# knn_ivf against the TRAINED coarse index: the two Lloyd rounds of the
+# kmeans_centroids oracle (identical CTEs, digest select dropped) feed
+# the IVF search in place of the deterministic sample. Centroid dims are
+# round(avg, 9) in BOTH engines, so the search sees bit-identical
+# centroids; cosine ties break by id as everywhere else.
+KNN_IVF_TRAINED_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE vec_id % 101 = 1),
+s1 AS (
+  SELECT b.vec_id, b.emb, c.cent_id,
+         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
+                         for i in range(1, 65)]), 9) AS dist
+  FROM base b CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cent_id) AS rn
+    FROM s1) WHERE rn = 1
+),
+u1 AS (
+  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v
+  FROM a1, range(1, 65) t(i) GROUP BY cent_id, t.i
+),
+c1 AS (
+  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent FROM u1 GROUP BY cent_id
+),
+s2 AS (
+  SELECT b.vec_id, b.emb, c.cent_id,
+         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
+                         for i in range(1, 65)]), 9) AS dist
+  FROM base b CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cent_id) AS rn
+    FROM s2) WHERE rn = 1
+),
+u2 AS (
+  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v
+  FROM a2, range(1, 65) t(i) GROUP BY cent_id, t.i
+),
+trained AS (
+  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent_emb
+  FROM u2 GROUP BY cent_id
+),
+scored AS (
+  SELECT vec_id, emb, cent_id,
+         list_dot_product(emb, cent_emb)
+         / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent_emb, cent_emb))) AS cent_cos
+  FROM base CROSS JOIN trained
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM scored
+),
+lists AS (SELECT vec_id, emb, cent_id FROM ranked WHERE crank = 1),
+probe_lists AS (
+  SELECT vec_id AS probe_id, emb AS probe_emb, cent_id
+  FROM ranked WHERE vec_id % 50 = 0 AND crank <= 2
+),
+cand AS (
+  SELECT probe_id, l.vec_id AS neighbor_id,
+         list_dot_product(probe_emb, l.emb)
+         / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(l.emb, l.emb))) AS cosine
+  FROM lists l JOIN probe_lists p ON l.cent_id = p.cent_id
+  WHERE l.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= 5"""
+
 
 # --- media stub-decode oracle -------------------------------------------
 # The stubbed media decode (multimodal._fake_decode) is exact integer
@@ -1263,13 +1380,46 @@ def q_price_correlation(spark, sf_dir):
 # of this dict at each round.  Every query is pinned at sf0.001 by
 # tests/test_oracle_parity.py regardless of position; the first 50 slots are
 # rotated per round so that every registered query accumulates a green
-# driver-side CORRECTNESS row.  Round 3 front-loads the 20 queries that fell
-# outside round 2's window (envelope ingest, relational/OLAP stretch,
-# media_frames) plus every query whose implementation changed this round;
-# the tail holds queries already driver-green in rounds 1 AND 2 and
-# unchanged since.
+# driver-side CORRECTNESS row.  Round 4 front-loads (a) everything fixed or
+# added this round (the two NTZ-broken sessionization queries, the restored
+# market_cap_chart, the new exchange_cardinality_approx contract, the
+# lazy-probe knn_brute_vectorized, knn_ivf_trained) and (b) the 18 queries
+# whose only green rows date from r1/r2 — i.e. from BEFORE the fixtures'
+# timestamp encoding changed — so every query accumulates a green row under
+# the current encoding.  The tail holds only queries driver-green in r3
+# (current fixtures) and unchanged since.  Window membership is pinned by
+# tests/test_sql_api.py::test_driver_window_membership; ORACLES ⊆ QUERIES
+# by test_registry_invariants.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- core reference parity (SURVEY §2.1-§2.6) ---
+    # --- fixed/added this round ---
+    "trading_sessions": q_trading_sessions,
+    "session_range_join": q_session_range_join,
+    "market_cap_chart": q_market_cap_chart,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,
+    "knn_brute_vectorized": q_knn_brute_vectorized,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
+    "price_chart": q_price_chart,
+    "ohlc_chart": q_ohlc_chart,
+    "indicator_chart": q_indicator_chart,
+    "coin_display": q_coin_display,
+    # --- last driver-green in r1/r2: text/corpus ---
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bigram_logprob": q_bigram_logprob,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "top_terms": q_top_terms,
+    "redact_pii": q_redact_pii,
+    # --- last driver-green in r1/r2: sampling/packing/multimodal ---
+    "dataset_split": q_dataset_split,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "pack_chunks": q_pack_chunks,
+    "media_metadata": q_media_metadata,
+    "frame_schedule": q_frame_schedule,
+    # --- r3-green keepers: core reference parity (SURVEY §2.1-§2.6) ---
     "coins_dim": q_coins,
     "price_data": q_price_data,
     "ohlc_candles": q_ohlc,
@@ -1293,15 +1443,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_suppliers": q_top_suppliers,
     "momentum_ranks": q_momentum_ranks,
-    "trading_sessions": q_trading_sessions,
     "user_retention": q_user_retention,
     "event_props_stats": q_event_props_stats,
-    "session_range_join": q_session_range_join,
     "price_correlation": q_price_correlation,
-    # --- LLM-data-pipeline surface (brief §beyond-the-reference) ---
+    # --- LLM-data-pipeline representatives ---
+    "text_stats": q_text_stats,
+    "exact_dedup": q_exact_dedup,
+    "knn_lsh": q_knn_lsh,
+    # ---- end of driver correctness window (50 entries above) ----
+    # Tail: driver-green in r03 under the CURRENT fixture encoding and
+    # unchanged this round; still pinned at sf0.001 every session by
+    # tests/test_oracle_parity.py.
     "media_frames": q_media_frames,
     "media_features": q_media_features,
-    "text_stats": q_text_stats,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
@@ -1310,7 +1464,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exchange_cardinality": q_exchange_cardinality,
     "pack_chunks_overlap": q_pack_chunks_overlap,
     "dedup_survivors": q_dedup_survivors,
-    "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -1320,34 +1473,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_quantized": q_knn_quantized,
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
-    "knn_brute_vectorized": q_knn_brute_vectorized,
-    "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
-    # ---- end of driver correctness window (50 entries above) ----
-    # Tail: driver-green in r01 AND r02, unchanged this round; still pinned
-    # at sf0.001 every session by tests/test_oracle_parity.py.
-    "price_chart": q_price_chart,
-    "ohlc_chart": q_ohlc_chart,
-    "indicator_chart": q_indicator_chart,
-    "coin_display": q_coin_display,
-    "quality_score": q_quality_score,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "bigram_logprob": q_bigram_logprob,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,  # rows-only:
-    # DuckDB's HLL yields different estimates by construction; error
-    # vs exact pinned in pytest
-    "dataset_split": q_dataset_split,
-    "deterministic_sample": q_deterministic_sample,
-    "stratified_sample": q_stratified_sample,
-    "pack_chunks": q_pack_chunks,
-    "top_terms": q_top_terms,
-    "redact_pii": q_redact_pii,
-    "media_metadata": q_media_metadata,
-    "frame_schedule": q_frame_schedule,
 }
 
 ORACLES: dict[str, str] = {
@@ -1728,6 +1855,14 @@ FROM s3""",
 SELECT exchange, count(DISTINCT coin_id)::BIGINT AS n_coins,
        count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p GROUP BY exchange""",
+    # The oracle asserts the HLL accuracy CONTRACT (bound literally
+    # TRUE), not the engine-specific estimate — see q_exchange_
+    # cardinality_approx. A sketch drifting past 5% breaks hash equality.
+    "exchange_cardinality_approx": f"""
+SELECT exchange, count(DISTINCT coin_id)::BIGINT AS n_coins,
+       count(*)::BIGINT AS n_ticks,
+       TRUE AS approx_within_5pct
+FROM ({PRICE_BASE_SQL}) p GROUP BY exchange""",
     "doc_length_quantiles": """
 SELECT lang, count(*)::BIGINT AS n_docs,
        quantile_cont(n_chars, 0.25) AS p25,
@@ -1878,6 +2013,7 @@ FROM m""",
     "knn_brute_vectorized": _knn_sql(bucketed=False, round_decimals=9),
     "knn_lsh": _knn_sql(bucketed=True),
     "knn_ivf": KNN_IVF_SQL,
+    "knn_ivf_trained": KNN_IVF_TRAINED_SQL,
     "embedding_dup_pairs": _embedding_dup_sql(),
     "media_metadata": """
 SELECT doc_id,

@@ -120,23 +120,34 @@ def test_partition_pruning_on_written_table(spark, tmp_path):
 
 def test_approx_cardinality_error_bounded(spark):
     """HLL++ sketch estimates (the 100 TB cardinality path) stay within
-    a few rsd of exact — pinned here because DuckDB's different HLL
-    makes the registered query rows-only."""
+    a few rsd of exact — tighter (2%) than the 5% bound the registered
+    query emits in-plan for the driver oracle, and checked against the
+    raw estimate which the registered contract no longer exposes."""
+    from pyspark.sql import functions as F
+
     from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        _price_base,
+    )
 
     for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
-        approx = {
-            r.exchange: r.n_coins_approx
-            for r in registry.q_exchange_cardinality_approx(spark, sf_dir).collect()
-        }
-        exact = {
-            r.exchange: r.n_coins
-            for r in registry.q_exchange_cardinality(spark, sf_dir).collect()
-        }
-        assert set(approx) == set(exact)
-        for ex, n in exact.items():
-            rel = abs(approx[ex] - n) / n
-            assert rel <= 0.02, f"{sf_dir} {ex}: HLL rel error {rel:.3f} > 2%"
+        rows = (
+            _price_base(spark, sf_dir)
+            .groupBy("exchange")
+            .agg(
+                F.approx_count_distinct("coin_id", 0.01).alias("n_coins_approx"),
+                F.countDistinct("coin_id").alias("n_coins"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            rel = abs(r.n_coins_approx - r.n_coins) / r.n_coins
+            assert rel <= 0.02, f"{sf_dir} {r.exchange}: HLL rel error {rel:.3f} > 2%"
+        # the registered contract column must come out TRUE everywhere —
+        # this is exactly what the driver's oracle hash checks
+        contract = registry.q_exchange_cardinality_approx(spark, sf_dir).collect()
+        assert all(r.approx_within_5pct for r in contract)
 
 
 def test_approx_percentile_exact_regime_and_contract(spark):
@@ -204,3 +215,85 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_wh)
         spark.sql("DROP TABLE IF EXISTS b_price")
         spark.sql("DROP TABLE IF EXISTS b_ohlc")
+
+
+# ---------------------------------------------------------------------------
+# Registry invariants (ADVICE r3: market_cap_chart silently fell out of
+# QUERIES during the r3 window reorder, and window membership was encoded
+# only in dict ordering + a comment)
+# ---------------------------------------------------------------------------
+
+# The driver's correctness gate checks the FIRST 50 registry entries each
+# round. This list IS the round-4 window — any insertion/reorder of
+# QUERIES that changes window membership must edit this list too, making
+# evictions deliberate and reviewed instead of silent.
+EXPECTED_R4_WINDOW = [
+    "trading_sessions", "session_range_join", "market_cap_chart",
+    "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
+    "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
+    "quality_score", "token_counts", "lang_id", "doc_fingerprint",
+    "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
+    "dataset_split", "deterministic_sample", "stratified_sample",
+    "pack_chunks", "media_metadata", "frame_schedule",
+    "coins_dim", "price_data", "ohlc_candles", "technical_indicators",
+    "coin_market_cap", "coin_table",
+    "envelope_price", "envelope_coins", "envelope_ohlc", "envelope_mcap",
+    "coin_indicators_left", "asof_price_candle", "active_coins_semi",
+    "stale_coins_anti", "union_price_feeds", "top_coins_by_volume",
+    "volume_rollup",
+    "revenue_by_nation", "top_suppliers", "momentum_ranks",
+    "user_retention", "event_props_stats", "price_correlation",
+    "text_stats", "exact_dedup", "knn_lsh",
+]
+
+
+def test_registry_invariants():
+    """Every oracle belongs to a registered query (an orphaned ORACLES
+    entry means its query silently disappeared from the engine surface),
+    and every query has an oracle (rows-only rows are deliberate
+    downgrades — this repo currently has none)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+    )
+
+    assert set(ORACLES) <= set(QUERIES), (
+        f"orphaned oracles: {sorted(set(ORACLES) - set(QUERIES))}"
+    )
+    assert set(QUERIES) <= set(ORACLES), (
+        f"queries with no oracle: {sorted(set(QUERIES) - set(ORACLES))}"
+    )
+
+
+def test_driver_window_membership():
+    """Pin the first-50 driver-correctness window to an explicit,
+    reviewed list (len + order)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        QUERIES,
+    )
+
+    assert len(EXPECTED_R4_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R4_WINDOW
+
+
+def test_fixture_timestamp_dtypes(spark):
+    """Canary for the driver's fixture encoding: the fixtures' timestamp
+    encoding has changed twice across rounds (TIMESTAMP(NANOS)→int64,
+    then timestamp[us]→TIMESTAMP_NTZ, which broke timestamp→numeric
+    casts in round 3). load_table canonicalizes every timestamp column
+    to session-TZ TIMESTAMP; if this fails the encoding changed again —
+    fix catalog.load_table, not the operators."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import (
+        TABLES,
+        load_table,
+    )
+
+    for name in TABLES:
+        df = load_table(spark, SF_SMOKE, name)
+        for col, dt in df.dtypes:
+            assert dt != "timestamp_ntz", (
+                f"{name}.{col} loads as {dt}; expected canonical TIMESTAMP"
+            )
+        if name == "events":
+            assert dict(df.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

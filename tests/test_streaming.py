@@ -49,15 +49,15 @@ def make_spool(tmp_path, price_df, n_chunks):
     bounds = [
         r[0]
         for r in price_df.selectExpr(
-            f"percentile(cast(timestamp as double), array({','.join(str((i + 1) / n_chunks) for i in range(n_chunks - 1))}))"
+            f"percentile(cast(cast(timestamp as timestamp) as double), array({','.join(str((i + 1) / n_chunks) for i in range(n_chunks - 1))}))"
         ).collect()
     ][0] if n_chunks > 1 else []
     edges = [float("-inf"), *bounds, float("inf")]
     base_mtime = 1_700_000_000
     for i in range(n_chunks):
         chunk = price_df.filter(
-            (F.col("timestamp").cast("double") > edges[i])
-            & (F.col("timestamp").cast("double") <= edges[i + 1])
+            (F.col("timestamp").cast("timestamp").cast("double") > edges[i])
+            & (F.col("timestamp").cast("timestamp").cast("double") <= edges[i + 1])
         )
         path = os.path.join(spool, f"chunk_{i}")
         chunk.coalesce(1).write.parquet(path)
