@@ -273,3 +273,42 @@ def volume_rollup(price: DataFrame) -> DataFrame:
         price.rollup("exchange", "coin_id")
         .agg(F.sum("volume").alias("total_volume"), F.count("*").alias("n_ticks"))
     )
+
+
+def volume_cube(price: DataFrame) -> DataFrame:
+    """CUBE (exchange, day): all four grouping sets — per cell, per
+    exchange, per day, grand total — in ONE aggregation (Spark plans an
+    Expand of the grouping sets feeding a single partial+final
+    hash-agg, so the input is scanned once and shuffled once; four
+    separate groupBys would scan and shuffle four times). Completes the
+    §2.4 grouping-set family next to [[volume_rollup]].
+
+    total_volume is rounded to 6 decimals: each engine's partial-sum
+    order differs, and the subtotal/grand-total cells sum the most rows
+    so they drift first."""
+    return (
+        price.withColumn("day", F.date_trunc("day", F.col("timestamp")))
+        .cube("exchange", "day")
+        .agg(
+            F.round(F.sum("volume"), 6).alias("total_volume"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+def close_pivot(ohlc: DataFrame, exchanges: list[str]) -> DataFrame:
+    """Hourly close matrix: one row per candle hour, one column per
+    exchange (avg close over that exchange's coins) — the wide/pivoted
+    shape the reference builds client-side in pandas for charting.
+
+    The pivot value list is STATIC (caller-supplied): with explicit
+    values Spark plans a single pass of conditional aggregates; without
+    them it must first run a distinct scan just to discover the columns
+    — at 100 TB the dimension values are catalog metadata, never
+    inferred from the fact table. Missing (hour, exchange) cells are
+    NULL on both engines (avg over an empty filtered set)."""
+    return (
+        ohlc.groupBy("timestamp")
+        .pivot("exchange", exchanges)
+        .agg(F.round(F.avg("close"), 6))
+    )

@@ -529,13 +529,20 @@ def q_knn_ivf(spark, sf_dir):
 
 def q_knn_ivf_trained(spark, sf_dir):
     """IVF search against the TRAINED coarse index: kmeans_centroids'
-    two Lloyd rounds feed knn_ivf's ``centroids=`` hook — one fully
-    lazy plan (train + assign + search), closing the loop the
-    similarity docstrings promise. At scale the training subtree is a
-    persisted table and only the assignment/search re-runs per query
-    batch."""
+    two Lloyd rounds feed knn_ivf's ``centroids=`` hook — one lazy
+    plan (train + assign + search), closing the loop the similarity
+    docstrings promise.
+
+    The centroid frame is persisted: the search consumes the
+    assignment ranking twice (inverted lists + probe lists), and
+    without the cache each consumer would re-run the full training
+    subtree (observed: 13 parquet scans in the executed plan vs 5
+    with the cache). k x dim rows — the same train-once/search-many
+    materialization boundary a real deployment has, where the trained
+    index is a persisted table. No job runs at plan construction
+    (persist is lazy)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = similarity.kmeans_centroids(emb, iters=2)
+    cent = similarity.kmeans_centroids(emb, iters=2).persist()
     return similarity.knn_ivf(emb, k=5, centroids=cent)
 
 
@@ -704,6 +711,27 @@ def q_top_coins_by_volume(spark, sf_dir):
 
 def q_volume_rollup(spark, sf_dir):
     return relational.volume_rollup(_price_base(spark, sf_dir))
+
+
+# The fixture feed's five exchanges. Static on purpose: pivot/conditional
+# aggregation with a pinned value list plans one pass; value inference
+# would add a distinct scan of the fact table (see relational.close_pivot).
+EXCHANGES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_volume_cube(spark, sf_dir):
+    """CUBE (exchange, day) volume matrix — all four grouping sets in
+    one Expand + single-shuffle aggregation (§2.4 stretch next to
+    volume_rollup)."""
+    return relational.volume_cube(_price_base(spark, sf_dir))
+
+
+def q_close_pivot(spark, sf_dir):
+    """Hourly avg-close pivoted wide by exchange (static value list) —
+    the chart-ready matrix the reference assembles client-side in
+    pandas (flask/app.py builds per-coin traces by re-querying; one
+    pivoted frame serves all five)."""
+    return relational.close_pivot(q_ohlc(spark, sf_dir), EXCHANGES)
 
 
 def q_revenue_by_nation(spark, sf_dir):
@@ -1402,6 +1430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exchange_cardinality_approx": q_exchange_cardinality_approx,
     "knn_brute_vectorized": q_knn_brute_vectorized,
     "knn_ivf_trained": q_knn_ivf_trained,
+    "volume_cube": q_volume_cube,
+    "close_pivot": q_close_pivot,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1450,14 +1480,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention": q_user_retention,
     "event_props_stats": q_event_props_stats,
     "price_correlation": q_price_correlation,
-    # --- LLM-data-pipeline representatives ---
+    # --- LLM-data-pipeline representative ---
     "text_stats": q_text_stats,
-    "exact_dedup": q_exact_dedup,
-    "knn_lsh": q_knn_lsh,
     # ---- end of driver correctness window (50 entries above) ----
     # Tail: driver-green in r03 under the CURRENT fixture encoding and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "exact_dedup": q_exact_dedup,
+    "knn_lsh": q_knn_lsh,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
@@ -2106,6 +2136,22 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "volume_cube": f"""
+SELECT exchange, date_trunc('day', timestamp) AS day,
+       round(sum(volume), 6) AS total_volume, count(*)::BIGINT AS n_ticks
+FROM ({PRICE_BASE_SQL}) p
+GROUP BY CUBE (exchange, day)""",
+    "close_pivot": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT timestamp,
+         round(avg(close) FILTER (WHERE exchange = 'click'), 6) AS click,
+         round(avg(close) FILTER (WHERE exchange = 'error'), 6) AS error,
+         round(avg(close) FILTER (WHERE exchange = 'purchase'), 6) AS purchase,
+         round(avg(close) FILTER (WHERE exchange = 'signup'), 6) AS signup,
+         round(avg(close) FILTER (WHERE exchange = 'view'), 6) AS view
+  FROM ohlc_data GROUP BY timestamp""",
+    ),
     "event_props_stats": """
 SELECT event_type, count(*)::BIGINT AS n_events,
        sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,

@@ -128,3 +128,53 @@ def test_union_feeds_missing_columns(spark):
     out = relational.union_feeds(a, b).orderBy("id").collect()
     assert [r.id for r in out] == [1, 2]
     assert out[0].only_b is None and out[1].only_a is None
+
+
+def test_volume_cube_grouping_sets(spark):
+    """CUBE emits all four grouping sets with consistent totals: the
+    grand total equals the sum over per-exchange subtotals, and each
+    (exchange, day) cell rolls up into both its margins."""
+    from pyspark.sql import functions as F
+
+    price = spark.createDataFrame(
+        [
+            ("view", "2024-01-01 10:00:00", 10.0),
+            ("view", "2024-01-01 11:00:00", 20.0),
+            ("view", "2024-01-02 10:00:00", 40.0),
+            ("click", "2024-01-01 09:00:00", 5.0),
+        ],
+        "exchange string, timestamp string, volume double",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    rows = {
+        (r.exchange, None if r.day is None else r.day.strftime("%d")): (
+            r.total_volume,
+            r.n_ticks,
+        )
+        for r in relational.volume_cube(price).collect()
+    }
+    assert rows[(None, None)] == (75.0, 4)            # grand total
+    assert rows[("view", None)] == (70.0, 3)          # exchange margin
+    assert rows[(None, "01")] == (35.0, 3)            # day margin
+    assert rows[("view", "01")] == (30.0, 2)          # cell
+    assert len(rows) == 3 + 2 + 2 + 1                 # cells+margins+gt
+
+
+def test_close_pivot_static_columns_and_nulls(spark):
+    """Pivot columns come from the static list (present even when the
+    data has no such exchange) and missing cells are NULL."""
+    from pyspark.sql import functions as F
+
+    ohlc = spark.createDataFrame(
+        [
+            ("view", "2024-01-01 10:00:00", 10.0),
+            ("view", "2024-01-01 10:00:00", 30.0),
+            ("click", "2024-01-01 11:00:00", 7.0),
+        ],
+        "exchange string, timestamp string, close double",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    got = relational.close_pivot(ohlc, ["view", "click", "signup"])
+    assert got.columns == ["timestamp", "view", "click", "signup"]
+    rows = {r.timestamp.hour: r for r in got.collect()}
+    assert rows[10].view == 20.0 and rows[10].click is None
+    assert rows[11].click == 7.0 and rows[11].view is None
+    assert all(r.signup is None for r in rows.values())

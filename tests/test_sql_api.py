@@ -230,6 +230,7 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 EXPECTED_R4_WINDOW = [
     "trading_sessions", "session_range_join", "market_cap_chart",
     "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
+    "volume_cube", "close_pivot",
     "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
     "quality_score", "token_counts", "lang_id", "doc_fingerprint",
     "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
@@ -243,7 +244,7 @@ EXPECTED_R4_WINDOW = [
     "volume_rollup",
     "revenue_by_nation", "top_suppliers", "momentum_ranks",
     "user_retention", "event_props_stats", "price_correlation",
-    "text_stats", "exact_dedup", "knn_lsh",
+    "text_stats",
 ]
 
 
