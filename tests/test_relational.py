@@ -178,3 +178,49 @@ def test_close_pivot_static_columns_and_nulls(spark):
     assert rows[10].view == 20.0 and rows[10].click is None
     assert rows[11].click == 7.0 and rows[11].view is None
     assert all(r.signup is None for r in rows.values())
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([1, 3, 7]),
+)
+def test_interval_join_binned_equals_theta_join(spark, ts_vals, ivals, bin_s):
+    """Property: the bin-bucketed equi-join strategy returns EXACTLY the
+    rows of the naive theta join (start <= ts < end) for any fact/
+    interval layout and bin width — including empty intervals, intervals
+    ending exactly on a bin boundary, facts on boundaries, and intervals
+    spanning many bins. Numeric-second timestamps exercise the
+    non-timestamp branch of the binning."""
+    facts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_vals)], "fid long, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(ivals)],
+        "iid long, start long, end long",
+    )
+    got = {
+        (r.fid, r.iid)
+        for r in relational.interval_join_binned(
+            facts, intervals, "ts", "start", "end", bin_seconds=bin_s
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, t in enumerate(ts_vals)
+        for j, (a, b) in enumerate(ivals)
+        if a <= t < b
+    }
+    assert got == expect
