@@ -110,6 +110,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted index.
 
@@ -125,8 +126,18 @@ def ngram_jaccard_pairs(
     the set sizes, so the ratio stays internally consistent (mixing
     filtered intersections with unfiltered sizes would systematically
     underestimate and silently drop true near-dups).
+
+    ``persist_intermediate=True`` caches the raw posting table: the plan
+    consumes it four times (df-cap counts, per-doc sizes, both self-join
+    sides) and each consumer would otherwise re-run the tokenize+shingle
+    HOFs — measured ~2x the whole query at sf0.1. This is the same
+    materialization boundary a production dedup pipeline has, where the
+    inverted index is written to storage once and every downstream pass
+    reads it back.
     """
     postings = _shingle_postings(documents, n)
+    if persist_intermediate:
+        postings = postings.persist()
     if max_df is not None:
         df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
         postings = postings.join(
@@ -313,6 +324,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     hash_family: str = "xxhash64",
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -321,6 +333,12 @@ def minhash_lsh_pairs(
     Jaccard on the shingle sets -> threshold filter. Only candidates
     pay the set-intersection cost. ``hash_family="md5"`` keeps the
     identical plan but is DuckDB-reproducible (see module docstring).
+
+    ``persist_intermediate=True`` caches the banded signature table
+    (docs x B tiny rows; both self-join sides consume it) and the
+    per-doc shingle arrays (both verify-join sides) — otherwise the
+    signature build and the tokenize+shingle HOFs each run twice. Same
+    write-the-signature-table-once boundary a deployed LSH index has.
     """
     band_hash = F.md5 if hash_family == "md5" else F.xxhash64
     sigs = minhash_signatures(documents, n, bands * rows, hash_family)
@@ -338,6 +356,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if persist_intermediate:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -351,6 +371,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = _with_shingles(documents, n)
+    if persist_intermediate:
+        sh = sh.persist()
     verified = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "shingles": "sh_a"}), "doc_id_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "shingles": "sh_b"}), "doc_id_b")
@@ -511,7 +533,9 @@ def _simhash_bands_md5(documents: DataFrame, n: int = 3) -> DataFrame:
     return wide.select("doc_id", *bands)
 
 
-def _simhash_pairs_md5(documents: DataFrame, n: int, max_hamming: int) -> DataFrame:
+def _simhash_pairs_md5(
+    documents: DataFrame, n: int, max_hamming: int, persist_intermediate: bool = False
+) -> DataFrame:
     fps = _simhash_bands_md5(documents, n)
     banded = fps.select(
         "doc_id",
@@ -527,6 +551,8 @@ def _simhash_pairs_md5(documents: DataFrame, n: int, max_hamming: int) -> DataFr
             )
         ).alias("bb"),
     ).select("doc_id", "band0", "band1", "band2", "band3", "bb.band", "bb.bucket")
+    if persist_intermediate:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = sum(
@@ -557,6 +583,7 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance <= max_hamming.
 
@@ -564,9 +591,16 @@ def simhash_pairs(
     Hamming 3 of 64 bits agrees exactly on at least one 16-bit quarter),
     then verified with xor + bit_count. ``hash_family="md5"`` runs the
     same banded plan on DuckDB-reproducible md5 bits (module docstring).
+
+    ``persist_intermediate=True`` caches the banded fingerprint table.
+    Usually unnecessary: the two self-join sides are IDENTICAL subtrees,
+    so ReuseExchange computes the fingerprint shuffle once (measured: no
+    win at sf0.1). The knob exists for callers that fan the fingerprints
+    into additional differently-shaped consumers, where reuse cannot
+    apply.
     """
     if hash_family == "md5":
-        return _simhash_pairs_md5(documents, n, max_hamming)
+        return _simhash_pairs_md5(documents, n, max_hamming, persist_intermediate)
     if hash_family != "xxhash64":
         raise ValueError(f"unknown hash_family {hash_family!r}")
     fps = simhash(documents, n)
@@ -587,6 +621,8 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    if persist_intermediate:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -391,6 +391,7 @@ def embedding_dup_pairs(
     threshold: float = 0.5,
     n_planes: int = 16,
     bands: int = 4,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup modality for
     embedded corpora): banded sign-bit LSH generates candidates — two
@@ -403,6 +404,13 @@ def embedding_dup_pairs(
     cost, pair explosion bounded by bucket sizes. The hyperplanes are
     deterministic literals, so the DuckDB oracle reproduces the same
     candidate set bit-for-bit (exact parity, not rows-only).
+
+    ``persist_intermediate=True`` caches the banded sign-bit table.
+    Usually leave it OFF: the self-join sides are identical subtrees,
+    ReuseExchange already computes them once, and forcing the cache
+    measured as a net loss (3.2 s -> 4.3 s at sf0.1). The knob exists
+    for fan-out into differently-shaped consumers where reuse cannot
+    apply.
     """
     planes = hyperplanes(n_planes)
     r = n_planes // bands
@@ -433,6 +441,8 @@ def embedding_dup_pairs(
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.val")
+    if persist_intermediate:
+        banded = banded.persist()
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -404,13 +404,20 @@ NGRAM_MAX_DF = 1000
 
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        _documents(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+        _documents(spark, sf_dir),
+        n=3,
+        threshold=0.5,
+        max_df=NGRAM_MAX_DF,
+        persist_intermediate=True,
     )
 
 
 def q_dup_clusters(spark, sf_dir):
     """Canonical-doc resolution: connected components over the exact
     near-dup pair graph (min-label propagation, SURVEY M8 extension)."""
+    # persist_intermediate stays OFF: dup_clusters persists the edge
+    # frame itself, and the posting cache on top of that measured as a
+    # net loss (0.25 s -> 0.39 s at sf0.1).
     pairs = dedup.ngram_jaccard_pairs(
         _documents(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF
     )
@@ -422,12 +429,19 @@ def q_minhash_lsh(spark, sf_dir):
     # default, but reproducible in DuckDB => full three-way oracle row.
     # The xxhash64 default's recall vs exact Jaccard is pinned in pytest.
     return dedup.minhash_lsh_pairs(
-        _documents(spark, sf_dir), n=3, threshold=0.5, hash_family="md5"
+        _documents(spark, sf_dir),
+        n=3,
+        threshold=0.5,
+        hash_family="md5",
+        persist_intermediate=True,
     )
 
 
 def q_simhash_pairs(spark, sf_dir):
     # md5 family for oracle reproducibility (see q_minhash_lsh).
+    # persist_intermediate OFF: the two self-join sides are IDENTICAL
+    # subtrees, so ReuseExchange already computes the fingerprints once
+    # (measured: no win from the cache).
     return dedup.simhash_pairs(
         _documents(spark, sf_dir), n=3, max_hamming=3, hash_family="md5"
     )
@@ -547,6 +561,8 @@ def q_knn_ivf_trained(spark, sf_dir):
 
 
 def q_embedding_dup(spark, sf_dir):
+    # persist_intermediate OFF: identical self-join subtrees hit
+    # ReuseExchange; forcing the cache measured 3.2 s -> 4.3 s at sf0.1.
     return similarity.embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.5
     )
