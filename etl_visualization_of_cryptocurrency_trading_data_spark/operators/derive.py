@@ -128,6 +128,27 @@ def ohlc_data(price: DataFrame) -> DataFrame:
     )
 
 
+def vwap(price: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """Hourly volume-weighted average price per (coin, exchange) — the
+    standard execution-quality benchmark next to the reference's plain
+    OHLC candles (same tumbling bucket as [[ohlc_data]]).
+
+    Pure groupBy aggregation with map-side partial combine: one shuffle
+    keyed by (coin, exchange, hour), the same key every candle query
+    shuffles on. NULL when the bucket's volume sums to zero (weighted
+    mean undefined). Ratio and volume rounded so each engine's
+    partial-sum order cannot leak into the emitted values.
+    """
+    hour = F.date_trunc("hour", F.col("timestamp"))
+    wsum = F.sum(F.col("price") * F.col("volume"))
+    vsum = F.sum("volume")
+    return price.groupBy("coin_id", "exchange", hour.alias("timestamp")).agg(
+        F.when(vsum > 0, F.round(wsum / vsum, round_decimals)).alias("vwap"),
+        F.round(vsum, round_decimals).alias("total_volume"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
 def coin_market_cap(price: DataFrame) -> DataFrame:
     """Latest share-of-total snapshot (reference table DDL
     spark-streaming.py:106-115; consumed pre-computed from CoinGecko at

@@ -57,6 +57,37 @@ def with_sma(df: DataFrame, col: str = "price", n: int = 20, out: str = "sma_20"
     return df.withColumn(out, F.when(F.count(col).over(w) == n, F.avg(col).over(w)))
 
 
+def with_bollinger(
+    df: DataFrame,
+    col: str = "price",
+    n: int = 20,
+    k: float = 2.0,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Bollinger bands: n-row rolling mean ± k rolling sample stddevs,
+    NULL until the window is full (same fill convention as [[with_sma]]).
+    The natural next indicator after the reference's SMA/EMA/RSI/MACD
+    family (spark-streaming.py:292-316) — pure native window functions,
+    one shuffle on the entity keys shared with every other indicator.
+
+    mid and sd are rounded to ``round_decimals`` BEFORE the band
+    arithmetic: each engine's incremental variance differs in the last
+    ulps, and deriving the bands from the rounded values keeps all
+    three columns bit-identical across engines instead of re-drifting.
+    """
+    w = Window.partitionBy(*KEYS).orderBy("timestamp").rowsBetween(-(n - 1), 0)
+    full = F.count(col).over(w) == n
+    mid = F.when(full, F.round(F.avg(col).over(w), round_decimals))
+    sd = F.when(full, F.round(F.stddev_samp(col).over(w), round_decimals))
+    return (
+        df.withColumn("bb_mid", mid)
+        .withColumn("_sd", sd)
+        .withColumn("bb_upper", F.round(F.col("bb_mid") + k * F.col("_sd"), round_decimals))
+        .withColumn("bb_lower", F.round(F.col("bb_mid") - k * F.col("_sd"), round_decimals))
+        .drop("_sd")
+    )
+
+
 def with_rsi(df: DataFrame, col: str = "price", n: int = 14, out: str = "rsi_14") -> DataFrame:
     """Relative Strength Index over n-row rolling clamped deltas
     (W4/P10/A5/W5). Native window functions throughout."""

@@ -750,6 +750,23 @@ def q_close_pivot(spark, sf_dir):
     return relational.close_pivot(q_ohlc(spark, sf_dir), EXCHANGES)
 
 
+def q_vwap_hourly(spark, sf_dir):
+    """Hourly VWAP per (coin, exchange) — execution-quality benchmark
+    next to the OHLC candles (derive.vwap)."""
+    return derive.vwap(_price_base(spark, sf_dir))
+
+
+def q_bollinger_bands(spark, sf_dir):
+    """Bollinger bands (SMA-20 ± 2σ), the natural next indicator after
+    the reference's SMA/EMA/RSI/MACD family — native window functions
+    on the shared (coin, exchange) shuffle."""
+    from ..operators.indicators import with_bollinger
+
+    return with_bollinger(_price_base(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp", "bb_mid", "bb_upper", "bb_lower"
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic OLAP multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
     revenue per nation. Dimension sides broadcast; the lineitem-orders
@@ -1448,6 +1465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_trained": q_knn_ivf_trained,
     "volume_cube": q_volume_cube,
     "close_pivot": q_close_pivot,
+    "vwap_hourly": q_vwap_hourly,
+    "bollinger_bands": q_bollinger_bands,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1490,8 +1509,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_coins_by_volume": q_top_coins_by_volume,
     "volume_rollup": q_volume_rollup,
     # --- generic OLAP over the TPC-H-ish fixtures ---
-    "revenue_by_nation": q_revenue_by_nation,
-    "top_suppliers": q_top_suppliers,
     "momentum_ranks": q_momentum_ranks,
     "user_retention": q_user_retention,
     "event_props_stats": q_event_props_stats,
@@ -1502,6 +1519,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r03 under the CURRENT fixture encoding and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_suppliers": q_top_suppliers,
     "exact_dedup": q_exact_dedup,
     "knn_lsh": q_knn_lsh,
     "media_frames": q_media_frames,
@@ -2152,6 +2171,30 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "vwap_hourly": f"""
+SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
+       CASE WHEN sum(volume) > 0
+            THEN round(sum(price * volume) / sum(volume), 6) END AS vwap,
+       round(sum(volume), 6) AS total_volume,
+       count(*)::BIGINT AS n_ticks
+FROM ({PRICE_BASE_SQL}) p
+GROUP BY coin_id, exchange, date_trunc('hour', timestamp)""",
+    "bollinger_bands": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+w AS (
+  SELECT coin_id, exchange, timestamp,
+         count(price) OVER win AS c,
+         round(avg(price) OVER win, 6) AS mid,
+         round(stddev_samp(price) OVER win, 6) AS sd
+  FROM base
+  WINDOW win AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT coin_id, exchange, timestamp,
+       CASE WHEN c = 20 THEN mid END AS bb_mid,
+       CASE WHEN c = 20 THEN round(mid + 2.0 * sd, 6) END AS bb_upper,
+       CASE WHEN c = 20 THEN round(mid - 2.0 * sd, 6) END AS bb_lower
+FROM w""",
     "volume_cube": f"""
 SELECT exchange, date_trunc('day', timestamp) AS day,
        round(sum(volume), 6) AS total_volume, count(*)::BIGINT AS n_ticks

@@ -122,3 +122,50 @@ def test_with_ema_macd_span_naming_and_passthrough_types(spark):
 def test_boundary_lengths(spark, n):
     rng = np.random.default_rng(n)
     check(spark, series_rows("b_C1", "b", rng.uniform(1, 9, n).round(3)))
+
+
+def test_bollinger_bands_fill_and_values(spark):
+    """NULL until the 20-row window fills; bands symmetric around the
+    rolling mean at k rolling sample stddevs (pandas ground truth)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_bollinger,
+    )
+
+    rng = np.random.default_rng(7)
+    prices = rng.uniform(1, 9, 25).round(3)
+    df = make_price(spark, series_rows("bb_C1", "bb", prices))
+    got = with_bollinger(df).orderBy("timestamp").toPandas()
+    s = pd.Series(prices)
+    mid = s.rolling(20).mean().round(6)
+    sd = s.rolling(20).std(ddof=1).round(6)
+    assert got["bb_mid"][:19].isna().all()
+    assert got["bb_upper"][:19].isna().all()
+    assert np.allclose(got["bb_mid"][19:], mid[19:])
+    assert np.allclose(got["bb_upper"][19:], (mid + 2 * sd).round(6)[19:])
+    assert np.allclose(got["bb_lower"][19:], (mid - 2 * sd).round(6)[19:])
+
+
+def test_vwap_weighted_mean_and_zero_volume(spark):
+    """VWAP is the volume-weighted mean within each hour bucket, and
+    NULL when the bucket's volume sums to zero."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.derive import vwap
+
+    pdf = pd.DataFrame(
+        {
+            "coin_id": ["c_C1"] * 3 + ["z_C2"],
+            "exchange": ["c"] * 3 + ["z"],
+            "timestamp": pd.to_datetime(
+                ["2024-01-01 10:05", "2024-01-01 10:40", "2024-01-01 11:10",
+                 "2024-01-01 10:20"]
+            ),
+            "price": [10.0, 20.0, 7.0, 5.0],
+            "volume": [1.0, 3.0, 2.0, 0.0],
+        }
+    )
+    rows = {
+        (r.coin_id, r.timestamp.hour): (r.vwap, r.total_volume, r.n_ticks)
+        for r in vwap(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows[("c_C1", 10)] == (round((10 * 1 + 20 * 3) / 4, 6), 4.0, 2)
+    assert rows[("c_C1", 11)] == (7.0, 2.0, 1)
+    assert rows[("z_C2", 10)] == (None, 0.0, 1)

@@ -230,7 +230,7 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 EXPECTED_R4_WINDOW = [
     "trading_sessions", "session_range_join", "market_cap_chart",
     "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
-    "volume_cube", "close_pivot",
+    "volume_cube", "close_pivot", "vwap_hourly", "bollinger_bands",
     "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
     "quality_score", "token_counts", "lang_id", "doc_fingerprint",
     "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
@@ -242,7 +242,7 @@ EXPECTED_R4_WINDOW = [
     "coin_indicators_left", "asof_price_candle", "active_coins_semi",
     "stale_coins_anti", "union_price_feeds", "top_coins_by_volume",
     "volume_rollup",
-    "revenue_by_nation", "top_suppliers", "momentum_ranks",
+    "momentum_ranks",
     "user_retention", "event_props_stats", "price_correlation",
     "text_stats",
 ]
