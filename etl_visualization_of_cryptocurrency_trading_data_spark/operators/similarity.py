@@ -472,6 +472,7 @@ def knn_ivf(
     n_probe: int = 2,
     centroid_modulus: int = 101,
     centroids: DataFrame | None = None,
+    persist_assignment: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the second scale path next to LSH.
 
@@ -490,6 +491,15 @@ def knn_ivf(
     cost. Assignment here ranks by cosine; k-means trains by
     euclidean — for unit-norm embeddings (see
     [[normalize_embeddings]]) the two orders coincide.
+
+    ``persist_assignment=True`` caches the ranked assignment (the
+    inverted-list table): the inverted lists and the probe lists both
+    consume it, and when ``centroids`` carries an expensive training
+    subtree each consumer would re-run the corpus-wide centroid scoring
+    (measured 3.8 s -> 2.5 s warm at sf0.1 for the Lloyd-trained index).
+    This is exactly the table a deployed IVF index materializes to
+    storage; leave it off for the cheap sample-centroid default, whose
+    identical subtrees already hit ReuseExchange.
     """
     if probe_filter is None:
         probe_filter = F.col("vec_id") % 50 == 0
@@ -508,6 +518,8 @@ def knn_ivf(
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
     ranked = scored.withColumn("crank", F.row_number().over(w))
+    if persist_assignment:
+        ranked = ranked.persist()
     lists = ranked.filter(F.col("crank") == 1).select("vec_id", "emb", "cent_id")
     probe_lists = (
         ranked.filter(probe_filter)

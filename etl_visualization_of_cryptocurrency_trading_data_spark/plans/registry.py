@@ -557,7 +557,7 @@ def q_knn_ivf_trained(spark, sf_dir):
     (persist is lazy)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = similarity.kmeans_centroids(emb, iters=2).persist()
-    return similarity.knn_ivf(emb, k=5, centroids=cent)
+    return similarity.knn_ivf(emb, k=5, centroids=cent, persist_assignment=True)
 
 
 def q_embedding_dup(spark, sf_dir):
