@@ -11,5 +11,6 @@ from .pipeline import (  # noqa: F401
     run_ingest,
     session_stream,
     stream_ohlc_to_dir,
+    vwap_stream,
 )
 from .stateful import stateful_indicators  # noqa: F401

@@ -247,6 +247,37 @@ def ohlc_stream(price: DataFrame, delay: str = "10 minutes", window: str = "1 ho
     )
 
 
+def vwap_stream(price: DataFrame, delay: str = "10 minutes", window: str = "1 hour") -> DataFrame:
+    """Event-time tumbling VWAP with late-data handling — the streaming
+    twin of ``operators.derive.vwap`` (same bucket, same rounding, same
+    zero-volume NULL), so batch === stream on any feed
+    (``test_vwap_stream_matches_batch`` pins it).
+
+    Weighted sum and volume sum are plain commutative aggregates:
+    partial (map-side) combine, mergeable watermarked state, exactly
+    one append emission per window once the watermark passes its end.
+    """
+    wsum = F.sum(F.col("price") * F.col("volume"))
+    vsum = F.sum("volume")
+    return (
+        price.withWatermark("timestamp", delay)
+        .groupBy("coin_id", "exchange", F.window("timestamp", window).alias("w"))
+        .agg(
+            F.when(vsum > 0, F.round(wsum / vsum, 6)).alias("vwap"),
+            F.round(vsum, 6).alias("total_volume"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "coin_id",
+            "exchange",
+            F.col("w.start").alias("timestamp"),
+            "vwap",
+            "total_volume",
+            "n_ticks",
+        )
+    )
+
+
 def stream_ohlc_to_dir(
     price: DataFrame,
     out_dir: str,

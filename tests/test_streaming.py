@@ -578,3 +578,35 @@ def test_corrupt_envelope_dead_letter(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table("dead_letters").toPandas()
     assert sorted(got["raw"]) == sorted(bad)
+
+
+def test_vwap_stream_matches_batch(spark, tmp_path, price_df):
+    """Watermarked tumbling VWAP: every window the stream emitted must
+    equal batch derive.vwap bit-for-bit (same bucket, rounding, and
+    zero-volume NULL convention)."""
+    spool = make_spool(tmp_path, price_df, 4)
+    stream = streaming.read_price_stream(spark, spool, max_files_per_trigger=1)
+    q = (
+        streaming.vwap_stream(stream, delay="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vwap_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = (
+        spark.table("vwap_mem")
+        .toPandas()
+        .sort_values(KEYCOLS)
+        .reset_index(drop=True)
+    )
+    batch = derive.vwap(price_df).toPandas()
+    assert len(got) > 0
+    merged = got.merge(
+        batch, on=KEYCOLS, how="left", suffixes=("", "_b"), indicator=True
+    )
+    assert (merged["_merge"] == "both").all(), "stream emitted a bucket batch lacks"
+    for c in ["vwap", "total_volume"]:
+        np.testing.assert_allclose(merged[c], merged[f"{c}_b"], rtol=0, atol=0)
+    assert (merged["n_ticks"] == merged["n_ticks_b"]).all()
