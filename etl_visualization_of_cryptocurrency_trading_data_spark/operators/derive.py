@@ -149,6 +149,30 @@ def vwap(price: DataFrame, round_decimals: int = 6) -> DataFrame:
     )
 
 
+def max_drawdown(price: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """Per-(coin, exchange) maximum drawdown: the most negative
+    price/running-peak ratio over the series, plus the peak itself and
+    the tick count. One running-max window pass (rows unbounded
+    preceding) + one aggregation — two shuffles on the entity keys,
+    the same key every indicator shares. Peaks are exact (min/max are
+    order-insensitive); only the final ratio is rounded.
+    """
+    w = (
+        Window.partitionBy("coin_id", "exchange")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = price.withColumn("_peak", F.max("price").over(w))
+    # explicit zero-peak guard: Spark's non-ANSI x/0 is NULL but other
+    # engines give +/-inf — NULL ratios then drop out of min() in both
+    ratio = F.when(F.col("_peak") != 0, F.col("price") / F.col("_peak") - 1.0)
+    return dd.groupBy("coin_id", "exchange").agg(
+        F.round(F.min(ratio), round_decimals).alias("max_drawdown"),
+        F.max("price").alias("peak_price"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
 def coin_market_cap(price: DataFrame) -> DataFrame:
     """Latest share-of-total snapshot (reference table DDL
     spark-streaming.py:106-115; consumed pre-computed from CoinGecko at

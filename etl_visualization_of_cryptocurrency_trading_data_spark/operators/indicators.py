@@ -88,6 +88,39 @@ def with_bollinger(
     )
 
 
+def with_atr(
+    df: DataFrame,
+    n: int = 14,
+    round_decimals: int = 6,
+    out: str = "atr_14",
+) -> DataFrame:
+    """Average True Range over OHLC candles: rolling mean of the true
+    range — greatest(high-low, |high-prev_close|, |low-prev_close|),
+    with TR_1 = high-low for the first candle (standard Wilder
+    convention) — NULL until the n-row window fills, matching
+    [[with_sma]]. Candle-level sibling of the tick-level indicator
+    family; native window functions on the same (coin, exchange) key.
+    """
+    wo = Window.partitionBy(*KEYS).orderBy("timestamp")
+    wn = wo.rowsBetween(-(n - 1), 0)
+    prev_close = F.lag("close").over(wo)
+    tr = F.when(prev_close.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        )
+    )
+    with_tr = df.withColumn("_tr", tr)
+    return with_tr.withColumn(
+        out,
+        F.when(
+            F.count("_tr").over(wn) == n,
+            F.round(F.avg("_tr").over(wn), round_decimals),
+        ),
+    ).drop("_tr")
+
+
 def with_rsi(df: DataFrame, col: str = "price", n: int = 14, out: str = "rsi_14") -> DataFrame:
     """Relative Strength Index over n-row rolling clamped deltas
     (W4/P10/A5/W5). Native window functions throughout."""

@@ -767,6 +767,22 @@ def q_bollinger_bands(spark, sf_dir):
     )
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Per-coin maximum drawdown vs running peak (derive.max_drawdown):
+    one running-max window + one aggregation on the shared entity key."""
+    return derive.max_drawdown(_price_base(spark, sf_dir))
+
+
+def q_atr_14(spark, sf_dir):
+    """ATR-14 over the hourly candles (indicators.with_atr) — candle-
+    level member of the indicator family, Wilder TR convention."""
+    from ..operators.indicators import with_atr
+
+    return with_atr(q_ohlc(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp", "atr_14"
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic OLAP multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
     revenue per nation. Dimension sides broadcast; the lineitem-orders
@@ -1467,6 +1483,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "close_pivot": q_close_pivot,
     "vwap_hourly": q_vwap_hourly,
     "bollinger_bands": q_bollinger_bands,
+    "max_drawdown": q_max_drawdown,
+    "atr_14": q_atr_14,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1509,8 +1527,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_coins_by_volume": q_top_coins_by_volume,
     "volume_rollup": q_volume_rollup,
     # --- generic OLAP over the TPC-H-ish fixtures ---
-    "momentum_ranks": q_momentum_ranks,
-    "user_retention": q_user_retention,
     "event_props_stats": q_event_props_stats,
     "price_correlation": q_price_correlation,
     # --- LLM-data-pipeline representative ---
@@ -1519,6 +1535,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r03 under the CURRENT fixture encoding and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "momentum_ranks": q_momentum_ranks,
+    "user_retention": q_user_retention,
     "revenue_by_nation": q_revenue_by_nation,
     "top_suppliers": q_top_suppliers,
     "exact_dedup": q_exact_dedup,
@@ -2171,6 +2189,39 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "max_drawdown": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+dd AS (
+  SELECT coin_id, exchange, price,
+         max(price) OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM base
+)
+SELECT coin_id, exchange,
+       round(min(CASE WHEN peak != 0 THEN price / peak - 1.0 END), 6) AS max_drawdown,
+       max(price) AS peak_price,
+       count(*)::BIGINT AS n_ticks
+FROM dd GROUP BY coin_id, exchange""",
+    "atr_14": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN c = 14 THEN round(a, 6) END AS atr_14
+  FROM (
+    SELECT coin_id, exchange, timestamp,
+           count(tr) OVER wn AS c, avg(tr) OVER wn AS a
+    FROM (
+      SELECT coin_id, exchange, timestamp,
+             CASE WHEN pc IS NULL THEN high - low
+                  ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+      FROM (
+        SELECT coin_id, exchange, timestamp, high, low,
+               lag(close) OVER (PARTITION BY coin_id, exchange
+                                ORDER BY timestamp) AS pc
+        FROM ohlc_data))
+    WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
+    ),
     "vwap_hourly": f"""
 SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
        CASE WHEN sum(volume) > 0

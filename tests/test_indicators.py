@@ -169,3 +169,58 @@ def test_vwap_weighted_mean_and_zero_volume(spark):
     assert rows[("c_C1", 10)] == (round((10 * 1 + 20 * 3) / 4, 6), 4.0, 2)
     assert rows[("c_C1", 11)] == (7.0, 2.0, 1)
     assert rows[("z_C2", 10)] == (None, 0.0, 1)
+
+
+def test_atr_wilder_convention_and_fill(spark):
+    """TR_1 = high-low (no prev close); later TRs take the greatest of
+    the three ranges; NULL until 14 candles; pandas ground truth."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_atr,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 18
+    close = rng.uniform(5, 15, n).round(3)
+    high = (close + rng.uniform(0, 2, n)).round(3)
+    low = (close - rng.uniform(0, 2, n)).round(3)
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "a_C1",
+            "exchange": "a",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="1h"),
+            "high": high,
+            "low": low,
+            "close": close,
+        }
+    )
+    got = with_atr(spark.createDataFrame(pdf)).orderBy("timestamp").toPandas()
+    pc = pd.Series(close).shift(1)
+    tr = pd.concat(
+        [pd.Series(high) - low, (high - pc).abs(), (pd.Series(low) - pc).abs()],
+        axis=1,
+    ).max(axis=1)
+    tr.iloc[0] = high[0] - low[0]
+    want = tr.rolling(14).mean().round(6)
+    assert got["atr_14"][:13].isna().all()
+    assert np.allclose(got["atr_14"][13:], want[13:])
+
+
+def test_max_drawdown_running_peak(spark):
+    """Drawdown measured against the running (not global) peak, and the
+    zero-peak guard yields NULL-free results on an all-positive series."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.derive import (
+        max_drawdown,
+    )
+
+    prices = [10.0, 8.0, 12.0, 6.0, 9.0]  # worst: 6/12 - 1 = -0.5
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "a_C1",
+            "exchange": "a",
+            "timestamp": pd.date_range("2024-01-01", periods=5, freq="1h"),
+            "price": prices,
+        }
+    )
+    r = max_drawdown(spark.createDataFrame(pdf)).collect()[0]
+    assert r.max_drawdown == -0.5
+    assert r.peak_price == 12.0 and r.n_ticks == 5

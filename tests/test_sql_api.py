@@ -231,6 +231,7 @@ EXPECTED_R4_WINDOW = [
     "trading_sessions", "session_range_join", "market_cap_chart",
     "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
     "volume_cube", "close_pivot", "vwap_hourly", "bollinger_bands",
+    "max_drawdown", "atr_14",
     "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
     "quality_score", "token_counts", "lang_id", "doc_fingerprint",
     "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
@@ -242,8 +243,7 @@ EXPECTED_R4_WINDOW = [
     "coin_indicators_left", "asof_price_candle", "active_coins_semi",
     "stale_coins_anti", "union_price_feeds", "top_coins_by_volume",
     "volume_rollup",
-    "momentum_ranks",
-    "user_retention", "event_props_stats", "price_correlation",
+    "event_props_stats", "price_correlation",
     "text_stats",
 ]
 
