@@ -121,6 +121,77 @@ def with_atr(
     ).drop("_tr")
 
 
+def with_obv(df: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """On-balance volume: running sum of volume signed by the tick's
+    price direction (first tick contributes 0 — no prior direction).
+    One running-sum window on the shared entity key; the cumulative
+    frame is evaluated in (timestamp) order sequentially by every
+    engine, so the rounded prefix sums are reproducible.
+    """
+    wo = Window.partitionBy(*KEYS).orderBy("timestamp")
+    delta = F.col("price") - F.lag("price").over(wo)
+    signed = (
+        F.when(delta > 0, F.col("volume"))
+        .when(delta < 0, -F.col("volume"))
+        .otherwise(F.lit(0.0))
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        "obv", F.round(F.sum(signed).over(run), round_decimals)
+    )
+
+
+def with_stochastic(
+    df: DataFrame,
+    n: int = 14,
+    d_n: int = 3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Stochastic oscillator over OHLC candles: %K = 100 * (close −
+    lowest low_n) / (highest high_n − lowest low_n), %D = d_n-candle
+    rolling mean of %K. NULL until each window fills ([[with_sma]]
+    convention) and when the n-candle range is flat (%K undefined).
+    %D averages the ROUNDED %K values so both engines see identical
+    inputs. Native window functions, shared entity-key shuffle.
+    """
+    wo = Window.partitionBy(*KEYS).orderBy("timestamp")
+    wn = wo.rowsBetween(-(n - 1), 0)
+    ll = F.min("low").over(wn)
+    hh = F.max("high").over(wn)
+    k = F.when(
+        (F.count("close").over(wn) == n) & (hh != ll),
+        F.round(100.0 * (F.col("close") - ll) / (hh - ll), round_decimals),
+    )
+    with_k = df.withColumn("stoch_k", k)
+    wd = wo.rowsBetween(-(d_n - 1), 0)
+    return with_k.withColumn(
+        "stoch_d",
+        F.when(
+            F.count("stoch_k").over(wd) == d_n,
+            F.round(F.avg("stoch_k").over(wd), round_decimals),
+        ),
+    )
+
+
+def with_donchian(df: DataFrame, n: int = 20, round_decimals: int = 6) -> DataFrame:
+    """Donchian channel over OHLC candles: n-candle highest high /
+    lowest low and their midline, NULL until the window fills. Upper
+    and lower are exact (min/max are order-insensitive); only the
+    midline divide is rounded."""
+    wn = Window.partitionBy(*KEYS).orderBy("timestamp").rowsBetween(-(n - 1), 0)
+    full = F.count("close").over(wn) == n
+    upper = F.when(full, F.max("high").over(wn))
+    lower = F.when(full, F.min("low").over(wn))
+    return (
+        df.withColumn("dc_upper", upper)
+        .withColumn("dc_lower", lower)
+        .withColumn(
+            "dc_mid",
+            F.round((F.col("dc_upper") + F.col("dc_lower")) / 2.0, round_decimals),
+        )
+    )
+
+
 def with_rsi(df: DataFrame, col: str = "price", n: int = 14, out: str = "rsi_14") -> DataFrame:
     """Relative Strength Index over n-row rolling clamped deltas
     (W4/P10/A5/W5). Native window functions throughout."""

@@ -783,6 +783,34 @@ def q_atr_14(spark, sf_dir):
     )
 
 
+def q_obv(spark, sf_dir):
+    """On-balance volume running sum per coin (indicators.with_obv)."""
+    from ..operators.indicators import with_obv
+
+    return with_obv(_price_base(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp", "obv"
+    )
+
+
+def q_stochastic(spark, sf_dir):
+    """Stochastic oscillator %K/%D over the hourly candles
+    (indicators.with_stochastic)."""
+    from ..operators.indicators import with_stochastic
+
+    return with_stochastic(q_ohlc(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp", "stoch_k", "stoch_d"
+    )
+
+
+def q_donchian(spark, sf_dir):
+    """Donchian 20-candle channel (indicators.with_donchian)."""
+    from ..operators.indicators import with_donchian
+
+    return with_donchian(q_ohlc(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp", "dc_upper", "dc_lower", "dc_mid"
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic OLAP multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
     revenue per nation. Dimension sides broadcast; the lineitem-orders
@@ -1485,6 +1513,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
     "atr_14": q_atr_14,
+    "obv": q_obv,
+    "stochastic": q_stochastic,
+    "donchian": q_donchian,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1521,20 +1552,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
     "coin_indicators_left": q_coin_indicators_left,
     "asof_price_candle": q_asof_price_candle,
-    "active_coins_semi": q_active_coins_semi,
     "stale_coins_anti": q_stale_coins_anti,
     "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
     "volume_rollup": q_volume_rollup,
-    # --- generic OLAP over the TPC-H-ish fixtures ---
-    "event_props_stats": q_event_props_stats,
-    "price_correlation": q_price_correlation,
     # --- LLM-data-pipeline representative ---
     "text_stats": q_text_stats,
     # ---- end of driver correctness window (50 entries above) ----
     # Tail: driver-green in r03 under the CURRENT fixture encoding and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "active_coins_semi": q_active_coins_semi,
+    "event_props_stats": q_event_props_stats,
+    "price_correlation": q_price_correlation,
     "momentum_ranks": q_momentum_ranks,
     "user_retention": q_user_retention,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2189,6 +2219,57 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "obv": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+s AS (
+  SELECT coin_id, exchange, timestamp, volume,
+         price - lag(price) OVER w AS delta
+  FROM base
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+)
+SELECT coin_id, exchange, timestamp,
+       round(sum(CASE WHEN delta > 0 THEN volume
+                      WHEN delta < 0 THEN -volume ELSE 0.0 END)
+             OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+                   ROWS UNBOUNDED PRECEDING), 6) AS obv
+FROM s""",
+    "stochastic": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp, stoch_k,
+         CASE WHEN count(stoch_k) OVER wd = 3
+              THEN round(avg(stoch_k) OVER wd, 6) END AS stoch_d
+  FROM (
+    SELECT coin_id, exchange, timestamp,
+           CASE WHEN c = 14 AND hh != ll
+                THEN round(100.0 * (close - ll) / (hh - ll), 6) END AS stoch_k
+    FROM (
+      SELECT coin_id, exchange, timestamp, close,
+             count(close) OVER wn AS c,
+             min(low) OVER wn AS ll,
+             max(high) OVER wn AS hh
+      FROM ohlc_data
+      WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)))
+  WINDOW wd AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    ),
+    "donchian": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN c = 20 THEN hh END AS dc_upper,
+         CASE WHEN c = 20 THEN ll END AS dc_lower,
+         CASE WHEN c = 20 THEN round((hh + ll) / 2.0, 6) END AS dc_mid
+  FROM (
+    SELECT coin_id, exchange, timestamp,
+           count(close) OVER wn AS c,
+           max(high) OVER wn AS hh,
+           min(low) OVER wn AS ll
+    FROM ohlc_data
+    WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""",
+    ),
     "max_drawdown": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 dd AS (

@@ -224,3 +224,64 @@ def test_max_drawdown_running_peak(spark):
     r = max_drawdown(spark.createDataFrame(pdf)).collect()[0]
     assert r.max_drawdown == -0.5
     assert r.peak_price == 12.0 and r.n_ticks == 5
+
+
+def test_obv_signed_cumulative(spark):
+    """OBV accumulates +volume on up-ticks, -volume on down-ticks, 0 on
+    flat/first ticks."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_obv,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "o_C1",
+            "exchange": "o",
+            "timestamp": pd.date_range("2024-01-01", periods=5, freq="1h"),
+            "price": [10.0, 12.0, 12.0, 9.0, 11.0],
+            "volume": [100.0, 200.0, 50.0, 300.0, 150.0],
+        }
+    )
+    got = [r.obv for r in with_obv(spark.createDataFrame(pdf)).orderBy("timestamp").collect()]
+    assert got == [0.0, 200.0, 200.0, -100.0, 50.0]
+
+
+def test_stochastic_and_donchian_ground_truth(spark):
+    """%K/%D and the Donchian channel against pandas rolling windows."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_donchian,
+        with_stochastic,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 26
+    close = rng.uniform(5, 15, n).round(3)
+    high = (close + rng.uniform(0.1, 2, n)).round(3)
+    low = (close - rng.uniform(0.1, 2, n)).round(3)
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "s_C1",
+            "exchange": "s",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="1h"),
+            "high": high,
+            "low": low,
+            "close": close,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    stoch = with_stochastic(sdf).orderBy("timestamp").toPandas()
+    ll = pd.Series(low).rolling(14).min()
+    hh = pd.Series(high).rolling(14).max()
+    k = (100.0 * (close - ll) / (hh - ll)).round(6)
+    d = k.rolling(3).mean().round(6)
+    assert stoch["stoch_k"][:13].isna().all()
+    assert np.allclose(stoch["stoch_k"][13:], k[13:])
+    assert stoch["stoch_d"][:15].isna().all()
+    assert np.allclose(stoch["stoch_d"][15:], d[15:])
+    don = with_donchian(sdf).orderBy("timestamp").toPandas()
+    up = pd.Series(high).rolling(20).max()
+    lo = pd.Series(low).rolling(20).min()
+    assert don["dc_upper"][:19].isna().all()
+    assert np.allclose(don["dc_upper"][19:], up[19:])
+    assert np.allclose(don["dc_lower"][19:], lo[19:])
+    assert np.allclose(don["dc_mid"][19:], ((up + lo) / 2).round(6)[19:])

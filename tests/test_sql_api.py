@@ -231,7 +231,7 @@ EXPECTED_R4_WINDOW = [
     "trading_sessions", "session_range_join", "market_cap_chart",
     "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
     "volume_cube", "close_pivot", "vwap_hourly", "bollinger_bands",
-    "max_drawdown", "atr_14",
+    "max_drawdown", "atr_14", "obv", "stochastic", "donchian",
     "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
     "quality_score", "token_counts", "lang_id", "doc_fingerprint",
     "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
@@ -240,10 +240,9 @@ EXPECTED_R4_WINDOW = [
     "coins_dim", "price_data", "ohlc_candles", "technical_indicators",
     "coin_market_cap", "coin_table",
     "envelope_price", "envelope_coins", "envelope_ohlc", "envelope_mcap",
-    "coin_indicators_left", "asof_price_candle", "active_coins_semi",
+    "coin_indicators_left", "asof_price_candle",
     "stale_coins_anti", "union_price_feeds", "top_coins_by_volume",
     "volume_rollup",
-    "event_props_stats", "price_correlation",
     "text_stats",
 ]
 
