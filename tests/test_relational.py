@@ -3,6 +3,8 @@ on tiny literal frames (SURVEY §5.2 operator-family tests)."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from etl_visualization_of_cryptocurrency_trading_data_spark.operators import relational
 
 
@@ -224,3 +226,95 @@ def test_interval_join_binned_equals_theta_join(spark, ts_vals, ivals, bin_s):
         if a <= t < b
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=3),   # day index
+            st.integers(min_value=1, max_value=100),  # volume (int => exact sums)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_volume_cube_equals_manual_grouping_sets(spark, rows):
+    """Property: CUBE == the union of the four manual groupBys (cell,
+    each margin, grand total) on arbitrary data — integer volumes so
+    float summation order cannot blur the comparison."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(rows, columns=["exchange", "di", "vol"])
+    pdf["timestamp"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(pdf["di"], unit="D")
+    pdf["volume"] = pdf["vol"].astype("float64")
+    df = spark.createDataFrame(pdf[["exchange", "timestamp", "volume"]])
+    got = {
+        (r.exchange, None if r.day is None else r.day.day): (r.total_volume, r.n_ticks)
+        for r in relational.volume_cube(df).collect()
+    }
+    gt = {}
+    pdf["day"] = pdf["timestamp"].dt.day
+    for keys in [["exchange", "day"], ["exchange"], ["day"], []]:
+        if keys:
+            for k, g in pdf.groupby(keys):
+                k = k if isinstance(k, tuple) else (k,)
+                full = (
+                    k[0] if "exchange" in keys else None,
+                    k[keys.index("day")] if "day" in keys else None,
+                )
+                gt[full] = (round(g["volume"].sum(), 6), len(g))
+        else:
+            gt[(None, None)] = (round(pdf["volume"].sum(), 6), len(pdf))
+    assert got == gt
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=5000),  # minutes offsets
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_reference(spark, minute_offsets):
+    """Property: gaps-and-islands sessionization == a straightforward
+    Python scan (gap >= 60 min starts a new session; session end =
+    last event + gap), for arbitrary event spacings."""
+    from pyspark.sql import functions as F
+
+    ts = sorted(minute_offsets)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "x_C1",
+            "exchange": "x",
+            "timestamp": [base + pd.Timedelta(minutes=m) for m in ts],
+            "price": [float(m % 7 + 1) for m in ts],
+        }
+    )
+    got = {
+        (r.session_start, r.session_end): (r.n_ticks, r.low, r.high)
+        for r in relational.sessionize(
+            spark.createDataFrame(pdf), ["coin_id", "exchange"], gap_minutes=60
+        ).collect()
+    }
+    # python reference
+    sessions = []
+    cur = [ts[0]]
+    for m in ts[1:]:
+        if m - cur[-1] >= 60:
+            sessions.append(cur)
+            cur = [m]
+        else:
+            cur.append(m)
+    sessions.append(cur)
+    want = {}
+    for s in sessions:
+        start = base + pd.Timedelta(minutes=s[0])
+        end = base + pd.Timedelta(minutes=s[-1] + 60)
+        prices = [float(m % 7 + 1) for m in s]
+        want[(start, end)] = (len(s), min(prices), max(prices))
+    assert got == want
