@@ -70,3 +70,34 @@ def test_query_matches_oracle(spark, duck, name):
         return
     odf = duck.sql(ORACLES[name]).df()
     assert_frames_match(sdf, odf, name)
+
+
+def test_all_queries_run_on_empty_tables(spark, tmp_path):
+    """Robustness pin: every registered query plans and executes on
+    EMPTY fixture tables (same schemas) without raising — no hidden
+    .first()/div-by-zero/eager-collect assumptions about non-empty
+    input. Empty input is what a new partition / fresh deployment
+    serves first."""
+    import os
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import (
+        TABLES,
+        load_table,
+    )
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        QUERIES,
+    )
+
+    empty = str(tmp_path / "sf_empty")
+    os.makedirs(empty)
+    for t in TABLES:
+        load_table(spark, SF_SMOKE, t).limit(0).write.parquet(
+            f"{empty}/{t}.parquet"
+        )
+    failures = {}
+    for name, q in QUERIES.items():
+        try:
+            q(spark, empty).count()
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+    assert not failures, f"queries broken on empty input: {failures}"
