@@ -1495,10 +1495,11 @@ def q_price_correlation(spark, sf_dir):
 # (current fixtures) and unchanged since.  Window membership is pinned by
 # tests/test_sql_api.py::test_driver_window_membership; ORACLES ⊆ QUERIES
 # by test_registry_invariants.
-# Round-5 rotation plan: front-load the 21 tail entries below (their newest
-# driver rows will then be r3) plus anything r5 changes; move this round's
-# 24 front-loaded entries to the tail once their r4 rows land. Update
-# EXPECTED_R4_WINDOW in test_sql_api.py in the same commit.
+# Round-5 rotation plan: front-load the 30 tail entries below (their newest
+# driver rows will then be r3) plus anything r5 changes, filling the
+# remaining ~20 slots with this round's front-loaded entries once their r4
+# rows land. Update EXPECTED_R4_WINDOW in test_sql_api.py in the same
+# commit (rename it EXPECTED_R5_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- fixed/added this round ---
     "trading_sessions": q_trading_sessions,
