@@ -297,3 +297,33 @@ def test_fixture_timestamp_dtypes(spark):
         if name == "events":
             assert dict(df.dtypes)["ts"] == "timestamp"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_plan_contracts_for_round4_operators(spark):
+    """Physical-plan property pins for the round-4 operators — the
+    optimizer behaviors the scale design depends on, asserted so a
+    refactor can't silently lose them:
+    - volume_cube: all four grouping sets via exactly ONE Expand (one
+      input scan + one shuffle, not four groupBys);
+    - close_pivot: exactly ONE parquet scan (a static value list must
+      not add a distinct scan for pivot-value inference);
+    - exchange_cardinality_approx: zero Window nodes (Catalyst prunes
+      the unused lag windows out of the price derivation);
+    - bollinger_bands / stochastic / donchian: a single Window node
+      evaluating all band columns in one pass over one sort."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+
+    def plan_of(name):
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cube = plan_of("volume_cube")
+    assert cube.count("Expand") == 1, cube
+    pivot = plan_of("close_pivot")
+    assert pivot.count("Scan parquet") == 1, pivot
+    approx = plan_of("exchange_cardinality_approx")
+    assert "Window" not in approx, approx
+    for name in ["bollinger_bands", "stochastic", "donchian"]:
+        plan = plan_of(name)
+        n_window = plan.count("Window ") + plan.count("Window\n")
+        assert n_window >= 1, plan
