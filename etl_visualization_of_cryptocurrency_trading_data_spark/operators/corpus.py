@@ -272,3 +272,54 @@ def dedup_survivors(documents: DataFrame, clusters: DataFrame) -> DataFrame:
             .alias("kept_as"),
         )
     )
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: list[str],
+    other_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-column data-quality profile in ONE pass over the table: row
+    count, null count, exact distinct count for every column, plus
+    numeric min/max — the first step of any corpus-ingest pipeline
+    (schema drift, null-rate regressions, and truncated ranges surface
+    here before anything downstream trains on bad data).
+
+    One aggregation computes every statistic (Spark plans the mixed
+    distinct aggregates as a single scan + Expand, one branch per
+    distinct column — still one pass over the input), then the wide
+    row unpivots into one row per column via an exploded struct array
+    (no second scan, no shuffle beyond the aggregate's own).
+
+    At 100 TB swap ``countDistinct`` for ``approx_count_distinct``:
+    the HLL sketch drops the Expand entirely (single-branch map-side
+    combine, fixed memory) at ~1% error — the same swap
+    [[q_exchange_cardinality_approx]] demonstrates with a verifiable
+    accuracy contract.
+    """
+    other_cols = other_cols or []
+    cols = [*numeric_cols, *other_cols]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            (
+                F.col(f"_min_{c}") if c in numeric_cols else F.lit(None).cast("double")
+            ).alias("min_value"),
+            (
+                F.col(f"_max_{c}") if c in numeric_cols else F.lit(None).cast("double")
+            ).alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

@@ -1425,6 +1425,17 @@ def q_redact_pii(spark, sf_dir):
     return corpus.redact_pii(_documents(spark, sf_dir))
 
 
+def q_documents_profile(spark, sf_dir):
+    """One-pass per-column data-quality profile of the documents table
+    (corpus.profile_table): row/null/distinct counts + numeric ranges —
+    the ingest-gate stats a corpus pipeline checks before training."""
+    return corpus.profile_table(
+        _documents(spark, sf_dir),
+        numeric_cols=["doc_id", "n_chars"],
+        other_cols=["text", "lang", "source"],
+    )
+
+
 def q_dedup_survivors(spark, sf_dir):
     """End-to-end dedup survivorship: near-dup pairs -> connected
     components -> one canonical doc per cluster + all unique docs."""
@@ -1517,6 +1528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "obv": q_obv,
     "stochastic": q_stochastic,
     "donchian": q_donchian,
+    "documents_profile": q_documents_profile,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1553,7 +1565,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
     "coin_indicators_left": q_coin_indicators_left,
     "asof_price_candle": q_asof_price_candle,
-    "stale_coins_anti": q_stale_coins_anti,
     "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
     "volume_rollup": q_volume_rollup,
@@ -1564,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
     "active_coins_semi": q_active_coins_semi,
+    "stale_coins_anti": q_stale_coins_anti,
     "event_props_stats": q_event_props_stats,
     "price_correlation": q_price_correlation,
     "momentum_ranks": q_momentum_ranks,
@@ -2220,6 +2232,28 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "documents_profile": """
+SELECT 'doc_id' AS column, count(*)::BIGINT AS n_rows,
+       (count(*) - count(doc_id))::BIGINT AS n_nulls,
+       count(DISTINCT doc_id)::BIGINT AS n_distinct,
+       min(doc_id)::DOUBLE AS min_value, max(doc_id)::DOUBLE AS max_value
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+       count(DISTINCT n_chars)::BIGINT, min(n_chars)::DOUBLE, max(n_chars)::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+       count(DISTINCT text)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+       count(DISTINCT lang)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+       count(DISTINCT source)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+FROM documents""",
     "obv": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 s AS (

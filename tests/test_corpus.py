@@ -262,3 +262,25 @@ def test_pack_chunks_sliding_overlap(spark):
     assert (dis[1].first_chunk, dis[1].last_chunk) == (0, 1)
     with _pytest.raises(ValueError):
         corpus.pack_chunks(docs, budget=8, stride=9)
+
+
+def test_profile_table_stats(spark):
+    """Null counts, distinct counts (nulls excluded), and numeric
+    ranges per column from one pass; non-numeric columns carry NULL
+    ranges."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.corpus import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, None, "a"), (3, 7.0, None), (4, 7.0, "b")],
+        "id long, x double, tag string",
+    )
+    got = {r.column: r for r in profile_table(df, ["id", "x"], ["tag"]).collect()}
+    assert set(got) == {"id", "x", "tag"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["x"].n_nulls, got["x"].n_distinct) == (1, 2)
+    assert (got["x"].min_value, got["x"].max_value) == (5.0, 7.0)
+    assert (got["tag"].n_nulls, got["tag"].n_distinct) == (1, 2)
+    assert got["tag"].min_value is None and got["tag"].max_value is None
+    assert (got["id"].min_value, got["id"].max_value) == (1.0, 4.0)
