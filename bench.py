@@ -37,7 +37,10 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in TABLES:
-        load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+        try:
+            load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+        except Exception as e:  # noqa: BLE001 — warmup must never kill the artifact
+            print(f"bench: warmup of {t} failed: {e}", file=sys.stderr)
 
     # Per-query isolation: one broken query must never zero out the
     # whole artifact (round 3's bench died on query 22 of 69 and
@@ -54,6 +57,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # builders that persist intermediates (dedup postings, LSH
+            # signatures, trained centroids) cannot unpersist the lazy
+            # frames they return; dropping the cache per query keeps
+            # memory flat and timings independent across 81 queries.
+            spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total",

@@ -301,7 +301,13 @@ def profile_table(
     cols = [*numeric_cols, *other_cols]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        # coalesce: sum() over zero rows is NULL but the profile of an
+        # empty table must report 0 nulls (matching count(*)-count(col))
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"_null_{c}"
+            )
+        )
         aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
     for c in numeric_cols:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))

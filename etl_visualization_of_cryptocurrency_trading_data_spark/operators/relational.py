@@ -108,32 +108,35 @@ def interval_join_binned(
     # Bin in exact integer microseconds. unix_micros needs an LTZ
     # timestamp, and TIMESTAMP_NTZ cannot cast to numeric in Spark 4, so
     # route any timestamp flavor through cast("timestamp") first; plain
-    # numeric columns pass through unchanged. Floor-division via pmod is
-    # exact for the full int64 range (no float rounding anywhere).
+    # numeric columns (epoch seconds) pass through unchanged. Floor
+    # division = subtract pmod in pure long arithmetic, then divide the
+    # exact multiple as decimal(38,0) — no double anywhere, so binning
+    # stays exact across the full int64 range (a double quotient would
+    # silently misbin values past 2^53 and drop join rows).
     bin_us = int(bin_seconds) * 1_000_000
 
-    def _us(c: str):
+    def _us(frame: DataFrame, c: str):
         dt = dict(
-            (f.name, f.dataType.simpleString())
-            for f in facts.schema.fields + intervals.schema.fields
+            (f.name, f.dataType.simpleString()) for f in frame.schema.fields
         ).get(c, "")
         if dt.startswith("timestamp"):
             return F.unix_micros(F.col(c).cast("timestamp"))
         return (F.col(c) * 1_000_000).cast("long")
 
     def _bin_of(col):
-        return ((col - F.pmod(col, F.lit(bin_us))) / F.lit(bin_us)).cast("long")
+        exact_multiple = (col - F.pmod(col, F.lit(bin_us))).cast("decimal(38,0)")
+        return (exact_multiple / F.lit(bin_us)).cast("long")
 
     # empty intervals match nothing; dropping them up front also keeps
     # sequence() ascending (end > start  =>  last covered bin >= first)
     intervals = intervals.filter(F.col(end_col) > F.col(start_col))
-    first_bin = _bin_of(_us(start_col))
+    first_bin = _bin_of(_us(intervals, start_col))
     # end is EXCLUSIVE: an interval ending exactly on a bin boundary does
     # not cover that bin, hence bin(end - 1us); greatest() pins the
     # never-descends invariant structurally rather than by argument.
-    last_bin = F.greatest(first_bin, _bin_of(_us(end_col) - 1))
+    last_bin = F.greatest(first_bin, _bin_of(_us(intervals, end_col) - 1))
     iv = intervals.withColumn("_bin", F.explode(F.sequence(first_bin, last_bin)))
-    fx = facts.withColumn("_bin", _bin_of(_us(ts_col)))
+    fx = facts.withColumn("_bin", _bin_of(_us(facts, ts_col)))
     joined = fx.join(iv, "_bin").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )

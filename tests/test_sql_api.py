@@ -310,8 +310,13 @@ def test_plan_contracts_for_round4_operators(spark):
       not add a distinct scan for pivot-value inference);
     - exchange_cardinality_approx: zero Window nodes (Catalyst prunes
       the unused lag windows out of the price derivation);
-    - bollinger_bands / stochastic / donchian: a single Window node
-      evaluating all band columns in one pass over one sort."""
+    - band indicators: the MINIMAL number of Window nodes (bollinger
+      and donchian fuse all their columns into ONE; stochastic needs
+      exactly two because %D consumes %K; obv exactly two because the
+      lag and the running sum use different frames), so a refactor
+      cannot silently add per-column window passes."""
+    import re
+
     from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
 
     def plan_of(name):
@@ -324,7 +329,12 @@ def test_plan_contracts_for_round4_operators(spark):
     assert pivot.count("Scan parquet") == 1, pivot
     approx = plan_of("exchange_cardinality_approx")
     assert "Window" not in approx, approx
-    for name in ["bollinger_bands", "stochastic", "donchian"]:
+    for name, n_expected in [
+        ("bollinger_bands", 1),
+        ("donchian", 1),
+        ("stochastic", 2),
+        ("obv", 2),
+    ]:
         plan = plan_of(name)
-        n_window = plan.count("Window ") + plan.count("Window\n")
-        assert n_window >= 1, plan
+        n_window = len(re.findall(r"\bWindow\b", plan))
+        assert n_window == n_expected, f"{name}: {n_window} Window nodes\n{plan}"
