@@ -318,3 +318,27 @@ def test_sessionize_matches_python_reference(spark, minute_offsets):
         prices = [float(m % 7 + 1) for m in s]
         want[(start, end)] = (len(s), min(prices), max(prices))
     assert got == want
+
+
+def test_interval_join_binned_exact_past_double_precision(spark):
+    """Regression pin for the integer-binning rewrite: numeric epoch
+    values whose microsecond form exceeds double's 2^53 exact range
+    (e.g. an epoch-milliseconds column) must still bin exactly — a
+    double quotient would misbin boundary values and silently drop
+    matching rows."""
+    base = 1_700_000_000_000  # epoch millis magnitude; *1e6 = 1.7e18 us
+    facts = spark.createDataFrame(
+        [(1, base), (2, base + 3600), (3, base + 7199), (4, base + 7200)],
+        "fid long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(10, base, base + 7200)], "iid long, start long, end long"
+    )
+    got = {
+        (r.fid, r.iid)
+        for r in relational.interval_join_binned(
+            facts, intervals, "ts", "start", "end", bin_seconds=3600
+        ).collect()
+    }
+    # end exclusive: fid 4 at exactly start+7200 is out
+    assert got == {(1, 10), (2, 10), (3, 10)}
