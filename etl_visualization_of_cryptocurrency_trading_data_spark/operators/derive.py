@@ -173,6 +173,86 @@ def max_drawdown(price: DataFrame, round_decimals: int = 6) -> DataFrame:
     )
 
 
+def rolling_beta(
+    ohlc: DataFrame, window: int = 24, round_decimals: int = 6
+) -> DataFrame:
+    """Rolling market beta per coin over hourly candle returns:
+    covar_samp(coin return, market return) / var_samp(market return)
+    across a trailing ``window`` of candles — windowed covariance /
+    variance, a window-function surface nothing else in the engine
+    exercises. NULL until the window fills or while the market shows
+    zero variance.
+
+    Plan shape: per-coin lag for returns (entity-key shuffle shared
+    with every indicator), one hour-keyed aggregation for the
+    equal-weight market return, a broadcast join of that tiny
+    per-hour frame back onto the coin rows, then ONE window pass
+    computing both moments. Market returns are pre-rounded to 1e-9 so
+    each engine's partial-sum order in the hourly mean cannot leak
+    into the moments; the final beta rounds to ``round_decimals``.
+    """
+    wo = Window.partitionBy("coin_id", "exchange").orderBy("timestamp")
+    prev = F.lag("close").over(wo)
+    ret = F.when(prev != 0, F.col("close") / prev - 1.0)
+    r = ohlc.select(
+        "coin_id", "exchange", "timestamp", ret.alias("r")
+    ).filter(F.col("r").isNotNull())
+    market = r.groupBy("timestamp").agg(
+        F.round(F.avg("r"), 9).alias("m"), F.count("*").alias("n_coins")
+    )
+    joined = r.join(F.broadcast(market), "timestamp")
+    wn = (
+        Window.partitionBy("coin_id", "exchange")
+        .orderBy("timestamp")
+        .rowsBetween(-(window - 1), 0)
+    )
+    full = F.count("r").over(wn) == window
+    var_m = F.var_samp("m").over(wn)
+    beta = F.when(
+        full & (var_m > 0),
+        F.round(F.covar_samp("r", "m").over(wn) / var_m, round_decimals),
+    )
+    return joined.select("coin_id", "exchange", "timestamp", beta.alias("beta"))
+
+
+def cross_exchange_spread(ohlc: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """Per-symbol, per-hour price dispersion across the exchanges the
+    symbol trades on — the arbitrage-monitoring view the reference's
+    per-exchange charts cannot show. Symbols span exchanges (the C-id
+    suffix is shared; the exchange prefix differs), so this is one
+    hash aggregation keyed by (symbol, hour): max/min/avg close,
+    venue count, and the relative spread (NULL when fewer than two
+    venues or a non-positive floor makes it undefined)."""
+    symbol = F.concat(
+        F.lit("C"), F.regexp_extract("coin_id", r"_C(\d+)$", 1)
+    ).alias("coin_symbol")
+    agg = (
+        ohlc.groupBy(symbol, "timestamp")
+        .agg(
+            F.max("close").alias("high_close"),
+            F.min("close").alias("low_close"),
+            F.round(F.avg("close"), round_decimals).alias("avg_close"),
+            F.count("*").alias("n_venues"),
+        )
+    )
+    spread = F.when(
+        (F.col("n_venues") >= 2) & (F.col("low_close") > 0),
+        F.round(
+            (F.col("high_close") - F.col("low_close")) / F.col("low_close"),
+            round_decimals,
+        ),
+    )
+    return agg.select(
+        "coin_symbol",
+        "timestamp",
+        "high_close",
+        "low_close",
+        "avg_close",
+        "n_venues",
+        spread.alias("spread_pct"),
+    )
+
+
 def coin_market_cap(price: DataFrame) -> DataFrame:
     """Latest share-of-total snapshot (reference table DDL
     spark-streaming.py:106-115; consumed pre-computed from CoinGecko at

@@ -824,6 +824,19 @@ def q_donchian(spark, sf_dir):
     )
 
 
+def q_rolling_beta(spark, sf_dir):
+    """24-candle rolling market beta per coin (derive.rolling_beta) —
+    windowed covariance/variance over hourly returns vs the
+    equal-weight market."""
+    return derive.rolling_beta(q_ohlc(spark, sf_dir))
+
+
+def q_cross_exchange_spread(spark, sf_dir):
+    """Per-symbol hourly price dispersion across venues
+    (derive.cross_exchange_spread) — the arbitrage view."""
+    return derive.cross_exchange_spread(q_ohlc(spark, sf_dir))
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic OLAP multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation,
     revenue per nation. Dimension sides broadcast; the lineitem-orders
@@ -1542,6 +1555,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stochastic": q_stochastic,
     "donchian": q_donchian,
     "documents_profile": q_documents_profile,
+    "rolling_beta": q_rolling_beta,
+    "cross_exchange_spread": q_cross_exchange_spread,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1578,8 +1593,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
     "coin_indicators_left": q_coin_indicators_left,
     "asof_price_candle": q_asof_price_candle,
-    "union_price_feeds": q_union_price_feeds,
-    "top_coins_by_volume": q_top_coins_by_volume,
     "volume_rollup": q_volume_rollup,
     # --- LLM-data-pipeline representative ---
     "text_stats": q_text_stats,
@@ -1587,6 +1600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r03 under the CURRENT fixture encoding and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "union_price_feeds": q_union_price_feeds,
+    "top_coins_by_volume": q_top_coins_by_volume,
     "active_coins_semi": q_active_coins_semi,
     "stale_coins_anti": q_stale_coins_anti,
     "event_props_stats": q_event_props_stats,
@@ -2245,6 +2260,52 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "rolling_beta": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN c = 24 AND v > 0 THEN round(cv / v, 6) END AS beta
+  FROM (
+    SELECT coin_id, exchange, timestamp,
+           count(r) OVER wn AS c,
+           var_samp(m) OVER wn AS v,
+           covar_samp(r, m) OVER wn AS cv
+    FROM (
+      SELECT rr.coin_id, rr.exchange, rr.timestamp, rr.r, mkt.m
+      FROM (
+        SELECT coin_id, exchange, timestamp, r FROM (
+          SELECT coin_id, exchange, timestamp,
+                 CASE WHEN lag(close) OVER w != 0
+                      THEN close / lag(close) OVER w - 1.0 END AS r
+          FROM ohlc_data
+          WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp))
+        WHERE r IS NOT NULL) rr
+      JOIN (
+        SELECT timestamp, round(avg(r), 9) AS m FROM (
+          SELECT timestamp, r FROM (
+            SELECT coin_id, exchange, timestamp,
+                   CASE WHEN lag(close) OVER w != 0
+                        THEN close / lag(close) OVER w - 1.0 END AS r
+            FROM ohlc_data
+            WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp))
+          WHERE r IS NOT NULL)
+        GROUP BY timestamp) mkt USING (timestamp))
+    WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""",
+    ),
+    "cross_exchange_spread": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT 'C' || regexp_extract(coin_id, '_C([0-9]+)$', 1) AS coin_symbol,
+         timestamp,
+         max(close) AS high_close,
+         min(close) AS low_close,
+         round(avg(close), 6) AS avg_close,
+         count(*)::BIGINT AS n_venues,
+         CASE WHEN count(*) >= 2 AND min(close) > 0
+              THEN round((max(close) - min(close)) / min(close), 6) END AS spread_pct
+  FROM ohlc_data GROUP BY 1, 2""",
+    ),
     "documents_profile": """
 SELECT 'doc_id' AS column, count(*)::BIGINT AS n_rows,
        (count(*) - count(doc_id))::BIGINT AS n_nulls,

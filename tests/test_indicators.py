@@ -285,3 +285,61 @@ def test_stochastic_and_donchian_ground_truth(spark):
     assert np.allclose(don["dc_upper"][19:], up[19:])
     assert np.allclose(don["dc_lower"][19:], lo[19:])
     assert np.allclose(don["dc_mid"][19:], ((up + lo) / 2).round(6)[19:])
+
+
+def test_rolling_beta_ground_truth(spark):
+    """Beta against numpy covariance/variance over a hand-built
+    two-coin market (each coin's market = mean of both returns)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.derive import (
+        rolling_beta,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 30
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    closes = {"a_C1": rng.uniform(5, 15, n), "b_C1": rng.uniform(5, 15, n)}
+    pdf = pd.concat(
+        pd.DataFrame(
+            {"coin_id": cid, "exchange": cid[0], "timestamp": ts, "close": c}
+        )
+        for cid, c in closes.items()
+    )
+    got = rolling_beta(spark.createDataFrame(pdf), window=10).toPandas()
+    ra = pd.Series(closes["a_C1"]).pct_change().dropna().to_numpy()
+    rb = pd.Series(closes["b_C1"]).pct_change().dropna().to_numpy()
+    m = np.round((ra + rb) / 2, 9)
+    # trailing 10-sample beta for coin a at the final return row
+    wa, wm = ra[-10:], m[-10:]
+    want = np.cov(wa, wm, ddof=1)[0, 1] / np.var(wm, ddof=1)
+    last_a = (
+        got[got.coin_id == "a_C1"].sort_values("timestamp")["beta"].iloc[-1]
+    )
+    assert abs(last_a - round(want, 6)) < 1e-9
+    # first window-1 return rows have NULL beta
+    first = got[got.coin_id == "a_C1"].sort_values("timestamp")["beta"]
+    assert first[:9].isna().all()
+
+
+def test_cross_exchange_spread_venues(spark):
+    """Spread across venues sharing a symbol; single-venue hours and
+    non-positive floors yield NULL spread."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.derive import (
+        cross_exchange_spread,
+    )
+
+    t = pd.Timestamp("2024-01-01 10:00")
+    pdf = pd.DataFrame(
+        [
+            ("view_C1", "view", t, 10.0),
+            ("click_C1", "click", t, 12.0),
+            ("view_C2", "view", t, 5.0),           # single venue
+            ("view_C3", "view", t, -1.0),          # negative floor
+            ("click_C3", "click", t, 2.0),
+        ],
+        columns=["coin_id", "exchange", "timestamp", "close"],
+    )
+    rows = {r.coin_symbol: r for r in cross_exchange_spread(spark.createDataFrame(pdf)).collect()}
+    assert rows["C1"].spread_pct == 0.2 and rows["C1"].n_venues == 2
+    assert rows["C2"].spread_pct is None and rows["C2"].n_venues == 1
+    assert rows["C3"].spread_pct is None  # low_close <= 0
+    assert rows["C3"].high_close == 2.0 and rows["C3"].low_close == -1.0

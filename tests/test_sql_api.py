@@ -232,7 +232,7 @@ EXPECTED_R4_WINDOW = [
     "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
     "volume_cube", "close_pivot", "vwap_hourly", "bollinger_bands",
     "max_drawdown", "atr_14", "obv", "stochastic", "donchian",
-    "documents_profile",
+    "documents_profile", "rolling_beta", "cross_exchange_spread",
     "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
     "quality_score", "token_counts", "lang_id", "doc_fingerprint",
     "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
@@ -242,7 +242,6 @@ EXPECTED_R4_WINDOW = [
     "coin_market_cap", "coin_table",
     "envelope_price", "envelope_coins", "envelope_ohlc", "envelope_mcap",
     "coin_indicators_left", "asof_price_candle",
-    "union_price_feeds", "top_coins_by_volume",
     "volume_rollup",
     "text_stats",
 ]
