@@ -192,6 +192,51 @@ def with_donchian(df: DataFrame, n: int = 20, round_decimals: int = 6) -> DataFr
     )
 
 
+def with_ichimoku(
+    df: DataFrame,
+    conversion_n: int = 9,
+    base_n: int = 26,
+    span_b_n: int = 52,
+    shift: int = 26,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Ichimoku cloud over OHLC candles: conversion/base lines are
+    midpoints of the rolling high/low range (NULL until each window
+    fills, [[with_sma]] convention); the two leading spans are those
+    midpoints displaced ``shift`` candles FORWARD (``lag`` — the value
+    shown now was computed 26 candles ago) and the lagging span is the
+    close displaced backward (``lead``). The only indicator in the set
+    that composes rolling extremes with row-displaced series — all
+    still native window functions sharing the one entity-key sort.
+    NULLs appear wherever the source window or the displacement runs
+    off the series edge, exactly as charts draw the cloud."""
+    wo = Window.partitionBy(*KEYS).orderBy("timestamp")
+
+    def _mid(n: int):
+        wn = wo.rowsBetween(-(n - 1), 0)
+        return F.when(
+            F.count("close").over(wn) == n,
+            F.round((F.max("high").over(wn) + F.min("low").over(wn)) / 2.0,
+                    round_decimals),
+        )
+
+    out = (
+        df.withColumn("tenkan", _mid(conversion_n))
+        .withColumn("kijun", _mid(base_n))
+        .withColumn("_span_b_src", _mid(span_b_n))
+    )
+    senkou_a = F.round(
+        (F.lag("tenkan", shift).over(wo) + F.lag("kijun", shift).over(wo)) / 2.0,
+        round_decimals,
+    )
+    return (
+        out.withColumn("senkou_a", senkou_a)
+        .withColumn("senkou_b", F.lag("_span_b_src", shift).over(wo))
+        .withColumn("chikou", F.lead("close", shift).over(wo))
+        .drop("_span_b_src")
+    )
+
+
 def with_rsi(df: DataFrame, col: str = "price", n: int = 14, out: str = "rsi_14") -> DataFrame:
     """Relative Strength Index over n-row rolling clamped deltas
     (W4/P10/A5/W5). Native window functions throughout."""

@@ -824,6 +824,18 @@ def q_donchian(spark, sf_dir):
     )
 
 
+def q_ichimoku(spark, sf_dir):
+    """Ichimoku cloud over the hourly candles (indicators.with_ichimoku)
+    — rolling-extreme midpoints composed with forward/backward row
+    displacement."""
+    from ..operators.indicators import with_ichimoku
+
+    return with_ichimoku(q_ohlc(spark, sf_dir)).select(
+        "coin_id", "exchange", "timestamp",
+        "tenkan", "kijun", "senkou_a", "senkou_b", "chikou",
+    )
+
+
 def q_rolling_beta(spark, sf_dir):
     """24-candle rolling market beta per coin (derive.rolling_beta) —
     windowed covariance/variance over hourly returns vs the
@@ -1557,6 +1569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_profile": q_documents_profile,
     "rolling_beta": q_rolling_beta,
     "cross_exchange_spread": q_cross_exchange_spread,
+    "ichimoku": q_ichimoku,
     # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -1592,7 +1605,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "envelope_mcap": q_envelope_mcap,
     # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
     "coin_indicators_left": q_coin_indicators_left,
-    "asof_price_candle": q_asof_price_candle,
     "volume_rollup": q_volume_rollup,
     # --- LLM-data-pipeline representative ---
     "text_stats": q_text_stats,
@@ -1600,6 +1612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r03 under the CURRENT fixture encoding and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "asof_price_candle": q_asof_price_candle,
     "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
     "active_coins_semi": q_active_coins_semi,
@@ -2260,6 +2273,34 @@ LIMIT 10""",
 SELECT exchange, coin_id, sum(volume) AS total_volume, count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY ROLLUP (exchange, coin_id)""",
+    "ichimoku": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp, tenkan, kijun,
+         round((lag(tenkan, 26) OVER wo + lag(kijun, 26) OVER wo) / 2.0, 6)
+           AS senkou_a,
+         lag(spanb, 26) OVER wo AS senkou_b,
+         lead(close, 26) OVER wo AS chikou
+  FROM (
+    SELECT coin_id, exchange, timestamp, close,
+           CASE WHEN count(close) OVER w9 = 9
+                THEN round((max(high) OVER w9 + min(low) OVER w9) / 2.0, 6)
+           END AS tenkan,
+           CASE WHEN count(close) OVER w26 = 26
+                THEN round((max(high) OVER w26 + min(low) OVER w26) / 2.0, 6)
+           END AS kijun,
+           CASE WHEN count(close) OVER w52 = 52
+                THEN round((max(high) OVER w52 + min(low) OVER w52) / 2.0, 6)
+           END AS spanb
+    FROM ohlc_data
+    WINDOW w9 AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+           w26 AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                   ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+           w52 AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                   ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+  WINDOW wo AS (PARTITION BY coin_id, exchange ORDER BY timestamp)""",
+    ),
     "rolling_beta": _with(
         PRICE_DATA_CTE, OHLC_CTE,
         select="""

@@ -343,3 +343,48 @@ def test_cross_exchange_spread_venues(spark):
     assert rows["C2"].spread_pct is None and rows["C2"].n_venues == 1
     assert rows["C3"].spread_pct is None  # low_close <= 0
     assert rows["C3"].high_close == 2.0 and rows["C3"].low_close == -1.0
+
+
+def test_ichimoku_midpoints_and_shifts(spark):
+    """Conversion/base midpoints against pandas rolling extremes, and
+    the leading/lagging spans displaced exactly `shift` rows."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_ichimoku,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 40
+    close = rng.uniform(5, 15, n).round(3)
+    high = (close + rng.uniform(0.1, 2, n)).round(3)
+    low = (close - rng.uniform(0.1, 2, n)).round(3)
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "i_C1",
+            "exchange": "i",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="1h"),
+            "high": high,
+            "low": low,
+            "close": close,
+        }
+    )
+    got = (
+        with_ichimoku(pdf.pipe(spark.createDataFrame), shift=5)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    tenkan = (
+        (pd.Series(high).rolling(9).max() + pd.Series(low).rolling(9).min()) / 2
+    ).round(6)
+    kijun = (
+        (pd.Series(high).rolling(26).max() + pd.Series(low).rolling(26).min()) / 2
+    ).round(6)
+    assert got["tenkan"][:8].isna().all()
+    assert np.allclose(got["tenkan"][8:], tenkan[8:])
+    assert got["kijun"][:25].isna().all()
+    assert np.allclose(got["kijun"][25:], kijun[25:])
+    # spans displaced 5 rows forward; chikou 5 backward
+    senkou_a = ((tenkan + kijun) / 2).round(6).shift(5)
+    valid = senkou_a.notna()
+    assert np.allclose(got["senkou_a"][valid], senkou_a[valid])
+    assert np.allclose(got["chikou"][: n - 5], close[5:])
+    assert got["chikou"][n - 5 :].isna().all()

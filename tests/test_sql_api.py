@@ -233,6 +233,7 @@ EXPECTED_R4_WINDOW = [
     "volume_cube", "close_pivot", "vwap_hourly", "bollinger_bands",
     "max_drawdown", "atr_14", "obv", "stochastic", "donchian",
     "documents_profile", "rolling_beta", "cross_exchange_spread",
+    "ichimoku",
     "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
     "quality_score", "token_counts", "lang_id", "doc_fingerprint",
     "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
@@ -241,7 +242,7 @@ EXPECTED_R4_WINDOW = [
     "coins_dim", "price_data", "ohlc_candles", "technical_indicators",
     "coin_market_cap", "coin_table",
     "envelope_price", "envelope_coins", "envelope_ohlc", "envelope_mcap",
-    "coin_indicators_left", "asof_price_candle",
+    "coin_indicators_left",
     "volume_rollup",
     "text_stats",
 ]
