@@ -42,6 +42,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning + predicate pushdown into
     the parquet scan are Catalyst's job — callers just select/filter.
 
+    SIDE EFFECT (part of the public contract, ADVICE r4): every call
+    pins two session-level runtime confs —
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC`` — for the REST of the session,
+    because the engine's timestamp semantics (NTZ→LTZ cast below,
+    epoch math vs the DuckDB oracles) are only correct under UTC.
+    Done per-load, not only in session.py, because the driver harness
+    supplies its own SparkSession. A caller that had set a different
+    session TZ gets a ``UserWarning`` instead of a silent override.
+
     Timestamp normalization: the driver's fixture encoding for
     ``events.ts`` has changed across rounds — parquet TIMESTAMP(NANOS)
     (no native Spark type → int64 nanos under the legacy conf, truncated
@@ -52,14 +62,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is therefore canonicalized HERE to session-TZ TIMESTAMP (LTZ), and
     the session TZ is pinned to UTC so the NTZ→LTZ cast is
     value-preserving and epoch math matches DuckDB's naive-as-UTC
-    semantics. Done per-load (runtime conf), not only in session.py,
-    because the driver harness supplies its own SparkSession.
+    semantics.
     ``tests/test_sql_api.py::test_fixture_timestamp_dtypes`` is the
     canary that fails loudly if the encoding changes again.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    # JVM default in a UTC container is "Etc/UTC" — same zone, don't warn
+    if tz not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone=UTC for the rest"
+            f" of the session (was {tz!r}); the engine's timestamp"
+            " semantics require UTC",
+            UserWarning,
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     dtypes = dict(df.dtypes)

@@ -57,6 +57,24 @@ def coins(events: DataFrame) -> DataFrame:
     )
 
 
+def tick_base(events: DataFrame) -> DataFrame:
+    """Raw tick projection of the events table — the shared input shape
+    for price_data and every tick-level window operator. Includes
+    ``event_id`` so callers can use it as the deterministic window
+    tiebreak (tied (coin_id, timestamp) ticks are possible; windows
+    ordered by timestamp alone are engine-order-dependent). Pure
+    column projection: no shuffle, fully pushed into the scan.
+    """
+    return events.select(
+        F.concat(F.col("event_type"), F.lit("_C"), F.col("user_id")).alias("coin_id"),
+        F.col("event_type").alias("exchange"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("price"),
+        (F.abs(F.col("value")) * 100.0).alias("volume"),
+        F.col("event_id"),
+    )
+
+
 def price_data(events: DataFrame) -> DataFrame:
     """Fact time-series (reference DDL spark-streaming.py:62-77).
 
@@ -69,14 +87,7 @@ def price_data(events: DataFrame) -> DataFrame:
     event_id) orderBy gives a deterministic total order even if two ticks
     share a timestamp.
     """
-    base = events.select(
-        F.concat(F.col("event_type"), F.lit("_C"), F.col("user_id")).alias("coin_id"),
-        F.col("event_type").alias("exchange"),
-        F.col("ts").alias("timestamp"),
-        F.col("value").alias("price"),
-        (F.abs(F.col("value")) * 100.0).alias("volume"),
-        F.col("event_id"),
-    )
+    base = tick_base(events)
     w = Window.partitionBy("coin_id").orderBy("timestamp", "event_id")
     changes = [
         F.when(
@@ -149,17 +160,24 @@ def vwap(price: DataFrame, round_decimals: int = 6) -> DataFrame:
     )
 
 
-def max_drawdown(price: DataFrame, round_decimals: int = 6) -> DataFrame:
+def max_drawdown(
+    price: DataFrame,
+    round_decimals: int = 6,
+    order_cols: tuple[str, ...] = ("timestamp",),
+) -> DataFrame:
     """Per-(coin, exchange) maximum drawdown: the most negative
     price/running-peak ratio over the series, plus the peak itself and
     the tick count. One running-max window pass (rows unbounded
     preceding) + one aggregation — two shuffles on the entity keys,
     the same key every indicator shares. Peaks are exact (min/max are
-    order-insensitive); only the final ratio is rounded.
+    order-insensitive); only the final ratio is rounded. Tick-level
+    callers must pass a deterministic tiebreak in ``order_cols`` (e.g.
+    ``("timestamp", "event_id")``) — the running peak at a tied row is
+    otherwise engine-order-dependent.
     """
     w = (
         Window.partitionBy("coin_id", "exchange")
-        .orderBy("timestamp")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     dd = price.withColumn("_peak", F.max("price").over(w))

@@ -63,6 +63,7 @@ def with_bollinger(
     n: int = 20,
     k: float = 2.0,
     round_decimals: int = 6,
+    order_cols: tuple[str, ...] = ("timestamp",),
 ) -> DataFrame:
     """Bollinger bands: n-row rolling mean ± k rolling sample stddevs,
     NULL until the window is full (same fill convention as [[with_sma]]).
@@ -74,8 +75,12 @@ def with_bollinger(
     arithmetic: each engine's incremental variance differs in the last
     ulps, and deriving the bands from the rounded values keeps all
     three columns bit-identical across engines instead of re-drifting.
+
+    ``order_cols``: tick-level callers must pass a deterministic
+    tiebreak (e.g. ``("timestamp", "event_id")``) — a row frame over
+    tied timestamps is otherwise engine-order-dependent.
     """
-    w = Window.partitionBy(*KEYS).orderBy("timestamp").rowsBetween(-(n - 1), 0)
+    w = Window.partitionBy(*KEYS).orderBy(*order_cols).rowsBetween(-(n - 1), 0)
     full = F.count(col).over(w) == n
     mid = F.when(full, F.round(F.avg(col).over(w), round_decimals))
     sd = F.when(full, F.round(F.stddev_samp(col).over(w), round_decimals))
@@ -121,14 +126,21 @@ def with_atr(
     ).drop("_tr")
 
 
-def with_obv(df: DataFrame, round_decimals: int = 6) -> DataFrame:
+def with_obv(
+    df: DataFrame,
+    round_decimals: int = 6,
+    order_cols: tuple[str, ...] = ("timestamp",),
+) -> DataFrame:
     """On-balance volume: running sum of volume signed by the tick's
     price direction (first tick contributes 0 — no prior direction).
     One running-sum window on the shared entity key; the cumulative
-    frame is evaluated in (timestamp) order sequentially by every
-    engine, so the rounded prefix sums are reproducible.
+    frame is evaluated in ``order_cols`` order sequentially by every
+    engine, so the rounded prefix sums are reproducible. Tick-level
+    callers must pass a deterministic tiebreak (e.g. ``("timestamp",
+    "event_id")``) — lag/prefix sums over tied timestamps are
+    otherwise engine-order-dependent.
     """
-    wo = Window.partitionBy(*KEYS).orderBy("timestamp")
+    wo = Window.partitionBy(*KEYS).orderBy(*order_cols)
     delta = F.col("price") - F.lag("price").over(wo)
     signed = (
         F.when(delta > 0, F.col("volume"))

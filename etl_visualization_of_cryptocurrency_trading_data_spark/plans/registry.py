@@ -534,12 +534,19 @@ def q_knn_brute_vectorized(spark, sf_dir):
 
     path = table_path(sf_dir, "embeddings")
     if os.path.isdir(path):  # Spark-written dataset dir vs single file
-        path = os.path.join(path, "*.parquet")
+        # recursive glob: a partitioned/nested layout must not silently
+        # yield zero probes (ADVICE r4)
+        path = os.path.join(path, "**", "*.parquet")
     probes = duckdb.sql(
         "SELECT vec_id, embedding AS emb"
         f" FROM '{path}'"
         " WHERE vec_id % 50 = 0 ORDER BY vec_id"
     ).df()
+    if probes.empty:
+        raise ValueError(
+            f"knn_brute_vectorized: probe scan of {path!r} returned no rows"
+            " — empty/moved source or a layout the glob missed"
+        )
     # match _as_double's float->double widening (exact, value-preserving)
     probes["emb"] = probes["emb"].map(lambda a: np.asarray(a, dtype=np.float64))
     return similarity.knn_brute_vectorized(
@@ -637,6 +644,16 @@ def _price_base(spark, sf_dir):
     return derive.price_data(_events(spark, sf_dir)).select(
         "coin_id", "exchange", "timestamp", "price", "volume"
     )
+
+
+def _price_base_tb(spark, sf_dir):
+    """_price_base plus the event_id tiebreak column, for tick-level
+    window operators (obv / bollinger / max_drawdown): lag, row frames
+    and running peaks over tied (coin_id, timestamp) ticks are
+    engine-order-dependent without it (ADVICE r4). derive.price_data
+    orders its own windows by (timestamp, event_id) for the same
+    reason. Callers must drop/aggregate event_id out of their output."""
+    return derive.tick_base(_events(spark, sf_dir))
 
 
 def q_coin_indicators_left(spark, sf_dir):
@@ -775,15 +792,17 @@ def q_bollinger_bands(spark, sf_dir):
     on the shared (coin, exchange) shuffle."""
     from ..operators.indicators import with_bollinger
 
-    return with_bollinger(_price_base(spark, sf_dir)).select(
-        "coin_id", "exchange", "timestamp", "bb_mid", "bb_upper", "bb_lower"
-    )
+    return with_bollinger(
+        _price_base_tb(spark, sf_dir), order_cols=("timestamp", "event_id")
+    ).select("coin_id", "exchange", "timestamp", "bb_mid", "bb_upper", "bb_lower")
 
 
 def q_max_drawdown(spark, sf_dir):
     """Per-coin maximum drawdown vs running peak (derive.max_drawdown):
     one running-max window + one aggregation on the shared entity key."""
-    return derive.max_drawdown(_price_base(spark, sf_dir))
+    return derive.max_drawdown(
+        _price_base_tb(spark, sf_dir), order_cols=("timestamp", "event_id")
+    )
 
 
 def q_atr_14(spark, sf_dir):
@@ -800,9 +819,9 @@ def q_obv(spark, sf_dir):
     """On-balance volume running sum per coin (indicators.with_obv)."""
     from ..operators.indicators import with_obv
 
-    return with_obv(_price_base(spark, sf_dir)).select(
-        "coin_id", "exchange", "timestamp", "obv"
-    )
+    return with_obv(
+        _price_base_tb(spark, sf_dir), order_cols=("timestamp", "event_id")
+    ).select("coin_id", "exchange", "timestamp", "obv")
 
 
 def q_stochastic(spark, sf_dir):
@@ -956,6 +975,18 @@ SELECT event_type || '_C' || user_id AS coin_id,
        ts AS timestamp,
        value AS price,
        abs(value) * 100 AS volume
+FROM events"""
+
+# tick projection + the event_id tiebreak column, for oracles of
+# tick-level window queries (obv / bollinger / max_drawdown) — mirrors
+# derive.tick_base so both engines order tied ticks identically
+PRICE_BASE_TB_SQL = """
+SELECT event_type || '_C' || user_id AS coin_id,
+       event_type AS exchange,
+       ts AS timestamp,
+       value AS price,
+       abs(value) * 100 AS volume,
+       event_id
 FROM events"""
 
 ENVELOPE_TICK_OHLC_SQL = """
@@ -2370,17 +2401,17 @@ SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
        count(DISTINCT source)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
 FROM documents""",
     "obv": f"""
-WITH base AS ({PRICE_BASE_SQL}),
+WITH base AS ({PRICE_BASE_TB_SQL}),
 s AS (
-  SELECT coin_id, exchange, timestamp, volume,
+  SELECT coin_id, exchange, timestamp, event_id, volume,
          price - lag(price) OVER w AS delta
   FROM base
-  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id)
 )
 SELECT coin_id, exchange, timestamp,
        round(sum(CASE WHEN delta > 0 THEN volume
                       WHEN delta < 0 THEN -volume ELSE 0.0 END)
-             OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+             OVER (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id
                    ROWS UNBOUNDED PRECEDING), 6) AS obv
 FROM s""",
     "stochastic": _with(
@@ -2421,10 +2452,11 @@ FROM s""",
                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""",
     ),
     "max_drawdown": f"""
-WITH base AS ({PRICE_BASE_SQL}),
+WITH base AS ({PRICE_BASE_TB_SQL}),
 dd AS (
   SELECT coin_id, exchange, price,
-         max(price) OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+         max(price) OVER (PARTITION BY coin_id, exchange
+                          ORDER BY timestamp, event_id
                           ROWS UNBOUNDED PRECEDING) AS peak
   FROM base
 )
@@ -2462,14 +2494,14 @@ SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY coin_id, exchange, date_trunc('hour', timestamp)""",
     "bollinger_bands": f"""
-WITH base AS ({PRICE_BASE_SQL}),
+WITH base AS ({PRICE_BASE_TB_SQL}),
 w AS (
   SELECT coin_id, exchange, timestamp,
          count(price) OVER win AS c,
          round(avg(price) OVER win, 6) AS mid,
          round(stddev_samp(price) OVER win, 6) AS sd
   FROM base
-  WINDOW win AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+  WINDOW win AS (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 )
 SELECT coin_id, exchange, timestamp,

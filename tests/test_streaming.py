@@ -610,3 +610,25 @@ def test_vwap_stream_matches_batch(spark, tmp_path, price_df):
     for c in ["vwap", "total_volume"]:
         np.testing.assert_allclose(merged[c], merged[f"{c}_b"], rtol=0, atol=0)
     assert (merged["n_ticks"] == merged["n_ticks_b"]).all()
+    # Coverage floor (ADVICE r4): append mode legitimately withholds
+    # trailing windows, but every batch window that CLOSED strictly
+    # below the final watermark — max event time of all but the last
+    # spool chunk (delay=0, chunks are time-ordered quartiles) — must
+    # have been emitted. A regression dropping most windows can no
+    # longer hide behind the len>0 guard above.
+    p75 = price_df.selectExpr(
+        "percentile(cast(timestamp as double), 0.75) AS p"
+    ).collect()[0][0]
+    watermark = (
+        price_df.filter(F.col("timestamp").cast("double") <= p75)
+        .agg(F.max("timestamp"))
+        .collect()[0][0]
+    )
+    closed = batch[
+        batch["timestamp"] + pd.Timedelta(hours=1) < watermark
+    ]
+    assert len(closed) > 0, "floor is vacuous — spool layout changed?"
+    missing = closed.set_index(KEYCOLS).index.difference(
+        got.set_index(KEYCOLS).index
+    )
+    assert len(missing) == 0, f"stream withheld closed windows: {list(missing[:5])}"
