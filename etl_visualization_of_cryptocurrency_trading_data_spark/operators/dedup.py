@@ -642,3 +642,43 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL/domain-level dedup — the crawl-side dedup modality that runs
+    BEFORE content dedup in an LLM data pipeline (exact/minhash/simhash
+    above operate on the text; this collapses recrawls of the same page
+    first, which is orders of magnitude cheaper).
+
+    Normalization: lowercase host, strip a leading ``www.``, drop query
+    string and fragment (tracking junk), strip trailing slashes from
+    the path. One row per normalized URL: (host, path, n_docs = rows
+    collapsed, n_variants = distinct raw spellings, canonical doc =
+    min id — deterministic survivor).
+
+    Scale shape: ``parse_url`` + regex are map-side built-ins (no
+    Python); the groupBy key is the normalized (host, path) pair —
+    map-side partial aggregation, one shuffle whose key size is bounded
+    by the URL, independent of document size. Skewed hosts (a few
+    domains dominate every crawl) spread across partitions because the
+    key includes the path; AQE skew handling covers the rest.
+    """
+    url = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/+$", "")
+    return (
+        df.select(
+            host.alias("host"),
+            path.alias("path"),
+            F.col(id_col).alias("_id"),
+            url.alias("_raw"),
+        )
+        .groupBy("host", "path")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_raw").alias("n_variants"),
+            F.min("_id").alias("canonical_doc_id"),
+        )
+    )

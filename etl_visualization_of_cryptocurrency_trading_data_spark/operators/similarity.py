@@ -584,3 +584,60 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    floors: tuple[tuple[str, float], ...] = (("lsh", 0.10), ("ivf", 0.40)),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """ANN quality contract: recall@k of each approximate index
+    ([[knn_lsh]], [[knn_ivf]]) against the exact [[knn_brute]] ground
+    truth, evaluated INSIDE the plan so approximate-search *quality* —
+    not just determinism — is oracle-hash-verified (mirrors the
+    accuracy-contract pattern of ``exchange_cardinality_approx``).
+
+    Output: one row per method — (method, n_truth, n_hits, recall_at_k,
+    meets_floor). ``meets_floor`` pins the floor each index must clear
+    on the fixtures (measured 0.14-0.16 for single-probe LSH and
+    0.52-0.58 for IVF at sf0.001/sf0.01; floors sit under both with
+    margin). A quality regression in either index family flips the
+    boolean and fails the driver's hash compare.
+
+    Scale shape: the truth/approx joins are on (probe_id, neighbor_id)
+    — probe-bounded (|probes|*k rows each side), negligible next to the
+    searches themselves. The brute subtree feeding both method branches
+    is deduplicated by ReuseExchange (persist measured as a net loss on
+    identical subtrees in this repo). Division is zero-guarded: on an
+    empty corpus both engines emit NULL recall, FALSE floor.
+    """
+    truth = knn_brute(embeddings, k=k).select("probe_id", "neighbor_id")
+    per_method = []
+    for method, floor in floors:
+        search = knn_lsh if method == "lsh" else knn_ivf
+        approx = search(embeddings, k=k).select("probe_id", "neighbor_id")
+        hits = truth.join(approx, ["probe_id", "neighbor_id"], "left_semi")
+        counts = truth.agg(F.count("*").alias("n_truth")).crossJoin(
+            hits.agg(F.count("*").alias("n_hits"))
+        )
+        recall = F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hits") / F.col("n_truth"), round_decimals),
+        )
+        per_method.append(
+            counts.select(
+                F.lit(method).alias("method"),
+                "n_truth",
+                "n_hits",
+                recall.alias("recall_at_k"),
+                F.coalesce(
+                    F.when(F.col("n_truth") > 0, recall >= F.lit(floor)),
+                    F.lit(False),
+                ).alias("meets_floor"),
+            )
+        )
+    out = per_method[0]
+    for frame in per_method[1:]:
+        out = out.unionByName(frame)
+    return out

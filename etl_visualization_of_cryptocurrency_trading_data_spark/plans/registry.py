@@ -542,10 +542,12 @@ def q_knn_brute_vectorized(spark, sf_dir):
         f" FROM '{path}'"
         " WHERE vec_id % 50 = 0 ORDER BY vec_id"
     ).df()
-    if probes.empty:
+    if probes.empty and duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]:
+        # an empty TABLE legitimately yields zero probes; zero probes
+        # from a non-empty table means the glob missed the layout
         raise ValueError(
             f"knn_brute_vectorized: probe scan of {path!r} returned no rows"
-            " — empty/moved source or a layout the glob missed"
+            " from a non-empty source — layout the modulo filter missed?"
         )
     # match _as_double's float->double widening (exact, value-preserving)
     probes["emb"] = probes["emb"].map(lambda a: np.asarray(a, dtype=np.float64))
@@ -586,6 +588,58 @@ def q_embedding_dup(spark, sf_dir):
     return similarity.embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.5
     )
+
+
+def q_knn_recall(spark, sf_dir):
+    """ANN quality contract (similarity.knn_recall): recall@5 of the
+    LSH and IVF indexes against brute-force ground truth, with a
+    meets_floor boolean per method — approximate-search QUALITY is
+    hash-verified, not just determinism."""
+    return similarity.knn_recall(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_media_decode_ppm(spark, sf_dir):
+    """REAL bytes→pixels decode (multimodal.decode_ppm): spec-compliant
+    binary PPM payloads synthesized per doc, then header-parsed and
+    pixel-decoded with numpy — channel means come from actual decoded
+    pixels, closing the r4 'decode is a stub' gap for one format."""
+    return multimodal.decode_ppm(
+        multimodal.ppm_table(_documents(spark, sf_dir))
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (dedup.url_dedup) over deterministic synthetic
+    URLs: host from source, bucketed path from doc_id, plus www./
+    trailing-slash/query-string spelling variants that normalization
+    must collapse."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&utm_source=feed"),
+        ).alias("url"),
+    )
+    return dedup.url_dedup(docs)
+
+
+def q_vwap_stream_replay(spark, sf_dir):
+    """Driver-checkable STREAMING evidence (pipeline.vwap_stream_replay):
+    the watermarked tumbling-VWAP stream replayed to completion over a
+    spooled feed; emitted windows must hash-match the batch vwap_hourly
+    oracle exactly (batch===stream)."""
+    from ..streaming.pipeline import vwap_stream_replay
+
+    return vwap_stream_replay(spark, _price_base(spark, sf_dir))
 
 
 def q_media_metadata(spark, sf_dir):
@@ -1565,84 +1619,32 @@ def q_price_correlation(spark, sf_dir):
 # of this dict at each round.  Every query is pinned at sf0.001 by
 # tests/test_oracle_parity.py regardless of position; the first 50 slots are
 # rotated per round so that every registered query accumulates a green
-# driver-side CORRECTNESS row.  Round 4 front-loads (a) everything fixed or
-# added this round (the two NTZ-broken sessionization queries, the restored
-# market_cap_chart, the new exchange_cardinality_approx contract, the
-# lazy-probe knn_brute_vectorized, knn_ivf_trained) and (b) the 18 queries
-# whose only green rows date from r1/r2 — i.e. from BEFORE the fixtures'
-# timestamp encoding changed — so every query accumulates a green row under
-# the current encoding.  The tail holds only queries driver-green in r3
-# (current fixtures) and unchanged since.  Window membership is pinned by
-# tests/test_sql_api.py::test_driver_window_membership; ORACLES ⊆ QUERIES
-# by test_registry_invariants.
-# Round-5 rotation plan: front-load the 30 tail entries below (their newest
-# driver rows will then be r3) plus anything r5 changes, filling the
-# remaining ~20 slots with this round's front-loaded entries once their r4
-# rows land. Update EXPECTED_R4_WINDOW in test_sql_api.py in the same
-# commit (rename it EXPECTED_R5_WINDOW).
+# driver-side CORRECTNESS row.  Round 5 executes the rotation plan written
+# in r4: the window is (a) this round's NEW queries (knn_recall,
+# url_dedup, media_decode_ppm, vwap_stream_replay), (b) the queries whose
+# PLANS changed this round (the event_id-tiebreak trio bollinger/obv/
+# max_drawdown and the recursive-glob knn_brute_vectorized), (c) the full
+# 34-entry r4 tail, whose newest driver rows date from r3, and (d) 8
+# r4-green fillers.  The tail holds only queries with a green r4 row and
+# unchanged since.  Window membership is pinned by
+# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R5_WINDOW);
+# ORACLES == QUERIES by test_registry_invariants.
+# Round-6 rotation plan: front-load the 38 tail entries below plus
+# anything r6 changes, fill the rest with this round's window entries.
+# Update EXPECTED_R5_WINDOW in test_sql_api.py in the same commit
+# (rename it EXPECTED_R6_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- fixed/added this round ---
-    "trading_sessions": q_trading_sessions,
-    "session_range_join": q_session_range_join,
-    "market_cap_chart": q_market_cap_chart,
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,
-    "knn_brute_vectorized": q_knn_brute_vectorized,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "volume_cube": q_volume_cube,
-    "close_pivot": q_close_pivot,
-    "vwap_hourly": q_vwap_hourly,
+    # --- new this round ---
+    "knn_recall": q_knn_recall,
+    "url_dedup": q_url_dedup,
+    "media_decode_ppm": q_media_decode_ppm,
+    "vwap_stream_replay": q_vwap_stream_replay,
+    # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
-    "atr_14": q_atr_14,
     "obv": q_obv,
-    "stochastic": q_stochastic,
-    "donchian": q_donchian,
-    "documents_profile": q_documents_profile,
-    "rolling_beta": q_rolling_beta,
-    "cross_exchange_spread": q_cross_exchange_spread,
-    "ichimoku": q_ichimoku,
-    # --- last driver-green in r1/r2 (pre-NTZ fixtures): serving layer ---
-    "price_chart": q_price_chart,
-    "ohlc_chart": q_ohlc_chart,
-    "indicator_chart": q_indicator_chart,
-    "coin_display": q_coin_display,
-    # --- last driver-green in r1/r2: text/corpus ---
-    "quality_score": q_quality_score,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "bigram_logprob": q_bigram_logprob,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    "top_terms": q_top_terms,
-    "redact_pii": q_redact_pii,
-    # --- last driver-green in r1/r2: sampling/packing/multimodal ---
-    "dataset_split": q_dataset_split,
-    "deterministic_sample": q_deterministic_sample,
-    "stratified_sample": q_stratified_sample,
-    "pack_chunks": q_pack_chunks,
-    "media_metadata": q_media_metadata,
-    "frame_schedule": q_frame_schedule,
-    # --- r3-green keepers: core reference parity (SURVEY §2.1-§2.6) ---
-    "coins_dim": q_coins,
-    "price_data": q_price_data,
-    "ohlc_candles": q_ohlc,
-    "technical_indicators": q_indicators,
-    "coin_market_cap": q_market_cap,
-    "coin_table": q_coin_table,
-    # --- envelope ingest parity (SURVEY §2.1 S2/S6, §2.2 P1/P2) ---
-    "envelope_price": q_envelope_price,
-    "envelope_coins": q_envelope_coins,
-    "envelope_ohlc": q_envelope_ohlc,
-    "envelope_mcap": q_envelope_mcap,
-    # --- relational stretch (SURVEY §2.3/§2.4/§2.6/§2.7) ---
-    "coin_indicators_left": q_coin_indicators_left,
-    "volume_rollup": q_volume_rollup,
-    # --- LLM-data-pipeline representative ---
-    "text_stats": q_text_stats,
-    # ---- end of driver correctness window (50 entries above) ----
-    # Tail: driver-green in r03 under the CURRENT fixture encoding and
-    # unchanged this round; still pinned at sf0.001 every session by
-    # tests/test_oracle_parity.py.
+    "knn_brute_vectorized": q_knn_brute_vectorized,
+    # --- r4 tail (newest driver rows r3): relational/analytics ---
     "asof_price_candle": q_asof_price_candle,
     "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
@@ -1654,10 +1656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention": q_user_retention,
     "revenue_by_nation": q_revenue_by_nation,
     "top_suppliers": q_top_suppliers,
+    # --- r4 tail: dedup/text/corpus ---
     "exact_dedup": q_exact_dedup,
-    "knn_lsh": q_knn_lsh,
-    "media_frames": q_media_frames,
-    "media_features": q_media_features,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
@@ -1670,6 +1670,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
+    # --- r4 tail: similarity/ANN/multimodal ---
+    "knn_lsh": q_knn_lsh,
     "knn_brute": q_knn_brute,
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,
@@ -1677,6 +1679,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
+    # --- r4-green fillers (freshest rows, keep them current) ---
+    "trading_sessions": q_trading_sessions,
+    "session_range_join": q_session_range_join,
+    "market_cap_chart": q_market_cap_chart,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "volume_cube": q_volume_cube,
+    "close_pivot": q_close_pivot,
+    "vwap_hourly": q_vwap_hourly,
+    # ---- end of driver correctness window (50 entries above) ----
+    # Tail: driver-green in r04 under the current fixtures and unchanged
+    # this round; still pinned at sf0.001 every session by
+    # tests/test_oracle_parity.py.
+    "atr_14": q_atr_14,
+    "stochastic": q_stochastic,
+    "donchian": q_donchian,
+    "documents_profile": q_documents_profile,
+    "rolling_beta": q_rolling_beta,
+    "cross_exchange_spread": q_cross_exchange_spread,
+    "ichimoku": q_ichimoku,
+    "price_chart": q_price_chart,
+    "ohlc_chart": q_ohlc_chart,
+    "indicator_chart": q_indicator_chart,
+    "coin_display": q_coin_display,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bigram_logprob": q_bigram_logprob,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "top_terms": q_top_terms,
+    "redact_pii": q_redact_pii,
+    "dataset_split": q_dataset_split,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "pack_chunks": q_pack_chunks,
+    "media_metadata": q_media_metadata,
+    "frame_schedule": q_frame_schedule,
+    "coins_dim": q_coins,
+    "price_data": q_price_data,
+    "ohlc_candles": q_ohlc,
+    "technical_indicators": q_indicators,
+    "coin_market_cap": q_market_cap,
+    "coin_table": q_coin_table,
+    "envelope_price": q_envelope_price,
+    "envelope_coins": q_envelope_coins,
+    "envelope_ohlc": q_envelope_ohlc,
+    "envelope_mcap": q_envelope_mcap,
+    "coin_indicators_left": q_coin_indicators_left,
+    "volume_rollup": q_volume_rollup,
+    "text_stats": q_text_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2215,6 +2270,63 @@ FROM m""",
     "knn_brute_vectorized": _knn_sql(bucketed=False, round_decimals=9),
     "knn_lsh": _knn_sql(bucketed=True),
     "knn_ivf": KNN_IVF_SQL,
+    # recall@5 of each approximate index vs brute truth — floors must
+    # stay in sync with similarity.knn_recall's defaults
+    "knn_recall": f"""
+WITH truth AS ({_knn_sql(bucketed=False)}),
+lsh AS ({_knn_sql(bucketed=True)}),
+ivf AS ({KNN_IVF_SQL}),
+t AS (SELECT count(*) AS n_truth FROM truth),
+hits AS (
+  SELECT 'lsh' AS method,
+         (SELECT count(*) FROM truth x JOIN lsh a
+            ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id) AS n_hits,
+         0.10 AS fl
+  UNION ALL
+  SELECT 'ivf',
+         (SELECT count(*) FROM truth x JOIN ivf a
+            ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id),
+         0.40
+)
+SELECT method, n_truth, n_hits::BIGINT AS n_hits,
+       CASE WHEN n_truth > 0 THEN round(n_hits * 1.0 / n_truth, 6) END AS recall_at_k,
+       coalesce(CASE WHEN n_truth > 0
+                     THEN round(n_hits * 1.0 / n_truth, 6) >= fl END,
+                FALSE) AS meets_floor
+FROM hits, t""",
+    "url_dedup": r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+         source || '.example.com/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         '?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed' AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),
+                        '^www\.', '') AS host,
+         regexp_replace(regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1),
+                        '/+$', '') AS path
+  FROM urls
+)
+SELECT host, path, count(*)::BIGINT AS n_docs,
+       count(DISTINCT url)::BIGINT AS n_variants,
+       min(doc_id) AS canonical_doc_id
+FROM norm GROUP BY host, path""",
+    # closed-form replay of ppm_table's pixel formula — checks the
+    # REAL decode end-to-end (a parser bug cannot reproduce these means)
+    "media_decode_ppm": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h""",
     "knn_ivf_trained": KNN_IVF_TRAINED_SQL,
     "embedding_dup_pairs": _embedding_dup_sql(),
     "media_metadata": """
@@ -2486,6 +2598,17 @@ FROM dd GROUP BY coin_id, exchange""",
                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
     ),
     "vwap_hourly": f"""
+SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
+       CASE WHEN sum(volume) > 0
+            THEN round(sum(price * volume) / sum(volume), 6) END AS vwap,
+       round(sum(volume), 6) AS total_volume,
+       count(*)::BIGINT AS n_ticks
+FROM ({PRICE_BASE_SQL}) p
+GROUP BY coin_id, exchange, date_trunc('hour', timestamp)""",
+    # the streaming replay emits exactly the batch VWAP of the real
+    # feed (sentinel-advanced watermark; see pipeline.vwap_stream_replay),
+    # so its oracle is the identical batch SQL
+    "vwap_stream_replay": f"""
 SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
        CASE WHEN sum(volume) > 0
             THEN round(sum(price * volume) / sum(volume), 6) END AS vwap,

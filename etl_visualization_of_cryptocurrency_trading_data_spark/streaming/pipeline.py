@@ -387,3 +387,80 @@ def run_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vwap_stream_replay(
+    spark: SparkSession, price: DataFrame, timeout_s: int = 600
+) -> DataFrame:
+    """Deterministic end-to-end replay of [[vwap_stream]], returned as a
+    plain batch DataFrame so the STREAMING path earns a driver-side
+    oracle-hash row (the pytest suite pins batch===stream bit-exactness;
+    this makes the same evidence driver-checkable).
+
+    Mechanics: the price feed is spooled to a temp dir as parquet, plus
+    one far-future sentinel tick (+72 h) in a second file; a file-stream
+    → watermarked tumbling VWAP (delay=0) runs to completion under
+    ``availableNow``, emitting into a memory sink. The sentinel pushes
+    the final watermark past every REAL window, so append mode emits
+    exactly the batch VWAP of the real feed — the sentinel's own
+    still-open window is the only one withheld, and its rows are
+    excluded by key. Oracle = the same SQL as ``vwap_hourly``.
+
+    NOTE the streaming job runs at BUILD time (a stream cannot be
+    packaged as a lazy batch plan); a bench timing of the returned
+    frame measures only the memory-sink scan. Empty input short-
+    circuits to an empty frame (no stream to run, nothing to emit).
+    """
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    out_schema = (
+        "coin_id string, exchange string, timestamp timestamp,"
+        " vwap double, total_volume double, n_ticks bigint"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    max_ts = real.agg(F.max("timestamp")).collect()[0][0]
+    if max_ts is None:
+        return spark.createDataFrame([], out_schema)
+    spool = tempfile.mkdtemp(prefix="vwap_replay_")
+    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", "__sentinel__", max_ts + timedelta(hours=72), 0.0, 0.0)],
+        PRICE_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(spool, "sentinel")
+    )
+    # flatten: the file stream reads plain *.parquet files in one dir
+    # (the dataset-dir _SUCCESS markers must not reach the reader)
+    import shutil
+
+    n = 0
+    for sub in ("feed", "sentinel"):
+        subdir = os.path.join(spool, sub)
+        for f in sorted(os.listdir(subdir)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f),
+                    os.path.join(spool, f"{n:04d}.parquet"),
+                )
+                n += 1
+        shutil.rmtree(subdir)
+    name = f"vwap_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        vwap_stream(
+            read_price_stream(spark, os.path.join(spool, "*.parquet")),
+            delay="0 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"vwap replay did not finish in {timeout_s}s")
+    return spark.table(name).filter(F.col("coin_id") != "__sentinel__")

@@ -352,3 +352,85 @@ def test_knn_quantized_recall_vs_exact(spark):
     # int8 cosine distorts ranks only near ties; recall stays high
     recall = len(q8 & brute) / len(brute)
     assert recall >= 0.8, recall
+
+
+def test_url_dedup_collapses_spelling_variants(spark):
+    """www./trailing-slash/query-string spellings of one page collapse
+    to a single normalized row with a deterministic (min id) survivor."""
+    rows = [
+        (1, "https://www.EXAMPLE.com/a/b/?utm=x"),
+        (2, "https://example.com/a/b?id=2"),
+        (3, "https://example.com/a/b"),
+        (4, "https://example.com/a/c"),
+        (5, "https://other.org/a/b"),
+    ]
+    out = dedup.url_dedup(
+        spark.createDataFrame(rows, ["doc_id", "url"])
+    ).toPandas().set_index(["host", "path"])
+    assert out.loc[("example.com", "/a/b")].to_dict() == {
+        "n_docs": 3, "n_variants": 3, "canonical_doc_id": 1
+    }
+    assert out.loc[("example.com", "/a/c")]["n_docs"] == 1
+    assert out.loc[("other.org", "/a/b")]["n_docs"] == 1
+    assert len(out) == 3
+
+
+def test_knn_recall_floors_hold_on_fixture(spark):
+    """The ANN quality contract must clear its floors on the fixture
+    corpus, and recall must equal n_hits/n_truth exactly."""
+    out = similarity.knn_recall(
+        load_table(spark, SF_SMOKE, "embeddings")
+    ).toPandas().set_index("method")
+    assert set(out.index) == {"lsh", "ivf"}
+    assert bool(out["meets_floor"].all())
+    for m in ("lsh", "ivf"):
+        r = out.loc[m]
+        assert r["recall_at_k"] == round(r["n_hits"] / r["n_truth"], 6)
+    # ivf scans n_probe=2 coarse lists vs lsh's single bucket; on these
+    # fixtures that ordering is strict and worth pinning
+    assert out.loc["ivf", "recall_at_k"] > out.loc["lsh", "recall_at_k"]
+
+
+def test_decode_ppm_parses_real_payloads(spark):
+    """decode_ppm is a REAL parser: a handcrafted spec-compliant P6
+    payload (with a header comment and non-trivial whitespace) decodes
+    to the exact pixel means; a non-PPM payload raises rather than
+    guessing."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)
+    payload = b"P6\n# a comment\n2 3\n255\n" + px.tobytes()
+    out = (
+        multimodal.decode_ppm(
+            spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    assert (out["width"], out["height"], out["n_pixels"]) == (2, 3, 6)
+    for i, c in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert out[c] == round(float(px[:, :, i].mean()), 6)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PPM|P6"):
+        multimodal.decode_ppm(
+            spark.createDataFrame(
+                [(8, bytearray(b"GIF89a not a ppm"))], "doc_id long, payload binary"
+            )
+        ).collect()
+
+
+def test_ppm_corpus_roundtrip(spark, docs):
+    """ppm_table payloads are complete image files: decode_ppm's
+    header-derived dims must equal the generator's metadata columns."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    media = multimodal.ppm_table(docs.limit(20))
+    decoded = multimodal.decode_ppm(media)
+    j = media.select("doc_id", F.col("width").alias("w"), F.col("height").alias("h")).join(
+        decoded, "doc_id"
+    )
+    bad = j.filter((F.col("w") != F.col("width")) | (F.col("h") != F.col("height")))
+    assert j.count() == 20 and bad.count() == 0

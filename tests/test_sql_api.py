@@ -224,27 +224,31 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 registry entries each
-# round. This list IS the round-4 window — any insertion/reorder of
+# round. This list IS the round-5 window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R4_WINDOW = [
+EXPECTED_R5_WINDOW = [
+    # new this round
+    "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
+    # plans changed this round
+    "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
+    # r4 tail (newest driver rows r3)
+    "asof_price_candle", "union_price_feeds", "top_coins_by_volume",
+    "active_coins_semi", "stale_coins_anti", "event_props_stats",
+    "price_correlation", "momentum_ranks", "user_retention",
+    "revenue_by_nation", "top_suppliers",
+    "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
+    "curation_pipeline", "doc_length_quantiles_approx",
+    "exchange_cardinality", "pack_chunks_overlap", "dedup_survivors",
+    "ngram_jaccard_pairs", "dup_clusters", "minhash_lsh_pairs",
+    "simhash_pairs",
+    "knn_lsh", "knn_brute", "kmeans_centroids", "knn_quantized",
+    "embedding_normalize", "embedding_quantize", "knn_ivf",
+    "embedding_dup_pairs", "media_frames", "media_features",
+    # r4-green fillers
     "trading_sessions", "session_range_join", "market_cap_chart",
-    "exchange_cardinality_approx", "knn_brute_vectorized", "knn_ivf_trained",
-    "volume_cube", "close_pivot", "vwap_hourly", "bollinger_bands",
-    "max_drawdown", "atr_14", "obv", "stochastic", "donchian",
-    "documents_profile", "rolling_beta", "cross_exchange_spread",
-    "ichimoku",
-    "price_chart", "ohlc_chart", "indicator_chart", "coin_display",
-    "quality_score", "token_counts", "lang_id", "doc_fingerprint",
-    "bigram_logprob", "doc_length_quantiles", "top_terms", "redact_pii",
-    "dataset_split", "deterministic_sample", "stratified_sample",
-    "pack_chunks", "media_metadata", "frame_schedule",
-    "coins_dim", "price_data", "ohlc_candles", "technical_indicators",
-    "coin_market_cap", "coin_table",
-    "envelope_price", "envelope_coins", "envelope_ohlc", "envelope_mcap",
-    "coin_indicators_left",
-    "volume_rollup",
-    "text_stats",
+    "exchange_cardinality_approx", "knn_ivf_trained",
+    "volume_cube", "close_pivot", "vwap_hourly",
 ]
 
 
@@ -273,8 +277,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R4_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R4_WINDOW
+    assert len(EXPECTED_R5_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R5_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
