@@ -41,6 +41,21 @@ def main() -> None:
             load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
         except Exception as e:  # noqa: BLE001 — warmup must never kill the artifact
             print(f"bench: warmup of {t} failed: {e}", file=sys.stderr)
+    # Warm the Python-worker/Arrow path too: daemon + worker fork and
+    # Arrow serde init cost ~2 s that otherwise lands on whichever
+    # registry query happens to be the FIRST pandas-UDF plan — measured
+    # as knn_brute_vectorized's phantom 0.33 s -> 2.74 s "regression"
+    # when the r4 window rotation moved it ahead of the indicator
+    # queries (r5 A/B: all arms converge to ~0.33 s once warm).
+    try:
+        def _identity(batches):
+            yield from batches
+
+        spark.range(1_000).mapInPandas(_identity, "id long").write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: python-worker warmup failed: {e}", file=sys.stderr)
 
     # Per-query isolation: one broken query must never zero out the
     # whole artifact (round 3's bench died on query 22 of 69 and
