@@ -552,11 +552,21 @@ def knn_lsh(
     probe_filter: Column | None = None,
     k: int = 5,
     n_planes: int = LSH_PLANES,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the probe's
     LSH bucket, then exact cosine + top-k within candidates. At scale
     the bucket column is a partition/cluster key, so a probe touches
-    1/2^H of the corpus."""
+    1/2^H of the corpus.
+
+    ``multiprobe=True`` additionally searches every bucket at Hamming
+    distance 1 from the probe's (flip each of the H sign bits) — the
+    standard recall/cost dial for sign-bit LSH: candidates grow to
+    (H+1)/2^H of the corpus and recall roughly triples on the fixtures
+    (0.14 -> 0.42 at sf0.01, 0.16 -> 0.46 at sf0.001; pinned by the
+    ``knn_recall`` contract).
+    Still one declarative equi-join on the bucket key — the probe side
+    just explodes to H+1 bucket rows first."""
     if probe_filter is None:
         probe_filter = F.col("vec_id") % 50 == 0
     planes = hyperplanes(n_planes)
@@ -569,6 +579,19 @@ def knn_lsh(
         F.col("emb").alias("probe_emb"),
         F.col("bucket").alias("probe_bucket"),
     )
+    if multiprobe:
+        cand_buckets = F.array(
+            F.col("probe_bucket"),
+            *[
+                F.col("probe_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        probes = probes.select(
+            "probe_id",
+            "probe_emb",
+            F.explode(cand_buckets).alias("probe_bucket"),
+        )
     scored = (
         base.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -589,7 +612,11 @@ def knn_lsh(
 def knn_recall(
     embeddings: DataFrame,
     k: int = 5,
-    floors: tuple[tuple[str, float], ...] = (("lsh", 0.10), ("ivf", 0.40)),
+    floors: tuple[tuple[str, float], ...] = (
+        ("lsh", 0.10),
+        ("lsh_mp", 0.30),
+        ("ivf", 0.40),
+    ),
     round_decimals: int = 6,
 ) -> DataFrame:
     """ANN quality contract: recall@k of each approximate index
@@ -600,9 +627,9 @@ def knn_recall(
 
     Output: one row per method — (method, n_truth, n_hits, recall_at_k,
     meets_floor). ``meets_floor`` pins the floor each index must clear
-    on the fixtures (measured 0.14-0.16 for single-probe LSH and
-    0.52-0.58 for IVF at sf0.001/sf0.01; floors sit under both with
-    margin). A quality regression in either index family flips the
+    on the fixtures (measured at sf0.001/sf0.01: 0.14-0.16 single-probe
+    LSH, 0.42-0.46 multiprobe LSH, 0.52-0.58 IVF; floors sit under each
+    with margin). A quality regression in any index family flips the
     boolean and fails the driver's hash compare.
 
     Scale shape: the truth/approx joins are on (probe_id, neighbor_id)
@@ -612,11 +639,15 @@ def knn_recall(
     identical subtrees in this repo). Division is zero-guarded: on an
     empty corpus both engines emit NULL recall, FALSE floor.
     """
+    searches = {
+        "lsh": lambda e: knn_lsh(e, k=k),
+        "lsh_mp": lambda e: knn_lsh(e, k=k, multiprobe=True),
+        "ivf": lambda e: knn_ivf(e, k=k),
+    }
     truth = knn_brute(embeddings, k=k).select("probe_id", "neighbor_id")
     per_method = []
     for method, floor in floors:
-        search = knn_lsh if method == "lsh" else knn_ivf
-        approx = search(embeddings, k=k).select("probe_id", "neighbor_id")
+        approx = searches[method](embeddings).select("probe_id", "neighbor_id")
         hits = truth.join(approx, ["probe_id", "neighbor_id"], "left_semi")
         counts = truth.agg(F.count("*").alias("n_truth")).crossJoin(
             hits.agg(F.count("*").alias("n_hits"))

@@ -513,6 +513,15 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_knn_lsh_multiprobe(spark, sf_dir):
+    """Multiprobe sign-bit LSH (similarity.knn_lsh multiprobe=True):
+    own bucket + all Hamming-1 buckets — the recall/cost dial, recall
+    ~3x single-probe on the fixtures (pinned by knn_recall)."""
+    return similarity.knn_lsh(
+        load_table(spark, sf_dir, "embeddings"), k=5, multiprobe=True
+    )
+
+
 def q_knn_brute_vectorized(spark, sf_dir):
     """round_decimals=9 pins the BLAS-summation cosine to a precision
     where it equals the SQL left-fold dot product exactly, making the
@@ -1218,7 +1227,11 @@ JOIN bands y ON y.doc_id = doc_id_b
 WHERE hamming <= {max_hamming}"""
 
 
-def _knn_sql(bucketed: bool, round_decimals: int | None = None) -> str:
+def _knn_sql(
+    bucketed: bool,
+    round_decimals: int | None = None,
+    multiprobe: bool = False,
+) -> str:
     planes = similarity.hyperplanes()
     bucket_expr = " + ".join(
         f"CASE WHEN list_dot_product(emb, {plane!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END"
@@ -1230,7 +1243,14 @@ def _knn_sql(bucketed: bool, round_decimals: int | None = None) -> str:
         if bucketed
         else "CROSS JOIN probes WHERE vec_id <> probe_id"
     )
-    probe_bucket = ", bucket AS probe_bucket" if bucketed else ""
+    if multiprobe:
+        # own bucket + every Hamming-1 bucket, mirroring knn_lsh(multiprobe=True)
+        masks = ", ".join(f"({1 << i})" for i in range(len(planes)))
+        probe_bucket = ", xor(bucket, m) AS probe_bucket"
+        probe_from = f"FROM base, (VALUES (0), {masks}) v(m)"
+    else:
+        probe_bucket = ", bucket AS probe_bucket" if bucketed else ""
+        probe_from = "FROM base"
     cos = (
         "list_dot_product(probe_emb, emb)"
         " / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(emb, emb)))"
@@ -1244,7 +1264,7 @@ WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb{bucket_col} FROM embeddings
 ),
 probes AS (
-  SELECT vec_id AS probe_id, emb AS probe_emb{probe_bucket} FROM base WHERE vec_id % 50 = 0
+  SELECT vec_id AS probe_id, emb AS probe_emb{probe_bucket} {probe_from} WHERE vec_id % 50 = 0
 ),
 scored AS (
   SELECT probe_id, vec_id AS neighbor_id,
@@ -1670,8 +1690,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
-    # --- r4 tail: similarity/ANN/multimodal ---
+    # --- r4 tail: similarity/ANN/multimodal (+ the new multiprobe dial) ---
     "knn_lsh": q_knn_lsh,
+    "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "knn_brute": q_knn_brute,
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,
@@ -1689,11 +1710,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_trained": q_knn_ivf_trained,
     "volume_cube": q_volume_cube,
     "close_pivot": q_close_pivot,
-    "vwap_hourly": q_vwap_hourly,
     # ---- end of driver correctness window (50 entries above) ----
     # Tail: driver-green in r04 under the current fixtures and unchanged
     # this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
     "stochastic": q_stochastic,
     "donchian": q_donchian,
@@ -2269,12 +2290,14 @@ SELECT vec_id,
 FROM m""",
     "knn_brute_vectorized": _knn_sql(bucketed=False, round_decimals=9),
     "knn_lsh": _knn_sql(bucketed=True),
+    "knn_lsh_multiprobe": _knn_sql(bucketed=True, multiprobe=True),
     "knn_ivf": KNN_IVF_SQL,
     # recall@5 of each approximate index vs brute truth — floors must
     # stay in sync with similarity.knn_recall's defaults
     "knn_recall": f"""
 WITH truth AS ({_knn_sql(bucketed=False)}),
 lsh AS ({_knn_sql(bucketed=True)}),
+lsh_mp AS ({_knn_sql(bucketed=True, multiprobe=True)}),
 ivf AS ({KNN_IVF_SQL}),
 t AS (SELECT count(*) AS n_truth FROM truth),
 hits AS (
@@ -2282,6 +2305,11 @@ hits AS (
          (SELECT count(*) FROM truth x JOIN lsh a
             ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id) AS n_hits,
          0.10 AS fl
+  UNION ALL
+  SELECT 'lsh_mp',
+         (SELECT count(*) FROM truth x JOIN lsh_mp a
+            ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id),
+         0.30
   UNION ALL
   SELECT 'ivf',
          (SELECT count(*) FROM truth x JOIN ivf a

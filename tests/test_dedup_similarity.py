@@ -381,14 +381,16 @@ def test_knn_recall_floors_hold_on_fixture(spark):
     out = similarity.knn_recall(
         load_table(spark, SF_SMOKE, "embeddings")
     ).toPandas().set_index("method")
-    assert set(out.index) == {"lsh", "ivf"}
+    assert set(out.index) == {"lsh", "lsh_mp", "ivf"}
     assert bool(out["meets_floor"].all())
-    for m in ("lsh", "ivf"):
+    for m in ("lsh", "lsh_mp", "ivf"):
         r = out.loc[m]
         assert r["recall_at_k"] == round(r["n_hits"] / r["n_truth"], 6)
-    # ivf scans n_probe=2 coarse lists vs lsh's single bucket; on these
-    # fixtures that ordering is strict and worth pinning
-    assert out.loc["ivf", "recall_at_k"] > out.loc["lsh", "recall_at_k"]
+    # strict quality ordering on these fixtures, worth pinning:
+    # multiprobe dominates single-probe (it searches a superset of
+    # buckets), and ivf's two coarse lists beat both
+    assert out.loc["lsh_mp", "recall_at_k"] > out.loc["lsh", "recall_at_k"]
+    assert out.loc["ivf", "recall_at_k"] > out.loc["lsh_mp", "recall_at_k"]
 
 
 def test_decode_ppm_parses_real_payloads(spark):

@@ -242,13 +242,13 @@ EXPECTED_R5_WINDOW = [
     "exchange_cardinality", "pack_chunks_overlap", "dedup_survivors",
     "ngram_jaccard_pairs", "dup_clusters", "minhash_lsh_pairs",
     "simhash_pairs",
-    "knn_lsh", "knn_brute", "kmeans_centroids", "knn_quantized",
-    "embedding_normalize", "embedding_quantize", "knn_ivf",
-    "embedding_dup_pairs", "media_frames", "media_features",
+    "knn_lsh", "knn_lsh_multiprobe", "knn_brute", "kmeans_centroids",
+    "knn_quantized", "embedding_normalize", "embedding_quantize",
+    "knn_ivf", "embedding_dup_pairs", "media_frames", "media_features",
     # r4-green fillers
     "trading_sessions", "session_range_join", "market_cap_chart",
     "exchange_cardinality_approx", "knn_ivf_trained",
-    "volume_cube", "close_pivot", "vwap_hourly",
+    "volume_cube", "close_pivot",
 ]
 
 
