@@ -682,3 +682,97 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.min("_id").alias("canonical_doc_id"),
         )
     )
+
+
+def span_dedup(
+    documents: DataFrame, span_words: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Duplicated n-gram SPAN removal — the sub-document dedup modality
+    (boilerplate headers, license blocks, navigation chrome repeat
+    across pages whose documents are NOT near-duplicates, so document-
+    level exact/MinHash/SimHash all miss them). This is the chunk-hash
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of a suffix array — inherently sequential and RAM-bound —
+    the text is cut into NON-overlapping ``span_words``-word spans,
+    span occurrences are counted corpus-wide, and every span occurring
+    ``min_count``+ times is dropped from every document that carries it.
+
+    Output (one row per doc that tokenizes to >= 1 full span):
+    (doc_id, n_spans, n_kept, text_kept) where text_kept rebuilds the
+    document from surviving spans in order plus the sub-span word
+    remainder (always kept: shorter than the fingerprint resolution).
+
+    Scale shape: tokenize + span build are map-side; the corpus-wide
+    count is ONE groupBy on an 8-byte xxhash64 span key with map-side
+    partial aggregation (duplicated boilerplate collapses before the
+    exchange — the very skew that motivates the operator also shrinks
+    its shuffle); the count join back to spans is keyed on the same
+    8-byte hash. Reassembly groups by doc_id — a shuffle whose payload
+    is the surviving text, i.e. bounded by corpus size. No all-pairs
+    joins, no Python. The hash only CORRELATES identical spans (it
+    never appears in the output), so a 2^-64 collision inflates one
+    count, never corrupts text.
+    """
+    toks = documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= span_words
+    )
+    # explode(sequence) + slice(ws, col_start, n) keeps the span build in
+    # whole-stage codegen — a transform() lambda over the same sequence
+    # would be interpreted per row (see module scale notes).
+    n_spans = (F.size("ws") / span_words).cast("int")
+    spans = toks.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("ws"), F.col("span_idx") * span_words + 1, F.lit(span_words))
+        ).alias("span_text"),
+        (F.size("ws") % span_words).alias("n_rem"),
+        F.when(
+            F.size("ws") % span_words > 0,
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("ws"),
+                    F.size("ws") - F.size("ws") % span_words + 1,
+                    span_words,
+                ),
+            ),
+        ).alias("remainder"),
+    )
+    spans = spans.withColumn("span_key", F.xxhash64("span_text"))
+    counts = spans.groupBy("span_key").agg(F.count("*").alias("span_df"))
+    kept = (
+        spans.join(counts, "span_key")
+        .withColumn("keep", F.col("span_df") < min_count)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.array(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("keep"),
+                                        F.struct("span_idx", "span_text"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["span_text"],
+                        ),
+                        F.array(F.first("remainder", ignorenulls=False)),
+                    )
+                ),
+            ).alias("text_kept"),
+        )
+    )

@@ -319,3 +319,125 @@ def decode_ppm(media: DataFrame, round_decimals: int = 6) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
+def wav_table(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL audio corpus: one complete RIFF/WAVE PCM16
+    file per document, samples generated in closed form from ``doc_id``
+    so the decoded waveform statistics are reproducible in SQL.
+
+    channels = 1 + doc_id % 2 (mono/stereo), sample_rate = 8000 Hz,
+    n_frames = 64 + doc_id % 129; the int16 sample at (frame i,
+    channel ch) is ``(doc_id*31 + i*17 + ch*7919) % 65536 - 32768``,
+    interleaved little-endian per the WAVE spec. The payload carries a
+    full canonical header (RIFF size, ``fmt `` chunk with rates and
+    block alignment, ``data`` chunk) — the stdlib ``wave`` module opens
+    it, which the unit test pins. Arrow-batched mapInPandas, pure map.
+    """
+    import struct
+
+    schema = "doc_id long, n_channels int, sample_rate int, n_frames int, payload binary"
+    sr = 8000
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_channels": [], "sample_rate": [],
+                "n_frames": [], "payload": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c, n = 1 + d % 2, 64 + d % 129
+                i = np.arange(n, dtype=np.int64)[:, None]
+                ch = np.arange(c, dtype=np.int64)[None, :]
+                samples = ((d * 31 + i * 17 + ch * 7919) % 65536 - 32768).astype(
+                    "<i2"
+                )  # (n_frames, channels) row-major == interleaved frames
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, c, sr, sr * c * 2, c * 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                rows["doc_id"].append(d)
+                rows["n_channels"].append(c)
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(n)
+                rows["payload"].append(hdr + data)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL bytes→samples decode for RIFF/WAVE PCM16 payloads — like
+    :func:`decode_ppm`, no codec library and no stub: a proper RIFF
+    chunk walker (arbitrary chunk order, unknown chunks skipped by
+    declared size, word-aligned advance per the spec) finds ``fmt ``
+    and ``data``, the sample block is reinterpreted as an int16
+    (frames, channels) array, and the published statistics come from
+    the actual decoded samples.
+
+    Output: (doc_id, n_channels, sample_rate, n_frames, duration_s,
+    sum_amp, sum_sq, rms) with format fields read from the PAYLOAD (not
+    trusted metadata). ``sum_amp``/``sum_sq`` are exact int64 sums —
+    bit-reproducible in any engine — and ``rms`` derives from them with
+    one IEEE divide+sqrt, so the hash comparison needs no tolerance.
+    Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out.
+    """
+    import struct
+
+    schema = (
+        "doc_id long, n_channels int, sample_rate int, n_frames long,"
+        " duration_s double, sum_amp long, sum_sq long, rms double"
+    )
+
+    def parse_riff(buf: bytes) -> tuple[int, int, int, bytes]:
+        """Return (channels, sample_rate, bits, data_bytes); raises on a
+        malformed file rather than guessing."""
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, channels, sr, _brate, _balign, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(f"unsupported WAVE format ({audio_format}, {bits}-bit)")
+        return channels, sr, bits, data
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_channels": [], "sample_rate": [], "n_frames": [],
+                "duration_s": [], "sum_amp": [], "sum_sq": [], "rms": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                c, sr, _bits, data = parse_riff(bytes(buf))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = samples.size // c
+                sum_amp = int(samples.sum())
+                sum_sq = int((samples * samples).sum())
+                rows["doc_id"].append(int(d))
+                rows["n_channels"].append(c)
+                rows["sample_rate"].append(sr)
+                rows["n_frames"].append(n)
+                rows["duration_s"].append(n / float(sr))
+                rows["sum_amp"].append(sum_amp)
+                rows["sum_sq"].append(sum_sq)
+                rows["rms"].append(round(float(np.sqrt(sum_sq / samples.size)), 6))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(decode, schema)

@@ -304,3 +304,90 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A.1.1) as
+    per-rule boolean COLUMNS rather than one opaque score — the shape a
+    curation pipeline needs, because each rule is tuned/ablated
+    independently and the conjunction is a pushdown-able filter.
+
+    Rules (thresholds are the paper's defaults, all parameterized):
+    word-count band, mean-word-length band, symbol-to-word ratio
+    (``#``/ellipsis), bullet-started line fraction, ellipsis-ended line
+    fraction, alphabetic-word fraction, and the stopword floor (>=
+    ``min_stopword_hits`` distinct hits from the paper's 8-word list).
+
+    Scale shape: pure map — one pass, no shuffle, no Python. Mean word
+    length is ``length(concat_ws('', ws)) / n_words`` (codegen'd)
+    rather than an interpreted ``aggregate()`` lambda over the token
+    array; symbol counts are ``regexp_count`` on the raw text. The two
+    line rules and the alpha/stopword rules use ``filter()`` lambdas —
+    interpreted, but over short line/word arrays, and measured
+    negligible next to the tokenize.
+    """
+    text, ws = F.col("text"), words(F.col("text"))
+    lines = F.split(text, r"\n")
+    # The paper's stopword list (distinct from the scoring lexicon in
+    # functions.text.STOPWORDS — the rule is defined BY this list).
+    gopher_stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    base = documents.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.try_divide(F.length(F.concat_ws("", ws)), F.size(ws)).alias(
+            "mean_word_len"
+        ),
+        F.try_divide(
+            F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\.")),
+            F.size(ws),
+        ).alias("symbol_ratio"),
+        (
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+            / F.size(lines)
+        ).alias("bullet_line_frac"),
+        (
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+            / F.size(lines)
+        ).alias("ellipsis_line_frac"),
+        F.try_divide(
+            F.size(F.filter(ws, lambda w: w.rlike(r"[a-z]"))), F.size(ws)
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in gopher_stops]),
+                lambda s: F.array_contains(ws, s),
+            )
+        ).alias("stopword_hits"),
+    )
+    n = F.col("n_words")
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_ratio") < max_symbol_ratio,
+        "r_bullet_lines": F.col("bullet_line_frac") < max_bullet_line_frac,
+        "r_ellipsis_lines": F.col("ellipsis_line_frac") < max_ellipsis_line_frac,
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    guarded = {k: F.when(n > 0, v).otherwise(F.lit(False)) for k, v in rules.items()}
+    passes = guarded["r_word_count"]
+    for k in list(guarded)[1:]:
+        passes = passes & guarded[k]
+    return base.select(
+        "doc_id",
+        "n_words",
+        *[v.alias(k) for k, v in guarded.items()],
+        passes.alias("passes_gopher"),
+    )

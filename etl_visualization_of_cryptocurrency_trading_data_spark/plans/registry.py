@@ -1647,6 +1647,35 @@ def q_price_correlation(spark, sf_dir):
 # 34-entry r4 tail, whose newest driver rows date from r3, and (d) 8
 # r4-green fillers.  The tail holds only queries with a green r4 row and
 # unchanged since.  Window membership is pinned by
+def q_span_dedup(spark, sf_dir):
+    """Sub-document duplicated-span removal (dedup.span_dedup): the
+    chunk-hash approximation of exact-substring dedup (Lee et al.
+    2022) — 8-word spans counted corpus-wide, every span occurring
+    twice+ dropped from every carrier, text rebuilt from survivors."""
+    return dedup.span_dedup(_documents(spark, sf_dir), span_words=8, min_count=2)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (text.gopher_rules): the Rae et al.
+    2021 §A.1.1 ruleset as per-rule boolean columns + the conjunction;
+    paper-default thresholds (the 50-word floor lands at the fixture's
+    median, so both outcomes are exercised)."""
+    return text.gopher_rules(_documents(spark, sf_dir))
+
+
+def q_media_decode_wav(spark, sf_dir):
+    """REAL bytes→samples decode for RIFF/WAVE PCM16
+    (multimodal.decode_wav over multimodal.wav_table): spec-compliant
+    WAV payloads synthesized per doc (the stdlib ``wave`` module opens
+    them — pinned in pytest), then RIFF-chunk-walked and sample-decoded
+    with numpy; exact int64 sample sums make the oracle tolerance-free.
+    With decode_ppm this closes the real-decode gap for a second
+    modality (audio)."""
+    return multimodal.decode_wav(
+        multimodal.wav_table(_documents(spark, sf_dir))
+    )
+
+
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R5_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # Round-6 rotation plan: front-load the 38 tail entries below plus
@@ -1659,6 +1688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
     "vwap_stream_replay": q_vwap_stream_replay,
+    "span_dedup": q_span_dedup,
+    "gopher_rules": q_gopher_rules,
+    "media_decode_wav": q_media_decode_wav,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1707,13 +1739,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
     "exchange_cardinality_approx": q_exchange_cardinality_approx,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "volume_cube": q_volume_cube,
-    "close_pivot": q_close_pivot,
     # ---- end of driver correctness window (50 entries above) ----
     # Tail: driver-green in r04 under the current fixtures and unchanged
     # this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "volume_cube": q_volume_cube,
+    "close_pivot": q_close_pivot,
     "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
     "stochastic": q_stochastic,
@@ -2355,6 +2387,84 @@ SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
        round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
        round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id, w, h""",
+    # Engine groups spans by xxhash64(span_text) (8-byte shuffle key);
+    # the oracle groups by the text itself — identical counts, and the
+    # hash never reaches the output.
+    "span_dedup": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
+idx AS (SELECT doc_id, ws, n, unnest(generate_series(0, n // 8 - 1)) AS j FROM full_docs),
+spans AS (
+  SELECT doc_id, j, array_to_string(ws[j*8+1 : j*8+8], ' ') AS span_text,
+         CASE WHEN n % 8 > 0 THEN array_to_string(ws[n - n % 8 + 1 : n], ' ') END AS remainder
+  FROM idx
+),
+counts AS (SELECT span_text, count(*) AS span_df FROM spans GROUP BY span_text),
+k AS (SELECT s.*, c.span_df < 2 AS keep FROM spans s JOIN counts c USING (span_text)),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         string_agg(span_text, ' ' ORDER BY j) FILTER (WHERE keep) AS kept_txt,
+         any_value(remainder) AS rem
+  FROM k GROUP BY doc_id
+)
+SELECT doc_id, n_spans::BIGINT AS n_spans, n_kept::BIGINT AS n_kept,
+       concat_ws(' ', kept_txt, rem) AS text_kept
+FROM agg""",
+    "gopher_rules": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws,
+         regexp_split_to_array(text, '\n') AS lines,
+         text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n,
+         length(array_to_string(ws, '')) / len(ws) AS mean_word_len,
+         (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) / len(ws) AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / len(lines) AS bullet_line_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / len(lines) AS ellipsis_line_frac,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws) AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(ws, s))) AS stopword_hits
+  FROM base
+),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN n >= 50 AND n <= 100000 ELSE FALSE END AS r_word_count,
+         CASE WHEN n > 0 THEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 ELSE FALSE END AS r_mean_word_len,
+         CASE WHEN n > 0 THEN symbol_ratio < 0.1 ELSE FALSE END AS r_symbol_ratio,
+         CASE WHEN n > 0 THEN bullet_line_frac < 0.90 ELSE FALSE END AS r_bullet_lines,
+         CASE WHEN n > 0 THEN ellipsis_line_frac < 0.30 ELSE FALSE END AS r_ellipsis_lines,
+         CASE WHEN n > 0 THEN alpha_word_frac >= 0.80 ELSE FALSE END AS r_alpha_words,
+         CASE WHEN n > 0 THEN stopword_hits >= 2 ELSE FALSE END AS r_stopwords
+  FROM m
+)
+SELECT doc_id, n::BIGINT AS n_words,
+       r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+       r_ellipsis_lines, r_alpha_words, r_stopwords,
+       (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+        AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS passes_gopher
+FROM r""",
+    # The decoded-sample statistics in closed form: sample (i, ch) of
+    # doc d is (d*31 + i*17 + ch*7919) % 65536 - 32768 (see
+    # multimodal.wav_table). sum_amp/sum_sq are exact int64 — the hash
+    # comparison needs no tolerance; rms derives with one IEEE
+    # divide+sqrt identical in both engines.
+    "media_decode_wav": """
+WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 129 AS n FROM documents),
+chs AS (SELECT doc_id, c, n, unnest(generate_series(0, c - 1)) AS ch FROM d),
+samp AS (SELECT doc_id, c, n, ch, unnest(generate_series(0, n - 1)) AS i FROM chs),
+vals AS (SELECT doc_id, c, n, (doc_id*31 + i*17 + ch*7919) % 65536 - 32768 AS s FROM samp)
+SELECT doc_id, c::INT AS n_channels, 8000::INT AS sample_rate, n::BIGINT AS n_frames,
+       n / 8000.0 AS duration_s,
+       sum(s)::BIGINT AS sum_amp, sum(s*s)::BIGINT AS sum_sq,
+       round(sqrt(sum(s*s) / (n * c * 1.0)), 6) AS rms
+FROM vals GROUP BY doc_id, c, n""",
     "knn_ivf_trained": KNN_IVF_TRAINED_SQL,
     "embedding_dup_pairs": _embedding_dup_sql(),
     "media_metadata": """

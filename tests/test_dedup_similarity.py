@@ -436,3 +436,68 @@ def test_ppm_corpus_roundtrip(spark, docs):
     )
     bad = j.filter((F.col("w") != F.col("width")) | (F.col("h") != F.col("height")))
     assert j.count() == 20 and bad.count() == 0
+
+
+def test_wav_corpus_opens_with_stdlib_wave(spark, docs):
+    """wav_table payloads are complete RIFF/WAVE files: the stdlib
+    ``wave`` module (an independent third-party parser) must open them
+    and agree with the generator's metadata AND the raw samples."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    rows = multimodal.wav_table(docs.limit(10)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        with wave_mod.open(io.BytesIO(bytes(r.payload))) as w:
+            assert w.getnchannels() == r.n_channels
+            assert w.getframerate() == r.sample_rate
+            assert w.getnframes() == r.n_frames
+            assert w.getsampwidth() == 2
+            frames = np.frombuffer(w.readframes(r.n_frames), dtype="<i2")
+        d = r.doc_id
+        i = np.arange(r.n_frames, dtype=np.int64)[:, None]
+        ch = np.arange(r.n_channels, dtype=np.int64)[None, :]
+        expect = (d * 31 + i * 17 + ch * 7919) % 65536 - 32768
+        assert (frames.reshape(r.n_frames, r.n_channels) == expect).all()
+
+
+def test_decode_wav_chunk_walker(spark):
+    """decode_wav is a REAL RIFF parser: chunks in non-canonical order
+    with an unknown odd-sized chunk in between (word-aligned skip per
+    the spec) still decode to the exact sample sums; a non-WAV payload
+    raises rather than guessing."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    samples = np.array([-3, 0, 5, 32767, -32768, 12], dtype="<i2")  # 3 stereo frames
+    data = samples.tobytes()
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size, padded
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+    body = junk + b"data" + struct.pack("<I", len(data)) + data + fmt
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out = (
+        multimodal.decode_wav(
+            spark.createDataFrame([(3, bytearray(payload))], "doc_id long, payload binary")
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    s = samples.astype(np.int64)
+    assert (out["n_channels"], out["sample_rate"], out["n_frames"]) == (2, 8000, 3)
+    assert out["sum_amp"] == s.sum() and out["sum_sq"] == (s * s).sum()
+    assert out["rms"] == round(float(np.sqrt((s * s).sum() / s.size)), 6)
+
+    with _pytest.raises(Exception, match="RIFF|WAVE"):
+        multimodal.decode_wav(
+            spark.createDataFrame(
+                [(4, bytearray(b"OggS not a wav file"))], "doc_id long, payload binary"
+            )
+        ).collect()

@@ -219,3 +219,86 @@ def test_bigram_logprob_hand_built(spark):
     assert 3 not in rows  # single-token doc has no bigrams
     # fluent repetition of corpus-frequent transitions scores higher
     assert rows[2].avg_logprob > rows[1].avg_logprob
+
+
+def test_span_dedup_hand_built(spark):
+    """Duplicated-span removal on a corpus built to exercise every
+    branch: a boilerplate 8-word span shared by two otherwise-unrelated
+    docs is dropped from BOTH (document-level dedup would miss them), a
+    unique span survives, the sub-span remainder always survives, and a
+    doc shorter than one span is excluded entirely."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    boiler = "all rights reserved contact us terms of service"  # 8 words
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq_b = "one two three four five six seven eight"
+    rows = [
+        (1, f"{boiler} {uniq_a} tail words"),
+        (2, f"{boiler} {uniq_b}"),
+        (3, "too short"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.span_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            span_words=8,
+            min_count=2,
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].n_spans, out[1].n_kept) == (2, 1)
+    assert out[1].text_kept == f"{uniq_a} tail words"
+    assert (out[2].n_spans, out[2].n_kept) == (2, 1)
+    assert out[2].text_kept == uniq_b
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    """A span repeated WITHIN one document counts toward the corpus df
+    and is removed — the boilerplate definition is occurrence-based,
+    not distinct-doc-based."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    span = "a b c d e f g h"
+    out = dedup.span_dedup(
+        spark.createDataFrame([(1, f"{span} {span}")], "doc_id long, text string"),
+        span_words=8,
+        min_count=2,
+    ).collect()[0]
+    assert (out.n_spans, out.n_kept, out.text_kept) == (2, 0, "")
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One handcrafted violator per Gopher rule (and one clean passer):
+    each rule column must flag exactly its defect."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import text as t
+
+    good_words = ("the quick brown fox jumps over the lazy dog and that have "
+                  "with they said more words here today ") * 5  # >50 words, stopwords
+    rows = [
+        (1, good_words),
+        (2, "the of and that have with short"),           # < 50 words
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 60)),  # mean len > 10
+        (4, good_words + " " + "# " * 30),                 # symbol ratio
+        (5, "\n".join(["- bullet line the of and that"] * 20)),      # bullets
+        (6, "\n".join(["the of and that have trailing..."] * 20)),   # ellipsis lines
+        (7, " ".join(["123"] * 60) + " the of"),           # alpha fraction
+        (8, " ".join(["neutral"] * 60)),                   # no stopwords
+        (9, ""),                                           # empty -> all False
+    ]
+    out = {
+        r.doc_id: r
+        for r in t.gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].passes_gopher
+    assert not out[2].r_word_count and not out[2].passes_gopher
+    assert not out[3].r_mean_word_len
+    assert not out[4].r_symbol_ratio
+    assert not out[5].r_bullet_lines
+    assert not out[6].r_ellipsis_lines
+    assert not out[7].r_alpha_words
+    assert not out[8].r_stopwords
+    assert not any(
+        [out[9].r_word_count, out[9].r_stopwords, out[9].passes_gopher]
+    )
