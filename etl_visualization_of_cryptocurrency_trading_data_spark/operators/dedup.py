@@ -745,10 +745,20 @@ def span_dedup(
         ).alias("remainder"),
     )
     spans = spans.withColumn("span_key", F.xxhash64("span_text"))
-    counts = spans.groupBy("span_key").agg(F.count("*").alias("span_df"))
-    kept = (
-        spans.join(counts, "span_key")
-        .withColumn("keep", F.col("span_df") < min_count)
+    # Join back only the DUPLICATED keys, not the full count table: the
+    # dup set (actual boilerplate) is orders of magnitude smaller than
+    # the distinct-span universe, so AQE keeps this join broadcast far
+    # past the scale where a counts-side join would force the corpus
+    # text through a span_key shuffle. Spans carry an 8-byte key; the
+    # text shuffles exactly once (the doc_id reassembly below).
+    dup_keys = (
+        spans.groupBy("span_key")
+        .agg(F.count("*").alias("span_df"))
+        .filter(F.col("span_df") >= min_count)
+        .select("span_key", F.lit(True).alias("_dup"))
+    )
+    kept = spans.join(dup_keys, "span_key", "left").withColumn(
+        "keep", F.col("_dup").isNull()
     )
     return (
         kept.groupBy("doc_id")
