@@ -342,3 +342,35 @@ def test_plan_contracts_for_round4_operators(spark):
         plan = plan_of(name)
         n_window = len(re.findall(r"\bWindow\b", plan))
         assert n_window == n_expected, f"{name}: {n_window} Window nodes\n{plan}"
+
+
+def test_plan_contracts_for_round5_operators(spark):
+    """Physical-plan property pins for the round-5 operators:
+    - gopher_rules / media_decode_wav / media_decode_ppm / url-less
+      map-onlies: ZERO exchanges — the whole battery must stay a pure
+      map (a refactor that sneaks in a groupBy/distinct would still be
+      correct, just 100x more expensive at corpus scale);
+    - url_dedup: exactly TWO exchanges — the standard expanded
+      distinct-aggregate pair ((host,path,_raw) partial then
+      (host,path) final) that exact n_variants requires, and no more;
+    - span_dedup: exactly TWO hash exchanges (span-count agg + doc
+      reassembly) and ONE broadcast exchange (the duplicated-key set —
+      the join must NOT shuffle span text on span_key)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+
+    def plan_of(name):
+        df = registry.QUERIES[name](spark, SF_SMOKE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for name in ["gopher_rules", "media_decode_wav", "media_decode_ppm"]:
+        plan = plan_of(name)
+        assert "Exchange" not in plan, f"{name} must be map-only\n{plan}"
+
+    url = plan_of("url_dedup")
+    assert url.count("Exchange") == 2, url
+
+    span = plan_of("span_dedup")
+    n_bcast = span.count("BroadcastExchange")
+    n_hash = span.count("Exchange hashpartitioning")
+    assert n_bcast == 1, span
+    assert n_hash == 2, span
