@@ -54,3 +54,60 @@ def deterministic_sample(
     independent, and consistent (a kept key stays kept when the
     fraction grows)."""
     return df.filter(hash_bucket(F.col(key), salt=salt) < round(fraction * BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key: str = "doc_id",
+    budget_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted source mixing (tau = 0.5) — the data-mixing
+    step of an LLM pipeline: given a corpus whose sources have wildly
+    different sizes, sample a ``budget_frac`` of it with per-source
+    rates proportional to ``n_s^tau / n_s`` so small sources are
+    up-weighted relative to proportional sampling (the standard
+    temperature-mixture rebalance, tau=1 being proportional and tau=0
+    uniform-by-source). tau is fixed at 0.5 because sqrt is the one
+    power IEEE computes correctly-rounded in every engine — ``pow``
+    differs between libm implementations, which would poison the
+    cross-engine rate comparison.
+
+    Per-source accept rate: ``min(1, B * w_s / n_s)`` with
+    ``w_s = sqrt(n_s) / sum(sqrt(n_g))`` and ``B = budget_frac * N``,
+    rounded to 9 decimals so the float is engine-independent BEFORE it
+    becomes a hash threshold; rows accept by the same md5 bucket as
+    [[deterministic_sample]] — reproducible, consistent (a kept doc
+    stays kept when the budget grows), and exactly replayable in SQL.
+
+    Scale shape: one small groupBy on the source key (map-side
+    partials), a broadcast single-row total, a broadcast rate join back
+    — the corpus itself never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"), F.sum(F.sqrt("_n")).alias("_z")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("_n").alias("n_source"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("_total")
+                * (F.sqrt("_n") / F.col("_z"))
+                / F.col("_n"),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    b = hash_bucket(F.col(key), salt=salt)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(b < F.round(F.col("rate") * BUCKETS))
+        .select(key, group_col, "n_source", "rate")
+    )

@@ -1663,6 +1663,25 @@ def q_gopher_rules(spark, sf_dir):
     return text.gopher_rules(_documents(spark, sf_dir))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-weighted source mixing (sampling.mixture_sample):
+    the fixture's sources are uniform, so the query derives a skewed
+    60/30/10 source split from doc_id first — small sources must come
+    out up-weighted (higher accept rate) vs proportional sampling."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("mix_source"),
+    )
+    return sampling.mixture_sample(
+        docs, group_col="mix_source", key="doc_id", budget_frac=0.5
+    )
+
+
 def q_media_decode_wav(spark, sf_dir):
     """REAL bytes→samples decode for RIFF/WAVE PCM16
     (multimodal.decode_wav over multimodal.wav_table): spec-compliant
@@ -1691,6 +1710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "gopher_rules": q_gopher_rules,
     "media_decode_wav": q_media_decode_wav,
+    "mixture_sample": q_mixture_sample,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1738,11 +1758,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,
     # ---- end of driver correctness window (50 entries above) ----
     # Tail: driver-green in r04 under the current fixtures and unchanged
     # this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,
     "knn_ivf_trained": q_knn_ivf_trained,
     "volume_cube": q_volume_cube,
     "close_pivot": q_close_pivot,
@@ -2450,6 +2470,28 @@ SELECT doc_id, n::BIGINT AS n_words,
        (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
         AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS passes_gopher
 FROM r""",
+    # tau=0.5 via sqrt (correctly-rounded IEEE in every engine — pow is
+    # not); the 9-decimal rate round happens BEFORE the value becomes a
+    # hash threshold, so both engines compare against the same cutoff.
+    "mixture_sample": """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS mix_source
+  FROM documents
+),
+counts AS (SELECT mix_source, count(*) AS n FROM src GROUP BY mix_source),
+tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS z FROM counts),
+rates AS (
+  SELECT mix_source, n AS n_source,
+         round(least(1.0, 0.5 * total * (sqrt(n) / z) / n), 9) AS rate
+  FROM counts, tot
+)
+SELECT s.doc_id, s.mix_source, r.n_source, r.rate
+FROM src s JOIN rates r USING (mix_source)
+WHERE CAST(('0x' || substring(md5('mix' || s.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 10000 < round(r.rate * 10000)""",
     # The decoded-sample statistics in closed form: sample (i, ch) of
     # doc d is (d*31 + i*17 + ch*7919) % 65536 - 32768 (see
     # multimodal.wav_table). sum_amp/sum_sq are exact int64 — the hash

@@ -284,3 +284,41 @@ def test_profile_table_stats(spark):
     assert (got["tag"].n_nulls, got["tag"].n_distinct) == (1, 2)
     assert got["tag"].min_value is None and got["tag"].max_value is None
     assert (got["id"].min_value, got["id"].max_value) == (1.0, 4.0)
+
+
+def test_mixture_sample_upweights_small_sources(spark):
+    """Temperature mixing (tau=0.5): accept rates follow the closed
+    form min(1, B*sqrt(n)/ (z*n)), so the SMALLEST source gets the
+    HIGHEST rate; realized per-source keep fractions track the rates;
+    and sampling is consistent (kept docs stay kept when the budget
+    grows)."""
+    import math
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sampling
+
+    rows = [(i, "big" if i % 10 < 8 else ("mid" if i % 10 < 9 else "small"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sampling.mixture_sample(df, group_col="src", key="doc_id",
+                                  budget_frac=0.5).cache()
+    rates = {r.src: r.rate for r in out.select("src", "rate").distinct().collect()}
+    n = {"big": 1600, "mid": 200, "small": 200}
+    z = sum(math.sqrt(v) for v in n.values())
+    total = sum(n.values())
+    for s, nv in n.items():
+        expect = round(min(1.0, 0.5 * total * (math.sqrt(nv) / z) / nv), 9)
+        assert abs(rates[s] - expect) < 1e-9, (s, rates[s], expect)
+    assert rates["small"] > rates["mid"] - 1e-12 and rates["small"] > rates["big"]
+    kept = {r.src: r.cnt for r in out.groupBy("src").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    for s in n:
+        frac = kept[s] / n[s]
+        assert abs(frac - rates[s]) < 0.08, (s, frac, rates[s])
+    # consistency: larger budget keeps a superset
+    small_keys = {r.doc_id for r in out.collect()}
+    bigger = sampling.mixture_sample(df, group_col="src", key="doc_id",
+                                     budget_frac=0.8)
+    big_keys = {r.doc_id for r in bigger.collect()}
+    assert small_keys <= big_keys
+    out.unpersist()

@@ -230,7 +230,7 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 EXPECTED_R5_WINDOW = [
     # new this round
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
-    "span_dedup", "gopher_rules", "media_decode_wav",
+    "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
@@ -248,7 +248,6 @@ EXPECTED_R5_WINDOW = [
     "knn_ivf", "embedding_dup_pairs", "media_frames", "media_features",
     # r4-green fillers
     "trading_sessions", "session_range_join", "market_cap_chart",
-    "exchange_cardinality_approx",
 ]
 
 
