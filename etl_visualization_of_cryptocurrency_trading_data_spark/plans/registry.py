@@ -1682,6 +1682,16 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_knn_pq(spark, sf_dir):
+    """Product-quantized ANN (similarity.knn_pq): deterministic PQ
+    codebooks (4 subspaces x 16 codes over 64 dims), corpus encoded to
+    4 byte-codes per vector, probes scored by asymmetric distance
+    tables — the memory-scale half of IVF-PQ. Recall vs exact L2 is
+    pinned in pytest; the oracle replays the whole closed-form
+    construction."""
+    return similarity.knn_pq(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_media_decode_wav(spark, sf_dir):
     """REAL bytes→samples decode for RIFF/WAVE PCM16
     (multimodal.decode_wav over multimodal.wav_table): spec-compliant
@@ -1711,6 +1721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "media_decode_wav": q_media_decode_wav,
     "mixture_sample": q_mixture_sample,
+    "knn_pq": q_knn_pq,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1757,8 +1768,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4-green fillers (freshest rows, keep them current) ---
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
-    "market_cap_chart": q_market_cap_chart,
     # ---- end of driver correctness window (50 entries above) ----
+    "market_cap_chart": q_market_cap_chart,
     # Tail: driver-green in r04 under the current fixtures and unchanged
     # this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py.
@@ -2492,6 +2503,68 @@ SELECT s.doc_id, s.mix_source, r.n_source, r.rate
 FROM src s JOIN rates r USING (mix_source)
 WHERE CAST(('0x' || substring(md5('mix' || s.doc_id::VARCHAR), 1, 8)) AS BIGINT)
       % 10000 < round(r.rate * 10000)""",
+    # The full PQ construction replayed in SQL: codebook means, argmin
+    # encode (ties by code), ADC tables, top-k (ties by neighbor).
+    # Same 1e-9 rounding grid at the same three points as the engine.
+    "knn_pq": """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+    FROM base WHERE vec_id % 7 = 0) WHERE code < 64
+),
+vdim AS (
+  SELECT vec_id, pos, pos // 4 AS sub, emb[pos + 1] AS v FROM (
+    SELECT vec_id, emb, unnest(generate_series(0, 63)) AS pos FROM base)
+),
+cb0 AS (
+  SELECT t.sub, s.code, t.pos, round(t.v, 9) AS c
+  FROM vdim t JOIN seeds s USING (vec_id)
+),
+a_d AS (
+  SELECT t.vec_id, t.sub, cb0.code,
+         round(sum((t.v - cb0.c) * (t.v - cb0.c)), 9) AS d
+  FROM vdim t JOIN cb0 ON cb0.sub = t.sub AND cb0.pos = t.pos
+  GROUP BY t.vec_id, t.sub, cb0.code
+),
+assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM a_d) WHERE rn = 1
+),
+cb AS (
+  SELECT t.sub, a.code, t.pos, round(avg(t.v), 9) AS c
+  FROM vdim t JOIN assign a ON a.vec_id = t.vec_id AND a.sub = t.sub
+  GROUP BY t.sub, a.code, t.pos
+),
+enc_d AS (
+  SELECT t.vec_id, t.sub, cb.code,
+         round(sum((t.v - cb.c) * (t.v - cb.c)), 9) AS d
+  FROM vdim t JOIN cb ON cb.sub = t.sub AND cb.pos = t.pos
+  GROUP BY t.vec_id, t.sub, cb.code
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM enc_d) WHERE rn = 1
+),
+dtab AS (
+  SELECT t.vec_id AS probe_id, t.sub, cb.code,
+         round(sum((t.v - cb.c) * (t.v - cb.c)), 9) AS pd
+  FROM vdim t JOIN cb ON cb.sub = t.sub AND cb.pos = t.pos
+  WHERE t.vec_id % 50 = 0
+  GROUP BY t.vec_id, t.sub, cb.code
+),
+adc AS (
+  SELECT d.probe_id, e.vec_id AS neighbor_id, round(sum(d.pd), 9) AS adc_dist
+  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+  WHERE e.vec_id <> d.probe_id
+  GROUP BY d.probe_id, e.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc) WHERE rank <= 5""",
     # The decoded-sample statistics in closed form: sample (i, ch) of
     # doc d is (d*31 + i*17 + ch*7919) % 65536 - 32768 (see
     # multimodal.wav_table). sum_amp/sum_sq are exact int64 — the hash

@@ -501,3 +501,45 @@ def test_decode_wav_chunk_walker(spark):
                 [(4, bytearray(b"OggS not a wav file"))], "doc_id long, payload binary"
             )
         ).collect()
+
+
+def test_knn_pq_recall_vs_exact_l2(spark, docs):
+    """PQ-ADC top-5 must overlap the EXACT L2 top-5 (numpy ground
+    truth) well above chance, every probe must get exactly k
+    neighbors, and every corpus vector must encode to m in-range
+    codes."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    probes = [v for v in vecs if v % 50 == 0]
+
+    out = similarity.knn_pq(emb, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.probe_id, []).append(r.neighbor_id)
+    assert set(got) == set(probes)
+    assert all(len(v) == 5 for v in got.values())
+
+    hits = total = 0
+    for p in probes:
+        d = {v: float(((vecs[p] - x) ** 2).sum()) for v, x in vecs.items() if v != p}
+        truth = set(sorted(d, key=lambda v: (d[v], v))[:5])
+        hits += len(truth & set(got[p]))
+        total += 5
+    recall = hits / total
+    # 64 codes x 16 subspaces, data-point init + one Lloyd round:
+    # measured 0.48 at sf0.001; chance overlap is ~5/500 = 1%.
+    assert recall >= 0.30, f"PQ recall@5 {recall:.2f}"
+
+    cb = similarity.pq_codebooks(emb)
+    enc = similarity.pq_encode(emb, cb).collect()
+    per_vec = {}
+    for r in enc:
+        assert 0 <= r.code < 64 and 0 <= r.sub < 16
+        per_vec.setdefault(r.vec_id, set()).add(r.sub)
+    assert all(subs == set(range(16)) for subs in per_vec.values())

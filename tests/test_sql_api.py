@@ -231,6 +231,7 @@ EXPECTED_R5_WINDOW = [
     # new this round
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
+    "knn_pq",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
@@ -247,7 +248,7 @@ EXPECTED_R5_WINDOW = [
     "knn_quantized", "embedding_normalize", "embedding_quantize",
     "knn_ivf", "embedding_dup_pairs", "media_frames", "media_features",
     # r4-green fillers
-    "trading_sessions", "session_range_join", "market_cap_chart",
+    "trading_sessions", "session_range_join",
 ]
 
 
