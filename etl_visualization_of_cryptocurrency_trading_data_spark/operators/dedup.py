@@ -685,7 +685,10 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
 
 
 def span_dedup(
-    documents: DataFrame, span_words: int = 8, min_count: int = 2
+    documents: DataFrame,
+    span_words: int = 8,
+    min_count: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Duplicated n-gram SPAN removal — the sub-document dedup modality
     (boilerplate headers, license blocks, navigation chrome repeat
@@ -714,19 +717,23 @@ def span_dedup(
     never appears in the output), so a 2^-64 collision inflates one
     count, never corrupts text.
     """
-    toks = documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
-        F.size("ws") >= span_words
-    )
+    # carry_cols ride along (constant per doc) so pipeline compositions
+    # don't need a corpus-wide join to recover e.g. the source column.
+    toks = documents.select(
+        "doc_id", *carry_cols, words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= span_words)
     # explode(sequence) + slice(ws, col_start, n) keeps the span build in
     # whole-stage codegen — a transform() lambda over the same sequence
     # would be interpreted per row (see module scale notes).
     n_spans = (F.size("ws") / span_words).cast("int")
     spans = toks.select(
         "doc_id",
+        *carry_cols,
         "ws",
         F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
     ).select(
         "doc_id",
+        *carry_cols,
         "span_idx",
         F.concat_ws(
             " ", F.slice(F.col("ws"), F.col("span_idx") * span_words + 1, F.lit(span_words))
@@ -763,6 +770,7 @@ def span_dedup(
     return (
         kept.groupBy("doc_id")
         .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
             F.count("*").alias("n_spans"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.concat_ws(

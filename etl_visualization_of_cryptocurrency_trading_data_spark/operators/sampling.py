@@ -62,6 +62,7 @@ def mixture_sample(
     key: str = "doc_id",
     budget_frac: float = 0.5,
     salt: str = "mix",
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Temperature-weighted source mixing (tau = 0.5) — the data-mixing
     step of an LLM pipeline: given a corpus whose sources have wildly
@@ -106,8 +107,9 @@ def mixture_sample(
         ).alias("rate"),
     )
     b = hash_bucket(F.col(key), salt=salt)
-    return (
-        df.join(F.broadcast(rates), group_col)
-        .filter(b < F.round(F.col("rate") * BUCKETS))
-        .select(key, group_col, "n_source", "rate")
+    kept = df.join(F.broadcast(rates), group_col).filter(
+        b < F.round(F.col("rate") * BUCKETS)
     )
+    if keep_columns:
+        return kept.select(*df.columns, "n_source", "rate")
+    return kept.select(key, group_col, "n_source", "rate")

@@ -317,6 +317,7 @@ def gopher_rules(
     max_ellipsis_line_frac: float = 0.30,
     min_alpha_word_frac: float = 0.80,
     min_stopword_hits: int = 2,
+    keep_columns: bool = False,
 ) -> DataFrame:
     """The Gopher quality-rule battery (Rae et al. 2021, §A.1.1) as
     per-rule boolean COLUMNS rather than one opaque score — the shape a
@@ -342,8 +343,10 @@ def gopher_rules(
     # The paper's stopword list (distinct from the scoring lexicon in
     # functions.text.STOPWORDS — the rule is defined BY this list).
     gopher_stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    carried = [c for c in documents.columns if c != "doc_id"] if keep_columns else []
     base = documents.select(
         "doc_id",
+        *carried,
         F.size(ws).cast("long").alias("n_words"),
         F.try_divide(F.length(F.concat_ws("", ws)), F.size(ws)).alias(
             "mean_word_len"
@@ -387,6 +390,7 @@ def gopher_rules(
         passes = passes & guarded[k]
     return base.select(
         "doc_id",
+        *carried,
         "n_words",
         *[v.alias(k) for k, v in guarded.items()],
         passes.alias("passes_gopher"),

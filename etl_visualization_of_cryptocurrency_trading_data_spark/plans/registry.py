@@ -1682,6 +1682,14 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Composed round-5 curation (corpus.curation_pipeline_v2): Gopher
+    gate -> span dedup -> exact dedup on the post-span text ->
+    temperature mixture -> per-source manifest. The oracle replays
+    every stage in one SQL chain."""
+    return corpus.curation_pipeline_v2(_documents(spark, sf_dir))
+
+
 def q_knn_pq(spark, sf_dir):
     """Product-quantized ANN (similarity.knn_pq): deterministic PQ
     codebooks (4 subspaces x 16 codes over 64 dims), corpus encoded to
@@ -1722,6 +1730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_wav": q_media_decode_wav,
     "mixture_sample": q_mixture_sample,
     "knn_pq": q_knn_pq,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1767,8 +1776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     # --- r4-green fillers (freshest rows, keep them current) ---
     "trading_sessions": q_trading_sessions,
-    "session_range_join": q_session_range_join,
     # ---- end of driver correctness window (50 entries above) ----
+    "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
     # Tail: driver-green in r04 under the current fixtures and unchanged
     # this round; still pinned at sf0.001 every session by
@@ -2481,6 +2490,71 @@ SELECT doc_id, n::BIGINT AS n_words,
        (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
         AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS passes_gopher
 FROM r""",
+    # Stage chain replayed verbatim: gopher gate (paper thresholds as
+    # one WHERE), span dedup on the gated corpus, exact-dup window on
+    # the post-span fingerprint, mixture rates computed on the DEDUPED
+    # counts, per-source manifest.
+    "curation_pipeline_v2": r"""
+WITH ws0 AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, ws FROM ws0
+  WHERE len(ws) > 0
+    AND len(ws) >= 50 AND len(ws) <= 100000
+    AND (length(array_to_string(ws, '')) / len(ws)) >= 3.0
+    AND (length(array_to_string(ws, '')) / len(ws)) <= 10.0
+    AND ((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) / len(ws)) < 0.1
+    AND (len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / len(lines)) < 0.90
+    AND (len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / len(lines)) < 0.30
+    AND (len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws)) >= 0.80
+    AND len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(ws, s))) >= 1
+),
+full_docs AS (SELECT doc_id, source, ws, len(ws) AS n FROM g WHERE len(ws) >= 8),
+idx AS (SELECT doc_id, source, ws, n, unnest(generate_series(0, n // 8 - 1)) AS j FROM full_docs),
+spans AS (
+  SELECT doc_id, source, j, array_to_string(ws[j*8+1 : j*8+8], ' ') AS span_text,
+         CASE WHEN n % 8 > 0 THEN array_to_string(ws[n - n % 8 + 1 : n], ' ') END AS remainder
+  FROM idx
+),
+cnts AS (SELECT span_text, count(*) AS span_df FROM spans GROUP BY span_text),
+k AS (SELECT s.*, c.span_df < 2 AS keep FROM spans s JOIN cnts c USING (span_text)),
+sd AS (
+  SELECT doc_id, any_value(source) AS source,
+         concat_ws(' ',
+           string_agg(span_text, ' ' ORDER BY j) FILTER (WHERE keep),
+           any_value(remainder)) AS text_kept
+  FROM k GROUP BY doc_id
+),
+sd2 AS (SELECT * FROM sd WHERE text_kept <> ''),
+dd AS (
+  SELECT doc_id, source, text_kept FROM (
+    SELECT sd2.*, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text_kept), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM sd2) WHERE rn = 1
+),
+counts AS (SELECT source, count(*) AS n FROM dd GROUP BY source),
+tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS z FROM counts),
+rates AS (
+  SELECT source, n AS n_source,
+         round(least(1.0, 0.8 * total * (sqrt(n) / z) / n), 9) AS rate
+  FROM counts, tot
+),
+mixed AS (
+  SELECT d.doc_id, d.source, d.text_kept, r.n_source, r.rate
+  FROM dd d JOIN rates r USING (source)
+  WHERE CAST(('0x' || substring(md5('mix' || d.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+        % 10000 < round(r.rate * 10000)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text_kept), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS n_tokens,
+       max(n_source)::BIGINT AS docs_before_mix,
+       max(rate) AS rate
+FROM mixed GROUP BY source""",
     # tau=0.5 via sqrt (correctly-rounded IEEE in every engine — pow is
     # not); the 9-decimal rate round happens BEFORE the value becomes a
     # hash threshold, so both engines compare against the same cutoff.

@@ -322,3 +322,32 @@ def test_mixture_sample_upweights_small_sources(spark):
     big_keys = {r.doc_id for r in bigger.collect()}
     assert small_keys <= big_keys
     out.unpersist()
+
+
+def test_curation_pipeline_v2_stage_effects(spark):
+    """Each v2 stage visibly bites on a handcrafted corpus: a short doc
+    fails the Gopher gate; the boilerplate span shared across docs is
+    stripped while each doc's unique filler survives; a doc made
+    ENTIRELY of duplicated spans vanishes (its text_kept is empty);
+    the manifest counts come from the deduped, post-strip corpus."""
+    import re
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import corpus
+
+    boiler = "all rights reserved contact us terms of service"  # 8 words, has 'of'
+    fill = lambda tag: "the " + " ".join(f"{tag}{i}" for i in range(47))  # noqa: E731
+    rows = [
+        (1, "web", f"{fill('alpha')} {boiler}"),      # keeps its 48-word filler
+        (2, "web", f"{fill('beta')} {boiler}"),       # keeps its 48-word filler
+        (3, "books", " ".join([boiler] * 7)),          # all spans duplicated -> vanishes
+        (4, "web", "tiny doc the of"),                 # fails the word-count gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in corpus.curation_pipeline_v2(df, budget_frac=1.0).collect()}
+    assert set(out) == {"web"}, out  # books drained at the span stage
+    web = out["web"]
+    assert (web.n_docs, web.docs_before_mix, web.rate) == (2, 2, 1.0)
+    # boilerplate stripped: tokens == the two fillers only, under the
+    # same BPE-ish regex the engine publishes
+    tok = lambda t: len(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower()))  # noqa: E731
+    assert web.n_tokens == tok(fill("alpha")) + tok(fill("beta"))
