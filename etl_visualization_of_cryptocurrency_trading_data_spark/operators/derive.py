@@ -395,3 +395,75 @@ def price_correlation(
         )
         .filter(F.col("n_obs") >= min_obs)
     )
+
+
+def resample_ffill(
+    ticks: DataFrame,
+    keys: tuple[str, ...] = ("coin_id", "exchange"),
+    ts: str = "timestamp",
+    value: str = "price",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Gap-filled hourly resample with forward fill — the time-series
+    regularization every charting/feature layer needs (the reference's
+    chart endpoints silently skip empty hours; a model-feature pipeline
+    cannot): one row per (entity, hour) from the entity's first to last
+    tick, carrying the most recent tick value at or before that hour,
+    with ``is_gap`` marking hours that had no tick of their own.
+
+    Semantics are pandas ``resample('1h').last().ffill()`` (left-
+    labeled): hour H carries the LAST tick inside [H, H+1), and hours
+    with no tick of their own carry the previous hour's close with
+    ``is_gap`` set.
+
+    Determinism: tied (entity, ts) ticks collapse FIRST via
+    ``max(struct(order_col, value))`` (the same event_id total-order
+    contract as the tick-level window operators), then the hourly
+    close is ``max(struct(ts, value))`` — two total orders, no engine
+    row-order dependence anywhere.
+
+    Scale shape: the tie collapse, hourly close, and grid build are
+    one keyed aggregate each; the fill reuses
+    [[relational.asof_join]]'s union-and-carry pattern — ONE shuffle
+    on the entity keys, no range-condition join (Spark would
+    nested-loop it), window state bounded per entity. Grid
+    cardinality = active hours per entity, dense by construction.
+    """
+    from .relational import asof_join
+
+    ks = list(keys)
+    collapsed = (
+        ticks.groupBy(*ks, ts)
+        .agg(F.max(F.struct(order_col, value)).alias("_s"))
+        .select(*ks, ts, F.col(f"_s.{value}").alias(value))
+    )
+    hourly = (
+        collapsed.groupBy(*ks, F.date_trunc("hour", F.col(ts)).alias("hour_ts"))
+        .agg(F.max(F.struct(ts, value)).alias("_c"))
+        .select(
+            *ks,
+            "hour_ts",
+            F.col(f"_c.{ts}").alias("tick_ts"),
+            F.col(f"_c.{value}").alias(value),
+        )
+    )
+    bounds = hourly.groupBy(*ks).agg(
+        F.min("hour_ts").alias("_lo"), F.max("hour_ts").alias("_hi")
+    )
+    grid = bounds.select(
+        *ks,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    filled = asof_join(
+        grid, hourly, keys=ks, left_ts="grid_ts", right_ts="hour_ts",
+        right_cols=[value, "tick_ts"],
+    )
+    return filled.select(
+        *ks,
+        "grid_ts",
+        value,
+        "tick_ts",
+        (F.date_trunc("hour", F.col("tick_ts")) != F.col("grid_ts")).alias("is_gap"),
+    )

@@ -1682,6 +1682,15 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_price_resample_1h(spark, sf_dir):
+    """Gap-filled hourly resample with forward fill
+    (derive.resample_ffill): one row per (coin, exchange, hour) from
+    first to last tick, carrying the latest tick price at-or-before
+    the hour; is_gap marks tickless hours. Tie collapse by event_id
+    keeps the carry deterministic."""
+    return derive.resample_ffill(derive.tick_base(_events(spark, sf_dir)))
+
+
 def q_curation_pipeline_v2(spark, sf_dir):
     """Composed round-5 curation (corpus.curation_pipeline_v2): Gopher
     gate -> span dedup -> exact dedup on the post-span text ->
@@ -1731,6 +1740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "knn_pq": q_knn_pq,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "price_resample_1h": q_price_resample_1h,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1774,9 +1784,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
-    # --- r4-green fillers (freshest rows, keep them current) ---
-    "trading_sessions": q_trading_sessions,
     # ---- end of driver correctness window (50 entries above) ----
+    # --- r4-green fillers (rotated out as r5 additions displaced them) ---
+    "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
     # Tail: driver-green in r04 under the current fixtures and unchanged
@@ -2490,6 +2500,34 @@ SELECT doc_id, n::BIGINT AS n_words,
        (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
         AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS passes_gopher
 FROM r""",
+    # DuckDB's native ASOF LEFT JOIN is the oracle for the engine's
+    # union-and-carry asof implementation; ties collapse via the same
+    # event_id struct-max before the fill on both sides.
+    "price_resample_1h": f"""
+WITH ticks AS ({PRICE_BASE_TB_SQL}),
+t AS (
+  SELECT coin_id, exchange, timestamp,
+         (max({{'e': event_id, 'p': price}})).p AS price
+  FROM ticks GROUP BY coin_id, exchange, timestamp
+),
+h AS (
+  SELECT coin_id, exchange, date_trunc('hour', timestamp) AS hour_ts,
+         (max({{'t': timestamp, 'p': price}})).t AS tick_ts,
+         (max({{'t': timestamp, 'p': price}})).p AS price
+  FROM t GROUP BY coin_id, exchange, date_trunc('hour', timestamp)
+),
+b AS (
+  SELECT coin_id, exchange, min(hour_ts) AS lo, max(hour_ts) AS hi
+  FROM h GROUP BY coin_id, exchange
+),
+g AS (
+  SELECT coin_id, exchange, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+  FROM b
+)
+SELECT g.coin_id, g.exchange, g.grid_ts, h.price, h.tick_ts,
+       (date_trunc('hour', h.tick_ts) <> g.grid_ts) AS is_gap
+FROM g ASOF LEFT JOIN h
+  ON g.coin_id = h.coin_id AND g.exchange = h.exchange AND g.grid_ts >= h.hour_ts""",
     # Stage chain replayed verbatim: gopher gate (paper thresholds as
     # one WHERE), span dedup on the gated corpus, exact-dup window on
     # the post-span fingerprint, mixture rates computed on the DEDUPED

@@ -342,3 +342,35 @@ def test_interval_join_binned_exact_past_double_precision(spark):
     }
     # end exclusive: fid 4 at exactly start+7200 is out
     assert got == {(1, 10), (2, 10), (3, 10)}
+
+
+def test_resample_ffill_gaps_and_ties(spark):
+    """Forward fill across an explicit two-hour gap, is_gap flags, the
+    pre-first-tick grid never extends before the first tick's hour,
+    and tied-timestamp ticks collapse by the event_id total order
+    BEFORE the carry (the larger event_id wins, engine-order-proof)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        ("c1", "x", T(1, 30), 10.0, 1),
+        ("c1", "x", T(1, 30), 11.0, 2),   # tie: event_id 2 wins
+        ("c1", "x", T(4, 15), 40.0, 3),   # hours 2,3 are gaps
+        ("c2", "x", T(2, 0), 7.0, 4),     # single tick -> single grid row
+    ]
+    df = spark.createDataFrame(
+        rows, "coin_id string, exchange string, timestamp timestamp, price double, event_id long"
+    )
+    out = {
+        (r.coin_id, r.grid_ts.hour): r
+        for r in derive.resample_ffill(df).collect()
+    }
+    assert set(out) == {("c1", 1), ("c1", 2), ("c1", 3), ("c1", 4), ("c2", 2)}
+    # hour 1 carries its OWN last tick (pandas last()+ffill labeling)
+    assert out[("c1", 1)].price == 11.0 and not out[("c1", 1)].is_gap
+    assert out[("c1", 2)].price == 11.0 and out[("c1", 2)].is_gap
+    assert out[("c1", 3)].price == 11.0 and out[("c1", 3)].is_gap
+    assert out[("c1", 4)].price == 40.0 and not out[("c1", 4)].is_gap
+    assert out[("c2", 2)].price == 7.0 and not out[("c2", 2)].is_gap

@@ -231,7 +231,7 @@ EXPECTED_R5_WINDOW = [
     # new this round
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
-    "knn_pq", "curation_pipeline_v2",
+    "knn_pq", "curation_pipeline_v2", "price_resample_1h",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
@@ -247,8 +247,6 @@ EXPECTED_R5_WINDOW = [
     "knn_lsh", "knn_lsh_multiprobe", "knn_brute", "kmeans_centroids",
     "knn_quantized", "embedding_normalize", "embedding_quantize",
     "knn_ivf", "embedding_dup_pairs", "media_frames", "media_features",
-    # r4-green fillers
-    "trading_sessions",
 ]
 
 
