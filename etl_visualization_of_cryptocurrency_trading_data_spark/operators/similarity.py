@@ -854,3 +854,62 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def knn_pq_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    floor: float = 0.30,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """In-plan PQ quality contract, mirroring [[knn_recall]]: recall@k
+    of [[knn_pq]] against exact squared-L2 brute force (PQ's native
+    metric), emitted as one hash-verifiable row (method, n_probes,
+    n_hits, recall_at_k, meets_floor) — the floor is the guardrail when
+    turning the m/codes accuracy-memory dial.
+
+    Brute L2 uses the dot-product identity |a-b|^2 = a.a + b.b - 2a.b
+    on BOTH engines (three sequential-fold dots each) so the rounded
+    distances are bit-identical cross-engine; ranking ties break by
+    neighbor_id. Recall derives from integer hit counts, so the final
+    division is one deterministic IEEE op.
+    """
+    pq = knn_pq(embeddings, k=k, round_decimals=round_decimals).select(
+        "probe_id", "neighbor_id"
+    )
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    probes = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p")
+    )
+    l2 = F.round(
+        _dot(F.col("emb"), F.col("emb"))
+        + _dot(F.col("p"), F.col("p"))
+        - 2 * _dot(F.col("p"), F.col("emb")),
+        round_decimals,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), l2.alias("l2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id")
+    )
+    n_hits = truth.join(pq, ["probe_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    n_probes = truth.agg(F.countDistinct("probe_id").alias("n_probes"))
+    recall = F.round(F.col("n_hits") / (F.lit(float(k)) * F.col("n_probes")), 6)
+    return (
+        n_hits.crossJoin(n_probes)
+        .select(
+            F.lit("pq").alias("method"),
+            "n_probes",
+            "n_hits",
+            recall.alias("recall_at_k"),
+            (recall >= floor).alias("meets_floor"),
+        )
+    )

@@ -1356,6 +1356,61 @@ WHERE rank <= 5"""
 # the IVF search in place of the deterministic sample. Centroid dims are
 # round(avg, 9) in BOTH engines, so the search sees bit-identical
 # centroids; cosine ties break by id as everywhere else.
+PQ_SEARCH_CTES = """base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+    FROM base WHERE vec_id % 7 = 0) WHERE code < 64
+),
+vdim AS (
+  SELECT vec_id, pos, pos // 4 AS sub, emb[pos + 1] AS v FROM (
+    SELECT vec_id, emb, unnest(generate_series(0, 63)) AS pos FROM base)
+),
+cb0 AS (
+  SELECT t.sub, s.code, t.pos, round(t.v, 9) AS c
+  FROM vdim t JOIN seeds s USING (vec_id)
+),
+a_d AS (
+  SELECT t.vec_id, t.sub, cb0.code,
+         round(sum((t.v - cb0.c) * (t.v - cb0.c)), 9) AS d
+  FROM vdim t JOIN cb0 ON cb0.sub = t.sub AND cb0.pos = t.pos
+  GROUP BY t.vec_id, t.sub, cb0.code
+),
+assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM a_d) WHERE rn = 1
+),
+cb AS (
+  SELECT t.sub, a.code, t.pos, round(avg(t.v), 9) AS c
+  FROM vdim t JOIN assign a ON a.vec_id = t.vec_id AND a.sub = t.sub
+  GROUP BY t.sub, a.code, t.pos
+),
+enc_d AS (
+  SELECT t.vec_id, t.sub, cb.code,
+         round(sum((t.v - cb.c) * (t.v - cb.c)), 9) AS d
+  FROM vdim t JOIN cb ON cb.sub = t.sub AND cb.pos = t.pos
+  GROUP BY t.vec_id, t.sub, cb.code
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM enc_d) WHERE rn = 1
+),
+dtab AS (
+  SELECT t.vec_id AS probe_id, t.sub, cb.code,
+         round(sum((t.v - cb.c) * (t.v - cb.c)), 9) AS pd
+  FROM vdim t JOIN cb ON cb.sub = t.sub AND cb.pos = t.pos
+  WHERE t.vec_id % 50 = 0
+  GROUP BY t.vec_id, t.sub, cb.code
+),
+adc AS (
+  SELECT d.probe_id, e.vec_id AS neighbor_id, round(sum(d.pd), 9) AS adc_dist
+  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
+  WHERE e.vec_id <> d.probe_id
+  GROUP BY d.probe_id, e.vec_id
+)"""
+
 KNN_IVF_TRAINED_SQL = """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE vec_id % 101 = 1),
@@ -1699,6 +1754,15 @@ def q_curation_pipeline_v2(spark, sf_dir):
     return corpus.curation_pipeline_v2(_documents(spark, sf_dir))
 
 
+def q_knn_pq_recall(spark, sf_dir):
+    """PQ quality contract (similarity.knn_pq_recall): recall@5 of the
+    product-quantized search vs exact squared-L2 brute force as one
+    hash-verified row with a meets_floor boolean — approximate-search
+    QUALITY for the PQ family, mirroring knn_recall's contract for
+    LSH/IVF."""
+    return similarity.knn_pq_recall(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_knn_pq(spark, sf_dir):
     """Product-quantized ANN (similarity.knn_pq): deterministic PQ
     codebooks (4 subspaces x 16 codes over 64 dims), corpus encoded to
@@ -1741,13 +1805,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq": q_knn_pq,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "price_resample_1h": q_price_resample_1h,
+    "knn_pq_recall": q_knn_pq_recall,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
     "obv": q_obv,
     "knn_brute_vectorized": q_knn_brute_vectorized,
     # --- r4 tail (newest driver rows r3): relational/analytics ---
-    "asof_price_candle": q_asof_price_candle,
     "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
     "active_coins_semi": q_active_coins_semi,
@@ -1785,6 +1849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # ---- end of driver correctness window (50 entries above) ----
+    "asof_price_candle": q_asof_price_candle,
     # --- r4-green fillers (rotated out as r5 additions displaced them) ---
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
@@ -2618,61 +2683,36 @@ WHERE CAST(('0x' || substring(md5('mix' || s.doc_id::VARCHAR), 1, 8)) AS BIGINT)
     # The full PQ construction replayed in SQL: codebook means, argmin
     # encode (ties by code), ADC tables, top-k (ties by neighbor).
     # Same 1e-9 rounding grid at the same three points as the engine.
-    "knn_pq": """
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-seeds AS (
-  SELECT vec_id, code FROM (
-    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-    FROM base WHERE vec_id % 7 = 0) WHERE code < 64
+    "knn_pq_recall": f"""
+WITH {PQ_SEARCH_CTES},
+pq AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc) WHERE rank <= 5
 ),
-vdim AS (
-  SELECT vec_id, pos, pos // 4 AS sub, emb[pos + 1] AS v FROM (
-    SELECT vec_id, emb, unnest(generate_series(0, 63)) AS pos FROM base)
+pr AS (SELECT vec_id AS probe_id, emb AS p FROM base WHERE vec_id % 50 = 0),
+sc AS (
+  SELECT pr.probe_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.emb, b.emb) + list_dot_product(pr.p, pr.p)
+               - 2 * list_dot_product(pr.p, b.emb), 9) AS l2
+  FROM base b CROSS JOIN pr WHERE b.vec_id <> pr.probe_id
 ),
-cb0 AS (
-  SELECT t.sub, s.code, t.pos, round(t.v, 9) AS c
-  FROM vdim t JOIN seeds s USING (vec_id)
+truth AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY l2, neighbor_id) AS rank
+    FROM sc) WHERE rank <= 5
 ),
-a_d AS (
-  SELECT t.vec_id, t.sub, cb0.code,
-         round(sum((t.v - cb0.c) * (t.v - cb0.c)), 9) AS d
-  FROM vdim t JOIN cb0 ON cb0.sub = t.sub AND cb0.pos = t.pos
-  GROUP BY t.vec_id, t.sub, cb0.code
-),
-assign AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
-    FROM a_d) WHERE rn = 1
-),
-cb AS (
-  SELECT t.sub, a.code, t.pos, round(avg(t.v), 9) AS c
-  FROM vdim t JOIN assign a ON a.vec_id = t.vec_id AND a.sub = t.sub
-  GROUP BY t.sub, a.code, t.pos
-),
-enc_d AS (
-  SELECT t.vec_id, t.sub, cb.code,
-         round(sum((t.v - cb.c) * (t.v - cb.c)), 9) AS d
-  FROM vdim t JOIN cb ON cb.sub = t.sub AND cb.pos = t.pos
-  GROUP BY t.vec_id, t.sub, cb.code
-),
-enc AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
-    FROM enc_d) WHERE rn = 1
-),
-dtab AS (
-  SELECT t.vec_id AS probe_id, t.sub, cb.code,
-         round(sum((t.v - cb.c) * (t.v - cb.c)), 9) AS pd
-  FROM vdim t JOIN cb ON cb.sub = t.sub AND cb.pos = t.pos
-  WHERE t.vec_id % 50 = 0
-  GROUP BY t.vec_id, t.sub, cb.code
-),
-adc AS (
-  SELECT d.probe_id, e.vec_id AS neighbor_id, round(sum(d.pd), 9) AS adc_dist
-  FROM enc e JOIN dtab d ON d.sub = e.sub AND d.code = e.code
-  WHERE e.vec_id <> d.probe_id
-  GROUP BY d.probe_id, e.vec_id
+agg AS (
+  SELECT (SELECT count(*) FROM truth t JOIN pq USING (probe_id, neighbor_id)) AS n_hits,
+         (SELECT count(DISTINCT probe_id) FROM truth) AS n_probes
 )
+SELECT 'pq' AS method, n_probes::BIGINT AS n_probes, n_hits::BIGINT AS n_hits,
+       round(n_hits / (5.0 * n_probes), 6) AS recall_at_k,
+       round(n_hits / (5.0 * n_probes), 6) >= 0.30 AS meets_floor
+FROM agg""",
+    "knn_pq": f"""
+WITH {PQ_SEARCH_CTES}
 SELECT probe_id, neighbor_id, adc_dist, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
                                ORDER BY adc_dist, neighbor_id) AS rank

@@ -231,11 +231,11 @@ EXPECTED_R5_WINDOW = [
     # new this round
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
-    "knn_pq", "curation_pipeline_v2", "price_resample_1h",
+    "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
-    "asof_price_candle", "union_price_feeds", "top_coins_by_volume",
+    "union_price_feeds", "top_coins_by_volume",
     "active_coins_semi", "stale_coins_anti", "event_props_stats",
     "price_correlation", "momentum_ranks", "user_retention",
     "revenue_by_nation", "top_suppliers",
