@@ -1754,6 +1754,17 @@ def q_curation_pipeline_v2(spark, sf_dir):
     return corpus.curation_pipeline_v2(_documents(spark, sf_dir))
 
 
+def q_session_stream_replay(spark, sf_dir):
+    """Second driver-checkable STREAMING path
+    (pipeline.session_stream_replay): event-time session windows
+    replayed to completion over a spooled feed; emitted sessions must
+    hash-match the batch gaps-and-islands SQL (trading_sessions'
+    oracle) exactly — session_window batch===stream, engine-to-engine."""
+    from ..streaming.pipeline import session_stream_replay
+
+    return session_stream_replay(spark, _price_base(spark, sf_dir))
+
+
 def q_knn_pq_recall(spark, sf_dir):
     """PQ quality contract (similarity.knn_pq_recall): recall@5 of the
     product-quantized search vs exact squared-L2 brute force as one
@@ -1806,13 +1817,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "price_resample_1h": q_price_resample_1h,
     "knn_pq_recall": q_knn_pq_recall,
+    "session_stream_replay": q_session_stream_replay,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
     "obv": q_obv,
     "knn_brute_vectorized": q_knn_brute_vectorized,
     # --- r4 tail (newest driver rows r3): relational/analytics ---
-    "union_price_feeds": q_union_price_feeds,
     "top_coins_by_volume": q_top_coins_by_volume,
     "active_coins_semi": q_active_coins_semi,
     "stale_coins_anti": q_stale_coins_anti,
@@ -1849,6 +1860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # ---- end of driver correctness window (50 entries above) ----
+    "union_price_feeds": q_union_price_feeds,
     "asof_price_candle": q_asof_price_candle,
     # --- r4-green fillers (rotated out as r5 additions displaced them) ---
     "trading_sessions": q_trading_sessions,
@@ -3068,6 +3080,26 @@ SELECT cohort_day::TIMESTAMP AS cohort_day,
        count(*)::BIGINT AS n_users
 FROM c GROUP BY 1, 2""",
     "trading_sessions": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+marked AS (
+  SELECT *, CASE WHEN epoch(timestamp) - epoch(lag(timestamp) OVER w) >= 360*60
+                 THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+),
+ids AS (
+  SELECT *, sum(ns) OVER (PARTITION BY coin_id, exchange ORDER BY timestamp
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT coin_id, exchange,
+       min(timestamp) AS session_start,
+       max(timestamp) + INTERVAL 360 MINUTES AS session_end,
+       count(*)::BIGINT AS n_ticks,
+       min(price) AS low,
+       max(price) AS high
+FROM ids GROUP BY coin_id, exchange, sid""",
+    "session_stream_replay": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 marked AS (
   SELECT *, CASE WHEN epoch(timestamp) - epoch(lag(timestamp) OVER w) >= 360*60

@@ -424,30 +424,7 @@ def vwap_stream_replay(
     max_ts = real.agg(F.max("timestamp")).collect()[0][0]
     if max_ts is None:
         return spark.createDataFrame([], out_schema)
-    spool = tempfile.mkdtemp(prefix="vwap_replay_")
-    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
-    sentinel = spark.createDataFrame(
-        [("__sentinel__", "__sentinel__", max_ts + timedelta(hours=72), 0.0, 0.0)],
-        PRICE_SCHEMA,
-    )
-    sentinel.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(spool, "sentinel")
-    )
-    # flatten: the file stream reads plain *.parquet files in one dir
-    # (the dataset-dir _SUCCESS markers must not reach the reader)
-    import shutil
-
-    n = 0
-    for sub in ("feed", "sentinel"):
-        subdir = os.path.join(spool, sub)
-        for f in sorted(os.listdir(subdir)):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(subdir, f),
-                    os.path.join(spool, f"{n:04d}.parquet"),
-                )
-                n += 1
-        shutil.rmtree(subdir)
+    spool = _spool_with_sentinel(spark, real, max_ts, prefix="vwap_replay_")
     name = f"vwap_replay_{uuid.uuid4().hex[:8]}"
     query = (
         vwap_stream(
@@ -463,4 +440,85 @@ def vwap_stream_replay(
     if not query.awaitTermination(timeout_s):
         query.stop()
         raise TimeoutError(f"vwap replay did not finish in {timeout_s}s")
+    return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
+
+def _spool_with_sentinel(spark: SparkSession, real: DataFrame, max_ts, prefix: str) -> str:
+    """Spool a price feed to a flat parquet dir plus one far-future
+    sentinel tick (+72 h): the sentinel advances the final watermark
+    past every REAL window/session so an availableNow replay emits them
+    all in append mode. Shared by every *_stream_replay builder."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    spool = tempfile.mkdtemp(prefix=prefix)
+    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", "__sentinel__", max_ts + timedelta(hours=72), 0.0, 0.0)],
+        PRICE_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(spool, "sentinel")
+    )
+    # flatten: the file stream reads plain *.parquet files in one dir
+    # (the dataset-dir _SUCCESS markers must not reach the reader)
+    n = 0
+    for sub in ("feed", "sentinel"):
+        subdir = os.path.join(spool, sub)
+        for f in sorted(os.listdir(subdir)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f),
+                    os.path.join(spool, f"{n:04d}.parquet"),
+                )
+                n += 1
+        shutil.rmtree(subdir)
+    return spool
+
+
+def session_stream_replay(
+    spark: SparkSession, price: DataFrame, gap_minutes: int = 360,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Deterministic end-to-end replay of [[session_stream]] — the
+    second streaming path to earn a driver-side oracle-hash row (after
+    [[vwap_stream_replay]]): spool + sentinel, event-time session
+    windows run to completion under ``availableNow``, and the emitted
+    sessions must hash-match the BATCH gaps-and-islands sessionization
+    (`trading_sessions`' exact SQL) — session_window semantics
+    (end = last tick + gap, exclusive) equal the batch formulation by
+    construction, and this proves it engine-to-engine.
+
+    As with the VWAP replay, the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import uuid
+
+    out_schema = (
+        "coin_id string, exchange string, session_start timestamp,"
+        " session_end timestamp, n_ticks bigint, low double, high double"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    max_ts = real.agg(F.max("timestamp")).collect()[0][0]
+    if max_ts is None:
+        return spark.createDataFrame([], out_schema)
+    spool = _spool_with_sentinel(spark, real, max_ts, prefix="session_replay_")
+    name = f"session_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        session_stream(
+            read_price_stream(spark, os.path.join(spool, "*.parquet")),
+            gap_minutes=gap_minutes,
+            delay="0 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"session replay did not finish in {timeout_s}s")
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
