@@ -28,6 +28,7 @@ from ..operators import (
     corpus,
     dedup,
     derive,
+    graph,
     multimodal,
     relational,
     sampling,
@@ -1754,6 +1755,23 @@ def q_curation_pipeline_v2(spark, sf_dir):
     return corpus.curation_pipeline_v2(_documents(spark, sf_dir))
 
 
+def q_coin_pagerank(spark, sf_dir):
+    """Graph analytics (graph.cooccurrence_edges + graph.pagerank):
+    undirected same-MINUTE co-occurrence graph over the tick stream,
+    then 3 weighted PageRank rounds — the second iterative dataflow
+    beside connected components, with the whole edge build + iteration
+    chain replayed in the oracle. Minute buckets keep the fixture graph
+    sparse (~136k edges at sf0.1 vs 6.8M hourly — per-bucket pair
+    growth is quadratic in bucket density, so bucket granularity is the
+    documented density dial, like max_df for postings)."""
+    from pyspark.sql import functions as F
+
+    price = _price_base(spark, sf_dir)
+    edges = graph.cooccurrence_edges(price, bucket="minute")
+    nodes = price.select(F.col("coin_id").alias("id")).distinct()
+    return graph.pagerank(edges, nodes, iters=3)
+
+
 def q_session_stream_replay(spark, sf_dir):
     """Second driver-checkable STREAMING path
     (pipeline.session_stream_replay): event-time session windows
@@ -1818,13 +1836,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_resample_1h": q_price_resample_1h,
     "knn_pq_recall": q_knn_pq_recall,
     "session_stream_replay": q_session_stream_replay,
+    "coin_pagerank": q_coin_pagerank,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
     "obv": q_obv,
     "knn_brute_vectorized": q_knn_brute_vectorized,
     # --- r4 tail (newest driver rows r3): relational/analytics ---
-    "top_coins_by_volume": q_top_coins_by_volume,
     "active_coins_semi": q_active_coins_semi,
     "stale_coins_anti": q_stale_coins_anti,
     "event_props_stats": q_event_props_stats,
@@ -1860,6 +1878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # ---- end of driver correctness window (50 entries above) ----
+    "top_coins_by_volume": q_top_coins_by_volume,
     "union_price_feeds": q_union_price_feeds,
     "asof_price_candle": q_asof_price_candle,
     # --- r4-green fillers (rotated out as r5 additions displaced them) ---
@@ -3099,6 +3118,64 @@ SELECT coin_id, exchange,
        min(price) AS low,
        max(price) AS high
 FROM ids GROUP BY coin_id, exchange, sid""",
+    # PageRank in INTEGER FIXED-POINT (1e-9 grid): float formulations
+    # diverge at per-round rounding boundaries (observed: one node's
+    # round-2 sum fell on opposite sides of the grid in Spark vs DuckDB
+    # and the flip cascaded); integer multiply/DIV/sum are bit-exact in
+    # every engine. DuckDB // == Spark div for positive operands.
+    "coin_pagerank": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+eh AS (SELECT DISTINCT coin_id AS e, date_trunc('minute', timestamp) AS h FROM base),
+ehc AS (
+  SELECT e, h FROM (
+    SELECT e, h, row_number() OVER (PARTITION BY h ORDER BY e) AS rn FROM eh)
+  WHERE rn <= 2000
+),
+edges AS (
+  SELECT a.e AS src, b.e AS dst, count(*) AS weight
+  FROM ehc a JOIN ehc b ON a.h = b.h AND a.e < b.e
+  GROUP BY a.e, b.e
+),
+bidir AS (
+  SELECT src, dst, weight FROM edges
+  UNION ALL SELECT dst, src, weight FROM edges
+),
+wdeg AS (SELECT src AS id, sum(weight)::BIGINT AS wdeg FROM bidir GROUP BY src),
+nodes AS (SELECT DISTINCT coin_id AS id FROM base),
+nn AS (SELECT count(*) AS n,
+              floor((100.0 - 85) / 100.0 / count(*) * 1000000000 + 0.5)::BIGINT AS tele,
+              floor(1.0 / count(*) * 1000000000 + 0.5)::BIGINT AS r_init
+       FROM nodes),
+r0 AS (SELECT id, r_init AS r FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
+  FROM bidir b JOIN r0 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
+  GROUP BY b.dst
+),
+r1 AS (
+  SELECT nodes.id, (tele + (85 * coalesce(c1.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id
+),
+c2 AS (
+  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
+  FROM bidir b JOIN r1 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
+  GROUP BY b.dst
+),
+r2 AS (
+  SELECT nodes.id, (tele + (85 * coalesce(c2.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id
+),
+c3 AS (
+  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
+  FROM bidir b JOIN r2 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
+  GROUP BY b.dst
+),
+r3 AS (
+  SELECT nodes.id, (tele + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
+)
+SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg
+FROM r3 LEFT JOIN wdeg w ON r3.id = w.id""",
     "session_stream_replay": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 marked AS (

@@ -374,3 +374,41 @@ def test_resample_ffill_gaps_and_ties(spark):
     assert out[("c1", 3)].price == 11.0 and out[("c1", 3)].is_gap
     assert out[("c1", 4)].price == 40.0 and not out[("c1", 4)].is_gap
     assert out[("c2", 2)].price == 7.0 and not out[("c2", 2)].is_gap
+
+
+def test_cooccurrence_and_pagerank(spark):
+    """Edge extraction: per-bucket DISTINCT entities pair up (tick
+    volume inside a bucket never inflates weight); PageRank: symmetric
+    nodes tie, better-connected nodes outrank, isolated nodes keep
+    exactly the teleport mass (1-d)/N, per-round rank total is bounded
+    by 1 (mass leaks only through isolation, not duplication)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import graph
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        ("a", T(1)), ("a", T(1, 30)),       # two ticks, ONE bucket
+        ("b", T(1)), ("c", T(1)),            # a,b,c co-occur in hour 1
+        ("a", T(2)), ("b", T(2)),            # a,b again in hour 2
+        ("z", T(9)),                         # isolated
+    ]
+    df = spark.createDataFrame(rows, "coin_id string, timestamp timestamp")
+    edges = {
+        (r.src, r.dst): r.weight
+        for r in graph.cooccurrence_edges(df).collect()
+    }
+    assert edges == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    nodes = df.select(df.coin_id.alias("id")).distinct()
+    ranks = {r.id: r for r in graph.pagerank(
+        spark.createDataFrame(
+            [(s, d, w) for (s, d), w in edges.items()],
+            "src string, dst string, weight long",
+        ),
+        nodes, iters=3,
+    ).collect()}
+    assert ranks["a"].rank == ranks["b"].rank  # symmetric by weight
+    assert ranks["a"].rank > ranks["c"].rank > ranks["z"].rank
+    assert ranks["z"].rank == round((1 - 0.85) / 4, 9) and ranks["z"].wdeg == 0
+    assert sum(r.rank for r in ranks.values()) <= 1.0 + 1e-9
