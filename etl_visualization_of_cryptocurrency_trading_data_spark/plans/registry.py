@@ -1357,6 +1357,57 @@ WHERE rank <= 5"""
 # the IVF search in place of the deterministic sample. Centroid dims are
 # round(avg, 9) in BOTH engines, so the search sees bit-identical
 # centroids; cosine ties break by id as everywhere else.
+PAGERANK_CTES = f"""base AS ({PRICE_BASE_SQL}),
+eh AS (SELECT DISTINCT coin_id AS e, date_trunc('minute', timestamp) AS h FROM base),
+ehc AS (
+  SELECT e, h FROM (
+    SELECT e, h, row_number() OVER (PARTITION BY h ORDER BY e) AS rn FROM eh)
+  WHERE rn <= 2000
+),
+edges AS (
+  SELECT a.e AS src, b.e AS dst, count(*) AS weight
+  FROM ehc a JOIN ehc b ON a.h = b.h AND a.e < b.e
+  GROUP BY a.e, b.e
+),
+bidir AS (
+  SELECT src, dst, weight FROM edges
+  UNION ALL SELECT dst, src, weight FROM edges
+),
+wdeg AS (SELECT src AS id, sum(weight)::BIGINT AS wdeg FROM bidir GROUP BY src),
+nodes AS (SELECT DISTINCT coin_id AS id FROM base),
+nn AS (SELECT count(*) AS n,
+              floor((100.0 - 85) / 100.0 / count(*) * 1000000000 + 0.5)::BIGINT AS tele,
+              floor(1.0 / count(*) * 1000000000 + 0.5)::BIGINT AS r_init
+       FROM nodes),
+r0 AS (SELECT id, r_init AS r FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
+  FROM bidir b JOIN r0 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
+  GROUP BY b.dst
+),
+r1 AS (
+  SELECT nodes.id, (tele + (85 * coalesce(c1.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id
+),
+c2 AS (
+  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
+  FROM bidir b JOIN r1 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
+  GROUP BY b.dst
+),
+r2 AS (
+  SELECT nodes.id, (tele + (85 * coalesce(c2.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id
+),
+c3 AS (
+  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
+  FROM bidir b JOIN r2 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
+  GROUP BY b.dst
+),
+r3 AS (
+  SELECT nodes.id, (tele + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
+)"""
+
 PQ_SEARCH_CTES = """base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 seeds AS (
   SELECT vec_id, code FROM (
@@ -1755,6 +1806,29 @@ def q_curation_pipeline_v2(spark, sf_dir):
     return corpus.curation_pipeline_v2(_documents(spark, sf_dir))
 
 
+def q_exchange_influencers(spark, sf_dir):
+    """Composition query: top-3 coins per exchange by co-movement
+    PageRank — graph analytics joined back into the serving dimension
+    (exchange recovered from the entity key), ranked with the
+    deterministic (rank desc, id) tiebreak."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    price = _price_base(spark, sf_dir)
+    pr = graph.pagerank(
+        graph.cooccurrence_edges(price, bucket="minute"),
+        price.select(F.col("coin_id").alias("id")).distinct(),
+        iters=3,
+    )
+    w = Window.partitionBy("exchange").orderBy(F.desc("rank"), F.asc("id"))
+    return (
+        pr.withColumn("exchange", F.substring_index("id", "_C", 1))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("exchange", "id", "rank", "wdeg", "rk")
+    )
+
+
 def q_coin_pagerank(spark, sf_dir):
     """Graph analytics (graph.cooccurrence_edges + graph.pagerank):
     undirected same-MINUTE co-occurrence graph over the tick stream,
@@ -1837,6 +1911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_recall": q_knn_pq_recall,
     "session_stream_replay": q_session_stream_replay,
     "coin_pagerank": q_coin_pagerank,
+    "exchange_influencers": q_exchange_influencers,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1844,7 +1919,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_vectorized": q_knn_brute_vectorized,
     # --- r4 tail (newest driver rows r3): relational/analytics ---
     "active_coins_semi": q_active_coins_semi,
-    "stale_coins_anti": q_stale_coins_anti,
     "event_props_stats": q_event_props_stats,
     "price_correlation": q_price_correlation,
     "momentum_ranks": q_momentum_ranks,
@@ -1878,6 +1952,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # ---- end of driver correctness window (50 entries above) ----
+    # Tail head: r4-tail entries squeezed out by the 16 new r5 queries —
+    # their newest driver rows are r3; FRONT-LOAD THESE FOUR in the r6
+    # rotation: stale_coins_anti, top_coins_by_volume,
+    # union_price_feeds, asof_price_candle.
+    "stale_coins_anti": q_stale_coins_anti,
     "top_coins_by_volume": q_top_coins_by_volume,
     "union_price_feeds": q_union_price_feeds,
     "asof_price_candle": q_asof_price_candle,
@@ -3123,57 +3202,19 @@ FROM ids GROUP BY coin_id, exchange, sid""",
     # round-2 sum fell on opposite sides of the grid in Spark vs DuckDB
     # and the flip cascaded); integer multiply/DIV/sum are bit-exact in
     # every engine. DuckDB // == Spark div for positive operands.
-    "coin_pagerank": f"""
-WITH base AS ({PRICE_BASE_SQL}),
-eh AS (SELECT DISTINCT coin_id AS e, date_trunc('minute', timestamp) AS h FROM base),
-ehc AS (
-  SELECT e, h FROM (
-    SELECT e, h, row_number() OVER (PARTITION BY h ORDER BY e) AS rn FROM eh)
-  WHERE rn <= 2000
-),
-edges AS (
-  SELECT a.e AS src, b.e AS dst, count(*) AS weight
-  FROM ehc a JOIN ehc b ON a.h = b.h AND a.e < b.e
-  GROUP BY a.e, b.e
-),
-bidir AS (
-  SELECT src, dst, weight FROM edges
-  UNION ALL SELECT dst, src, weight FROM edges
-),
-wdeg AS (SELECT src AS id, sum(weight)::BIGINT AS wdeg FROM bidir GROUP BY src),
-nodes AS (SELECT DISTINCT coin_id AS id FROM base),
-nn AS (SELECT count(*) AS n,
-              floor((100.0 - 85) / 100.0 / count(*) * 1000000000 + 0.5)::BIGINT AS tele,
-              floor(1.0 / count(*) * 1000000000 + 0.5)::BIGINT AS r_init
-       FROM nodes),
-r0 AS (SELECT id, r_init AS r FROM nodes CROSS JOIN nn),
-c1 AS (
-  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
-  FROM bidir b JOIN r0 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
-  GROUP BY b.dst
-),
-r1 AS (
-  SELECT nodes.id, (tele + (85 * coalesce(c1.s, 0)) // 100)::BIGINT AS r
-  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id
-),
-c2 AS (
-  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
-  FROM bidir b JOIN r1 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
-  GROUP BY b.dst
-),
-r2 AS (
-  SELECT nodes.id, (tele + (85 * coalesce(c2.s, 0)) // 100)::BIGINT AS r
-  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id
-),
-c3 AS (
-  SELECT b.dst AS id, sum((r.r * b.weight) // w.wdeg)::BIGINT AS s
-  FROM bidir b JOIN r2 r ON b.src = r.id JOIN wdeg w ON b.src = w.id
-  GROUP BY b.dst
-),
-r3 AS (
-  SELECT nodes.id, (tele + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS r
-  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
+    "exchange_influencers": f"""
+WITH {PAGERANK_CTES},
+pr AS (
+  SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg
+  FROM r3 LEFT JOIN wdeg w ON r3.id = w.id
 )
+SELECT exchange, id, rank, wdeg, rk FROM (
+  SELECT split_part(id, '_C', 1) AS exchange, id, rank, wdeg,
+         row_number() OVER (PARTITION BY split_part(id, '_C', 1)
+                            ORDER BY rank DESC, id) AS rk
+  FROM pr) WHERE rk <= 3""",
+    "coin_pagerank": f"""
+WITH {PAGERANK_CTES}
 SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg
 FROM r3 LEFT JOIN wdeg w ON r3.id = w.id""",
     "session_stream_replay": f"""
