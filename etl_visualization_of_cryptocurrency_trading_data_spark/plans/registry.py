@@ -1891,8 +1891,13 @@ def q_media_decode_wav(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R5_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# Round-6 rotation plan: front-load the 38 tail entries below plus
-# anything r6 changes, fill the rest with this round's window entries.
+# Round-6 rotation plan (registry = 100 queries, window = first 50):
+#   1. FIRST the four r4-tail entries squeezed out this round, whose
+#      newest driver rows are r3 (two rounds stale): stale_coins_anti,
+#      top_coins_by_volume, union_price_feeds, asof_price_candle;
+#   2. then anything r6 adds or whose plan r6 changes;
+#   3. then the 46 tail entries below (newest rows r4), oldest-evidence
+#      first, to fill the remaining slots.
 # Update EXPECTED_R5_WINDOW in test_sql_api.py in the same commit
 # (rename it EXPECTED_R6_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
