@@ -467,3 +467,59 @@ def resample_ffill(
         "tick_ts",
         (F.date_trunc("hour", F.col("tick_ts")) != F.col("grid_ts")).alias("is_gap"),
     )
+
+
+def robust_anomalies(
+    price_data: DataFrame,
+    value: str = "change_1h",
+    keys: tuple[str, ...] = ("coin_id", "exchange"),
+    threshold: float = 3.5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Robust per-entity anomaly flags on a tick metric via the
+    modified z-score (Iglewicz-Hoaglin): z = 0.6745 * (x - median) /
+    MAD, flag |z| > threshold (3.5 is the paper's cutoff). Median/MAD
+    instead of mean/stddev because the statistic itself must survive
+    the outliers it is hunting — one 10x price spike shifts a stddev
+    enough to mask itself, but not a median.
+
+    Determinism: z is rounded before the threshold compare and the
+    flag derives from the ROUNDED value, so engines agree at the
+    cutoff boundary; exact interpolated medians (percentile 0.5) are
+    identical IEEE arithmetic in Spark and DuckDB. MAD==0 groups
+    (constant series) yield NULL z and FALSE flag — surfaced, not
+    divided through.
+
+    Scale shape: two aggregate rounds on the entity key (median, then
+    MAD of deviations) joined back to the ticks — three shuffles total,
+    all keyed by entity, no window over the corpus. At 100 TB swap the
+    exact percentile for approx_percentile with the same plan shape
+    (the [[doc_length_quantiles_approx]] pattern).
+    """
+    ks = list(keys)
+    base = price_data.filter(F.col(value).isNotNull())
+    med = base.groupBy(*ks).agg(
+        F.expr(f"percentile({value}, 0.5)").alias("_med")
+    )
+    with_med = base.join(med, ks)
+    mad = (
+        with_med.select(*ks, F.abs(F.col(value) - F.col("_med")).alias("_dev"))
+        .groupBy(*ks)
+        .agg(F.expr("percentile(_dev, 0.5)").alias("_mad"))
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col(value) - F.col("_med")) / F.col("_mad"),
+        round_decimals,
+    )
+    return (
+        with_med.join(mad, ks)
+        .select(
+            *ks,
+            "timestamp",
+            F.col(value).alias("value"),
+            F.when(F.col("_mad") > 0, z).alias("robust_z"),
+            F.when(F.col("_mad") > 0, F.abs(z) > threshold)
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )

@@ -1829,6 +1829,14 @@ def q_exchange_influencers(spark, sf_dir):
     )
 
 
+def q_price_anomalies(spark, sf_dir):
+    """Robust per-coin anomaly flags (derive.robust_anomalies): modified
+    z-score (median/MAD, Iglewicz-Hoaglin 3.5 cutoff) on the hourly
+    change column — the outlier-resistant screen a data-quality layer
+    runs before indicators consume the feed."""
+    return derive.robust_anomalies(derive.price_data(_events(spark, sf_dir)))
+
+
 def q_coin_pagerank(spark, sf_dir):
     """Graph analytics (graph.cooccurrence_edges + graph.pagerank):
     undirected same-MINUTE co-occurrence graph over the tick stream,
@@ -1917,6 +1925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stream_replay": q_session_stream_replay,
     "coin_pagerank": q_coin_pagerank,
     "exchange_influencers": q_exchange_influencers,
+    "price_anomalies": q_price_anomalies,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1928,7 +1937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_correlation": q_price_correlation,
     "momentum_ranks": q_momentum_ranks,
     "user_retention": q_user_retention,
-    "revenue_by_nation": q_revenue_by_nation,
     "top_suppliers": q_top_suppliers,
     # --- r4 tail: dedup/text/corpus ---
     "exact_dedup": q_exact_dedup,
@@ -1957,10 +1965,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # ---- end of driver correctness window (50 entries above) ----
-    # Tail head: r4-tail entries squeezed out by the 16 new r5 queries —
-    # their newest driver rows are r3; FRONT-LOAD THESE FOUR in the r6
-    # rotation: stale_coins_anti, top_coins_by_volume,
-    # union_price_feeds, asof_price_candle.
+    # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
+    # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
+    # rotation: revenue_by_nation, stale_coins_anti,
+    # top_coins_by_volume, union_price_feeds, asof_price_candle.
+    "revenue_by_nation": q_revenue_by_nation,
     "stale_coins_anti": q_stale_coins_anti,
     "top_coins_by_volume": q_top_coins_by_volume,
     "union_price_feeds": q_union_price_feeds,
@@ -3218,6 +3227,32 @@ SELECT exchange, id, rank, wdeg, rk FROM (
          row_number() OVER (PARTITION BY split_part(id, '_C', 1)
                             ORDER BY rank DESC, id) AS rk
   FROM pr) WHERE rk <= 3""",
+    "price_anomalies": _with(
+        PRICE_DATA_CTE,
+        select="""
+, base AS (
+  SELECT coin_id, exchange, timestamp, change_1h AS value
+  FROM price_data WHERE change_1h IS NOT NULL
+),
+med AS (
+  SELECT coin_id, exchange, quantile_cont(value, 0.5) AS med
+  FROM base GROUP BY coin_id, exchange
+),
+mad AS (
+  SELECT b.coin_id, b.exchange,
+         quantile_cont(abs(b.value - m.med), 0.5) AS mad
+  FROM base b JOIN med m USING (coin_id, exchange)
+  GROUP BY b.coin_id, b.exchange
+)
+SELECT b.coin_id, b.exchange, b.timestamp, b.value,
+       CASE WHEN d.mad > 0
+            THEN round(0.6745 * (b.value - m.med) / d.mad, 6) END AS robust_z,
+       coalesce(CASE WHEN d.mad > 0
+            THEN abs(round(0.6745 * (b.value - m.med) / d.mad, 6)) > 3.5 END,
+            FALSE) AS is_anomaly
+FROM base b JOIN med m USING (coin_id, exchange)
+            JOIN mad d USING (coin_id, exchange)""",
+    ),
     "coin_pagerank": f"""
 WITH {PAGERANK_CTES}
 SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg

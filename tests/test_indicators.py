@@ -388,3 +388,26 @@ def test_ichimoku_midpoints_and_shifts(spark):
     assert np.allclose(got["senkou_a"][valid], senkou_a[valid])
     assert np.allclose(got["chikou"][: n - 5], close[5:])
     assert got["chikou"][n - 5 :].isna().all()
+
+
+def test_robust_anomalies_flags_outlier(spark):
+    """Median/MAD modified z-score: a single 10x spike flags while the
+    surrounding ticks stay clean (a mean/stddev screen would mask the
+    spike with itself); a constant series yields NULL z and FALSE (no
+    MAD=0 division)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = lambda i: dt.datetime(2024, 1, 1, 0, i)  # noqa: E731
+    rows = [("c1", "x", T(i), 0.01 * ((-1) ** i)) for i in range(10)]
+    rows.append(("c1", "x", T(10), 5.0))              # the spike
+    rows += [("c2", "x", T(i), 0.02) for i in range(5)]  # constant
+    df = spark.createDataFrame(
+        rows, "coin_id string, exchange string, timestamp timestamp, change_1h double"
+    )
+    out = derive.robust_anomalies(df).collect()
+    spikes = [r for r in out if r.is_anomaly]
+    assert len(spikes) == 1 and spikes[0].value == 5.0
+    c2 = [r for r in out if r.coin_id == "c2"]
+    assert all(r.robust_z is None and r.is_anomaly is False for r in c2)

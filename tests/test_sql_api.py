@@ -233,12 +233,13 @@ EXPECTED_R5_WINDOW = [
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
     "session_stream_replay", "coin_pagerank", "exchange_influencers",
+    "price_anomalies",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
     "active_coins_semi", "event_props_stats",
     "price_correlation", "momentum_ranks", "user_retention",
-    "revenue_by_nation", "top_suppliers",
+    "top_suppliers",
     "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
     "curation_pipeline", "doc_length_quantiles_approx",
     "exchange_cardinality", "pack_chunks_overlap", "dedup_survivors",
