@@ -523,3 +523,47 @@ def robust_anomalies(
             .alias("is_anomaly"),
         )
     )
+
+
+def forecast_backtest(
+    ticks: DataFrame,
+    season: int = 24,
+    round_decimals: int = 6,
+    order_cols: tuple[str, ...] = ("timestamp", "event_id"),
+) -> DataFrame:
+    """Walk-forward backtest of the two standard forecasting baselines
+    every model must beat: naive (next tick = last tick) and
+    seasonal-naive (next tick = the tick ``season`` steps back),
+    scored per entity with MAPE over every tick where both forecasts
+    exist. This is the evaluation harness side of an analytics engine:
+    the same lag machinery as [[price_data]], ending in one aggregate
+    of per-tick absolute percentage errors (zero-price ticks excluded
+    — MAPE is undefined there).
+
+    One window pass on the (entity, ts, tiebreak) total order + one
+    keyed aggregate — two shuffles on the entity key, no state beyond
+    the window frame. ``naive_wins`` compares the ROUNDED MAPEs so the
+    verdict is engine-independent.
+    """
+    w = Window.partitionBy("coin_id", "exchange").orderBy(*order_cols)
+    scored = (
+        ticks.select(
+            "coin_id",
+            "exchange",
+            "price",
+            F.lag("price", 1).over(w).alias("_f_naive"),
+            F.lag("price", season).over(w).alias("_f_snaive"),
+        )
+        .filter(
+            F.col("_f_snaive").isNotNull() & (F.abs(F.col("price")) > 0)
+        )
+    )
+    ape = lambda f: F.abs(F.col("price") - F.col(f)) / F.abs(F.col("price"))  # noqa: E731
+    mape_n = F.round(F.avg(ape("_f_naive")), round_decimals)
+    mape_s = F.round(F.avg(ape("_f_snaive")), round_decimals)
+    return scored.groupBy("coin_id", "exchange").agg(
+        F.count("*").alias("n_evaluated"),
+        mape_n.alias("mape_naive"),
+        mape_s.alias("mape_snaive"),
+        (mape_n <= mape_s).alias("naive_wins"),
+    )

@@ -1829,6 +1829,18 @@ def q_exchange_influencers(spark, sf_dir):
     )
 
 
+def q_forecast_backtest(spark, sf_dir):
+    """Forecast-baseline backtest (derive.forecast_backtest): naive vs
+    seasonal-naive walk-forward MAPE per coin — the evaluation harness
+    a forecasting layer is judged against, with the verdict on rounded
+    values so both engines agree. season=4 (the change_1d lag) because
+    the fixture's per-coin series are ~13 ticks — season=24 would
+    evaluate nothing."""
+    return derive.forecast_backtest(
+        derive.tick_base(_events(spark, sf_dir)), season=4
+    )
+
+
 def q_price_anomalies(spark, sf_dir):
     """Robust per-coin anomaly flags (derive.robust_anomalies): modified
     z-score (median/MAD, Iglewicz-Hoaglin 3.5 cutoff) on the hourly
@@ -1926,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coin_pagerank": q_coin_pagerank,
     "exchange_influencers": q_exchange_influencers,
     "price_anomalies": q_price_anomalies,
+    "forecast_backtest": q_forecast_backtest,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1933,7 +1946,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_vectorized": q_knn_brute_vectorized,
     # --- r4 tail (newest driver rows r3): relational/analytics ---
     "active_coins_semi": q_active_coins_semi,
-    "event_props_stats": q_event_props_stats,
     "price_correlation": q_price_correlation,
     "momentum_ranks": q_momentum_ranks,
     "user_retention": q_user_retention,
@@ -1967,8 +1979,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of driver correctness window (50 entries above) ----
     # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
     # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
-    # rotation: revenue_by_nation, stale_coins_anti,
+    # rotation: event_props_stats, revenue_by_nation, stale_coins_anti,
     # top_coins_by_volume, union_price_feeds, asof_price_candle.
+    "event_props_stats": q_event_props_stats,
     "revenue_by_nation": q_revenue_by_nation,
     "stale_coins_anti": q_stale_coins_anti,
     "top_coins_by_volume": q_top_coins_by_volume,
@@ -3227,6 +3240,24 @@ SELECT exchange, id, rank, wdeg, rk FROM (
          row_number() OVER (PARTITION BY split_part(id, '_C', 1)
                             ORDER BY rank DESC, id) AS rk
   FROM pr) WHERE rk <= 3""",
+    "forecast_backtest": f"""
+WITH ticks AS ({PRICE_BASE_TB_SQL}),
+lagged AS (
+  SELECT coin_id, exchange, price,
+         lag(price, 1)  OVER w AS f_naive,
+         lag(price, 4) OVER w AS f_snaive
+  FROM ticks
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id)
+),
+scored AS (
+  SELECT * FROM lagged WHERE f_snaive IS NOT NULL AND abs(price) > 0
+)
+SELECT coin_id, exchange, count(*)::BIGINT AS n_evaluated,
+       round(avg(abs(price - f_naive) / abs(price)), 6) AS mape_naive,
+       round(avg(abs(price - f_snaive) / abs(price)), 6) AS mape_snaive,
+       round(avg(abs(price - f_naive) / abs(price)), 6)
+         <= round(avg(abs(price - f_snaive) / abs(price)), 6) AS naive_wins
+FROM scored GROUP BY coin_id, exchange""",
     "price_anomalies": _with(
         PRICE_DATA_CTE,
         select="""

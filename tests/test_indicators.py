@@ -411,3 +411,28 @@ def test_robust_anomalies_flags_outlier(spark):
     assert len(spikes) == 1 and spikes[0].value == 5.0
     c2 = [r for r in out if r.coin_id == "c2"]
     assert all(r.robust_z is None and r.is_anomaly is False for r in c2)
+
+
+def test_forecast_backtest_hand_built(spark):
+    """MAPE arithmetic against hand-computed values: a rising series
+    where the naive forecast is always 1 behind and the seasonal(2)
+    forecast always 2 behind — naive must win; zero-price ticks are
+    excluded from the evaluation."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = lambda i: dt.datetime(2024, 1, 1, 0, i)  # noqa: E731
+    prices = [10.0, 11.0, 12.0, 13.0, 14.0]
+    rows = [("c1", "x", T(i), p, i) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(
+        rows, "coin_id string, exchange string, timestamp timestamp, price double, event_id long"
+    )
+    out = derive.forecast_backtest(df, season=2).collect()[0]
+    evald = prices[2:]
+    mape_n = sum(abs(p - prices[i + 1]) / p for i, p in enumerate(evald)) / 3
+    mape_s = sum(abs(p - prices[i]) / p for i, p in enumerate(evald)) / 3
+    assert out.n_evaluated == 3
+    assert out.mape_naive == round(mape_n, 6)
+    assert out.mape_snaive == round(mape_s, 6)
+    assert out.naive_wins
