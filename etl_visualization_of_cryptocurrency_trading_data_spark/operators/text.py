@@ -395,3 +395,38 @@ def gopher_rules(
         *[v.alias(k) for k, v in guarded.items()],
         passes.alias("passes_gopher"),
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """The first round of BPE tokenizer training: corpus-wide counts of
+    adjacent symbol (character) pairs, weighted by word frequency —
+    the top pair is exactly what BPE would merge first. Training
+    operates on the WORD FREQUENCY TABLE, not the raw corpus (the
+    standard formulation): the corpus collapses to (word, n) in one
+    hash aggregate, and the pair explosion runs over the vocabulary —
+    at web scale that is millions of rows, not trillions.
+
+    Output: (pair, n_occurrences, rank) for the top ``k`` pairs, ties
+    by pair text. Plan: explode(words) -> word-count aggregate ->
+    explode(sequence) + substring pair build (codegen, no interpreted
+    lambdas — the [[dedup.span_dedup]] pattern) -> pair aggregate ->
+    one WindowGroupLimit top-k.
+    """
+    word_freq = (
+        documents.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = word_freq.select(
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"), "n")
+    counts = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n_occurrences", "rank")
+    )

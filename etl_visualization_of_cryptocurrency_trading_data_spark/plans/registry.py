@@ -1841,6 +1841,13 @@ def q_forecast_backtest(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer-training round 1 (text.bpe_merge_candidates): top-20
+    adjacent character pairs by word-frequency-weighted count — the
+    merges BPE would learn first, computed on the vocabulary table."""
+    return text.bpe_merge_candidates(_documents(spark, sf_dir), k=20)
+
+
 def q_price_anomalies(spark, sf_dir):
     """Robust per-coin anomaly flags (derive.robust_anomalies): modified
     z-score (median/MAD, Iglewicz-Hoaglin 3.5 cutoff) on the hourly
@@ -1939,6 +1946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exchange_influencers": q_exchange_influencers,
     "price_anomalies": q_price_anomalies,
     "forecast_backtest": q_forecast_backtest,
+    "bpe_merges": q_bpe_merges,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1946,7 +1954,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_vectorized": q_knn_brute_vectorized,
     # --- r4 tail (newest driver rows r3): relational/analytics ---
     "active_coins_semi": q_active_coins_semi,
-    "price_correlation": q_price_correlation,
     "momentum_ranks": q_momentum_ranks,
     "user_retention": q_user_retention,
     "top_suppliers": q_top_suppliers,
@@ -1979,8 +1986,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of driver correctness window (50 entries above) ----
     # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
     # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
-    # rotation: event_props_stats, revenue_by_nation, stale_coins_anti,
-    # top_coins_by_volume, union_price_feeds, asof_price_candle.
+    # rotation: price_correlation, event_props_stats, revenue_by_nation,
+    # stale_coins_anti, top_coins_by_volume, union_price_feeds,
+    # asof_price_candle.
+    "price_correlation": q_price_correlation,
     "event_props_stats": q_event_props_stats,
     "revenue_by_nation": q_revenue_by_nation,
     "stale_coins_anti": q_stale_coins_anti,
@@ -3240,6 +3249,19 @@ SELECT exchange, id, rank, wdeg, rk FROM (
          row_number() OVER (PARTITION BY split_part(id, '_C', 1)
                             ORDER BY rank DESC, id) AS rk
   FROM pr) WHERE rk <= 3""",
+    "bpe_merges": r"""
+WITH wf AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w HAVING length(w) >= 2
+),
+idx AS (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i FROM wf),
+pairs AS (SELECT substring(w, i, 2) AS pair, n FROM idx),
+counts AS (SELECT pair, sum(n)::BIGINT AS n_occurrences FROM pairs GROUP BY pair)
+SELECT pair, n_occurrences, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+  FROM counts) WHERE rank <= 20""",
     "forecast_backtest": f"""
 WITH ticks AS ({PRICE_BASE_TB_SQL}),
 lagged AS (

@@ -302,3 +302,23 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not any(
         [out[9].r_word_count, out[9].r_stopwords, out[9].passes_gopher]
     )
+
+
+def test_bpe_merge_candidates_hand_built(spark):
+    """Pair counting against hand-computed BPE round-1 counts:
+    frequency weighting, within-word multiplicity ('aaa' has two 'aa'
+    pairs), single-char words excluded, deterministic tie order."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import text as t
+
+    rows = [
+        (1, "ab ab ab aaa x"),   # ab x3 -> pair 'ab' 3; aaa -> 'aa' 2; x dropped
+        (2, "ab cd"),            # 'ab' +1 = 4; 'cd' 1
+    ]
+    out = t.bpe_merge_candidates(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=10
+    ).collect()
+    got = [(r.pair, r.n_occurrences, r.rank) for r in out]
+    assert got[0] == ("ab", 4, 1)
+    assert ("aa", 2, 2) in got
+    assert ("cd", 1, 3) in got
+    assert all(len(p) == 2 for p, _, _ in got)
