@@ -1841,6 +1841,29 @@ def q_forecast_backtest(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source/sink evidence (sources.jsonl): the documents table
+    written as newline-delimited JSON, a hand-corrupted line appended,
+    then read back under the ENFORCED schema in PERMISSIVE mode — the
+    corrupt line drops instead of killing the read, and the surviving
+    rows must hash-match the original table exactly (oracle = plain
+    SELECT). The write+read runs at build time (side-effect query,
+    like the streaming replays)."""
+    import os
+    import tempfile
+
+    from ..sources import jsonl
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    jsonl.write_jsonl(docs, path)
+    with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
+        f.write('{"doc_id": not valid json\n')
+    return jsonl.read_jsonl(spark, path, docs.schema)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer-training round 1 (text.bpe_merge_candidates): top-20
     adjacent character pairs by word-frequency-weighted count — the
@@ -1947,6 +1970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_anomalies": q_price_anomalies,
     "forecast_backtest": q_forecast_backtest,
     "bpe_merges": q_bpe_merges,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1955,7 +1979,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4 tail (newest driver rows r3): relational/analytics ---
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
-    "user_retention": q_user_retention,
     "top_suppliers": q_top_suppliers,
     # --- r4 tail: dedup/text/corpus ---
     "exact_dedup": q_exact_dedup,
@@ -1986,9 +2009,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of driver correctness window (50 entries above) ----
     # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
     # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
-    # rotation: price_correlation, event_props_stats, revenue_by_nation,
-    # stale_coins_anti, top_coins_by_volume, union_price_feeds,
-    # asof_price_candle.
+    # rotation: user_retention, price_correlation, event_props_stats,
+    # revenue_by_nation, stale_coins_anti, top_coins_by_volume,
+    # union_price_feeds, asof_price_candle.
+    "user_retention": q_user_retention,
     "price_correlation": q_price_correlation,
     "event_props_stats": q_event_props_stats,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3249,6 +3273,7 @@ SELECT exchange, id, rank, wdeg, rk FROM (
          row_number() OVER (PARTITION BY split_part(id, '_C', 1)
                             ORDER BY rank DESC, id) AS rk
   FROM pr) WHERE rk <= 3""",
+    "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "bpe_merges": r"""
 WITH wf AS (
   SELECT w, count(*) AS n FROM (

@@ -82,3 +82,28 @@ def test_serving_route_over_written_tables(spark, pipeline_out):
         map(str, via_batch.collect())
     )
     assert via_batch.count() > 0
+
+
+def test_jsonl_roundtrip_corrupt_tolerance(spark, tmp_path):
+    """JSONL contract: schema-enforced read survives malformed lines
+    (they surface via the corrupt column and drop), and the surviving
+    rows equal the written frame exactly; drop_corrupt=False exposes
+    the bad line for quarantine accounting."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 5), (2, "beta", 4)], "doc_id long, text string, n long"
+    )
+    path = str(tmp_path / "out")
+    jsonl.write_jsonl(df, path)
+    (tmp_path / "out" / "zz_bad.json").write_text('{"doc_id": oops\n{"no_close"\n')
+    back = jsonl.read_jsonl(spark, path, df.schema)
+    assert sorted((r.doc_id, r.text, r.n) for r in back.collect()) == [
+        (1, "alpha", 5), (2, "beta", 4),
+    ]
+    # Spark refuses queries touching ONLY the internal corrupt column
+    # on a raw json relation — cache first, per its own guidance
+    kept = jsonl.read_jsonl(spark, path, df.schema, drop_corrupt=False).cache()
+    n_corrupt = kept.filter(kept[jsonl.CORRUPT_COL].isNotNull()).count()
+    assert n_corrupt == 2
+    kept.unpersist()

@@ -233,12 +233,12 @@ EXPECTED_R5_WINDOW = [
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
     "session_stream_replay", "coin_pagerank", "exchange_influencers",
-    "price_anomalies", "forecast_backtest", "bpe_merges",
+    "price_anomalies", "forecast_backtest", "bpe_merges", "jsonl_roundtrip",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
     "active_coins_semi",
-    "momentum_ranks", "user_retention",
+    "momentum_ranks",
     "top_suppliers",
     "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
     "curation_pipeline", "doc_length_quantiles_approx",
