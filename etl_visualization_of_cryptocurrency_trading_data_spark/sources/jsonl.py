@@ -1,18 +1,19 @@
 """JSONL (newline-delimited JSON) source/sink — the interchange format
-LLM corpora actually ship in. Spark's json reader/writer IS
-line-delimited by default; the value this module adds is the pinned
-contract around it:
+LLM corpora actually ship in. Spark's json writer IS line-delimited by
+default; the reader here deliberately goes through ``text`` +
+``from_json`` rather than ``spark.read.json``:
 
-- ``write_jsonl``: one JSON object per line, written with an explicit
-  column order (Spark's json writer follows the schema, so downstream
-  non-Spark consumers see stable keys).
-- ``read_jsonl``: schema-ENFORCED read (never schema inference — an
-  inference pass is a second full scan at 100 TB and type-drifts on
-  dirty data) in PERMISSIVE mode with a named corrupt-record column:
-  malformed lines surface as rows with the corrupt column set instead
-  of killing the job, and ``drop_corrupt=True`` filters them after
-  counting. Scale: both sides are pure per-line map work over
-  splittable files; no shuffle.
+- schema is ENFORCED (never inference — an inference pass is a second
+  full scan at 100 TB and type-drifts on dirty data);
+- malformed lines are flagged through a corrupt field declared INSIDE
+  the ``from_json`` schema — an ordinary struct column with none of
+  the analyzer restrictions of ``spark.read.json``'s internal
+  ``_corrupt_record`` (which REFUSES queries referencing only it:
+  count() after a corrupt-filter throws unless the relation is cached
+  first — breaking exactly the quarantine-accounting pattern a
+  pipeline needs);
+- both sides stay pure per-line map work over splittable files, no
+  shuffle.
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CORRUPT_COL = "_corrupt_record"
+RAW_COL = "_raw_line"
+CORRUPT_FIELD = "_corrupt"
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
@@ -33,18 +35,27 @@ def read_jsonl(
     schema,
     drop_corrupt: bool = True,
 ) -> DataFrame:
+    """Schema-enforced JSONL read. With ``drop_corrupt`` (default) only
+    cleanly-parsed rows survive, as the schema's columns; otherwise
+    every line is kept with the parsed struct in ``parsed`` (whose
+    ``_corrupt`` field holds the raw text of malformed lines) plus the
+    original line in ``_raw_line`` — the quarantine shape."""
     from pyspark.sql.types import StringType, StructType
 
-    if isinstance(schema, StructType):
-        read_schema = StructType(schema.fields[:]).add(CORRUPT_COL, StringType())
-    else:
+    if not isinstance(schema, StructType):
         raise TypeError("read_jsonl requires an explicit StructType schema")
-    out = (
-        spark.read.schema(read_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    parse_schema = StructType(schema.fields[:]).add(CORRUPT_FIELD, StringType())
+    raw = spark.read.text(path).select(F.col("value").alias(RAW_COL))
+    parsed = raw.select(
+        RAW_COL,
+        F.from_json(
+            F.col(RAW_COL),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_FIELD},
+        ).alias("parsed"),
     )
     if drop_corrupt:
-        out = out.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return out
+        return parsed.filter(
+            F.col(f"parsed.{CORRUPT_FIELD}").isNull()
+        ).select(*[f"parsed.{f.name}" for f in schema.fields])
+    return parsed

@@ -101,9 +101,9 @@ def test_jsonl_roundtrip_corrupt_tolerance(spark, tmp_path):
     assert sorted((r.doc_id, r.text, r.n) for r in back.collect()) == [
         (1, "alpha", 5), (2, "beta", 4),
     ]
-    # Spark refuses queries touching ONLY the internal corrupt column
-    # on a raw json relation — cache first, per its own guidance
-    kept = jsonl.read_jsonl(spark, path, df.schema, drop_corrupt=False).cache()
-    n_corrupt = kept.filter(kept[jsonl.CORRUPT_COL].isNotNull()).count()
-    assert n_corrupt == 2
-    kept.unpersist()
+    kept = jsonl.read_jsonl(spark, path, df.schema, drop_corrupt=False)
+    corrupt = kept.filter(kept["parsed"][jsonl.CORRUPT_FIELD].isNotNull())
+    assert corrupt.count() == 2
+    # the raw text of the quarantined lines is preserved for triage
+    bad = {r[jsonl.RAW_COL] for r in corrupt.collect()}
+    assert bad == {'{"doc_id": oops', '{"no_close"'}
