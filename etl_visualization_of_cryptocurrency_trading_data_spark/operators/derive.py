@@ -567,3 +567,53 @@ def forecast_backtest(
         mape_s.alias("mape_snaive"),
         (mape_n <= mape_s).alias("naive_wins"),
     )
+
+
+def volume_profile(
+    price: DataFrame,
+    bins: int = 20,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Volume profile — the trading view of where volume concentrated:
+    per (coin, exchange), the price range splits into ``bins``
+    equal-width bins and each bin accumulates its traded volume and
+    tick count. Binning uses the EXPLICIT floor expression
+    ``least(bins-1, floor((p - min) / (max - min) * bins))`` rather
+    than ``width_bucket`` so both engines evaluate the identical IEEE
+    ops and boundary ticks land in the same bin everywhere (the
+    binned-range-join lesson); single-price entities collapse to bin
+    0. Bin edges are emitted (rounded) so the result is a complete
+    chart payload.
+
+    Two keyed aggregates (range, then per-bin rollup) joined back —
+    all shuffles on the entity key, map-side partials throughout.
+    """
+    keys = ["coin_id", "exchange"]
+    rng = price.groupBy(*keys).agg(
+        F.min("price").alias("_mn"), F.max("price").alias("_mx")
+    )
+    with_bin = price.join(rng, keys).withColumn(
+        "bin",
+        F.when(F.col("_mx") > F.col("_mn"),
+               F.least(
+                   F.lit(bins - 1),
+                   F.floor(
+                       (F.col("price") - F.col("_mn"))
+                       / (F.col("_mx") - F.col("_mn"))
+                       * bins
+                   ),
+               ))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    mn, mx = F.first("_mn"), F.first("_mx")
+    width = (mx - mn) / bins
+    return (
+        with_bin.groupBy(*keys, "bin")
+        .agg(
+            F.round(F.sum("volume"), round_decimals).alias("bin_volume"),
+            F.count("*").alias("n_ticks"),
+            F.round(mn + F.col("bin") * width, round_decimals).alias("bin_lo"),
+            F.round(mn + (F.col("bin") + 1) * width, round_decimals).alias("bin_hi"),
+        )
+    )

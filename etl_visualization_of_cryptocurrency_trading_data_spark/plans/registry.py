@@ -1841,6 +1841,13 @@ def q_forecast_backtest(spark, sf_dir):
     )
 
 
+def q_volume_profile(spark, sf_dir):
+    """Volume profile (derive.volume_profile): per-coin volume-by-price
+    histogram over 20 equal-width bins, explicit-floor binning so
+    boundary ticks land identically in both engines."""
+    return derive.volume_profile(_price_base(spark, sf_dir))
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL source/sink evidence (sources.jsonl): the documents table
     written as newline-delimited JSON, a hand-corrupted line appended,
@@ -1971,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_backtest": q_forecast_backtest,
     "bpe_merges": q_bpe_merges,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "volume_profile": q_volume_profile,
     # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
@@ -1979,7 +1987,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4 tail (newest driver rows r3): relational/analytics ---
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
-    "top_suppliers": q_top_suppliers,
     # --- r4 tail: dedup/text/corpus ---
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
@@ -2009,9 +2016,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of driver correctness window (50 entries above) ----
     # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
     # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
-    # rotation: user_retention, price_correlation, event_props_stats,
-    # revenue_by_nation, stale_coins_anti, top_coins_by_volume,
-    # union_price_feeds, asof_price_candle.
+    # rotation: top_suppliers, user_retention, price_correlation,
+    # event_props_stats, revenue_by_nation, stale_coins_anti,
+    # top_coins_by_volume, union_price_feeds, asof_price_candle.
+    "top_suppliers": q_top_suppliers,
     "user_retention": q_user_retention,
     "price_correlation": q_price_correlation,
     "event_props_stats": q_event_props_stats,
@@ -3274,6 +3282,26 @@ SELECT exchange, id, rank, wdeg, rk FROM (
                             ORDER BY rank DESC, id) AS rk
   FROM pr) WHERE rk <= 3""",
     "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "volume_profile": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+rng AS (
+  SELECT coin_id, exchange, min(price) AS mn, max(price) AS mx
+  FROM base GROUP BY coin_id, exchange
+),
+binned AS (
+  SELECT b.coin_id, b.exchange, b.price, b.volume, r.mn, r.mx,
+         CASE WHEN r.mx > r.mn
+              THEN least(19, floor((b.price - r.mn) / (r.mx - r.mn) * 20))::INT
+              ELSE 0 END AS bin
+  FROM base b JOIN rng r USING (coin_id, exchange)
+)
+SELECT coin_id, exchange, bin,
+       round(sum(volume), 6) AS bin_volume,
+       count(*)::BIGINT AS n_ticks,
+       round(any_value(mn) + bin * ((any_value(mx) - any_value(mn)) / 20), 6) AS bin_lo,
+       round(any_value(mn) + (bin + 1) * ((any_value(mx) - any_value(mn)) / 20), 6) AS bin_hi
+FROM binned GROUP BY coin_id, exchange, bin""",
+
     "bpe_merges": r"""
 WITH wf AS (
   SELECT w, count(*) AS n FROM (

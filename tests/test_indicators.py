@@ -436,3 +436,31 @@ def test_forecast_backtest_hand_built(spark):
     assert out.mape_naive == round(mape_n, 6)
     assert out.mape_snaive == round(mape_s, 6)
     assert out.naive_wins
+
+
+def test_volume_profile_hand_built(spark):
+    """Binning arithmetic against hand-computed bins: boundary ticks
+    (price == max) land in the LAST bin, volumes accumulate per bin,
+    edges tile [min, max], and a constant-price entity collapses to
+    bin 0."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "x", T, 0.0, 10.0),
+        ("c1", "x", T, 50.0, 20.0),
+        ("c1", "x", T, 100.0, 30.0),   # == max -> last bin, not bin 20
+        ("c2", "x", T, 7.0, 5.0),
+        ("c2", "x", T, 7.0, 5.0),      # constant price -> single bin 0
+    ]
+    df = spark.createDataFrame(
+        rows, "coin_id string, exchange string, timestamp timestamp, price double, volume double"
+    )
+    out = {(r.coin_id, r.bin): r for r in derive.volume_profile(df, bins=20).collect()}
+    assert set(out) == {("c1", 0), ("c1", 10), ("c1", 19), ("c2", 0)}
+    assert out[("c1", 0)].bin_volume == 10.0 and out[("c1", 0)].bin_lo == 0.0
+    assert out[("c1", 10)].bin_volume == 20.0
+    assert out[("c1", 19)].bin_volume == 30.0 and out[("c1", 19)].bin_hi == 100.0
+    assert out[("c2", 0)].bin_volume == 10.0 and out[("c2", 0)].n_ticks == 2

@@ -234,12 +234,12 @@ EXPECTED_R5_WINDOW = [
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
     "session_stream_replay", "coin_pagerank", "exchange_influencers",
     "price_anomalies", "forecast_backtest", "bpe_merges", "jsonl_roundtrip",
+    "volume_profile",
     # plans changed this round
     "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
     # r4 tail (newest driver rows r3)
     "active_coins_semi",
     "momentum_ranks",
-    "top_suppliers",
     "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
     "curation_pipeline", "doc_length_quantiles_approx",
     "exchange_cardinality", "pack_chunks_overlap", "dedup_survivors",
