@@ -249,6 +249,89 @@ def with_ichimoku(
     )
 
 
+def with_keltner(
+    df: DataFrame,
+    ema_span: int = 20,
+    atr_n: int = 14,
+    mult: float = 2.0,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Keltner channels over OHLC candles: EMA(ema_span) of the typical
+    price (high+low+close)/3 as the midline, ± mult·ATR(atr_n) bands —
+    the volatility envelope traders read against [[with_bollinger]]
+    (ATR-based width vs stddev-based width). Composes the two existing
+    primitives: ATR stays a native window ([[with_atr]], rounded to
+    ``round_decimals`` exactly as its standalone query), the EMA rides
+    the same fused Arrow pass as the indicator table (``with_ema_macd``
+    with ATR as a passthrough column — ONE entity-key shuffle total).
+
+    Determinism contract: the midline is published UNROUNDED (like
+    ema_20 in ``technical_indicators`` — the closed-form oracle matches
+    the recursive evaluation to ~1e-12 relative, and rounding near a
+    grid boundary would AMPLIFY that noise to a full grid step); the
+    bands are single IEEE ops on the midline and the already-rounded
+    ATR, so they inherit the same tolerance. Bands are NULL until the
+    ATR window fills ([[with_sma]] fill convention)."""
+    base = with_atr(df, n=atr_n, round_decimals=round_decimals, out="_kc_atr")
+    base = base.withColumn(
+        "_typical", (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    )
+    ema = with_ema_macd(base, col="_typical", ema_span=ema_span, passthrough=("_kc_atr",))
+    return ema.select(
+        "coin_id",
+        "exchange",
+        "timestamp",
+        F.col(f"ema_{ema_span}").alias("kc_mid"),
+        (F.col(f"ema_{ema_span}") + mult * F.col("_kc_atr")).alias("kc_upper"),
+        (F.col(f"ema_{ema_span}") - mult * F.col("_kc_atr")).alias("kc_lower"),
+    )
+
+
+def candlestick_patterns(
+    df: DataFrame,
+    doji_frac: float = 0.1,
+    shadow_mult: float = 2.0,
+) -> DataFrame:
+    """Classical candlestick pattern flags over OHLC candles — doji,
+    hammer, shooting star (single-candle shape tests) and bullish /
+    bearish engulfing (two-candle, via one lag on the shared entity-key
+    sort). Pure native expressions: one window, no Python, map-side
+    after the candle aggregation.
+
+    Cross-engine determinism: every flag is a comparison of single IEEE
+    ops ((high-low), |close-open|, shadow lengths, doji_frac·range) on
+    candle values that are themselves exact min/max/first/last
+    aggregates — no reassociated sums anywhere, so the booleans are
+    bit-identical across engines with NO rounding grid needed. The
+    two-candle flags coalesce to FALSE on the series head (no prior
+    candle ⇒ no engulfing)."""
+    wo = Window.partitionBy(*KEYS).orderBy("timestamp")
+    o, h, lo, c = F.col("open"), F.col("high"), F.col("low"), F.col("close")
+    rng = h - lo
+    body = F.abs(c - o)
+    upper = h - F.greatest(o, c)
+    lower = F.least(o, c) - lo
+    po = F.lag("open").over(wo)
+    pc = F.lag("close").over(wo)
+    return df.select(
+        *KEYS,
+        "timestamp",
+        ((rng > 0) & (body <= doji_frac * rng)).alias("is_doji"),
+        ((rng > 0) & (lower >= shadow_mult * body) & (upper <= body)).alias(
+            "is_hammer"
+        ),
+        ((rng > 0) & (upper >= shadow_mult * body) & (lower <= body)).alias(
+            "is_shooting_star"
+        ),
+        F.coalesce(
+            (pc < po) & (c > o) & (o <= pc) & (c >= po), F.lit(False)
+        ).alias("is_bullish_engulfing"),
+        F.coalesce(
+            (pc > po) & (c < o) & (o >= pc) & (c <= po), F.lit(False)
+        ).alias("is_bearish_engulfing"),
+    )
+
+
 def with_rsi(df: DataFrame, col: str = "price", n: int = 14, out: str = "rsi_14") -> DataFrame:
     """Relative Strength Index over n-row rolling clamped deltas
     (W4/P10/A5/W5). Native window functions throughout."""

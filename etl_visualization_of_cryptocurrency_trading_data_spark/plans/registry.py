@@ -919,6 +919,29 @@ def q_ichimoku(spark, sf_dir):
     )
 
 
+def q_keltner_channels(spark, sf_dir):
+    """Keltner channels over the hourly candles
+    (indicators.with_keltner): EMA-20 of typical price ± 2·ATR-14 —
+    the ATR-width volatility envelope next to bollinger_bands'
+    stddev-width one. ATR native-window + EMA on the shared fused
+    Arrow pass; oracle replays the closed-form EMA over typical price
+    plus the atr_14 oracle's TR construction."""
+    from ..operators.indicators import with_keltner
+
+    return with_keltner(q_ohlc(spark, sf_dir))
+
+
+def q_candlestick_patterns(spark, sf_dir):
+    """Candlestick pattern flags over the hourly candles
+    (indicators.candlestick_patterns): doji / hammer / shooting star /
+    bullish / bearish engulfing as exact booleans — single IEEE-op
+    comparisons on exact candle aggregates, deterministic with no
+    rounding grid."""
+    from ..operators.indicators import candlestick_patterns
+
+    return candlestick_patterns(q_ohlc(spark, sf_dir))
+
+
 def q_rolling_beta(spark, sf_dir):
     """24-candle rolling market beta per coin (derive.rolling_beta) —
     windowed covariance/variance over hourly returns vs the
@@ -1959,6 +1982,8 @@ def q_media_decode_wav(spark, sf_dir):
 # (rename it EXPECTED_R6_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round ---
+    "keltner_channels": q_keltner_channels,
+    "candlestick_patterns": q_candlestick_patterns,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2011,9 +2036,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
+    # ---- end of driver correctness window (50 entries above) ----
+    # media_frames / media_features displaced from the window by the two
+    # candle-analytics additions; both kept r4 driver rows — add them to
+    # the r6 front-load set below.
     "media_frames": q_media_frames,
     "media_features": q_media_features,
-    # ---- end of driver correctness window (50 entries above) ----
     # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
     # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
     # rotation: top_suppliers, user_retention, price_correlation,
@@ -3179,6 +3207,62 @@ FROM dd GROUP BY coin_id, exchange""",
         FROM ohlc_data))
     WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
+    ),
+    # closed-form EMA over typical price (same identity as
+    # INDICATORS_CTE's ema_20) + the atr_14 oracle's TR construction;
+    # kc_mid stays unrounded like ema_20 (see with_keltner docstring)
+    "keltner_channels": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+, kc0 AS (
+  SELECT coin_id, exchange, timestamp,
+         (high + low + close) / 3.0 AS typical,
+         row_number() OVER wo AS rn,
+         first_value((high + low + close) / 3.0) OVER wo AS t0,
+         CASE WHEN lag(close) OVER wo IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - lag(close) OVER wo),
+                            abs(low - lag(close) OVER wo)) END AS tr
+  FROM ohlc_data
+  WINDOW wo AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+),
+kc1 AS (
+  SELECT coin_id, exchange, timestamp,
+         power(19.0/21.0, rn-1) * (t0 + (2.0/21.0) * (s - t0)) AS kc_mid,
+         atr
+  FROM (
+    SELECT coin_id, exchange, timestamp, rn, t0,
+           sum(typical * power(19.0/21.0, -(rn-1))) OVER ws AS s,
+           CASE WHEN count(tr) OVER w14 = 14
+                THEN round(avg(tr) OVER w14, 6) END AS atr
+    FROM kc0
+    WINDOW ws AS (PARTITION BY coin_id, exchange ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w14 AS (PARTITION BY coin_id, exchange ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+)
+SELECT coin_id, exchange, timestamp, kc_mid,
+       kc_mid + 2.0 * atr AS kc_upper,
+       kc_mid - 2.0 * atr AS kc_lower
+FROM kc1""",
+    ),
+    "candlestick_patterns": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+  SELECT coin_id, exchange, timestamp,
+         ((high - low) > 0 AND abs(close - open) <= 0.1 * (high - low)) AS is_doji,
+         ((high - low) > 0
+          AND (least(open, close) - low) >= 2.0 * abs(close - open)
+          AND (high - greatest(open, close)) <= abs(close - open)) AS is_hammer,
+         ((high - low) > 0
+          AND (high - greatest(open, close)) >= 2.0 * abs(close - open)
+          AND (least(open, close) - low) <= abs(close - open)) AS is_shooting_star,
+         coalesce(pc < po AND close > open
+                  AND open <= pc AND close >= po, FALSE) AS is_bullish_engulfing,
+         coalesce(pc > po AND close < open
+                  AND open >= pc AND close <= po, FALSE) AS is_bearish_engulfing
+  FROM (SELECT *, lag(open) OVER w AS po, lag(close) OVER w AS pc
+        FROM ohlc_data
+        WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp))""",
     ),
     "vwap_hourly": f"""
 SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,

@@ -464,3 +464,107 @@ def test_volume_profile_hand_built(spark):
     assert out[("c1", 10)].bin_volume == 20.0
     assert out[("c1", 19)].bin_volume == 30.0 and out[("c1", 19)].bin_hi == 100.0
     assert out[("c2", 0)].bin_volume == 10.0 and out[("c2", 0)].n_ticks == 2
+
+
+def _candles(spark, rows):
+    """rows: (coin, exch, ts, open, high, low, close)."""
+    return spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, "
+        "open double, high double, low double, close double",
+    )
+
+
+def test_keltner_matches_pandas_recomputation(spark):
+    """kc_mid must equal pandas ewm(span=20, adjust=False) of the
+    typical price; bands = mid ± 2·ATR(14) with the ATR rounded to 6
+    exactly as with_atr publishes it; bands NULL until the ATR window
+    fills."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        with_keltner,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 40
+    close = 100 + np.cumsum(rng.normal(0, 1, n))
+    high = close + rng.uniform(0.1, 2.0, n)
+    low = close - rng.uniform(0.1, 2.0, n)
+    open_ = (high + low) / 2
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=i) for i in range(n)]
+    rows = [
+        ("c1", "x", ts[i], float(open_[i]), float(high[i]), float(low[i]), float(close[i]))
+        for i in range(n)
+    ]
+    got = (
+        with_keltner(_candles(spark, rows))
+        .toPandas()
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    typical = pd.Series((high + low + close) / 3)
+    want_mid = typical.ewm(span=20, adjust=False).mean()
+    assert np.allclose(got["kc_mid"], want_mid, rtol=1e-9)
+    # ATR recomputation (Wilder TR, first TR = high-low), rounded to 6
+    pc = pd.Series(close).shift(1)
+    tr = pd.concat(
+        [pd.Series(high - low), (pd.Series(high) - pc).abs(), (pd.Series(low) - pc).abs()],
+        axis=1,
+    ).max(axis=1)
+    tr.iloc[0] = high[0] - low[0]
+    atr = tr.rolling(14).mean().round(6)
+    assert got["kc_upper"].isna().sum() == 13 and got["kc_lower"].isna().sum() == 13
+    w = ~got["kc_upper"].isna()
+    assert np.allclose(got.loc[w, "kc_upper"], (want_mid + 2 * atr)[w.to_numpy()], rtol=1e-9)
+    assert np.allclose(got.loc[w, "kc_lower"], (want_mid - 2 * atr)[w.to_numpy()], rtol=1e-9)
+
+
+def test_candlestick_patterns_hand_built(spark):
+    """One handcrafted candle per pattern (and a fat bullish candle
+    matching nothing): flags fire exactly where constructed."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        candlestick_patterns,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        # doji: tiny body inside a wide range
+        ("doji", "x", T, 100.0, 105.0, 95.0, 100.5),
+        # hammer: long lower shadow, no upper shadow
+        ("ham", "x", T, 100.0, 100.0, 90.0, 99.0),
+        # shooting star: long upper shadow, no lower shadow
+        ("star", "x", T, 100.0, 110.0, 99.0, 99.0),
+        # plain fat candle: body spans the whole range
+        ("plain", "x", T, 90.0, 100.0, 90.0, 100.0),
+        # engulfing pairs: small bearish then big bullish (and inverse)
+        ("bull", "x", T, 100.0, 101.0, 98.0, 99.0),
+        ("bull", "x", T + H, 98.5, 102.0, 98.0, 101.0),
+        ("bear", "x", T, 99.0, 101.0, 98.0, 100.0),
+        ("bear", "x", T + H, 100.5, 101.0, 97.0, 98.0),
+    ]
+    out = {
+        (r.coin_id, r.timestamp): r
+        for r in candlestick_patterns(_candles(spark, rows)).collect()
+    }
+    assert out[("doji", T)].is_doji and not out[("plain", T)].is_doji
+    assert out[("ham", T)].is_hammer and not out[("ham", T)].is_shooting_star
+    assert out[("star", T)].is_shooting_star and not out[("star", T)].is_hammer
+    r_bull = out[("bull", T + H)]
+    assert r_bull.is_bullish_engulfing and not r_bull.is_bearish_engulfing
+    r_bear = out[("bear", T + H)]
+    assert r_bear.is_bearish_engulfing and not r_bear.is_bullish_engulfing
+    # series heads coalesce to FALSE, never NULL
+    assert out[("bull", T)].is_bullish_engulfing is False
+    assert not any(
+        v is None
+        for r in out.values()
+        for v in (r.is_doji, r.is_hammer, r.is_shooting_star,
+                  r.is_bullish_engulfing, r.is_bearish_engulfing)
+    )
