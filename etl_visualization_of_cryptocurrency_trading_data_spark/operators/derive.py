@@ -617,3 +617,51 @@ def volume_profile(
             F.round(mn + (F.col("bin") + 1) * width, round_decimals).alias("bin_hi"),
         )
     )
+
+
+def scd2_volume_tiers(price: DataFrame, tiers: int = 4, round_decimals: int = 6) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build — the warehouse
+    primitive the serving layer needs for "what tier was this coin in
+    on date X" queries. Each coin gets a daily liquidity tier
+    (``ntile(tiers)`` over the day's coins by traded volume), then
+    consecutive same-tier days collapse into validity ranges
+    [valid_from, valid_to) with ``is_current`` on each coin's latest
+    run — the classic gaps-and-islands SCD2 compression.
+
+    Determinism contract: the tier ordering key is the ROUNDED daily
+    volume sum (engines reassociate float sums; the 1e-6 grid absorbs
+    the ~1e-11 drift) with coin_id as total-order tiebreak, so ntile
+    buckets are reproducible bit-for-bit. ANSI ntile (earlier buckets
+    take the remainder) is identical in Spark and DuckDB.
+
+    Plan shape (100 TB): one (coin, day) hash aggregate; the tier
+    window partitions by DAY (a day's coin universe — dimension-sized);
+    the island windows and run collapse partition by COIN. Three keyed
+    shuffles total, each on a key whose cardinality grows with the
+    data; no global windows, no driver state."""
+    day = F.date_trunc("day", F.col("timestamp"))
+    daily = price.groupBy(F.col("coin_id"), day.alias("day")).agg(
+        F.round(F.sum("volume"), round_decimals).alias("day_volume")
+    )
+    w_day = Window.partitionBy("day").orderBy(F.desc("day_volume"), F.asc("coin_id"))
+    tiered = daily.withColumn("tier", F.ntile(tiers).over(w_day))
+    w_coin = Window.partitionBy("coin_id").orderBy("day")
+    w_ct = Window.partitionBy("coin_id", "tier").orderBy("day")
+    runs = tiered.withColumn(
+        "_grp", F.row_number().over(w_coin) - F.row_number().over(w_ct)
+    )
+    collapsed = runs.groupBy("coin_id", "tier", "_grp").agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("_last_day"),
+        F.count("*").alias("n_days"),
+    )
+    w_last = Window.partitionBy("coin_id")
+    return (
+        collapsed.withColumn(
+            "valid_to", F.col("_last_day") + F.expr("INTERVAL 1 DAY")
+        )
+        .withColumn(
+            "is_current", F.col("_last_day") == F.max("_last_day").over(w_last)
+        )
+        .select("coin_id", "tier", "valid_from", "valid_to", "n_days", "is_current")
+    )

@@ -430,3 +430,51 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("pair", "n_occurrences", "rank")
     )
+
+
+def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000)) -> DataFrame:
+    """Vocabulary coverage curve — for each candidate vocabulary size k,
+    the fraction of all corpus token occurrences covered by the k most
+    frequent tokens. THE tokenizer-sizing diagnostic (how much of the
+    stream does a 32k/64k/128k vocab actually absorb), and the natural
+    companion to [[bpe_merge_candidates]].
+
+    Plan shape (100 TB): one tokenize+explode pass -> token-count hash
+    aggregate (map-side combinable) -> distributed partial TOP-max(k)
+    (``orderBy().limit()`` is TakeOrdered — each partition keeps its own
+    top max(k), only those survivors reach the driver-side merge; the
+    full vocabulary is NEVER globally sorted) -> rank window over the
+    ≤max(k)-row survivor frame (bounded, not corpus-sized) -> tiny
+    rank<=k expansion join -> one-row total broadcast. Counts are exact
+    integers end to end; the only float is the final division,
+    rounded to the 1e-9 grid.
+
+    Output: (k, vocab_size, covered_tokens, total_tokens, coverage),
+    one row per k (a k larger than the vocabulary reports the whole
+    vocabulary; an empty corpus yields no rows)."""
+    spark = documents.sparkSession
+    toks = documents.select(F.explode(words(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(max(ks))
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = top.withColumn("rank", F.row_number().over(rank_w))
+    ks_df = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k int")
+    totals = toks.agg(F.count("*").alias("total_tokens"))
+    return (
+        ks_df.join(ranked, F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum("cnt").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total_tokens"), 9
+            ).alias("coverage"),
+        )
+    )

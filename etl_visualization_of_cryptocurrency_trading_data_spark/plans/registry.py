@@ -942,6 +942,23 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (text.vocab_coverage): share of all
+    corpus token occurrences covered by the top-k tokens for
+    k ∈ {100, 1000, 10000} — the tokenizer-sizing diagnostic next to
+    bpe_merges. Exact integer counts, distributed partial top-k
+    (TakeOrdered), no global sort of the vocabulary."""
+    return text.vocab_coverage(_documents(spark, sf_dir))
+
+
+def q_scd2_volume_tiers(spark, sf_dir):
+    """SCD type-2 dimension build (derive.scd2_volume_tiers): daily
+    per-coin liquidity tier (ntile over rounded daily volume) collapsed
+    into [valid_from, valid_to) validity ranges with is_current — the
+    gaps-and-islands warehouse primitive."""
+    return derive.scd2_volume_tiers(_price_base(spark, sf_dir))
+
+
 def q_rolling_beta(spark, sf_dir):
     """24-candle rolling market beta per coin (derive.rolling_beta) —
     windowed covariance/variance over hourly returns vs the
@@ -1984,6 +2001,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round ---
     "keltner_channels": q_keltner_channels,
     "candlestick_patterns": q_candlestick_patterns,
+    "vocab_coverage": q_vocab_coverage,
+    "scd2_volume_tiers": q_scd2_volume_tiers,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2034,12 +2053,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_quantized": q_knn_quantized,
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
+    # ---- end of driver correctness window (50 entries above) ----
+    # knn_ivf / embedding_dup_pairs / media_frames / media_features
+    # displaced from the window by this session's four additions; all
+    # kept r4 driver rows — add them to the r6 front-load set below.
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
-    # ---- end of driver correctness window (50 entries above) ----
-    # media_frames / media_features displaced from the window by the two
-    # candle-analytics additions; both kept r4 driver rows — add them to
-    # the r6 front-load set below.
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
@@ -3208,6 +3227,49 @@ FROM dd GROUP BY coin_id, exchange""",
     WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
     ),
+    "vocab_coverage": f"""
+WITH toks AS (SELECT unnest({WORDS_SQL}) AS tok FROM documents),
+counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+ranked AS (SELECT tok, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, tok) AS r
+           FROM counts),
+total AS (SELECT count(*)::BIGINT AS total_tokens FROM toks)
+SELECT k, count(*)::BIGINT AS vocab_size, sum(cnt)::BIGINT AS covered_tokens,
+       (SELECT total_tokens FROM total) AS total_tokens,
+       round(sum(cnt)::DOUBLE / (SELECT total_tokens FROM total), 9) AS coverage
+FROM (VALUES (100), (1000), (10000)) ks(k)
+JOIN ranked ON r <= k
+GROUP BY k""",
+    "scd2_volume_tiers": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+daily AS (
+  SELECT coin_id, date_trunc('day', timestamp) AS day,
+         round(sum(volume), 6) AS day_volume
+  FROM base GROUP BY coin_id, date_trunc('day', timestamp)
+),
+tiered AS (
+  SELECT *, ntile(4) OVER (PARTITION BY day
+                           ORDER BY day_volume DESC, coin_id) AS tier
+  FROM daily
+),
+runs AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY coin_id ORDER BY day)
+           - row_number() OVER (PARTITION BY coin_id, tier ORDER BY day) AS grp
+  FROM tiered
+),
+collapsed AS (
+  SELECT coin_id, tier, grp,
+         min(day) AS valid_from,
+         max(day) AS last_day,
+         count(*)::BIGINT AS n_days
+  FROM runs GROUP BY coin_id, tier, grp
+)
+SELECT coin_id, tier, valid_from,
+       last_day + INTERVAL 1 DAY AS valid_to,
+       n_days,
+       last_day = max(last_day) OVER (PARTITION BY coin_id) AS is_current
+FROM collapsed""",
     # closed-form EMA over typical price (same identity as
     # INDICATORS_CTE's ema_20) + the atr_14 oracle's TR construction;
     # kc_mid stays unrounded like ema_20 (see with_keltner docstring)

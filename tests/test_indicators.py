@@ -568,3 +568,46 @@ def test_candlestick_patterns_hand_built(spark):
         for v in (r.is_doji, r.is_hammer, r.is_shooting_star,
                   r.is_bullish_engulfing, r.is_bearish_engulfing)
     )
+
+
+def test_scd2_volume_tiers_hand_built(spark):
+    """Gaps-and-islands collapse on a handcrafted two-coin history:
+    tier flips create separate validity ranges, consecutive same-tier
+    days merge, valid_to is exclusive (+1 day), and is_current marks
+    exactly each coin's last run."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    D = dt.datetime(2024, 1, 1)
+
+    def day(i, hour=0):
+        return D + dt.timedelta(days=i, hours=hour)
+
+    # two coins, two tiers: big dominates days 0-1, small dominates day 2
+    rows = [
+        ("big", "x", day(0), 1.0, 100.0), ("big", "x", day(0, 1), 1.0, 100.0),
+        ("small", "x", day(0), 1.0, 1.0),
+        ("big", "x", day(1), 1.0, 100.0),
+        ("small", "x", day(1), 1.0, 1.0),
+        ("big", "x", day(2), 1.0, 1.0),
+        ("small", "x", day(2), 1.0, 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    out = derive.scd2_volume_tiers(df, tiers=2).collect()
+    by_key = {(r.coin_id, r.valid_from): r for r in out}
+    # big: tier 1 for days 0-1 (one collapsed run), tier 2 on day 2
+    r = by_key[("big", day(0))]
+    assert r.tier == 1 and r.n_days == 2 and r.valid_to == day(2) and not r.is_current
+    r = by_key[("big", day(2))]
+    assert r.tier == 2 and r.n_days == 1 and r.valid_to == day(3) and r.is_current
+    # small: the mirror image
+    r = by_key[("small", day(0))]
+    assert r.tier == 2 and r.n_days == 2 and not r.is_current
+    r = by_key[("small", day(2))]
+    assert r.tier == 1 and r.is_current
+    # every coin has exactly one current run
+    assert sum(1 for r in out if r.is_current) == 2

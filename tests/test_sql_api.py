@@ -230,6 +230,7 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 EXPECTED_R5_WINDOW = [
     # new this round
     "keltner_channels", "candlestick_patterns",
+    "vocab_coverage", "scd2_volume_tiers",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
@@ -248,7 +249,6 @@ EXPECTED_R5_WINDOW = [
     "simhash_pairs",
     "knn_lsh", "knn_lsh_multiprobe", "knn_brute", "kmeans_centroids",
     "knn_quantized", "embedding_normalize", "embedding_quantize",
-    "knn_ivf", "embedding_dup_pairs",
 ]
 
 
