@@ -913,3 +913,98 @@ def knn_pq_recall(
             (recall >= floor).alias("meets_floor"),
         )
     )
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    probe_filter: Column | None = None,
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_modulus: int = 101,
+    m: int = 16,
+    codes: int = 64,
+    dim: int = 64,
+    round_decimals: int = 9,
+    sample_modulus: int = 7,
+    persist_codebooks: bool = True,
+) -> DataFrame:
+    """The full IVF-PQ composition — the production ANN index shape
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+    IVF restricts WHICH vectors a probe scores (coarse inverted lists,
+    [[knn_ivf]]'s assignment), PQ compresses WHAT is scored (m byte
+    codes + broadcast ADC tables, [[knn_pq]]'s scoring). Cost per probe
+    drops from |corpus|·m code rows to |corpus|·m·n_probe/C — the two
+    dials compose multiplicatively, which is why every serving-scale
+    system runs them together.
+
+    Plan shape (100 TB): coarse assignment = one broadcast-centroid
+    crossJoin + argmax window (the same index-build pass knn_ivf runs);
+    codes join their list id once (one keyed shuffle on vec_id — the
+    index-build materialization); search = TWO broadcast joins (probe
+    list ids, probe distance tables) + one (probe, neighbor) partial
+    aggregate. No float vectors and no corpus-wide shuffle in the
+    search path; at scale cent_id becomes the partition key and a probe
+    reads n_probe partitions of byte codes.
+
+    Same surface as [[knn_pq]] (probe_id, neighbor_id, adc_dist, rank);
+    recall vs exact L2 is necessarily ≤ knn_pq's (candidates shrink)
+    and is pinned with the quantization-only / routing-only deltas in
+    pytest."""
+    if probe_filter is None:
+        probe_filter = F.col("vec_id") % 50 == 0
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        cosine(F.col("emb"), F.col("cent_emb")).alias("cent_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    lists = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probe_cent = (
+        ranked.filter(probe_filter)
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col("vec_id").alias("probe_id"), "cent_id")
+    )
+    cb = pq_codebooks(
+        embeddings, m=m, codes=codes, dim=dim,
+        round_decimals=round_decimals, sample_modulus=sample_modulus,
+    )
+    if persist_codebooks:
+        cb = cb.persist()
+    enc = pq_encode(
+        embeddings, cb, m=m, codes=codes, dim=dim, round_decimals=round_decimals
+    )
+    probes = embeddings.filter(probe_filter).select(
+        F.col("vec_id").alias("probe_id"),
+        F.posexplode(_as_double("embedding")).alias("pos", "v"),
+    )
+    dtab = (
+        probes.join(F.broadcast(cb), "pos")
+        .groupBy("probe_id", "sub", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                round_decimals,
+            ).alias("pd")
+        )
+    )
+    cand = (
+        enc.join(lists, "vec_id")
+        .join(F.broadcast(probe_cent), "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd"), round_decimals).alias("adc_dist"))
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -1973,6 +1973,17 @@ def q_knn_pq(spark, sf_dir):
     return similarity.knn_pq(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_knn_ivf_pq(spark, sf_dir):
+    """The composed IVF-PQ index (similarity.knn_ivf_pq): coarse
+    inverted-list routing (knn_ivf's assignment) restricting which
+    byte-code rows each probe's broadcast ADC table scores (knn_pq's
+    scoring) — the production serving-index shape where routing and
+    compression compose multiplicatively. Oracle replays routing,
+    training, encoding, and ADC end-to-end in SQL on the shared
+    1e-9 grid."""
+    return similarity.knn_ivf_pq(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_media_decode_wav(spark, sf_dir):
     """REAL bytes→samples decode for RIFF/WAVE PCM16
     (multimodal.decode_wav over multimodal.wav_table): spec-compliant
@@ -2003,6 +2014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candlestick_patterns": q_candlestick_patterns,
     "vocab_coverage": q_vocab_coverage,
     "scd2_volume_tiers": q_scd2_volume_tiers,
+    "knn_ivf_pq": q_knn_ivf_pq,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2052,11 +2064,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,
     "embedding_normalize": q_embedding_normalize,
-    "embedding_quantize": q_embedding_quantize,
     # ---- end of driver correctness window (50 entries above) ----
-    # knn_ivf / embedding_dup_pairs / media_frames / media_features
-    # displaced from the window by this session's four additions; all
-    # kept r4 driver rows — add them to the r6 front-load set below.
+    # embedding_quantize / knn_ivf / embedding_dup_pairs / media_frames /
+    # media_features displaced from the window by this session's five
+    # additions; all kept r4 driver rows — add them to the r6 front-load
+    # set below.
+    "embedding_quantize": q_embedding_quantize,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
     "media_frames": q_media_frames,
@@ -2942,6 +2955,44 @@ SELECT probe_id, neighbor_id, adc_dist, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
                                ORDER BY adc_dist, neighbor_id) AS rank
   FROM adc) WHERE rank <= 5""",
+    # IVF routing (the knn_ivf oracle's cosine coarse assignment) bolted
+    # onto the PQ training/encode/ADC CTEs; the full-corpus `adc` CTE in
+    # PQ_SEARCH_CTES goes unreferenced here and is never evaluated
+    "knn_ivf_pq": f"""
+WITH {PQ_SEARCH_CTES},
+ivf_cent AS (
+  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id % 101 = 1
+),
+ivf_scored AS (
+  SELECT b.vec_id, c.cent_id,
+         list_dot_product(b.emb, c.cent_emb)
+         / (sqrt(list_dot_product(b.emb, b.emb))
+            * sqrt(list_dot_product(c.cent_emb, c.cent_emb))) AS cent_cos
+  FROM base b CROSS JOIN ivf_cent c
+),
+ivf_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM ivf_scored
+),
+ivf_lists AS (SELECT vec_id, cent_id FROM ivf_ranked WHERE crank = 1),
+ivf_probe AS (
+  SELECT vec_id AS probe_id, cent_id
+  FROM ivf_ranked WHERE vec_id % 50 = 0 AND crank <= 2
+),
+adc_ivf AS (
+  SELECT d.probe_id, e.vec_id AS neighbor_id, round(sum(d.pd), 9) AS adc_dist
+  FROM enc e
+  JOIN ivf_lists l ON l.vec_id = e.vec_id
+  JOIN ivf_probe p ON p.cent_id = l.cent_id
+  JOIN dtab d ON d.sub = e.sub AND d.code = e.code AND d.probe_id = p.probe_id
+  WHERE e.vec_id <> d.probe_id
+  GROUP BY d.probe_id, e.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc_ivf) WHERE rank <= 5""",
     # The decoded-sample statistics in closed form: sample (i, ch) of
     # doc d is (d*31 + i*17 + ch*7919) % 65536 - 32768 (see
     # multimodal.wav_table). sum_amp/sum_sq are exact int64 — the hash

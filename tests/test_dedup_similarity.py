@@ -543,3 +543,59 @@ def test_knn_pq_recall_vs_exact_l2(spark, docs):
         assert 0 <= r.code < 64 and 0 <= r.sub < 16
         per_vec.setdefault(r.vec_id, set()).add(r.sub)
     assert all(subs == set(range(16)) for subs in per_vec.values())
+
+
+def test_knn_ivf_pq_routing_and_recall(spark):
+    """The composed index's candidates must respect IVF routing (every
+    returned neighbor lives in one of its probe's n_probe probed
+    lists), per-probe results never exceed k, and recall@5 vs exact L2
+    stays above chance while (by construction) ≤ full-corpus PQ's —
+    routing only ever REMOVES candidates."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    probes = [v for v in vecs if v % 50 == 0]
+
+    # replicate the coarse assignment: cosine argmax over the sampled
+    # centroids, ties by centroid id
+    cents = {v: x for v, x in vecs.items() if v % 101 == 1}
+
+    def ranked_lists(v):
+        x = vecs[v]
+        cos = {
+            c: float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+            for c, y in cents.items()
+        }
+        return sorted(cos, key=lambda c: (-cos[c], c))
+
+    home = {v: ranked_lists(v)[0] for v in vecs}
+
+    out = similarity.knn_ivf_pq(emb, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.probe_id, []).append(r.neighbor_id)
+    assert set(got) <= set(probes)
+    assert all(len(v) <= 5 for v in got.values())
+    for p, neighbors in got.items():
+        probed = set(ranked_lists(p)[:2])
+        for nb in neighbors:
+            assert home[nb] in probed, (p, nb, home[nb], probed)
+
+    pq_out = similarity.knn_pq(emb, k=5).collect()
+    pq_pairs = {(r.probe_id, r.neighbor_id) for r in pq_out}
+
+    hits = pq_hits = total = 0
+    for p in probes:
+        d = {v: float(((vecs[p] - x) ** 2).sum()) for v, x in vecs.items() if v != p}
+        truth = set(sorted(d, key=lambda v: (d[v], v))[:5])
+        hits += len(truth & set(got.get(p, [])))
+        pq_hits += len(truth & {nb for q, nb in pq_pairs if q == p})
+        total += 5
+    recall = hits / total
+    assert recall >= 0.10, f"IVF-PQ recall@5 {recall:.2f}"
+    assert hits <= pq_hits, "routing cannot ADD recall over full-corpus PQ"
