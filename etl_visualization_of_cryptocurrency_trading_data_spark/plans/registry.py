@@ -1911,6 +1911,28 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return jsonl.read_jsonl(spark, path, docs.schema)
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink evidence (sources.delimited): the documents
+    table written headerless-CSV, a hand-corrupted line (unclosed
+    quote) appended, then read back under the ENFORCED schema — the
+    corrupt line quarantines and drops, and the survivors must
+    hash-match the original table exactly (oracle = plain SELECT).
+    Write+read runs at build time, like jsonl_roundtrip."""
+    import os
+    import tempfile
+
+    from ..sources import delimited
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    delimited.write_csv(docs, path)
+    with open(os.path.join(path, "zz_corrupt.csv"), "w") as f:
+        f.write('999999,"unclosed quote,xx,yy,12\n')
+    return delimited.read_csv(spark, path, docs.schema)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer-training round 1 (text.bpe_merge_candidates): top-20
     adjacent character pairs by word-frequency-weighted count — the
@@ -2015,6 +2037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "scd2_volume_tiers": q_scd2_volume_tiers,
     "knn_ivf_pq": q_knn_ivf_pq,
+    "csv_roundtrip": q_csv_roundtrip,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2063,12 +2086,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute": q_knn_brute,
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,
-    "embedding_normalize": q_embedding_normalize,
     # ---- end of driver correctness window (50 entries above) ----
-    # embedding_quantize / knn_ivf / embedding_dup_pairs / media_frames /
-    # media_features displaced from the window by this session's five
-    # additions; all kept r4 driver rows — add them to the r6 front-load
-    # set below.
+    # embedding_normalize / embedding_quantize / knn_ivf /
+    # embedding_dup_pairs / media_frames / media_features displaced from
+    # the window by this session's six additions; all kept r4 driver
+    # rows — add them to the r6 front-load set below.
+    "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
     "knn_ivf": q_knn_ivf,
     "embedding_dup_pairs": q_embedding_dup,
@@ -3479,6 +3502,7 @@ SELECT exchange, id, rank, wdeg, rk FROM (
                             ORDER BY rank DESC, id) AS rk
   FROM pr) WHERE rk <= 3""",
     "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "volume_profile": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 rng AS (

@@ -107,3 +107,30 @@ def test_jsonl_roundtrip_corrupt_tolerance(spark, tmp_path):
     # the raw text of the quarantined lines is preserved for triage
     bad = {r[jsonl.RAW_COL] for r in corrupt.collect()}
     assert bad == {'{"doc_id": oops', '{"no_close"'}
+
+
+def test_csv_roundtrip_corrupt_tolerance(spark, tmp_path):
+    """CSV contract, mirroring the JSONL one: quoted delimiters and
+    quotes round-trip; malformed lines (unclosed quote, wrong arity,
+    type mismatch) quarantine with their raw text and drop from the
+    clean read."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import delimited
+
+    df = spark.createDataFrame(
+        [(1, 'with, comma and "quote"', 5), (2, "plain", 4)],
+        "doc_id long, text string, n long",
+    )
+    path = str(tmp_path / "out")
+    delimited.write_csv(df, path)
+    (tmp_path / "out" / "zz_bad.csv").write_text(
+        '3,"unclosed,9\nnotanint,x,1\n4,short\n'
+    )
+    back = delimited.read_csv(spark, path, df.schema)
+    assert sorted((r.doc_id, r.text, r.n) for r in back.collect()) == [
+        (1, 'with, comma and "quote"', 5), (2, "plain", 4),
+    ]
+    kept = delimited.read_csv(spark, path, df.schema, drop_corrupt=False)
+    corrupt = kept.filter(kept["parsed"][delimited.CORRUPT_FIELD].isNotNull())
+    assert corrupt.count() == 3
+    bad = {r[delimited.RAW_COL] for r in corrupt.collect()}
+    assert bad == {'3,"unclosed,9', "notanint,x,1", "4,short"}

@@ -230,7 +230,7 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 EXPECTED_R5_WINDOW = [
     # new this round
     "keltner_channels", "candlestick_patterns",
-    "vocab_coverage", "scd2_volume_tiers", "knn_ivf_pq",
+    "vocab_coverage", "scd2_volume_tiers", "knn_ivf_pq", "csv_roundtrip",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
@@ -248,7 +248,7 @@ EXPECTED_R5_WINDOW = [
     "ngram_jaccard_pairs", "dup_clusters", "minhash_lsh_pairs",
     "simhash_pairs",
     "knn_lsh", "knn_lsh_multiprobe", "knn_brute", "kmeans_centroids",
-    "knn_quantized", "embedding_normalize",
+    "knn_quantized",
 ]
 
 
