@@ -450,3 +450,57 @@ def with_ema_macd(
         yield pdf[["coin_id", "exchange", "timestamp", *passthrough, ema_col, "macd"]]
 
     return part.mapInPandas(compute, schema)
+
+
+def heikin_ashi(candles: DataFrame) -> DataFrame:
+    """Heikin-Ashi smoothed candles — the recursive candle transform
+    charting platforms pair with raw OHLC: ha_close = (o+h+l+c)/4,
+    ha_open(t) = (ha_open(t-1) + ha_close(t-1))/2 seeded with
+    (o1+c1)/2, ha_high/ha_low = extremes over {high/low, ha_open,
+    ha_close}. Like the EMA family, the open recursion has no fixed
+    window frame, so it rides the same fused ``mapInPandas`` shape as
+    [[technical_indicators]] (one entity-key shuffle, grouped Cython
+    ewm kernel — alpha=0.5 adjust=False IS this recursion, with the
+    seed injected as the first input value).
+
+    Cross-engine determinism: each step is one rounding of
+    (prev + x)/2 — multiplying by 0.5 is exact in binary floating
+    point, so pandas' (1-α)·prev + α·x and SQL's (prev+x)/2.0 round
+    identically and the recursion is bit-stable; the oracle replays it
+    with a recursive CTE."""
+    keys = list(KEYS)
+    part = (
+        candles.select(*keys, "timestamp", "open", "high", "low", "close")
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "timestamp")
+    )
+    schema = (
+        "coin_id string, exchange string, timestamp timestamp, "
+        "ha_open double, ha_high double, ha_low double, ha_close double"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf["ha_close"] = (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
+        g = pdf.groupby(keys, sort=False)
+        x = g["ha_close"].shift(1)
+        first = g.cumcount() == 0
+        seed = (pdf["open"] + pdf["close"]) / 2.0
+        x[first] = seed[first]
+        pdf["_x"] = x
+        pdf["ha_open"] = (
+            _grouped_series(pdf, keys, "_x")
+            .ewm(alpha=0.5, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        pdf["ha_high"] = pdf[["high", "ha_open", "ha_close"]].max(axis=1)
+        pdf["ha_low"] = pdf[["low", "ha_open", "ha_close"]].min(axis=1)
+        yield pdf[
+            ["coin_id", "exchange", "timestamp", "ha_open", "ha_high", "ha_low", "ha_close"]
+        ]
+
+    return part.mapInPandas(compute, schema)

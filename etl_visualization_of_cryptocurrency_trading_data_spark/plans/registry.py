@@ -942,6 +942,27 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_heikin_ashi(spark, sf_dir):
+    """Heikin-Ashi smoothed candles (indicators.heikin_ashi): the
+    recursive candle transform on the same fused Arrow pass as the EMA
+    family; the oracle replays the open recursion with a RECURSIVE CTE
+    — each step is one rounding of (prev+x)/2, so the recursion is
+    bit-stable across engines."""
+    from ..operators.indicators import heikin_ashi
+
+    return heikin_ashi(q_ohlc(spark, sf_dir))
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel over the raw event stream
+    (relational.funnel): view → click → purchase with first-touch
+    anchors and strictly-after ordering; per-stage user counts and
+    conversion rates."""
+    from ..operators.relational import funnel
+
+    return funnel(_events(spark, sf_dir))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve (text.vocab_coverage): share of all
     corpus token occurrences covered by the top-k tokens for
@@ -2038,6 +2059,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_volume_tiers": q_scd2_volume_tiers,
     "knn_ivf_pq": q_knn_ivf_pq,
     "csv_roundtrip": q_csv_roundtrip,
+    "heikin_ashi": q_heikin_ashi,
+    "funnel_conversion": q_funnel_conversion,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2084,13 +2107,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "knn_brute": q_knn_brute,
+    # ---- end of driver correctness window (50 entries above) ----
+    # kmeans_centroids / knn_quantized / embedding_normalize /
+    # embedding_quantize / knn_ivf / embedding_dup_pairs / media_frames /
+    # media_features displaced from the window by this session's eight
+    # additions; all kept r4 driver rows — add them to the r6 front-load
+    # set below.
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,
-    # ---- end of driver correctness window (50 entries above) ----
-    # embedding_normalize / embedding_quantize / knn_ivf /
-    # embedding_dup_pairs / media_frames / media_features displaced from
-    # the window by this session's six additions; all kept r4 driver
-    # rows — add them to the r6 front-load set below.
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
     "knn_ivf": q_knn_ivf,
@@ -3301,6 +3325,63 @@ FROM dd GROUP BY coin_id, exchange""",
     WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
     ),
+    # the ha_open recursion replayed exactly: every step is one rounding
+    # of (prev+x)/2 (x0.5 is exact in binary fp), so the recursive CTE
+    # and the engine's grouped ewm(alpha=0.5) agree bit-for-bit
+    "heikin_ashi": f"""
+WITH RECURSIVE {PRICE_DATA_CTE.strip()},
+{OHLC_CTE.strip()},
+c AS (
+  SELECT coin_id, exchange, timestamp, open, high, low, close,
+         (open + high + low + close) / 4.0 AS ha_close,
+         row_number() OVER (PARTITION BY coin_id, exchange
+                            ORDER BY timestamp) AS rn
+  FROM ohlc_data
+),
+ha AS (
+  SELECT coin_id, exchange, timestamp, high, low, ha_close, rn,
+         (open + close) / 2.0 AS ha_open
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.coin_id, c.exchange, c.timestamp, c.high, c.low, c.ha_close, c.rn,
+         (ha.ha_open + ha.ha_close) / 2.0 AS ha_open
+  FROM ha JOIN c ON c.coin_id = ha.coin_id AND c.exchange = ha.exchange
+               AND c.rn = ha.rn + 1
+)
+SELECT coin_id, exchange, timestamp, ha_open,
+       greatest(high, ha_open, ha_close) AS ha_high,
+       least(low, ha_open, ha_close) AS ha_low,
+       ha_close
+FROM ha""",
+    "funnel_conversion": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS stage_idx, 'view' AS stage, count(*)::BIGINT AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*)::BIGINT FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+)
+SELECT stage_idx, stage, n_users,
+       round(n_users::DOUBLE / lag(n_users) OVER w, 9) AS conv_from_prev,
+       round(n_users::DOUBLE / first_value(n_users) OVER w, 9) AS conv_from_first
+FROM counts
+WINDOW w AS (ORDER BY stage_idx)""",
     "vocab_coverage": f"""
 WITH toks AS (SELECT unnest({WORDS_SQL}) AS tok FROM documents),
 counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),

@@ -611,3 +611,75 @@ def test_scd2_volume_tiers_hand_built(spark):
     assert r.tier == 1 and r.is_current
     # every coin has exactly one current run
     assert sum(1 for r in out if r.is_current) == 2
+
+
+def test_heikin_ashi_matches_hand_recursion(spark):
+    """ha_open must follow the exact recursion (seeded (o1+c1)/2, then
+    (prev_open+prev_close)/2) per group independently; highs/lows are
+    elementwise extremes over {raw extreme, ha_open, ha_close}."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.indicators import (
+        heikin_ashi,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        ("c1", "x", T + 0 * H, 10.0, 12.0, 9.0, 11.0),
+        ("c1", "x", T + 1 * H, 11.0, 14.0, 10.0, 13.0),
+        ("c1", "x", T + 2 * H, 13.0, 13.5, 11.0, 11.5),
+        ("c2", "x", T + 0 * H, 100.0, 101.0, 99.0, 100.5),
+    ]
+    out = {
+        (r.coin_id, r.timestamp): r
+        for r in heikin_ashi(_candles(spark, rows)).collect()
+    }
+
+    def ha_close(o, h, lo, c):
+        return (o + h + lo + c) / 4.0
+
+    hc = [ha_close(*r[3:]) for r in rows[:3]]
+    ho = [(10.0 + 11.0) / 2.0]
+    ho.append((ho[0] + hc[0]) / 2.0)
+    ho.append((ho[1] + hc[1]) / 2.0)
+    for i in range(3):
+        r = out[("c1", T + i * H)]
+        assert r.ha_open == ho[i] and r.ha_close == hc[i]
+        assert r.ha_high == max(rows[i][4], ho[i], hc[i])
+        assert r.ha_low == min(rows[i][5], ho[i], hc[i])
+    # second group re-seeds independently
+    assert out[("c2", T)].ha_open == (100.0 + 100.5) / 2.0
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """A user whose click PRECEDES their first view does not convert;
+    in-order users flow through; rates derive from the stage counts."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        funnel,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+
+    def ev(u, t, typ):
+        return (1000 + u * 10 + t, typ, u, T + dt.timedelta(hours=t), 1.0)
+
+    rows = [
+        # u1: view -> click -> purchase (full funnel)
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        # u2: click BEFORE view -> stuck at view
+        ev(2, 0, "click"), ev(2, 1, "view"),
+        # u3: view -> click, no purchase
+        ev(3, 0, "view"), ev(3, 5, "click"),
+        # u4: purchase only -> never enters
+        ev(4, 0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    out = {r.stage_idx: r for r in funnel(df).collect()}
+    assert out[1].n_users == 3 and out[1].conv_from_prev is None
+    assert out[2].n_users == 2 and out[2].conv_from_prev == round(2 / 3, 9)
+    assert out[3].n_users == 1 and out[3].conv_from_first == round(1 / 3, 9)

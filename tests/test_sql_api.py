@@ -231,6 +231,7 @@ EXPECTED_R5_WINDOW = [
     # new this round
     "keltner_channels", "candlestick_patterns",
     "vocab_coverage", "scd2_volume_tiers", "knn_ivf_pq", "csv_roundtrip",
+    "heikin_ashi", "funnel_conversion",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
@@ -247,8 +248,7 @@ EXPECTED_R5_WINDOW = [
     "exchange_cardinality", "pack_chunks_overlap", "dedup_survivors",
     "ngram_jaccard_pairs", "dup_clusters", "minhash_lsh_pairs",
     "simhash_pairs",
-    "knn_lsh", "knn_lsh_multiprobe", "knn_brute", "kmeans_centroids",
-    "knn_quantized",
+    "knn_lsh", "knn_lsh_multiprobe", "knn_brute",
 ]
 
 
