@@ -665,3 +665,158 @@ def scd2_volume_tiers(price: DataFrame, tiers: int = 4, round_decimals: int = 6)
         )
         .select("coin_id", "tier", "valid_from", "valid_to", "n_days", "is_current")
     )
+
+
+def lead_lag_corr(
+    price: DataFrame,
+    top_n: int = 20,
+    bucket: str = "day",
+    lag_buckets: int = 1,
+    min_obs: int = 5,
+    round_decimals: int = 7,
+) -> DataFrame:
+    """Directional lead-lag correlation: corr(close_a(t),
+    close_b(t - lag)) over per-``bucket`` closes for ordered pairs of
+    the top-``top_n`` coins by volume — "does b's move lead a's" — the
+    companion to [[price_correlation]]'s contemporaneous (symmetric)
+    matrix; here BOTH orientations emit, since lead-lag is asymmetric.
+    ``bucket`` is the alignment granularity ("day" matches
+    price_correlation's candles; finer buckets need series long enough
+    that lagged pairs still share ``min_obs`` aligned buckets — at
+    hourly on the fixtures the join is EMPTY, the agreeing-but-empty
+    trap NOTES_r05 §11b documents).
+
+    Plan shape: the top-N list is a broadcast semi-join guard (pair
+    universe bounded at N²·T regardless of corpus size); closes are one
+    (coin, bucket) aggregate; the lag alignment is a self equi-join on
+    the shifted bucket key. corr rounds to 1e-7 — the grid
+    [[price_correlation]] established for cross-engine corr parity."""
+    unit = {"day": "DAYS", "hour": "HOURS"}[bucket]
+    by = (
+        price.groupBy(
+            "coin_id", F.date_trunc(bucket, F.col("timestamp")).alias("ts")
+        )
+        .agg(
+            F.max(F.struct(F.col("timestamp"), F.col("price")))["price"].alias(
+                "close"
+            )
+        )
+    )
+    top = (
+        price.groupBy("coin_id")
+        .agg(F.sum("volume").alias("v"))
+        .orderBy(F.desc("v"), F.asc("coin_id"))
+        .limit(top_n)
+        .select("coin_id")
+    )
+    h = by.join(F.broadcast(top), "coin_id")
+    a = h.select(
+        F.col("coin_id").alias("coin_a"), "ts", F.col("close").alias("close_a")
+    )
+    b = h.select(
+        F.col("coin_id").alias("coin_b"),
+        (F.col("ts") + F.expr(f"INTERVAL {int(lag_buckets)} {unit}")).alias("ts"),
+        F.col("close").alias("close_b"),
+    )
+    return (
+        a.join(b, "ts")
+        .filter(F.col("coin_a") != F.col("coin_b"))
+        .groupBy("coin_a", "coin_b")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.corr("close_a", "close_b"), round_decimals).alias(
+                "lead_corr"
+            ),
+        )
+        .filter(F.col("n_obs") >= min_obs)
+    )
+
+
+def rolling_sharpe(
+    ohlc: DataFrame, window: int = 24, round_decimals: int = 6
+) -> DataFrame:
+    """Rolling Sharpe-style risk-adjusted return per coin (zero
+    risk-free rate): mean/stddev of the trailing ``window`` hourly
+    candle returns. NULL until the window fills or while volatility is
+    zero. Mean and stddev round to 1e-9 BEFORE the ratio (the
+    [[with_bollinger]] discipline: derive from rounded moments so the
+    ratio cannot re-amplify last-ulp drift), the ratio to
+    ``round_decimals``. One entity-key window pass after the shared
+    per-coin lag."""
+    wo = Window.partitionBy("coin_id", "exchange").orderBy("timestamp")
+    prev = F.lag("close").over(wo)
+    ret = F.when(prev != 0, F.col("close") / prev - 1.0)
+    r = ohlc.select("coin_id", "exchange", "timestamp", ret.alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    wn = (
+        Window.partitionBy("coin_id", "exchange")
+        .orderBy("timestamp")
+        .rowsBetween(-(window - 1), 0)
+    )
+    full = F.count("r").over(wn) == window
+    mean_r = F.when(full, F.round(F.avg("r").over(wn), 9))
+    sd_r = F.when(full, F.round(F.stddev_samp("r").over(wn), 9))
+    return (
+        r.withColumn("mean_ret", mean_r)
+        .withColumn("_sd", sd_r)
+        .withColumn(
+            "sharpe",
+            F.when(
+                F.col("_sd") > 0,
+                F.round(F.col("mean_ret") / F.col("_sd"), round_decimals),
+            ),
+        )
+        .select("coin_id", "exchange", "timestamp", "mean_ret", "sharpe")
+    )
+
+
+def market_regime(
+    ohlc: DataFrame,
+    window: int = 24,
+    q_low: float = 0.33,
+    q_high: float = 0.66,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Volatility-regime classification per coin-candle: trailing
+    realized volatility (stddev of ``window`` hourly returns) labeled
+    calm / normal / turbulent against the coin's OWN full-history
+    volatility quantiles — the screen risk systems run before trusting
+    an indicator signal.
+
+    Determinism: volatilities round to 1e-9 first; the exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``) compute over those rounded values and round to
+    the same grid, so the labels compare rounded-to-rounded and cannot
+    flip on ulp drift. Plan: the shared entity-key window pass, a
+    per-coin quantile aggregate (dimension-sized), one broadcast join
+    back."""
+    wo = Window.partitionBy("coin_id", "exchange").orderBy("timestamp")
+    prev = F.lag("close").over(wo)
+    ret = F.when(prev != 0, F.col("close") / prev - 1.0)
+    r = ohlc.select("coin_id", "exchange", "timestamp", ret.alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    wn = (
+        Window.partitionBy("coin_id", "exchange")
+        .orderBy("timestamp")
+        .rowsBetween(-(window - 1), 0)
+    )
+    vol = F.when(
+        F.count("r").over(wn) == window,
+        F.round(F.stddev_samp("r").over(wn), round_decimals),
+    )
+    v = r.withColumn("vol", vol).filter(F.col("vol").isNotNull())
+    thresholds = v.groupBy("coin_id", "exchange").agg(
+        F.round(F.percentile("vol", q_low), round_decimals).alias("q_low"),
+        F.round(F.percentile("vol", q_high), round_decimals).alias("q_high"),
+    )
+    regime = (
+        F.when(F.col("vol") <= F.col("q_low"), "calm")
+        .when(F.col("vol") <= F.col("q_high"), "normal")
+        .otherwise("turbulent")
+    )
+    return (
+        v.join(F.broadcast(thresholds), ["coin_id", "exchange"])
+        .select("coin_id", "exchange", "timestamp", "vol", regime.alias("regime"))
+    )

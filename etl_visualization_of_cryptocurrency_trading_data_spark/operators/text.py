@@ -478,3 +478,42 @@ def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000
             ).alias("coverage"),
         )
     )
+
+
+def corpus_quality_report(
+    documents: DataFrame, min_stopword_hits: int = 1
+) -> DataFrame:
+    """Pipeline-observability rollup: per (source, lang), document and
+    word counts, per-Gopher-rule pass counts, and the overall pass
+    rate — the dashboard a curation run publishes so a threshold
+    regression in any one rule is visible per corpus slice instead of
+    buried in a global rate.
+
+    Composes [[gopher_rules]] with ``keep_columns`` (the rule battery
+    stays one map pass; this adds a single dimension-keyed aggregate).
+    Runs at ``min_stopword_hits=1`` like ``curation_pipeline_v2`` — the
+    synthetic vocabulary carries one word from the paper's list."""
+    gr = gopher_rules(
+        documents, min_stopword_hits=min_stopword_hits, keep_columns=True
+    )
+    rules = (
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+    )
+    agg = gr.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        *[F.sum(F.col(r).cast("long")).alias(f"n_{r}") for r in rules],
+        F.sum(F.col("passes_gopher").cast("long")).alias("n_pass"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_words",
+        *[f"n_{r}" for r in rules],
+        "n_pass",
+        F.round(F.col("n_pass").cast("double") / F.col("n_docs"), 9).alias(
+            "pass_rate"
+        ),
+    )

@@ -942,6 +942,40 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_lead_lag_corr(spark, sf_dir):
+    """Directional lead-lag correlation at 1 day (derive.lead_lag_corr)
+    — corr(a(t), b(t-1d)) for ordered top-20 pairs, the asymmetric
+    companion to price_correlation. Daily alignment because the
+    fixture's ~13-candle hourly series share too few lagged hours
+    (hourly lag yields the agreeing-but-empty result both engines
+    happily hash-match — checked, not assumed)."""
+    return derive.lead_lag_corr(_price_base(spark, sf_dir), bucket="day")
+
+
+def q_rolling_sharpe(spark, sf_dir):
+    """Rolling risk-adjusted return (derive.rolling_sharpe) over a
+    6-candle window — sized to the fixture's ~13-candle series so the
+    window actually fills (24 would emit all-NULL moments); production
+    runs 24+ via the parameter."""
+    return derive.rolling_sharpe(q_ohlc(spark, sf_dir), window=6)
+
+
+def q_market_regime(spark, sf_dir):
+    """Volatility-regime labels (derive.market_regime): trailing
+    realized vol (6-candle window, fixture-sized like rolling_sharpe)
+    vs the coin's own tercile thresholds — calm / normal / turbulent
+    per candle."""
+    return derive.market_regime(q_ohlc(spark, sf_dir), window=6)
+
+
+def q_corpus_quality_report(spark, sf_dir):
+    """Per-(source, lang) curation dashboard
+    (text.corpus_quality_report): Gopher per-rule pass counts and the
+    overall pass rate — one rule-battery map pass + one
+    dimension-keyed aggregate."""
+    return text.corpus_quality_report(_documents(spark, sf_dir))
+
+
 def q_heikin_ashi(spark, sf_dir):
     """Heikin-Ashi smoothed candles (indicators.heikin_ashi): the
     recursive candle transform on the same fused Arrow pass as the EMA
@@ -2061,6 +2095,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": q_csv_roundtrip,
     "heikin_ashi": q_heikin_ashi,
     "funnel_conversion": q_funnel_conversion,
+    "lead_lag_corr": q_lead_lag_corr,
+    "rolling_sharpe": q_rolling_sharpe,
+    "market_regime": q_market_regime,
+    "corpus_quality_report": q_corpus_quality_report,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2102,17 +2140,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
+    # ---- end of driver correctness window (50 entries above) ----
     # --- r4 tail: similarity/ANN/multimodal (+ the new multiprobe dial) ---
+    "simhash_pairs": q_simhash_pairs,
+    # knn_lsh / knn_lsh_multiprobe / knn_brute / kmeans_centroids /
+    # knn_quantized / embedding_normalize / embedding_quantize / knn_ivf
+    # / embedding_dup_pairs / media_frames / media_features displaced
+    # from the window by this session's twelve additions; all kept
+    # r4/r5-era driver rows — add them to the r6 front-load set below
+    # (knn_lsh/knn_lsh_multiprobe/knn_brute are r5-window members whose
+    # CORRECTNESS_r05 rows land this round before displacement).
     "knn_lsh": q_knn_lsh,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "knn_brute": q_knn_brute,
-    # ---- end of driver correctness window (50 entries above) ----
-    # kmeans_centroids / knn_quantized / embedding_normalize /
-    # embedding_quantize / knn_ivf / embedding_dup_pairs / media_frames /
-    # media_features displaced from the window by this session's eight
-    # additions; all kept r4 driver rows — add them to the r6 front-load
-    # set below.
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,
     "embedding_normalize": q_embedding_normalize,
@@ -3325,6 +3365,132 @@ FROM dd GROUP BY coin_id, exchange""",
     WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
     ),
+    "lead_lag_corr": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+top AS (SELECT coin_id FROM base GROUP BY coin_id
+        ORDER BY sum(volume) DESC, coin_id LIMIT 20),
+daily AS (
+  SELECT coin_id, date_trunc('day', timestamp) AS ts,
+         (max({{'t': timestamp, 'p': price}})).p AS close
+  FROM base JOIN top USING (coin_id)
+  GROUP BY coin_id, date_trunc('day', timestamp)
+)
+SELECT a.coin_id AS coin_a, b.coin_id AS coin_b,
+       count(*)::BIGINT AS n_obs,
+       round(corr(a.close, b.close), 7) AS lead_corr
+FROM daily a JOIN daily b
+  ON a.ts = b.ts + INTERVAL 1 DAY AND a.coin_id <> b.coin_id
+GROUP BY a.coin_id, b.coin_id
+HAVING count(*) >= 5""",
+    "rolling_sharpe": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+, r AS (
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN lag(close) OVER w <> 0
+              THEN close / lag(close) OVER w - 1.0 END AS r
+  FROM ohlc_data
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+),
+rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+m AS (
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN count(r) OVER wn = 6
+              THEN round(avg(r) OVER wn, 9) END AS mean_ret,
+         CASE WHEN count(r) OVER wn = 6
+              THEN round(stddev_samp(r) OVER wn, 9) END AS sd
+  FROM rr
+  WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT coin_id, exchange, timestamp, mean_ret,
+       CASE WHEN sd > 0 THEN round(mean_ret / sd, 6) END AS sharpe
+FROM m""",
+    ),
+    "market_regime": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+, r AS (
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN lag(close) OVER w <> 0
+              THEN close / lag(close) OVER w - 1.0 END AS r
+  FROM ohlc_data
+  WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp)
+),
+rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+v AS (
+  SELECT coin_id, exchange, timestamp,
+         CASE WHEN count(r) OVER wn = 6
+              THEN round(stddev_samp(r) OVER wn, 9) END AS vol
+  FROM rr
+  WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+vv AS (SELECT * FROM v WHERE vol IS NOT NULL),
+th AS (
+  SELECT coin_id, exchange,
+         round(quantile_cont(vol, 0.33), 9) AS q_low,
+         round(quantile_cont(vol, 0.66), 9) AS q_high
+  FROM vv GROUP BY coin_id, exchange
+)
+SELECT vv.coin_id, vv.exchange, vv.timestamp, vv.vol,
+       CASE WHEN vol <= q_low THEN 'calm'
+            WHEN vol <= q_high THEN 'normal'
+            ELSE 'turbulent' END AS regime
+FROM vv JOIN th USING (coin_id, exchange)""",
+    ),
+    # the gopher_rules oracle's rule battery (min_stopword_hits=1, the
+    # curation_pipeline_v2 setting) carried per (source, lang) and rolled
+    # up — counts are exact integers; only the final rate divides
+    "corpus_quality_report": r"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws,
+         regexp_split_to_array(text, '\n') AS lines,
+         text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, lang,
+         len(ws) AS n,
+         length(array_to_string(ws, '')) / len(ws) AS mean_word_len,
+         (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) / len(ws) AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / len(lines) AS bullet_line_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / len(lines) AS ellipsis_line_frac,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws) AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(ws, s))) AS stopword_hits
+  FROM base
+),
+r AS (
+  SELECT source, lang, n,
+         CASE WHEN n > 0 THEN n >= 50 AND n <= 100000 ELSE FALSE END AS r_word_count,
+         CASE WHEN n > 0 THEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 ELSE FALSE END AS r_mean_word_len,
+         CASE WHEN n > 0 THEN symbol_ratio < 0.1 ELSE FALSE END AS r_symbol_ratio,
+         CASE WHEN n > 0 THEN bullet_line_frac < 0.90 ELSE FALSE END AS r_bullet_lines,
+         CASE WHEN n > 0 THEN ellipsis_line_frac < 0.30 ELSE FALSE END AS r_ellipsis_lines,
+         CASE WHEN n > 0 THEN alpha_word_frac >= 0.80 ELSE FALSE END AS r_alpha_words,
+         CASE WHEN n > 0 THEN stopword_hits >= 1 ELSE FALSE END AS r_stopwords
+  FROM m
+),
+p AS (
+  SELECT *, (r_word_count AND r_mean_word_len AND r_symbol_ratio
+             AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+             AND r_stopwords) AS passes
+  FROM r
+)
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_words,
+       sum(r_word_count::INT)::BIGINT AS n_r_word_count,
+       sum(r_mean_word_len::INT)::BIGINT AS n_r_mean_word_len,
+       sum(r_symbol_ratio::INT)::BIGINT AS n_r_symbol_ratio,
+       sum(r_bullet_lines::INT)::BIGINT AS n_r_bullet_lines,
+       sum(r_ellipsis_lines::INT)::BIGINT AS n_r_ellipsis_lines,
+       sum(r_alpha_words::INT)::BIGINT AS n_r_alpha_words,
+       sum(r_stopwords::INT)::BIGINT AS n_r_stopwords,
+       sum(passes::INT)::BIGINT AS n_pass,
+       round(sum(passes::INT)::DOUBLE / count(*), 9) AS pass_rate
+FROM p GROUP BY source, lang""",
     # the ha_open recursion replayed exactly: every step is one rounding
     # of (prev+x)/2 (x0.5 is exact in binary fp), so the recursive CTE
     # and the engine's grouped ewm(alpha=0.5) agree bit-for-bit

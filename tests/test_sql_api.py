@@ -232,6 +232,8 @@ EXPECTED_R5_WINDOW = [
     "keltner_channels", "candlestick_patterns",
     "vocab_coverage", "scd2_volume_tiers", "knn_ivf_pq", "csv_roundtrip",
     "heikin_ashi", "funnel_conversion",
+    "lead_lag_corr", "rolling_sharpe", "market_regime",
+    "corpus_quality_report",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
@@ -247,8 +249,6 @@ EXPECTED_R5_WINDOW = [
     "curation_pipeline", "doc_length_quantiles_approx",
     "exchange_cardinality", "pack_chunks_overlap", "dedup_survivors",
     "ngram_jaccard_pairs", "dup_clusters", "minhash_lsh_pairs",
-    "simhash_pairs",
-    "knn_lsh", "knn_lsh_multiprobe", "knn_brute",
 ]
 
 

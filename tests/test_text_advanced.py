@@ -356,3 +356,28 @@ def test_vocab_coverage_ties_break_lexicographically(spark):
     # either tie-winner covers 2 of 4; determinism is what matters and is
     # exercised against the oracle at fixture scale — here pin the math
     assert out[1].covered_tokens == 2 and out[1].coverage == 0.5
+
+
+def test_corpus_quality_report_counts(spark):
+    """Handcrafted slice: one passing doc and one word-count violator
+    per source — counts and rates must be exact."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.text import (
+        corpus_quality_report,
+    )
+
+    good = "the " + " ".join(f"word{i}" for i in range(60))
+    bad = "tiny doc"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "web", len(good)),
+            (2, bad, "en", "web", len(bad)),
+            (3, good, "en", "books", len(good)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.source, r.lang): r for r in corpus_quality_report(docs).collect()}
+    web = out[("web", "en")]
+    assert web.n_docs == 2 and web.n_r_word_count == 1
+    assert web.n_pass == 1 and web.pass_rate == 0.5
+    books = out[("books", "en")]
+    assert books.n_docs == 1 and books.n_pass == 1 and books.pass_rate == 1.0
