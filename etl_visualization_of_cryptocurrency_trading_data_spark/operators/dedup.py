@@ -794,3 +794,42 @@ def span_dedup(
             ).alias("text_kept"),
         )
     )
+
+
+def dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Duplication observability per corpus slice: for each source, how
+    many docs, how many distinct contents, how many docs whose
+    normalized content occurs 2+ times CORPUS-WIDE (cross-source
+    duplication counts against every carrier — the crawl-overlap signal
+    a per-source distinct count would hide), and the dup rate. The
+    dashboard row [[exact_dedup]]'s group table feeds; same md5
+    fingerprint, so the two can never disagree.
+
+    Plan shape: fingerprint groupBy (map-side combinable, 16-byte key),
+    count join back on the fingerprint, one dimension-keyed rollup. The
+    join is corpus × corpus on the hash key — the same single keyed
+    shuffle exact_dedup itself pays."""
+    base = documents.select(
+        "source",
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+        "doc_id",
+    )
+    counts = base.groupBy("fp").agg(F.count("*").alias("n"))
+    return (
+        base.join(counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.sum((F.col("n") > 1).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 9
+            ).alias("dup_rate"),
+        )
+    )

@@ -820,3 +820,49 @@ def market_regime(
         v.join(F.broadcast(thresholds), ["coin_id", "exchange"])
         .select("coin_id", "exchange", "timestamp", "vol", regime.alias("regime"))
     )
+
+
+def coin_volume_percentile(price: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """Each coin's liquidity standing inside its exchange:
+    percent_rank and cume_dist of total traded volume — the two
+    rank-family window functions nothing else in the engine exercises
+    (momentum_ranks covers rank/dense_rank/ntile/lead). Volumes round
+    to 1e-6 BEFORE ranking so the order (and any ties) is identical in
+    both engines; percent_rank/cume_dist are rank-based, so tied
+    rounded volumes produce identical outputs rather than
+    row-order-dependent ones. One (coin, exchange) aggregate + one
+    exchange-keyed window over the dimension-sized result."""
+    totals = price.groupBy("coin_id", "exchange").agg(
+        F.round(F.sum("volume"), round_decimals).alias("total_volume"),
+        F.count("*").alias("n_ticks"),
+    )
+    w = Window.partitionBy("exchange").orderBy("total_volume")
+    return totals.select(
+        "exchange",
+        "coin_id",
+        "total_volume",
+        "n_ticks",
+        F.percent_rank().over(w).alias("vol_percent_rank"),
+        F.cume_dist().over(w).alias("vol_cume_dist"),
+    )
+
+
+def volume_grouping_sets(price: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """Explicit GROUPING SETS ((exchange), (day), ()) with the
+    grouping_id disambiguator — the third member of the multi-
+    dimensional aggregate family next to ``volume_cube`` (CUBE) and
+    ``volume_rollup`` (ROLLUP), covering the case where the wanted
+    slices are NOT a full lattice (cube would also pay the
+    (exchange, day) cross slice this report doesn't want).
+    grouping_id distinguishes a real NULL key from a rolled-up one —
+    the standard disambiguation CUBE/ROLLUP consumers need."""
+    day = F.date_trunc("day", F.col("timestamp")).alias("day")
+    return (
+        price.select("exchange", day, "volume")
+        .groupingSets([["exchange"], ["day"], []], "exchange", "day")
+        .agg(
+            F.grouping_id().alias("grouping_id"),
+            F.round(F.sum("volume"), round_decimals).alias("total_volume"),
+            F.count("*").alias("n_ticks"),
+        )
+    )

@@ -942,6 +942,41 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_ohlc_stream_replay(spark, sf_dir):
+    """Third driver-checkable STREAMING path
+    (pipeline.ohlc_stream_replay): watermarked tumbling candles
+    replayed to completion over a spooled feed; emitted candles must
+    hash-match the batch ohlc_data SQL exactly — the struct-ordering
+    open/close convention is what keeps batch===stream on tied
+    timestamps."""
+    from ..streaming.pipeline import ohlc_stream_replay
+
+    return ohlc_stream_replay(spark, _price_base(spark, sf_dir))
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Duplication observability per corpus slice
+    (dedup.dup_rate_by_source): per source, docs / distinct contents /
+    docs duplicated corpus-wide / dup rate, on exact_dedup's md5
+    fingerprint."""
+    return dedup.dup_rate_by_source(_documents(spark, sf_dir))
+
+
+def q_coin_volume_percentile(spark, sf_dir):
+    """Liquidity standing per exchange (derive.coin_volume_percentile):
+    percent_rank + cume_dist of rounded total volume — the rank-family
+    window functions momentum_ranks doesn't cover."""
+    return derive.coin_volume_percentile(_price_base(spark, sf_dir))
+
+
+def q_volume_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((exchange),(day),()) with grouping_id
+    (derive.volume_grouping_sets) — the non-lattice member of the
+    multi-dimensional aggregate family next to volume_cube and
+    volume_rollup."""
+    return derive.volume_grouping_sets(_price_base(spark, sf_dir))
+
+
 def q_lead_lag_corr(spark, sf_dir):
     """Directional lead-lag correlation at 1 day (derive.lead_lag_corr)
     — corr(a(t), b(t-1d)) for ordered top-20 pairs, the asymmetric
@@ -2099,6 +2134,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_sharpe": q_rolling_sharpe,
     "market_regime": q_market_regime,
     "corpus_quality_report": q_corpus_quality_report,
+    "ohlc_stream_replay": q_ohlc_stream_replay,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "coin_volume_percentile": q_coin_volume_percentile,
+    "volume_grouping_sets": q_volume_grouping_sets,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
@@ -2136,11 +2175,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
     "pack_chunks_overlap": q_pack_chunks_overlap,
+    # ---- end of driver correctness window (50 entries above) ----
     "dedup_survivors": q_dedup_survivors,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh,
-    # ---- end of driver correctness window (50 entries above) ----
     # --- r4 tail: similarity/ANN/multimodal (+ the new multiprobe dial) ---
     "simhash_pairs": q_simhash_pairs,
     # knn_lsh / knn_lsh_multiprobe / knn_brute / kmeans_centroids /
@@ -3365,6 +3404,43 @@ FROM dd GROUP BY coin_id, exchange""",
     WINDOW wn AS (PARTITION BY coin_id, exchange ORDER BY timestamp
                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
     ),
+    # the streaming replay emits exactly the batch candles of the real
+    # feed (sentinel-advanced watermark), so its oracle is the identical
+    # batch ohlc SQL
+    "ohlc_stream_replay": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
+    ),
+    "dup_rate_by_source": f"""
+WITH base AS (
+  SELECT source, md5({NORM_TEXT_SQL}) AS fp, doc_id FROM documents
+),
+counts AS (SELECT fp, count(*) AS n FROM base GROUP BY fp)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT b.fp)::BIGINT AS n_distinct,
+       sum((n > 1)::INT)::BIGINT AS n_dup_docs,
+       round(sum((n > 1)::INT)::DOUBLE / count(*), 9) AS dup_rate
+FROM base b JOIN counts c USING (fp)
+GROUP BY source""",
+    "coin_volume_percentile": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+t AS (
+  SELECT coin_id, exchange, round(sum(volume), 6) AS total_volume,
+         count(*)::BIGINT AS n_ticks
+  FROM base GROUP BY coin_id, exchange
+)
+SELECT exchange, coin_id, total_volume, n_ticks,
+       percent_rank() OVER w AS vol_percent_rank,
+       cume_dist() OVER w AS vol_cume_dist
+FROM t
+WINDOW w AS (PARTITION BY exchange ORDER BY total_volume)""",
+    "volume_grouping_sets": f"""
+SELECT exchange, date_trunc('day', timestamp) AS day,
+       grouping_id(exchange, date_trunc('day', timestamp))::BIGINT AS grouping_id,
+       round(sum(volume), 6) AS total_volume, count(*)::BIGINT AS n_ticks
+FROM ({PRICE_BASE_SQL}) p
+GROUP BY GROUPING SETS ((exchange), (date_trunc('day', timestamp)), ())""",
     "lead_lag_corr": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 top AS (SELECT coin_id FROM base GROUP BY coin_id

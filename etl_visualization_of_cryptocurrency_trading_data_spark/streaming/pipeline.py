@@ -522,3 +522,48 @@ def session_stream_replay(
         query.stop()
         raise TimeoutError(f"session replay did not finish in {timeout_s}s")
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
+
+
+def ohlc_stream_replay(
+    spark: SparkSession, price: DataFrame, timeout_s: int = 600
+) -> DataFrame:
+    """Deterministic end-to-end replay of [[ohlc_stream]] — the third
+    streaming path with a driver-side oracle-hash row, and the one
+    whose batch twin (``ohlc_candles``) feeds half the engine's candle
+    analytics: spool + sentinel ([[_spool_with_sentinel]]), watermarked
+    tumbling candles run to completion under ``availableNow``, and the
+    emitted candles must hash-match the batch ``ohlc_data`` SQL exactly
+    — the struct-ordering open/close convention is what makes
+    batch===stream hold on tied timestamps.
+
+    As with the other replays, the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import uuid
+
+    out_schema = (
+        "coin_id string, exchange string, timestamp timestamp,"
+        " open double, high double, low double, close double"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    max_ts = real.agg(F.max("timestamp")).collect()[0][0]
+    if max_ts is None:
+        return spark.createDataFrame([], out_schema)
+    spool = _spool_with_sentinel(spark, real, max_ts, prefix="ohlc_replay_")
+    name = f"ohlc_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        ohlc_stream(
+            read_price_stream(spark, os.path.join(spool, "*.parquet")),
+            delay="0 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"ohlc replay did not finish in {timeout_s}s")
+    return spark.table(name).filter(F.col("coin_id") != "__sentinel__")

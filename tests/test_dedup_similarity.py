@@ -599,3 +599,25 @@ def test_knn_ivf_pq_routing_and_recall(spark):
     recall = hits / total
     assert recall >= 0.10, f"IVF-PQ recall@5 {recall:.2f}"
     assert hits <= pq_hits, "routing cannot ADD recall over full-corpus PQ"
+
+
+def test_dup_rate_by_source_cross_source(spark):
+    """A content duplicated ACROSS sources counts against every
+    carrier; whitespace/case variants collapse to one fingerprint."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared  Text", "en", "web", 11),
+            (2, "shared text", "en", "books", 11),   # same normalized content
+            (3, "unique one", "en", "web", 10),
+            (4, "unique two", "en", "web", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in dedup.dup_rate_by_source(docs).collect()}
+    web = out["web"]
+    assert web.n_docs == 3 and web.n_distinct == 3 and web.n_dup_docs == 1
+    assert web.dup_rate == round(1 / 3, 9)
+    books = out["books"]
+    assert books.n_docs == 1 and books.n_dup_docs == 1 and books.dup_rate == 1.0

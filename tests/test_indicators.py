@@ -768,3 +768,44 @@ def test_market_regime_separates_vol_levels(spark):
     calm_max = max(r.vol for r in out if r.regime == "calm")
     turb_min = min(r.vol for r in out if r.regime == "turbulent")
     assert calm_max < turb_min
+
+
+def test_volume_percentile_and_grouping_sets(spark):
+    """percent_rank spans [0, 1] by rounded volume within each
+    exchange; GROUPING SETS emits exactly the three requested slices
+    with the ANSI grouping_id bit per rolled-up column."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", "x", T, 1.0, 10.0),
+        ("b", "x", T, 1.0, 20.0),
+        ("c", "x", T + dt.timedelta(days=1), 1.0, 30.0),
+        ("d", "y", T, 1.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    pct = {(r.exchange, r.coin_id): r for r in derive.coin_volume_percentile(df).collect()}
+    assert pct[("x", "a")].vol_percent_rank == 0.0
+    assert pct[("x", "c")].vol_percent_rank == 1.0
+    assert pct[("y", "d")].vol_percent_rank == 0.0  # singleton group
+    assert pct[("x", "b")].vol_cume_dist == round(2 / 3, 10) or abs(
+        pct[("x", "b")].vol_cume_dist - 2 / 3
+    ) < 1e-12
+
+    gs = derive.volume_grouping_sets(df).collect()
+    by_id = {}
+    for r in gs:
+        by_id.setdefault(r.grouping_id, []).append(r)
+    # (exchange) slice: day rolled up -> bit 0 set
+    assert {r.exchange for r in by_id[1]} == {"x", "y"}
+    assert all(r.day is None for r in by_id[1])
+    # (day) slice: exchange rolled up -> bit 1 set
+    assert len(by_id[2]) == 2 and all(r.exchange is None for r in by_id[2])
+    # grand total
+    assert len(by_id[3]) == 1 and by_id[3][0].n_ticks == 4
+    assert set(by_id) == {1, 2, 3}

@@ -632,3 +632,31 @@ def test_vwap_stream_matches_batch(spark, tmp_path, price_df):
         got.set_index(KEYCOLS).index
     )
     assert len(missing) == 0, f"stream withheld closed windows: {list(missing[:5])}"
+
+
+def test_ohlc_stream_replay_matches_batch(spark):
+    """The OHLC replay must emit exactly the batch candles — including
+    a TIED-timestamp bucket, where only the struct-ordering open/close
+    convention keeps batch === stream."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        ohlc_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "x", T + dt.timedelta(minutes=5), 10.0, 1.0),
+        ("c1", "x", T + dt.timedelta(minutes=5), 12.0, 1.0),  # tie
+        ("c1", "x", T + dt.timedelta(minutes=40), 11.0, 1.0),
+        ("c1", "x", T + dt.timedelta(hours=2), 9.0, 1.0),
+        ("c2", "y", T, 5.0, 1.0),
+    ]
+    price = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    got = sorted(map(str, ohlc_stream_replay(spark, price).collect()))
+    want = sorted(map(str, derive.ohlc_data(price).collect()))
+    assert got == want and len(got) == 3
