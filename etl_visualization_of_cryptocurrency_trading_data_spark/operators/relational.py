@@ -377,3 +377,44 @@ def funnel(
             ),
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for the case AQE's skew handling does
+    not reach (a single hot key whose hash partition exceeds executor
+    memory even after AQE splits — e.g. the null-like sentinel key in a
+    fact-to-fact join): the LEFT (large, skewed) side gets a
+    deterministic row-hash salt in [0, n_salts); the RIGHT side is
+    replicated once per salt value; the join key becomes
+    (key, salt), splitting each hot key's rows across ``n_salts``
+    reducers. Result set is identical to the plain join (every left
+    row meets every right match exactly once — its own salt replica).
+
+    ``how``: inner and left joins are supported — both preserve
+    per-left-row semantics under salting. Right/full joins would
+    duplicate right-side non-matches per salt and are rejected.
+
+    Cost model: pays |right| × n_salts replication to divide the
+    reducer-side hot partition by n_salts — the standard trade when
+    right is dimension-to-moderate-sized. For broadcast-able rights,
+    use a broadcast join instead; salting is for the mid-size right
+    that fits neither broadcast nor a balanced shuffle."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    left_s = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        ).cast("int"),
+    )
+    right_s = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left_s.join(right_s, [*keys, "_salt"], how).drop("_salt")

@@ -942,6 +942,15 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_exchange_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup contract (derive.exchange_hll_rollup):
+    per-day Datasketches HLL sketches merged per exchange; emits exact
+    counts + the in-plan ≤5% accuracy boolean the oracle pins as TRUE —
+    the materialized-sketch-table pattern next to
+    exchange_cardinality_approx's single-shot HLL++."""
+    return derive.exchange_hll_rollup(_price_base(spark, sf_dir))
+
+
 def q_ohlc_stream_replay(spark, sf_dir):
     """Third driver-checkable STREAMING path
     (pipeline.ohlc_stream_replay): watermarked tumbling candles
@@ -2134,6 +2143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_sharpe": q_rolling_sharpe,
     "market_regime": q_market_regime,
     "corpus_quality_report": q_corpus_quality_report,
+    "exchange_hll_rollup": q_exchange_hll_rollup,
     "ohlc_stream_replay": q_ohlc_stream_replay,
     "dup_rate_by_source": q_dup_rate_by_source,
     "coin_volume_percentile": q_coin_volume_percentile,
@@ -2174,8 +2184,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
-    "pack_chunks_overlap": q_pack_chunks_overlap,
     # ---- end of driver correctness window (50 entries above) ----
+    "pack_chunks_overlap": q_pack_chunks_overlap,
     "dedup_survivors": q_dedup_survivors,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -3411,6 +3421,13 @@ FROM dd GROUP BY coin_id, exchange""",
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),
+    "exchange_hll_rollup": f"""
+WITH base AS ({PRICE_BASE_SQL})
+SELECT exchange,
+       count(DISTINCT coin_id)::BIGINT AS n_coins,
+       count(DISTINCT date_trunc('day', timestamp))::BIGINT AS n_days,
+       TRUE AS merged_within_5pct
+FROM base GROUP BY exchange""",
     "dup_rate_by_source": f"""
 WITH base AS (
   SELECT source, md5({NORM_TEXT_SQL}) AS fp, doc_id FROM documents

@@ -412,3 +412,61 @@ def test_cooccurrence_and_pagerank(spark):
     assert ranks["a"].rank > ranks["c"].rank > ranks["z"].rank
     assert ranks["z"].rank == round((1 - 0.85) / 4, 9) and ranks["z"].wdeg == 0
     assert sum(r.rank for r in ranks.values()) <= 1.0 + 1e-9
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted inner and left joins must produce exactly the plain
+    join's multiset — including a hot key carrying most rows and a
+    left key with no match (left join preserves it once, not
+    n_salts times)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", 0), ("orphan", 1)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H1"), ("hot", "H2"), ("cold", "C")], "k string, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(map(str, salted_join(left, right, "k", n_salts=4, how=how).collect()))
+        want = sorted(map(str, left.join(right, "k", how).collect()))
+        assert got == want, how
+    # multi-column key path
+    left2 = spark.createDataFrame([("a", 1, 10.0), ("a", 2, 20.0)], "k1 string, k2 long, x double")
+    right2 = spark.createDataFrame([("a", 1, "m")], "k1 string, k2 long, tag string")
+    got = sorted(map(str, salted_join(left2, right2, ["k1", "k2"], n_salts=3).collect()))
+    want = sorted(map(str, left2.join(right2, ["k1", "k2"]).collect()))
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+
+
+def test_exchange_hll_rollup_contract(spark):
+    """The merged daily sketches must estimate each exchange's exact
+    coin cardinality within the contract bound on a hand-built frame
+    spanning several days, and n_days counts the sketch rows."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):
+        for c in range(40):
+            rows.append(
+                (f"x_C{c}", "x", T + dt.timedelta(days=d, minutes=c), 1.0, 1.0)
+            )
+    rows.append(("y_C1", "y", T, 1.0, 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    out = {r.exchange: r for r in derive.exchange_hll_rollup(df).collect()}
+    assert out["x"].n_coins == 40 and out["x"].n_days == 5
+    assert out["x"].merged_within_5pct
+    assert out["y"].n_coins == 1 and out["y"].n_days == 1 and out["y"].merged_within_5pct

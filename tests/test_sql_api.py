@@ -234,8 +234,8 @@ EXPECTED_R5_WINDOW = [
     "heikin_ashi", "funnel_conversion",
     "lead_lag_corr", "rolling_sharpe", "market_regime",
     "corpus_quality_report",
-    "ohlc_stream_replay", "dup_rate_by_source", "coin_volume_percentile",
-    "volume_grouping_sets",
+    "exchange_hll_rollup", "ohlc_stream_replay", "dup_rate_by_source",
+    "coin_volume_percentile", "volume_grouping_sets",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
     "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
     "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
@@ -249,7 +249,7 @@ EXPECTED_R5_WINDOW = [
     "momentum_ranks",
     "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
     "curation_pipeline", "doc_length_quantiles_approx",
-    "exchange_cardinality", "pack_chunks_overlap",
+    "exchange_cardinality",
 ]
 
 
