@@ -375,3 +375,41 @@ def test_plan_contracts_for_round5_operators(spark):
     n_hash = span.count("Exchange hashpartitioning")
     assert n_bcast == 1, span
     assert n_hash == 2, span
+
+
+def test_plan_contracts_for_round5_session2_operators(spark):
+    """Physical-plan pins for this session's additions:
+    - candlestick_patterns: the candle aggregate + ONE fused window
+      (all five flags share one lag pass), two keyed exchanges total;
+    - corpus_quality_report: the rule battery stays a pure map into ONE
+      aggregate exchange — zero windows;
+    - coin_volume_percentile: one aggregate + one window re-key, and
+      percent_rank/cume_dist fuse into ONE window node;
+    - volume_grouping_sets: all three slices via ONE Expand + ONE
+      exchange (not three groupBys);
+    - vocab_coverage: a TakeOrdered node and exactly ONE (bounded)
+      window — the full vocabulary is never globally sorted."""
+    import re
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+
+    def props(name):
+        plan = registry.QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        return {
+            "hash": plan.count("Exchange hashpartitioning"),
+            "window": len(re.findall(r"\bWindow\b", plan)),
+            "expand": plan.count("Expand"),
+            "takeordered": plan.count("TakeOrdered"),
+            "plan": plan,
+        }
+
+    p = props("candlestick_patterns")
+    assert (p["hash"], p["window"]) == (2, 1), p["plan"]
+    p = props("corpus_quality_report")
+    assert (p["hash"], p["window"]) == (1, 0), p["plan"]
+    p = props("coin_volume_percentile")
+    assert (p["hash"], p["window"]) == (2, 1), p["plan"]
+    p = props("volume_grouping_sets")
+    assert (p["expand"], p["hash"]) == (1, 1), p["plan"]
+    p = props("vocab_coverage")
+    assert p["takeordered"] == 1 and p["window"] == 1, p["plan"]
