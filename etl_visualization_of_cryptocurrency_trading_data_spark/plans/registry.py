@@ -2120,13 +2120,23 @@ def q_media_decode_wav(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R5_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# Round-6 rotation plan (registry = 100 queries, window = first 50):
-#   1. FIRST the four r4-tail entries squeezed out this round, whose
-#      newest driver rows are r3 (two rounds stale): stale_coins_anti,
-#      top_coins_by_volume, union_price_feeds, asof_price_candle;
+# Round-6 rotation plan (registry = 122 queries, window = first 50).
+# The 17 queries this round's second session added took the whole-new-
+# query priority, so the oldest-evidence set GREW; order r6's window:
+#   1. FIRST the entries whose newest driver rows are r3 (three rounds
+#      stale by r6): stale_coins_anti, top_coins_by_volume,
+#      union_price_feeds, asof_price_candle, top_suppliers,
+#      user_retention, price_correlation, event_props_stats,
+#      revenue_by_nation, AND the r5-planned-but-displaced trio
+#      exact_dedup's tail companions dedup_survivors /
+#      ngram_jaccard_pairs / dup_clusters / minhash_lsh_pairs /
+#      simhash_pairs / pack_chunks_overlap (rows r3);
 #   2. then anything r6 adds or whose plan r6 changes;
-#   3. then the 46 tail entries below (newest rows r4), oldest-evidence
-#      first, to fill the remaining slots.
+#   3. then the displaced tail (kmeans_centroids, knn_quantized,
+#      embedding_normalize/quantize, knn_ivf, embedding_dup_pairs,
+#      media_frames/features: r4 rows; knn_lsh, knn_brute,
+#      exchange_cardinality: r3 rows — these three first), oldest
+#      first, to fill remaining slots.
 # Update EXPECTED_R5_WINDOW in test_sql_api.py in the same commit
 # (rename it EXPECTED_R6_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2183,8 +2193,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
     "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
-    "exchange_cardinality": q_exchange_cardinality,
+    # knn_lsh_multiprobe is r5-NEW: it must keep a window slot or end
+    # the round with zero driver evidence — it outranks the r3-row
+    # exchange_cardinality for the final slot.
+    "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     # ---- end of driver correctness window (50 entries above) ----
+    "exchange_cardinality": q_exchange_cardinality,
     "pack_chunks_overlap": q_pack_chunks_overlap,
     "dedup_survivors": q_dedup_survivors,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2200,7 +2214,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (knn_lsh/knn_lsh_multiprobe/knn_brute are r5-window members whose
     # CORRECTNESS_r05 rows land this round before displacement).
     "knn_lsh": q_knn_lsh,
-    "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "knn_brute": q_knn_brute,
     "kmeans_centroids": q_kmeans_centroids,
     "knn_quantized": q_knn_quantized,

@@ -249,7 +249,7 @@ EXPECTED_R5_WINDOW = [
     "momentum_ranks",
     "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
     "curation_pipeline", "doc_length_quantiles_approx",
-    "exchange_cardinality",
+    "knn_lsh_multiprobe",
 ]
 
 
