@@ -418,3 +418,40 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return left_s.join(right_s, [*keys, "_salt"], how).drop("_salt")
+
+
+def pricing_summary(
+    lineitem: DataFrame, cutoff_days: int = 90, round_decimals: int = 6
+) -> DataFrame:
+    """The TPC-H Q1 shape — the canonical scan-dominated aggregate every
+    warehouse engine anchors on: one pass over the fact table, grouped
+    by two low-cardinality flags, eight aggregates with map-side
+    partials. Deliberately classic so bench evolution has a stable
+    scan-agg anchor next to the domain queries.
+
+    The shipdate cutoff anchors at max(l_shipdate) − cutoff_days (the
+    engine's F6 convention: deterministic on any fixture, no wall
+    clock). Sum/avg columns round to ``round_decimals`` — engines
+    reassociate partial sums. Plan: one scan, one broadcast of the
+    1-row cutoff, one grouped exchange on a 2-value key (partial agg
+    does nearly all the work map-side)."""
+    cutoff = lineitem.agg(
+        F.date_sub(F.max("l_shipdate"), cutoff_days).alias("_cutoff")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("l_shipdate") <= F.col("_cutoff"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), round_decimals).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), round_decimals).alias("sum_base_price"),
+            F.round(F.sum(disc_price), round_decimals).alias("sum_disc_price"),
+            F.round(F.sum(charge), round_decimals).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), round_decimals).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), round_decimals).alias("avg_price"),
+            F.round(F.avg("l_discount"), round_decimals).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )

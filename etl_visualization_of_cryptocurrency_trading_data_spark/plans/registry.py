@@ -942,6 +942,24 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (relational.pricing_summary): the canonical
+    scan-dominated two-flag aggregate over lineitem, cutoff anchored
+    at max(l_shipdate) − 90 days — the stable scan-agg bench anchor."""
+    from ..operators.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_rolling_active_coins(spark, sf_dir):
+    """Rolling trailing-7-day distinct coins per exchange
+    (derive.rolling_active_coins): windowed hll_union_agg over
+    pre-built daily sketches, contract-verified against the exact
+    range-join answer — the rolling-MAU pattern where mergeable
+    sketches become load-bearing."""
+    return derive.rolling_active_coins(_price_base(spark, sf_dir))
+
+
 def q_exchange_hll_rollup(spark, sf_dir):
     """Mergeable-sketch rollup contract (derive.exchange_hll_rollup):
     per-day Datasketches HLL sketches merged per exchange; emits exact
@@ -2153,6 +2171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_sharpe": q_rolling_sharpe,
     "market_regime": q_market_regime,
     "corpus_quality_report": q_corpus_quality_report,
+    "pricing_summary": q_pricing_summary,
+    "rolling_active_coins": q_rolling_active_coins,
     "exchange_hll_rollup": q_exchange_hll_rollup,
     "ohlc_stream_replay": q_ohlc_stream_replay,
     "dup_rate_by_source": q_dup_rate_by_source,
@@ -2191,13 +2211,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
-    "curation_pipeline": q_curation_pipeline,
-    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     # knn_lsh_multiprobe is r5-NEW: it must keep a window slot or end
     # the round with zero driver evidence — it outranks the r3-row
-    # exchange_cardinality for the final slot.
+    # entries below for the final slot.
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     # ---- end of driver correctness window (50 entries above) ----
+    "curation_pipeline": q_curation_pipeline,
+    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
     "pack_chunks_overlap": q_pack_chunks_overlap,
     "dedup_survivors": q_dedup_survivors,
@@ -3434,6 +3454,43 @@ FROM dd GROUP BY coin_id, exchange""",
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),
+    "pricing_summary": """
+WITH cut AS (SELECT max(l_shipdate) - INTERVAL 90 DAYS AS cutoff FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem, cut
+WHERE l_shipdate <= cut.cutoff
+GROUP BY l_returnflag, l_linestatus""",
+    "rolling_active_coins": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+pairs AS (
+  SELECT DISTINCT exchange, date_trunc('day', timestamp) AS day, coin_id
+  FROM base
+),
+spine AS (SELECT DISTINCT exchange, day FROM pairs),
+ex AS (
+  SELECT s.exchange, s.day, count(DISTINCT p.coin_id)::BIGINT AS n_coins_7d
+  FROM spine s JOIN pairs p ON p.exchange = s.exchange
+   AND p.day BETWEEN s.day - INTERVAL 6 DAYS AND s.day
+  GROUP BY s.exchange, s.day
+),
+nd AS (
+  SELECT exchange, day,
+         count(*) OVER (PARTITION BY exchange ORDER BY day
+                        RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)::BIGINT
+           AS n_days_in_window
+  FROM spine
+)
+SELECT ex.exchange, ex.day, ex.n_coins_7d, nd.n_days_in_window,
+       TRUE AS sketch_within_5pct
+FROM ex JOIN nd USING (exchange, day)""",
     "exchange_hll_rollup": f"""
 WITH base AS ({PRICE_BASE_SQL})
 SELECT exchange,

@@ -470,3 +470,71 @@ def test_exchange_hll_rollup_contract(spark):
     assert out["x"].n_coins == 40 and out["x"].n_days == 5
     assert out["x"].merged_within_5pct
     assert out["y"].n_coins == 1 and out["y"].n_days == 1 and out["y"].merged_within_5pct
+
+
+def test_pricing_summary_hand_built(spark):
+    """Hand-checked Q1 aggregates: cutoff excludes late shipments,
+    disc_price/charge formulas, and per-group counts."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    D = dt.datetime(2024, 6, 1)
+    rows = [
+        # (orderkey, qty, extprice, disc, tax, rf, ls, shipdate)
+        (1, 10.0, 100.0, 0.1, 0.05, "A", "F", D),
+        (2, 5.0, 50.0, 0.0, 0.10, "A", "F", D - dt.timedelta(days=10)),
+        (3, 1.0, 10.0, 0.2, 0.00, "R", "O", D - dt.timedelta(days=5)),
+        # ships within the last 90 days BEFORE max -> still included;
+        # make one AFTER the cutoff by pushing max forward:
+        (4, 99.0, 999.0, 0.0, 0.0, "X", "X", D + dt.timedelta(days=100)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    # max shipdate = D+100d; cutoff = D+10d -> rows 1-3 pass, row 4 fails
+    out = {(r.l_returnflag, r.l_linestatus): r for r in pricing_summary(df).collect()}
+    assert set(out) == {("A", "F"), ("R", "O")}
+    af = out[("A", "F")]
+    assert af.count_order == 2 and af.sum_qty == 15.0
+    assert af.sum_disc_price == round(100.0 * 0.9 + 50.0, 6)
+    assert af.sum_charge == round(100.0 * 0.9 * 1.05 + 50.0 * 1.1, 6)
+    assert af.avg_disc == round(0.05, 6)
+    ro = out[("R", "O")]
+    assert ro.count_order == 1 and ro.sum_disc_price == 8.0
+
+
+def test_rolling_active_coins_window_math(spark):
+    """Exact trailing-7-day distinct counts on a hand-built calendar:
+    overlap days count once, the window fills progressively, and the
+    sketch contract holds at these cardinalities."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    D = dt.datetime(2024, 1, 1)
+    rows = []
+    # day 0: coins a,b; day 3: b,c; day 9: d  (gap > window from day 0)
+    for c in ("a", "b"):
+        rows.append((f"{c}", "x", D, 1.0, 1.0))
+    for c in ("b", "c"):
+        rows.append((f"{c}", "x", D + dt.timedelta(days=3), 1.0, 1.0))
+    rows.append(("d", "x", D + dt.timedelta(days=9), 1.0, 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    out = {r.day: r for r in derive.rolling_active_coins(df).collect()}
+    assert out[D].n_coins_7d == 2 and out[D].n_days_in_window == 1
+    d3 = out[D + dt.timedelta(days=3)]
+    assert d3.n_coins_7d == 3 and d3.n_days_in_window == 2  # a,b,c; b once
+    d9 = out[D + dt.timedelta(days=9)]
+    # trailing-7-DAY range = days 3..9 -> {b,c,d}; a rows-window would
+    # wrongly reach back to day 0 and fail the sketch contract
+    assert d9.n_coins_7d == 3 and d9.n_days_in_window == 2
+    assert all(r.sketch_within_5pct for r in out.values())

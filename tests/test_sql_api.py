@@ -234,6 +234,7 @@ EXPECTED_R5_WINDOW = [
     "heikin_ashi", "funnel_conversion",
     "lead_lag_corr", "rolling_sharpe", "market_regime",
     "corpus_quality_report",
+    "pricing_summary", "rolling_active_coins",
     "exchange_hll_rollup", "ohlc_stream_replay", "dup_rate_by_source",
     "coin_volume_percentile", "volume_grouping_sets",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
@@ -248,7 +249,6 @@ EXPECTED_R5_WINDOW = [
     "active_coins_semi",
     "momentum_ranks",
     "exact_dedup", "repetition_stats", "tfidf_top_terms", "contamination",
-    "curation_pipeline", "doc_length_quantiles_approx",
     "knn_lsh_multiprobe",
 ]
 
