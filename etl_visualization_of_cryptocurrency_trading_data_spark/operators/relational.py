@@ -379,47 +379,6 @@ def funnel(
     )
 
 
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: list[str] | str,
-    n_salts: int = 8,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-mitigating equi-join for the case AQE's skew handling does
-    not reach (a single hot key whose hash partition exceeds executor
-    memory even after AQE splits — e.g. the null-like sentinel key in a
-    fact-to-fact join): the LEFT (large, skewed) side gets a
-    deterministic row-hash salt in [0, n_salts); the RIGHT side is
-    replicated once per salt value; the join key becomes
-    (key, salt), splitting each hot key's rows across ``n_salts``
-    reducers. Result set is identical to the plain join (every left
-    row meets every right match exactly once — its own salt replica).
-
-    ``how``: inner and left joins are supported — both preserve
-    per-left-row semantics under salting. Right/full joins would
-    duplicate right-side non-matches per salt and are rejected.
-
-    Cost model: pays |right| × n_salts replication to divide the
-    reducer-side hot partition by n_salts — the standard trade when
-    right is dimension-to-moderate-sized. For broadcast-able rights,
-    use a broadcast join instead; salting is for the mid-size right
-    that fits neither broadcast nor a balanced shuffle."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    keys = [on] if isinstance(on, str) else list(on)
-    left_s = left.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
-        ).cast("int"),
-    )
-    right_s = right.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    return left_s.join(right_s, [*keys, "_salt"], how).drop("_salt")
-
-
 def pricing_summary(
     lineitem: DataFrame, cutoff_days: int = 90, round_decimals: int = 6
 ) -> DataFrame:
@@ -454,4 +413,57 @@ def pricing_summary(
             F.round(F.avg("l_discount"), round_decimals).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+def activity_reconciliation(price: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """Snapshot reconciliation — the FULL OUTER join pattern the engine
+    didn't yet exercise (inner/left/semi/anti/asof/range all have
+    queries): split the feed at its integer-microsecond midpoint and
+    reconcile per-entity activity across the halves. Entities present
+    in both halves, only early (delisted), or only late (newly listed)
+    each get a status row — the trichotomy only a full outer join
+    expresses in one pass.
+
+    Determinism: the midpoint is INTEGER microsecond arithmetic
+    ((min+max) div 2 — no float time math); volumes round to the 1e-6
+    grid; counts coalesce to 0 on the absent side. Plan: two
+    half-filtered aggregates over one scan lineage + a single keyed
+    full outer join (both sides shuffle once on the entity key)."""
+    bounds = price.agg(
+        F.min(F.unix_micros("timestamp")).alias("_lo"),
+        F.max(F.unix_micros("timestamp")).alias("_hi"),
+    ).select(((F.col("_lo") + F.col("_hi")) / F.lit(2)).cast("long").alias("_mid"))
+    t = price.crossJoin(F.broadcast(bounds))
+    us = F.unix_micros("timestamp")
+
+    def half(cond, n_name, v_name):
+        return (
+            t.filter(cond)
+            .groupBy("coin_id", "exchange")
+            .agg(
+                F.count("*").alias(n_name),
+                F.round(F.sum("volume"), round_decimals).alias(v_name),
+            )
+        )
+
+    a = half(us <= F.col("_mid"), "n_ticks_h1", "volume_h1")
+    b = half(us > F.col("_mid"), "n_ticks_h2", "volume_h2")
+    joined = a.join(b, ["coin_id", "exchange"], "full_outer")
+    status = (
+        F.when(
+            F.col("n_ticks_h1").isNotNull() & F.col("n_ticks_h2").isNotNull(),
+            "both",
+        )
+        .when(F.col("n_ticks_h1").isNotNull(), "first_half_only")
+        .otherwise("second_half_only")
+    )
+    return joined.select(
+        "coin_id",
+        "exchange",
+        F.coalesce("n_ticks_h1", F.lit(0)).alias("n_ticks_h1"),
+        F.coalesce("n_ticks_h2", F.lit(0)).alias("n_ticks_h2"),
+        F.coalesce("volume_h1", F.lit(0.0)).alias("volume_h1"),
+        F.coalesce("volume_h2", F.lit(0.0)).alias("volume_h2"),
+        status.alias("status"),
     )

@@ -942,6 +942,44 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_event_props_variant(spark, sf_dir):
+    """The VARIANT semi-structured path (Spark 4's typed JSON):
+    events.props parsed once with parse_json, fields extracted with
+    variant_get (typed, no per-path re-parse — get_json_object
+    re-parses the string per path, which is why event_props_stats
+    caps at one path), plus try_variant_get's NULL-not-error contract
+    on a missing path. Aggregated per event_type; oracle replays with
+    DuckDB's native JSON extraction."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.does_not_exist", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("m").isNull().cast("long")).alias("n_missing_path"),
+        )
+    )
+
+
+def q_activity_reconciliation(spark, sf_dir):
+    """Full-outer snapshot reconciliation
+    (relational.activity_reconciliation): per-entity activity across
+    the feed's two time halves with both/first-only/second-only
+    status — the join type nothing else exercises, with integer
+    midpoint arithmetic for determinism."""
+    from ..operators.relational import activity_reconciliation
+
+    return activity_reconciliation(_price_base(spark, sf_dir))
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape (relational.pricing_summary): the canonical
     scan-dominated two-flag aggregate over lineitem, cutoff anchored
@@ -2173,6 +2211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_report": q_corpus_quality_report,
     "pricing_summary": q_pricing_summary,
     "rolling_active_coins": q_rolling_active_coins,
+    "event_props_variant": q_event_props_variant,
+    "activity_reconciliation": q_activity_reconciliation,
     "exchange_hll_rollup": q_exchange_hll_rollup,
     "ohlc_stream_replay": q_ohlc_stream_replay,
     "dup_rate_by_source": q_dup_rate_by_source,
@@ -2209,13 +2249,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4 tail: dedup/text/corpus ---
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "contamination": q_contamination,
     # knn_lsh_multiprobe is r5-NEW: it must keep a window slot or end
     # the round with zero driver evidence — it outranks the r3-row
     # entries below for the final slot.
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     # ---- end of driver correctness window (50 entries above) ----
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
     "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
     "exchange_cardinality": q_exchange_cardinality,
@@ -3454,6 +3494,44 @@ FROM dd GROUP BY coin_id, exchange""",
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),
+    "event_props_variant": """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+       sum(CASE WHEN json_extract_string(props, '$.does_not_exist') IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_missing_path
+FROM events GROUP BY event_type""",
+    "activity_reconciliation": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+bounds AS (
+  SELECT (min(epoch_us(timestamp)) + max(epoch_us(timestamp))) // 2 AS mid
+  FROM base
+),
+a AS (
+  SELECT coin_id, exchange, count(*)::BIGINT AS n_ticks_h1,
+         round(sum(volume), 6) AS volume_h1
+  FROM base, bounds WHERE epoch_us(timestamp) <= mid
+  GROUP BY coin_id, exchange
+),
+b AS (
+  SELECT coin_id, exchange, count(*)::BIGINT AS n_ticks_h2,
+         round(sum(volume), 6) AS volume_h2
+  FROM base, bounds WHERE epoch_us(timestamp) > mid
+  GROUP BY coin_id, exchange
+)
+SELECT coalesce(a.coin_id, b.coin_id) AS coin_id,
+       coalesce(a.exchange, b.exchange) AS exchange,
+       coalesce(n_ticks_h1, 0)::BIGINT AS n_ticks_h1,
+       coalesce(n_ticks_h2, 0)::BIGINT AS n_ticks_h2,
+       coalesce(volume_h1, 0.0) AS volume_h1,
+       coalesce(volume_h2, 0.0) AS volume_h2,
+       CASE WHEN n_ticks_h1 IS NOT NULL AND n_ticks_h2 IS NOT NULL THEN 'both'
+            WHEN n_ticks_h1 IS NOT NULL THEN 'first_half_only'
+            ELSE 'second_half_only' END AS status
+FROM a FULL OUTER JOIN b
+  ON a.coin_id = b.coin_id AND a.exchange = b.exchange""",
     "pricing_summary": """
 WITH cut AS (SELECT max(l_shipdate) - INTERVAL 90 DAYS AS cutoff FROM lineitem)
 SELECT l_returnflag, l_linestatus,

@@ -414,38 +414,6 @@ def test_cooccurrence_and_pagerank(spark):
     assert sum(r.rank for r in ranks.values()) <= 1.0 + 1e-9
 
 
-def test_salted_join_equals_plain_join(spark):
-    """Salted inner and left joins must produce exactly the plain
-    join's multiset — including a hot key carrying most rows and a
-    left key with no match (left join preserves it once, not
-    n_salts times)."""
-    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
-        salted_join,
-    )
-
-    left = spark.createDataFrame(
-        [("hot", i) for i in range(200)] + [("cold", 0), ("orphan", 1)],
-        "k string, v long",
-    )
-    right = spark.createDataFrame(
-        [("hot", "H1"), ("hot", "H2"), ("cold", "C")], "k string, tag string"
-    )
-    for how in ("inner", "left"):
-        got = sorted(map(str, salted_join(left, right, "k", n_salts=4, how=how).collect()))
-        want = sorted(map(str, left.join(right, "k", how).collect()))
-        assert got == want, how
-    # multi-column key path
-    left2 = spark.createDataFrame([("a", 1, 10.0), ("a", 2, 20.0)], "k1 string, k2 long, x double")
-    right2 = spark.createDataFrame([("a", 1, "m")], "k1 string, k2 long, tag string")
-    got = sorted(map(str, salted_join(left2, right2, ["k1", "k2"], n_salts=3).collect()))
-    want = sorted(map(str, left2.join(right2, ["k1", "k2"]).collect()))
-    assert got == want
-    import pytest
-
-    with pytest.raises(ValueError):
-        salted_join(left, right, "k", how="full")
-
-
 def test_exchange_hll_rollup_contract(spark):
     """The merged daily sketches must estimate each exchange's exact
     coin cardinality within the contract bound on a hand-built frame
@@ -538,3 +506,66 @@ def test_rolling_active_coins_window_math(spark):
     # wrongly reach back to day 0 and fail the sketch contract
     assert d9.n_coins_7d == 3 and d9.n_days_in_window == 2
     assert all(r.sketch_within_5pct for r in out.values())
+
+
+def test_activity_reconciliation_trichotomy(spark):
+    """Handcrafted halves: a coin active in both, one delisted after
+    the first half, one newly listed in the second — each status
+    emitted exactly once with zero-coalesced absent sides."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        activity_reconciliation,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+
+    def tick(c, hours, vol):
+        return (c, "x", T + dt.timedelta(hours=hours), 1.0, vol)
+
+    # span 0..10h -> integer midpoint at 5h
+    rows = [
+        tick("both", 0, 10.0), tick("both", 10, 20.0),
+        tick("early", 1, 5.0),
+        tick("late", 9, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    out = {r.coin_id: r for r in activity_reconciliation(df).collect()}
+    assert out["both"].status == "both"
+    assert out["both"].n_ticks_h1 == 1 and out["both"].n_ticks_h2 == 1
+    assert out["early"].status == "first_half_only"
+    assert out["early"].n_ticks_h2 == 0 and out["early"].volume_h2 == 0.0
+    assert out["late"].status == "second_half_only"
+    assert out["late"].n_ticks_h1 == 0 and out["late"].volume_h1 == 0.0
+
+
+def test_event_props_variant_extraction(spark):
+    """variant_get extracts typed values; try_variant_get yields NULL
+    (not an error) on a missing path for every row."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        q_event_props_variant,
+    )
+    # drive through the registered builder against a temp fixture dir
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="variant_fix_")
+    T = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, T, 1, "view", 1.0, '{"k": 5}'),
+            (2, T, 2, "view", 1.0, '{"k": 7}'),
+            (3, T, 3, "click", 1.0, '{"k": -1}'),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r for r in q_event_props_variant(spark, d).collect()}
+    assert out["view"].sum_k == 12 and out["view"].min_k == 5 and out["view"].max_k == 7
+    assert out["click"].sum_k == -1
+    assert out["view"].n_missing_path == 2 and out["click"].n_missing_path == 1
