@@ -467,3 +467,52 @@ def activity_reconciliation(price: DataFrame, round_decimals: int = 6) -> DataFr
         F.coalesce("volume_h2", F.lit(0.0)).alias("volume_h2"),
         status.alias("status"),
     )
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff_days: int = 60,
+    k: int = 10,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """The TPC-H Q3 shape — the canonical selective multi-join + top-k:
+    one segment of customers, orders placed BEFORE the anchor date,
+    lineitems shipped AFTER it, revenue per order, top ``k``. The
+    second classic bench anchor next to [[pricing_summary]]'s pure
+    scan-agg, exercising join ORDER (customer is the most selective
+    side and broadcasts; lineitem never shuffles before its filter) and
+    TopK (TakeOrdered — no global sort of the aggregate).
+
+    The anchor date is max(l_shipdate) − cutoff_days (deterministic F6
+    convention; the fixture has no o_shippriority column, so
+    o_orderpriority carries through in its place). Revenue rounds to
+    ``round_decimals`` BEFORE the ordering, with l_orderkey as total-
+    order tiebreak, so the top-k frontier cannot flip on partial-sum
+    drift."""
+    cut = lineitem.agg(
+        F.date_sub(F.max("l_shipdate"), cutoff_days).alias("_cut")
+    )
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ord_f = (
+        orders.crossJoin(F.broadcast(cut))
+        .filter(F.col("o_orderdate") < F.col("_cut"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        lineitem.crossJoin(F.broadcast(cut))
+        .filter(F.col("l_shipdate") > F.col("_cut"))
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+    )
+    agg = (
+        li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("_rev"), round_decimals).alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(k)

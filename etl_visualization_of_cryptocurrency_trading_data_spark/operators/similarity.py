@@ -1008,3 +1008,54 @@ def knn_ivf_pq(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def knn_ivf_pq_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    floor: float = 0.10,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Quality contract for the composed index, completing the family
+    ([[knn_recall]] for LSH/IVF, [[knn_pq_recall]] for PQ): recall@k of
+    [[knn_ivf_pq]] vs exact squared-L2 brute force as one
+    hash-verifiable row. Necessarily ≤ knn_pq_recall's value (routing
+    only removes candidates) — together the three contracts decompose
+    quality loss into a quantization term and a routing term, which is
+    how production IVF-PQ deployments debug recall."""
+    ivfpq = knn_ivf_pq(embeddings, k=k, round_decimals=round_decimals).select(
+        "probe_id", "neighbor_id"
+    )
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    probes = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p")
+    )
+    l2 = F.round(
+        _dot(F.col("emb"), F.col("emb"))
+        + _dot(F.col("p"), F.col("p"))
+        - 2 * _dot(F.col("p"), F.col("emb")),
+        round_decimals,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), l2.alias("l2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id")
+    )
+    n_hits = truth.join(ivfpq, ["probe_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    n_probes = truth.agg(F.countDistinct("probe_id").alias("n_probes"))
+    recall = F.round(F.col("n_hits") / (F.lit(float(k)) * F.col("n_probes")), 6)
+    return n_hits.crossJoin(n_probes).select(
+        F.lit("ivf_pq").alias("method"),
+        "n_probes",
+        "n_hits",
+        recall.alias("recall_at_k"),
+        (recall >= floor).alias("meets_floor"),
+    )

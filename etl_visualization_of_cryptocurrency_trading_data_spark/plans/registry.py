@@ -942,6 +942,30 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (relational.shipping_priority): segment-filtered
+    customer ⋈ orders ⋈ lineitem with anchored date cutoffs, revenue
+    per order, top-10 via TakeOrdered — the selective-join bench anchor
+    next to pricing_summary's scan-agg."""
+    from ..operators.relational import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_knn_ivf_pq_recall(spark, sf_dir):
+    """Quality contract for the composed index
+    (similarity.knn_ivf_pq_recall): recall@5 of IVF-PQ vs exact L2
+    brute — with knn_recall and knn_pq_recall this decomposes quality
+    loss into quantization and routing terms."""
+    return similarity.knn_ivf_pq_recall(
+        load_table(spark, sf_dir, "embeddings"), k=5
+    )
+
+
 def q_event_props_variant(spark, sf_dir):
     """The VARIANT semi-structured path (Spark 4's typed JSON):
     events.props parsed once with parse_json, fields extracted with
@@ -1658,6 +1682,38 @@ adc AS (
   GROUP BY d.probe_id, e.vec_id
 )"""
 
+# IVF coarse routing bolted onto the PQ CTEs: shared by knn_ivf_pq and
+# its recall contract (both f-strings append these after PQ_SEARCH_CTES)
+IVF_ROUTE_CTES = """ivf_cent AS (
+  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id % 101 = 1
+),
+ivf_scored AS (
+  SELECT b.vec_id, c.cent_id,
+         list_dot_product(b.emb, c.cent_emb)
+         / (sqrt(list_dot_product(b.emb, b.emb))
+            * sqrt(list_dot_product(c.cent_emb, c.cent_emb))) AS cent_cos
+  FROM base b CROSS JOIN ivf_cent c
+),
+ivf_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM ivf_scored
+),
+ivf_lists AS (SELECT vec_id, cent_id FROM ivf_ranked WHERE crank = 1),
+ivf_probe AS (
+  SELECT vec_id AS probe_id, cent_id
+  FROM ivf_ranked WHERE vec_id % 50 = 0 AND crank <= 2
+),
+adc_ivf AS (
+  SELECT d.probe_id, e.vec_id AS neighbor_id, round(sum(d.pd), 9) AS adc_dist
+  FROM enc e
+  JOIN ivf_lists l ON l.vec_id = e.vec_id
+  JOIN ivf_probe p ON p.cent_id = l.cent_id
+  JOIN dtab d ON d.sub = e.sub AND d.code = e.code AND d.probe_id = p.probe_id
+  WHERE e.vec_id <> d.probe_id
+  GROUP BY d.probe_id, e.vec_id
+)"""
+
 KNN_IVF_TRAINED_SQL = """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE vec_id % 101 = 1),
@@ -2213,6 +2269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_coins": q_rolling_active_coins,
     "event_props_variant": q_event_props_variant,
     "activity_reconciliation": q_activity_reconciliation,
+    "shipping_priority": q_shipping_priority,
+    "knn_ivf_pq_recall": q_knn_ivf_pq_recall,
     "exchange_hll_rollup": q_exchange_hll_rollup,
     "ohlc_stream_replay": q_ohlc_stream_replay,
     "dup_rate_by_source": q_dup_rate_by_source,
@@ -2247,13 +2305,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     # --- r4 tail: dedup/text/corpus ---
-    "exact_dedup": q_exact_dedup,
-    "repetition_stats": q_repetition_stats,
     # knn_lsh_multiprobe is r5-NEW: it must keep a window slot or end
     # the round with zero driver evidence — it outranks the r3-row
     # entries below for the final slot.
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     # ---- end of driver correctness window (50 entries above) ----
+    "exact_dedup": q_exact_dedup,
+    "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
@@ -3169,39 +3227,40 @@ SELECT probe_id, neighbor_id, adc_dist, rank FROM (
     # PQ_SEARCH_CTES goes unreferenced here and is never evaluated
     "knn_ivf_pq": f"""
 WITH {PQ_SEARCH_CTES},
-ivf_cent AS (
-  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id % 101 = 1
-),
-ivf_scored AS (
-  SELECT b.vec_id, c.cent_id,
-         list_dot_product(b.emb, c.cent_emb)
-         / (sqrt(list_dot_product(b.emb, b.emb))
-            * sqrt(list_dot_product(c.cent_emb, c.cent_emb))) AS cent_cos
-  FROM base b CROSS JOIN ivf_cent c
-),
-ivf_ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cent_cos DESC, cent_id) AS crank
-  FROM ivf_scored
-),
-ivf_lists AS (SELECT vec_id, cent_id FROM ivf_ranked WHERE crank = 1),
-ivf_probe AS (
-  SELECT vec_id AS probe_id, cent_id
-  FROM ivf_ranked WHERE vec_id % 50 = 0 AND crank <= 2
-),
-adc_ivf AS (
-  SELECT d.probe_id, e.vec_id AS neighbor_id, round(sum(d.pd), 9) AS adc_dist
-  FROM enc e
-  JOIN ivf_lists l ON l.vec_id = e.vec_id
-  JOIN ivf_probe p ON p.cent_id = l.cent_id
-  JOIN dtab d ON d.sub = e.sub AND d.code = e.code AND d.probe_id = p.probe_id
-  WHERE e.vec_id <> d.probe_id
-  GROUP BY d.probe_id, e.vec_id
-)
+{IVF_ROUTE_CTES}
 SELECT probe_id, neighbor_id, adc_dist, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
                                ORDER BY adc_dist, neighbor_id) AS rank
   FROM adc_ivf) WHERE rank <= 5""",
+    "knn_ivf_pq_recall": f"""
+WITH {PQ_SEARCH_CTES},
+{IVF_ROUTE_CTES},
+ivfpq AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc_ivf) WHERE rank <= 5
+),
+pr AS (SELECT vec_id AS probe_id, emb AS p FROM base WHERE vec_id % 50 = 0),
+sc AS (
+  SELECT pr.probe_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.emb, b.emb) + list_dot_product(pr.p, pr.p)
+               - 2 * list_dot_product(pr.p, b.emb), 9) AS l2
+  FROM base b CROSS JOIN pr WHERE b.vec_id <> pr.probe_id
+),
+truth AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY l2, neighbor_id) AS rank
+    FROM sc) WHERE rank <= 5
+),
+agg AS (
+  SELECT (SELECT count(*) FROM truth t JOIN ivfpq USING (probe_id, neighbor_id)) AS n_hits,
+         (SELECT count(DISTINCT probe_id) FROM truth) AS n_probes
+)
+SELECT 'ivf_pq' AS method, n_probes::BIGINT AS n_probes, n_hits::BIGINT AS n_hits,
+       round(n_hits / (5.0 * n_probes), 6) AS recall_at_k,
+       round(n_hits / (5.0 * n_probes), 6) >= 0.10 AS meets_floor
+FROM agg""",
     # The decoded-sample statistics in closed form: sample (i, ch) of
     # doc d is (d*31 + i*17 + ch*7919) % 65536 - 32768 (see
     # multimodal.wav_table). sum_amp/sum_sq are exact int64 — the hash
@@ -3494,6 +3553,24 @@ FROM dd GROUP BY coin_id, exchange""",
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),
+    "shipping_priority": """
+WITH cut AS (SELECT max(l_shipdate) - INTERVAL 60 DAYS AS c FROM lineitem),
+cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+ordf AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority
+  FROM orders JOIN cust ON o_custkey = c_custkey CROSS JOIN cut
+  WHERE o_orderdate < cut.c
+),
+li AS (
+  SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem CROSS JOIN cut WHERE l_shipdate > cut.c
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(rev), 6) AS revenue
+FROM li JOIN ordf ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
     "event_props_variant": """
 SELECT event_type,
        count(*)::BIGINT AS n_events,

@@ -621,3 +621,18 @@ def test_dup_rate_by_source_cross_source(spark):
     assert web.dup_rate == round(1 / 3, 9)
     books = out["books"]
     assert books.n_docs == 1 and books.n_dup_docs == 1 and books.dup_rate == 1.0
+
+
+def test_knn_ivf_pq_recall_contract(spark):
+    """The composed-index recall contract: floor met on the fixture,
+    and recall ≤ knn_pq_recall's (routing only removes candidates) —
+    the decomposition the three contracts exist for."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    r = similarity.knn_ivf_pq_recall(emb, k=5).collect()[0]
+    assert r.method == "ivf_pq" and r.meets_floor
+    pq = similarity.knn_pq_recall(emb, k=5).collect()[0]
+    assert r.recall_at_k <= pq.recall_at_k
+    assert r.n_probes == pq.n_probes

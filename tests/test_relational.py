@@ -569,3 +569,46 @@ def test_event_props_variant_extraction(spark):
     assert out["view"].sum_k == 12 and out["view"].min_k == 5 and out["view"].max_k == 7
     assert out["click"].sum_k == -1
     assert out["view"].n_missing_path == 2 and out["click"].n_missing_path == 1
+
+
+def test_shipping_priority_hand_built(spark):
+    """Hand-checked Q3: segment filter, both date cutoffs, revenue
+    aggregation, and the rounded-revenue/orderkey top-k order."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        shipping_priority,
+    )
+
+    D = dt.datetime(2024, 6, 1)
+    lineitem = spark.createDataFrame(
+        [
+            # max shipdate D+70 -> cutoff D+10
+            (1, 100.0, 0.0, D + dt.timedelta(days=20)),   # after cutoff: counts
+            (1, 50.0, 0.5, D + dt.timedelta(days=30)),    # after cutoff: counts
+            (1, 999.0, 0.0, D),                            # before cutoff: excluded
+            (2, 10.0, 0.0, D + dt.timedelta(days=70)),    # after cutoff
+            (3, 77.0, 0.0, D + dt.timedelta(days=15)),    # order not in segment
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 10, D, "1-URGENT"),       # before cutoff, cust in segment
+            (2, 10, D + dt.timedelta(days=5), "2-HIGH"),
+            (3, 20, D, "3-MEDIUM"),       # cust NOT in segment
+            (4, 10, D + dt.timedelta(days=60), "4-LOW"),  # order after cutoff
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "BUILDING"), (20, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    out = shipping_priority(lineitem, orders, customer, k=10).collect()
+    rows = {r.l_orderkey: r for r in out}
+    assert set(rows) == {1, 2}
+    assert rows[1].revenue == round(100.0 + 25.0, 6)
+    assert rows[1].o_orderpriority == "1-URGENT"
+    assert rows[2].revenue == 10.0
+    # ordering: revenue desc
+    assert [r.l_orderkey for r in out] == [1, 2]

@@ -236,6 +236,7 @@ EXPECTED_R5_WINDOW = [
     "corpus_quality_report",
     "pricing_summary", "rolling_active_coins",
     "event_props_variant", "activity_reconciliation",
+    "shipping_priority", "knn_ivf_pq_recall",
     "exchange_hll_rollup", "ohlc_stream_replay", "dup_rate_by_source",
     "coin_volume_percentile", "volume_grouping_sets",
     "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
@@ -249,7 +250,6 @@ EXPECTED_R5_WINDOW = [
     # r4 tail (newest driver rows r3)
     "active_coins_semi",
     "momentum_ranks",
-    "exact_dedup", "repetition_stats",
     "knn_lsh_multiprobe",
 ]
 
