@@ -612,3 +612,106 @@ def test_shipping_priority_hand_built(spark):
     assert rows[2].revenue == 10.0
     # ordering: revenue desc
     assert [r.l_orderkey for r in out] == [1, 2]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user
+            st.sampled_from(["view", "click", "purchase"]),  # type
+            st.integers(min_value=0, max_value=30),          # hour offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_matches_bruteforce_replay(spark, events):
+    """Property: the declarative funnel equals a per-user Python
+    replay of first-touch semantics on random event streams
+    (including tied timestamps, where both sides use min())."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        funnel,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, typ, u, T + dt.timedelta(hours=h), 1.0)
+        for i, (u, typ, h) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    got = {r.stage_idx: r.n_users for r in funnel(df).collect()}
+
+    by_user = {}
+    for u, typ, h in events:
+        by_user.setdefault(u, []).append((typ, h))
+    want = {1: 0, 2: 0, 3: 0}
+    for u, evs in by_user.items():
+        t1 = min((h for t, h in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        want[1] += 1
+        t2 = min((h for t, h in evs if t == "click" and h > t1), default=None)
+        if t2 is None:
+            continue
+        want[2] += 1
+        t3 = min((h for t, h in evs if t == "purchase" and h > t2), default=None)
+        if t3 is not None:
+            want[3] += 1
+    assert got.get(1, 0) == want[1]
+    assert got.get(2, 0) == want[2]
+    assert got.get(3, 0) == want[3]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # coin
+            st.integers(min_value=0, max_value=12),  # day
+            st.integers(min_value=1, max_value=50),  # volume
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_ranges_partition_observed_days(spark, ticks):
+    """Property: per coin, SCD2 validity ranges are disjoint, ordered,
+    cover exactly the coin's observed days (counted by n_days), and
+    exactly one range per coin is current."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"c{c}", "x", T + dt.timedelta(days=d, hours=1), 1.0, float(v))
+        for c, d, v in ticks
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    out = derive.scd2_volume_tiers(df).collect()
+    observed = {}
+    for c, d, _ in ticks:
+        observed.setdefault(f"c{c}", set()).add(d)
+    per_coin = {}
+    for r in out:
+        per_coin.setdefault(r.coin_id, []).append(r)
+    assert set(per_coin) == set(observed)
+    for coin, ranges in per_coin.items():
+        ranges.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ranges if r.is_current) == 1
+        assert all(r.valid_from < r.valid_to for r in ranges)
+        for a, b in zip(ranges, ranges[1:]):
+            assert a.valid_to <= b.valid_from  # disjoint, ordered
+        assert sum(r.n_days for r in ranges) == len(observed[coin])
+        # the current range is the one holding the coin's last observed day
+        last_day = T + dt.timedelta(days=max(observed[coin]))
+        cur = next(r for r in ranges if r.is_current)
+        assert cur.valid_from <= last_day < cur.valid_to
