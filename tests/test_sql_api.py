@@ -414,3 +414,41 @@ def test_plan_contracts_for_round5_session2_operators(spark):
     assert (p["expand"], p["hash"]) == (1, 1), p["plan"]
     p = props("vocab_coverage")
     assert p["takeordered"] == 1 and p["window"] == 1, p["plan"]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join contract: two tables bucketed on the same key
+    into the same bucket count join with ZERO exchanges (the storage
+    layout replaces the runtime shuffle) — and the result equals the
+    plain join of the unbucketed frames."""
+    import re
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+
+    db = "bucket_test_db"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path / 'wh'}'")
+    price = derive.price_data(load_table(spark, SF_SMOKE, "events")).select(
+        "coin_id", "exchange", "timestamp", "price", "volume"
+    )
+    totals = price.groupBy("coin_id").agg(F.sum("volume").alias("total_volume"))
+    try:
+        sinks.write_bucketed_table(price, f"{db}.ticks", ["coin_id"], buckets=4)
+        sinks.write_bucketed_table(totals, f"{db}.totals", ["coin_id"], buckets=4)
+        a = spark.table(f"{db}.ticks")
+        b = spark.table(f"{db}.totals")
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "coin_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            got = joined.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        want = price.join(totals, "coin_id").count()
+        assert got == want and got > 0
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
