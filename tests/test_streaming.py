@@ -660,3 +660,45 @@ def test_ohlc_stream_replay_matches_batch(spark):
     got = sorted(map(str, ohlc_stream_replay(spark, price).collect()))
     want = sorted(map(str, derive.ohlc_data(price).collect()))
     assert got == want and len(got) == 3
+
+
+def test_vwap_stream_under_rocksdb_state_store(spark):
+    """The watermarked VWAP stream must run (and match batch) under the
+    RocksDB state-store provider — the production state backend for
+    large keyed state (HDFS-backed in-memory maps stop fitting the
+    heap long before 100 TB of entity state). Provider is a
+    query-start conf; set/restored around the replay."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        vwap_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "x", T + dt.timedelta(minutes=m), 10.0 + m, 2.0)
+        for m in (0, 10, 70, 130)
+    ] + [("c2", "y", T, 5.0, 1.0)]
+    price = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = vwap_stream_replay(spark, price).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    # 3 hourly windows for c1 + 1 for c2, volume-weighted means
+    by_key = {(r.coin_id, r.timestamp): r for r in got}
+    assert len(by_key) == 4
+    w0 = by_key[("c1", T)]
+    assert w0.n_ticks == 2 and w0.vwap == round((10.0 * 2 + 20.0 * 2) / 4, 6)
+    assert by_key[("c2", T)].vwap == 5.0
