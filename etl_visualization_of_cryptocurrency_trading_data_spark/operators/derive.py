@@ -979,3 +979,34 @@ def rolling_active_coins(
             ).alias("sketch_within_5pct"),
         )
     )
+
+
+def ohlc_rollup(ohlc: DataFrame, bucket: str = "day") -> DataFrame:
+    """Candle RE-aggregation (1h → 1d by default): the rollup layer a
+    charting stack serves coarser zoom levels from, and the semantics
+    bucket-boundary bugs love — open must be the FIRST sub-candle's
+    open (struct-min on (sub-candle ts, open): ties impossible, hours
+    are unique) and close the LAST's close, not min/max of the opens
+    and closes. High/low are order-insensitive extremes. One hash
+    aggregate with map-side partials on the (entity, bucket) key —
+    exactly the [[ohlc_data]] shape one level up, so rollups chain
+    (1h → 1d → 1w) without new machinery."""
+    b = F.date_trunc(bucket, F.col("timestamp"))
+    return (
+        ohlc.groupBy("coin_id", "exchange", b.alias("timestamp"))
+        .agg(
+            F.min(F.struct("timestamp", "open")).alias("_first"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max(F.struct("timestamp", "close")).alias("_last"),
+        )
+        .select(
+            "coin_id",
+            "exchange",
+            "timestamp",
+            F.col("_first.open").alias("open"),
+            "high",
+            "low",
+            F.col("_last.close").alias("close"),
+        )
+    )

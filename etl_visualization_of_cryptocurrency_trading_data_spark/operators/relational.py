@@ -516,3 +516,37 @@ def shipping_priority(
         .agg(F.round(F.sum("_rev"), round_decimals).alias("revenue"))
     )
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(k)
+
+
+def event_bigrams(
+    events: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Sequential-pattern mining, order 2: corpus-wide counts of
+    consecutive per-user event-type transitions (the Markov-chain edge
+    table funnels and next-action models start from), top-``k`` with
+    deterministic ties. One lag window per user (tiebreak column pins
+    tied timestamps — the [[with_obv]] lesson), one pair aggregate,
+    one WindowGroupLimit top-k; the pair universe is |types|², so the
+    final ranking is dimension-sized regardless of corpus scale."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(user_col, F.col(type_col).alias("to_type"), ts_col, tiebreak_col)
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    rank_w = Window.orderBy(
+        F.desc("n_transitions"), F.asc("from_type"), F.asc("to_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("from_type", "to_type", "n_transitions", "rank")
+    )

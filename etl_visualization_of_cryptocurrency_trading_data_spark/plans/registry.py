@@ -942,6 +942,22 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_ohlc_daily_rollup(spark, sf_dir):
+    """Candle re-aggregation 1h → 1d (derive.ohlc_rollup): open/close
+    carried from the boundary SUB-candles via struct min/max — the
+    chainable rollup layer coarser chart zooms serve from."""
+    return derive.ohlc_rollup(q_ohlc(spark, sf_dir), bucket="day")
+
+
+def q_event_bigrams(spark, sf_dir):
+    """Sequential-pattern mining (relational.event_bigrams): top-20
+    consecutive per-user event-type transitions — the Markov edge
+    table, with the event_id tiebreak pinning tied timestamps."""
+    from ..operators.relational import event_bigrams
+
+    return event_bigrams(_events(spark, sf_dir))
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape (relational.shipping_priority): segment-filtered
     customer ⋈ orders ⋈ lineitem with anchored date cutoffs, revenue
@@ -2310,6 +2326,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries below for the final slot.
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     # ---- end of driver correctness window (50 entries above) ----
+    # Late r5 additions registered OUTSIDE the window (slots exhausted):
+    # local sweep + sf0.001 parity are their evidence until the r6
+    # rotation front-loads them with the rest of the zero/stale-row set.
+    "ohlc_daily_rollup": q_ohlc_daily_rollup,
+    "event_bigrams": q_event_bigrams,
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3553,6 +3574,35 @@ FROM dd GROUP BY coin_id, exchange""",
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),
+    "ohlc_daily_rollup": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="""
+, daily AS (
+  SELECT coin_id, exchange, date_trunc('day', timestamp) AS day,
+         (min({'t': timestamp, 'o': open})).o AS open,
+         max(high) AS high, min(low) AS low,
+         (max({'t': timestamp, 'c': close})).c AS close
+  FROM ohlc_data
+  GROUP BY coin_id, exchange, date_trunc('day', timestamp)
+)
+SELECT coin_id, exchange, day AS timestamp, open, high, low, close
+FROM daily""",
+    ),
+    "event_bigrams": """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_transitions DESC,
+                               from_type, to_type) AS rank
+  FROM counts) WHERE rank <= 20""",
     "shipping_priority": """
 WITH cut AS (SELECT max(l_shipdate) - INTERVAL 60 DAYS AS c FROM lineitem),
 cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -809,3 +809,33 @@ def test_volume_percentile_and_grouping_sets(spark):
     # grand total
     assert len(by_id[3]) == 1 and by_id[3][0].n_ticks == 4
     assert set(by_id) == {1, 2, 3}
+
+
+def test_ohlc_daily_rollup_boundary_semantics(spark):
+    """The daily open must be the FIRST hour's open and the close the
+    LAST hour's close — not extremes of the opens/closes — while
+    high/low are plain extremes across sub-candles."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+
+    T = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        # hour 0: open 50 (daily open), close 60
+        ("c1", "x", T + 0 * H, 50.0, 61.0, 49.0, 60.0),
+        # hour 5: the day's high and low
+        ("c1", "x", T + 5 * H, 60.0, 99.0, 10.0, 55.0),
+        # hour 23: close 42 (daily close)
+        ("c1", "x", T + 23 * H, 55.0, 56.0, 41.0, 42.0),
+        # next day
+        ("c1", "x", T + 25 * H, 42.0, 43.0, 41.0, 43.0),
+    ]
+    out = {
+        r.timestamp: r
+        for r in derive.ohlc_rollup(_candles(spark, rows), bucket="day").collect()
+    }
+    d0 = out[T]
+    assert (d0.open, d0.high, d0.low, d0.close) == (50.0, 99.0, 10.0, 42.0)
+    d1 = out[T + dt.timedelta(days=1)]
+    assert (d1.open, d1.close) == (42.0, 43.0)

@@ -715,3 +715,33 @@ def test_scd2_ranges_partition_observed_days(spark, ticks):
         last_day = T + dt.timedelta(days=max(observed[coin]))
         cur = next(r for r in ranges if r.is_current)
         assert cur.valid_from <= last_day < cur.valid_to
+
+
+def test_event_bigrams_sequencing_and_ties(spark):
+    """Transitions count per user in (ts, event_id) order — tied
+    timestamps resolve by event_id, cross-user boundaries contribute
+    nothing, and ranking ties break lexicographically."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        event_bigrams,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: view -> click -> click  (tie between the two clicks, ids 2<3)
+        (1, "view", 1, T, 1.0),
+        (2, "click", 1, T + dt.timedelta(hours=1), 1.0),
+        (3, "click", 1, T + dt.timedelta(hours=1), 1.0),
+        # u2: view -> click
+        (4, "view", 2, T, 1.0),
+        (5, "click", 2, T + dt.timedelta(hours=2), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp, value double"
+    )
+    out = {(r.from_type, r.to_type): r for r in event_bigrams(df, k=10).collect()}
+    assert out[("view", "click")].n_transitions == 2
+    assert out[("click", "click")].n_transitions == 1
+    assert len(out) == 2  # no cross-user view->view etc.
+    assert out[("view", "click")].rank == 1
