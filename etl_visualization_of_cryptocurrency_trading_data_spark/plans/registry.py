@@ -2248,7 +2248,9 @@ def q_media_decode_wav(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R5_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# Round-6 rotation plan (registry = 122 queries, window = first 50).
+# Round-6 rotation plan (registry = 130 queries, window = first 50).
+# ZEROTH priority: ohlc_daily_rollup and event_bigrams (late-r5 tail
+# registrations — NO driver row ever; local sweep + sf0.001 parity only).
 # The 17 queries this round's second session added took the whole-new-
 # query priority, so the oldest-evidence set GREW; order r6's window:
 #   1. FIRST the entries whose newest driver rows are r3 (three rounds
