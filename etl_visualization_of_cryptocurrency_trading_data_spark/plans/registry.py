@@ -2214,11 +2214,11 @@ def q_knn_pq_recall(spark, sf_dir):
 
 def q_knn_pq(spark, sf_dir):
     """Product-quantized ANN (similarity.knn_pq): deterministic PQ
-    codebooks (4 subspaces x 16 codes over 64 dims), corpus encoded to
-    4 byte-codes per vector, probes scored by asymmetric distance
-    tables — the memory-scale half of IVF-PQ. Recall vs exact L2 is
-    pinned in pytest; the oracle replays the whole closed-form
-    construction."""
+    codebooks (16 subspaces x 64 codes over 64 dims — the m=16/64-code
+    point of the §8 recall sweep), corpus encoded to 16 byte-codes per
+    vector, probes scored by asymmetric distance tables — the
+    memory-scale half of IVF-PQ. Recall vs exact L2 is pinned in
+    pytest; the oracle replays the whole closed-form construction."""
     return similarity.knn_pq(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
