@@ -942,6 +942,27 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_restfeed_ohlc(spark, sf_dir):
+    """Custom Python DataSource evidence (sources.restfeed): the
+    reference's paginated REST ticker ingestion as a first-class Spark
+    source — one input partition per API page, executor-side row
+    generation, honest schema — composed straight into the hourly
+    candle aggregate. The feed is deterministic integer arithmetic, so
+    the oracle replays generation + candles closed-form in SQL
+    (``sf_dir`` is unused: the source IS the data)."""
+    from ..sources import restfeed
+
+    restfeed.register(spark)
+    feed = (
+        spark.read.format("cryptofeed")
+        .option("pages", 4)
+        .option("coins_per_page", 5)
+        .option("minutes", 120)
+        .load()
+    )
+    return derive.ohlc_data(feed)
+
+
 def q_ohlc_daily_rollup(spark, sf_dir):
     """Candle re-aggregation 1h → 1d (derive.ohlc_rollup): open/close
     carried from the boundary SUB-candles via struct min/max — the
@@ -2333,6 +2354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotation front-loads them with the rest of the zero/stale-row set.
     "ohlc_daily_rollup": q_ohlc_daily_rollup,
     "event_bigrams": q_event_bigrams,
+    "restfeed_ohlc": q_restfeed_ohlc,
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3576,6 +3598,29 @@ FROM dd GROUP BY coin_id, exchange""",
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),
+    # replays the DataSource's integer-arithmetic generator with
+    # generate_series, then the standard candle CTE on top
+    "restfeed_ohlc": """
+WITH coins AS (SELECT unnest(generate_series(0, 19)) AS coin),
+mins AS (SELECT unnest(generate_series(0, 119)) AS m),
+feed AS (
+  SELECT
+    (CASE coin % 3 WHEN 0 THEN 'binance' WHEN 1 THEN 'coinbase'
+                   ELSE 'kraken' END) || '_R' || coin AS coin_id,
+    CASE coin % 3 WHEN 0 THEN 'binance' WHEN 1 THEN 'coinbase'
+                  ELSE 'kraken' END AS exchange,
+    TIMESTAMP '2024-01-01' + m * INTERVAL 1 MINUTE AS timestamp,
+    (10000 + (coin * 9176 + m * 31) % 1000) / 100.0 AS price,
+    ((coin * 7 + m * 13) % 500 + 1)::DOUBLE AS volume
+  FROM coins, mins
+)
+SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
+       (min({'t': timestamp, 'p': price})).p AS open,
+       max(price) AS high,
+       min(price) AS low,
+       (max({'t': timestamp, 'p': price})).p AS close
+FROM feed
+GROUP BY coin_id, exchange, date_trunc('hour', timestamp)""",
     "ohlc_daily_rollup": _with(
         PRICE_DATA_CTE, OHLC_CTE,
         select="""

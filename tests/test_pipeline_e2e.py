@@ -134,3 +134,32 @@ def test_csv_roundtrip_corrupt_tolerance(spark, tmp_path):
     assert corrupt.count() == 3
     bad = {r[delimited.RAW_COL] for r in corrupt.collect()}
     assert bad == {'3,"unclosed,9', "notanint,x,1", "4,short"}
+
+
+def test_restfeed_datasource_partitions_and_determinism(spark):
+    """Custom DataSource contract: one input partition per API page,
+    two reads produce identical rows, and executor-side rows match the
+    generator run locally — the source is a real parallel scan, not a
+    driver-side materialization."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import restfeed
+
+    restfeed.register(spark)
+
+    def load(pages=3, cpp=2, minutes=5):
+        return (
+            spark.read.format("cryptofeed")
+            .option("pages", pages)
+            .option("coins_per_page", cpp)
+            .option("minutes", minutes)
+            .load()
+        )
+
+    df = load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == sorted(map(tuple, load().collect()))
+    want = sorted(
+        row for p in range(3) for row in restfeed._page_rows(p, 2, 5)
+    )
+    assert rows == want
+    assert len(rows) == 3 * 2 * 5
