@@ -163,3 +163,77 @@ def test_restfeed_datasource_partitions_and_determinism(spark):
     )
     assert rows == want
     assert len(rows) == 3 * 2 * 5
+
+
+def test_restfeed_pushdown_prunes_pages(spark):
+    """Opt-in source pushdown: a coin_id equality is consumed by the
+    source (one partition scanned = the owning API page, not all),
+    results equal the post-scan filter, and an id whose exchange
+    prefix doesn't round-trip yields an empty — not wrong — scan."""
+    import pyspark.sql.functions as F
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import restfeed
+
+    restfeed.register(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        opts = dict(pages="4", coins_per_page="5", minutes="30")
+        base = spark.read.format("cryptofeed").options(**opts).load()
+        pushed = (
+            spark.read.format("cryptofeed").options(pushdown="true", **opts).load()
+        )
+        f = pushed.filter(F.col("coin_id") == "coinbase_R7")
+        assert f.rdd.getNumPartitions() == 1  # page 1 only, not 4
+        assert f.count() == 30
+        assert sorted(map(tuple, f.collect())) == sorted(
+            map(tuple, base.filter(F.col("coin_id") == "coinbase_R7").collect())
+        )
+        # R7 belongs to coinbase; a binance_R7 id cannot exist
+        assert pushed.filter(F.col("coin_id") == "binance_R7").count() == 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_restfeed_stream_equals_batch(spark):
+    """The streaming face of the custom source (the reference's poll
+    loop): micro-batches over minute offsets drain to exactly the
+    batch read's rows — same generator, same schema, offset counters
+    replay deterministically."""
+    import time
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources import restfeed
+
+    restfeed.register(spark)
+    q = (
+        spark.readStream.format("cryptofeed")
+        .option("pages", 2).option("coins_per_page", 2)
+        .option("minutes", 20).option("batch_minutes", 5)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rf_stream_test")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        want = 2 * 2 * 20
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table("rf_stream_test").count() < want:
+            time.sleep(2)
+    finally:
+        q.stop()
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.format("cryptofeed")
+            .option("pages", 2).option("coins_per_page", 2).option("minutes", 20)
+            .load()
+            .collect(),
+        )
+    )
+    stream = sorted(map(tuple, spark.table("rf_stream_test").collect()))
+    assert stream == batch and len(stream) == 80
