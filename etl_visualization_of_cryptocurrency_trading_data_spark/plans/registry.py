@@ -942,6 +942,23 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink evidence: the documents table written as ORC
+    (Spark's other built-in columnar format — the interchange answer
+    when the downstream stack is Hive/Trino-flavored) and read back
+    under the enforced schema; survivors must hash-match the source
+    table (oracle = plain SELECT). Predicate pushdown and column
+    pruning work on ORC scans exactly as on parquet."""
+    import tempfile
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.schema(docs.schema).orc(path)
+
+
 def q_restfeed_ohlc(spark, sf_dir):
     """Custom Python DataSource evidence (sources.restfeed): the
     reference's paginated REST ticker ingestion as a first-class Spark
@@ -2355,6 +2372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_daily_rollup": q_ohlc_daily_rollup,
     "event_bigrams": q_event_bigrams,
     "restfeed_ohlc": q_restfeed_ohlc,
+    "orc_roundtrip": q_orc_roundtrip,
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4165,6 +4183,7 @@ SELECT exchange, id, rank, wdeg, rk FROM (
   FROM pr) WHERE rk <= 3""",
     "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "volume_profile": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 rng AS (
