@@ -942,6 +942,17 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_spread_stream_replay(spark, sf_dir):
+    """Fourth driver-checkable streaming path — the STREAM-STREAM join
+    (pipeline.spread_stream_replay): view↔click cross-exchange pairs
+    within ±30 minutes replayed over a spooled feed; emitted matches
+    hash-match the batch theta join (inner joins emit on arrival — no
+    sentinel needed, the watermark only bounds state)."""
+    from ..streaming.pipeline import spread_stream_replay
+
+    return spread_stream_replay(spark, _price_base(spark, sf_dir))
+
+
 def q_orc_roundtrip(spark, sf_dir):
     """ORC source/sink evidence: the documents table written as ORC
     (Spark's other built-in columnar format — the interchange answer
@@ -2373,6 +2384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_bigrams": q_event_bigrams,
     "restfeed_ohlc": q_restfeed_ohlc,
     "orc_roundtrip": q_orc_roundtrip,
+    "spread_stream_replay": q_spread_stream_replay,
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4184,6 +4196,27 @@ SELECT exchange, id, rank, wdeg, rk FROM (
     "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    # inner stream-stream join emits exactly the batch theta join; the
+    # regexp guard mirrors the engine's empty-symbol drop
+    "spread_stream_replay": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+a AS (
+  SELECT regexp_extract(coin_id, '_(C[0-9]+)$', 1) AS symbol,
+         timestamp AS ts_a, price AS price_a
+  FROM base WHERE exchange = 'view'
+    AND regexp_extract(coin_id, '_(C[0-9]+)$', 1) <> ''
+),
+b AS (
+  SELECT regexp_extract(coin_id, '_(C[0-9]+)$', 1) AS symbol,
+         timestamp AS ts_b, price AS price_b
+  FROM base WHERE exchange = 'click'
+    AND regexp_extract(coin_id, '_(C[0-9]+)$', 1) <> ''
+)
+SELECT a.symbol, ts_a, price_a, ts_b, price_b,
+       price_b - price_a AS spread
+FROM a JOIN b ON a.symbol = b.symbol
+ AND ts_b BETWEEN ts_a - INTERVAL 30 MINUTES
+              AND ts_a + INTERVAL 30 MINUTES""",
     "volume_profile": f"""
 WITH base AS ({PRICE_BASE_SQL}),
 rng AS (

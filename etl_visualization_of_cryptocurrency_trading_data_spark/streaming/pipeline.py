@@ -567,3 +567,57 @@ def ohlc_stream_replay(
         query.stop()
         raise TimeoutError(f"ohlc replay did not finish in {timeout_s}s")
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
+
+
+def spread_stream_replay(
+    spark: SparkSession,
+    price: DataFrame,
+    exchange_a: str = "view",
+    exchange_b: str = "click",
+    tolerance_minutes: int = 30,
+    watermark_minutes: int = 60,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Fourth driver-checkable STREAMING path, and the first for a
+    STREAM-STREAM join ([[cross_exchange_stream_join]]): the spooled
+    feed replayed under ``availableNow``, emitted matched pairs must
+    hash-match the batch theta join exactly. Unlike the windowed-agg
+    replays no sentinel is needed — an append-mode INNER join emits a
+    match as soon as both rows arrive; the watermark only bounds
+    buffered state, never withholds results.
+
+    As with the other replays the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    out_schema = (
+        "symbol string, ts_a timestamp, price_a double,"
+        " ts_b timestamp, price_b double, spread double"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    if real.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    spool = tempfile.mkdtemp(prefix="spread_replay_")
+    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
+    name = f"spread_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        cross_exchange_stream_join(
+            read_price_stream(spark, os.path.join(spool, "feed", "*.parquet")),
+            exchange_a,
+            exchange_b,
+            tolerance_minutes=tolerance_minutes,
+            watermark_minutes=watermark_minutes,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"spread replay did not finish in {timeout_s}s")
+    return spark.table(name)

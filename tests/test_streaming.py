@@ -702,3 +702,40 @@ def test_vwap_stream_under_rocksdb_state_store(spark):
     w0 = by_key[("c1", T)]
     assert w0.n_ticks == 2 and w0.vwap == round((10.0 * 2 + 20.0 * 2) / 4, 6)
     assert by_key[("c2", T)].vwap == 5.0
+
+
+def test_spread_stream_replay_matches_batch_theta_join(spark):
+    """Stream-stream replay on a handcrafted feed: in-tolerance pairs
+    emit with the right spread, out-of-tolerance and cross-symbol
+    candidates don't, and the inclusive ±tolerance boundary matches
+    the batch BETWEEN semantics."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        spread_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1, 12, 0)
+
+    def tick(exch, sym, minutes, price):
+        return (f"{exch}_{sym}", exch, T + dt.timedelta(minutes=minutes), price, 1.0)
+
+    rows = [
+        tick("view", "C1", 0, 100.0),
+        tick("click", "C1", 30, 104.0),    # exactly +tolerance: inclusive
+        tick("click", "C1", 31, 999.0),    # out of tolerance
+        tick("click", "C2", 0, 50.0),      # other symbol
+        tick("view", "C2", -5, 48.0),
+    ]
+    price = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    got = {
+        (r.symbol, r.ts_a, r.ts_b): r.spread
+        for r in spread_stream_replay(spark, price).collect()
+    }
+    assert got == {
+        ("C1", T, T + dt.timedelta(minutes=30)): 4.0,
+        ("C2", T + dt.timedelta(minutes=-5), T): 2.0,
+    }
