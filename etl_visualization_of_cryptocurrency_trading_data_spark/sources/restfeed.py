@@ -39,16 +39,19 @@ SCHEMA = (
 EXCHANGES = ("binance", "coinbase", "kraken")
 
 
-def _page_rows(page: int, coins_per_page: int, minutes: int):
+def _page_rows(page: int, coins_per_page: int, minutes: int, start_minute: int = 0):
     """Deterministic 'API response' for one page: ``coins_per_page``
-    coins × ``minutes`` one-minute ticks. Integer arithmetic only —
-    both engines reproduce every double exactly (small ints are exact
-    in binary fp; one division by 100 per value)."""
+    coins × ticks for minutes [start_minute, minutes). Integer
+    arithmetic only — both engines reproduce every double exactly
+    (small ints are exact in binary fp; one division by 100 per
+    value). ``start_minute`` is the streaming reader's slice start, so
+    a micro-batch generates exactly its own rows instead of filtering
+    a from-zero replay."""
     for i in range(coins_per_page):
         coin = page * coins_per_page + i
         exchange = EXCHANGES[coin % len(EXCHANGES)]
         coin_id = f"{exchange}_R{coin}"
-        for m in range(minutes):
+        for m in range(start_minute, minutes):
             cents = 10_000 + ((coin * 9176 + m * 31) % 1_000)
             price = cents / 100.0
             volume = float((coin * 7 + m * 13) % 500 + 1)
@@ -146,10 +149,7 @@ class RestFeedStreamReader(SimpleDataSourceStreamReader):
 
     def _slice(self, lo: int, hi: int):
         for page in range(self.pages):
-            for row in _page_rows(page, self.coins_per_page, hi):
-                minute = (row[2] - EPOCH).seconds // 60 + (row[2] - EPOCH).days * 1440
-                if lo <= minute < hi:
-                    yield row
+            yield from _page_rows(page, self.coins_per_page, hi, start_minute=lo)
 
     def read(self, start):
         lo = start["minute"]
