@@ -833,3 +833,31 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def incremental_dedup(new_docs: DataFrame, seen_fingerprints: DataFrame) -> DataFrame:
+    """Incremental exact dedup — the form production crawls actually
+    run: the corpus is never re-deduped whole; each INCREMENT dedups
+    within itself (min-doc_id survivor per content, [[exact_dedup]]'s
+    rule) and then against the accumulated FINGERPRINT table of every
+    prior increment (16-byte keys — the only state that persists;
+    document text never re-reads). Returns the surviving new rows with
+    their fingerprint — union onto the corpus, append the fps to the
+    seen table, repeat next crawl.
+
+    Plan shape (100 TB): one map pass fingerprints the increment; one
+    groupBy on the hash collapses within-batch dups; one LEFT ANTI
+    join against the seen table (hash-keyed, increment-sized left —
+    the big seen side streams; at scale both sides bucket on fp and
+    the anti-join is co-located). No corpus-wide state, no windows."""
+    fp = F.md5(normalized_text(F.col("text")))
+    tagged = new_docs.withColumn("fp", fp)
+    within = tagged.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = within.join(
+        seen_fingerprints.select(F.col(seen_fingerprints.columns[0]).alias("fp")),
+        "fp",
+        "left_anti",
+    )
+    return survivors.join(tagged, ["fp", "doc_id"]).select(
+        "doc_id", "fp", *[c for c in new_docs.columns if c != "doc_id"]
+    )

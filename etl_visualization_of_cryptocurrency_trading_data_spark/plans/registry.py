@@ -942,6 +942,27 @@ def q_candlestick_patterns(spark, sf_dir):
     return candlestick_patterns(q_ohlc(spark, sf_dir))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup (dedup.incremental_dedup): the second
+    half of the corpus (by doc_id — "today's crawl") deduped within
+    itself and against the first half's fingerprint table ("everything
+    already ingested") — the batch-over-time dedup form production
+    pipelines run, vs exact_dedup's whole-corpus pass. Fixture caveat
+    (shared with exact_dedup): the synthetic corpus plants NEAR-dups
+    but zero exact dups, so at fixture scale every new doc survives —
+    the within-batch and against-history drop paths are pinned by the
+    handcrafted unit test."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalized_text
+
+    docs = _documents(spark, sf_dir)
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = prior.select(F.md5(normalized_text(F.col("text"))).alias("fp")).distinct()
+    return dedup.incremental_dedup(new, seen)
+
+
 def q_spread_stream_replay(spark, sf_dir):
     """Fourth driver-checkable streaming path — the STREAM-STREAM join
     (pipeline.spread_stream_replay): view↔click cross-exchange pairs
@@ -2385,6 +2406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "restfeed_ohlc": q_restfeed_ohlc,
     "orc_roundtrip": q_orc_roundtrip,
     "spread_stream_replay": q_spread_stream_replay,
+    "incremental_dedup": q_incremental_dedup,
     "exact_dedup": q_exact_dedup,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4196,6 +4218,22 @@ SELECT exchange, id, rank, wdeg, rk FROM (
     "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "incremental_dedup": f"""
+WITH seen AS (
+  SELECT DISTINCT md5({NORM_TEXT_SQL}) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+tagged AS (
+  SELECT *, md5({NORM_TEXT_SQL}) AS fp
+  FROM documents WHERE doc_id % 2 = 1
+),
+within AS (SELECT fp, min(doc_id) AS doc_id FROM tagged GROUP BY fp),
+survivors AS (
+  SELECT w.fp, w.doc_id FROM within w
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = w.fp)
+)
+SELECT t.doc_id, t.fp, t.text, t.lang, t.source, t.n_chars
+FROM survivors v JOIN tagged t ON t.fp = v.fp AND t.doc_id = v.doc_id""",
     # inner stream-stream join emits exactly the batch theta join; the
     # regexp guard mirrors the engine's empty-symbol drop
     "spread_stream_replay": f"""

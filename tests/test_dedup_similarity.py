@@ -636,3 +636,34 @@ def test_knn_ivf_pq_recall_contract(spark):
     pq = similarity.knn_pq_recall(emb, k=5).collect()[0]
     assert r.recall_at_k <= pq.recall_at_k
     assert r.n_probes == pq.n_probes
+
+
+def test_incremental_dedup_drop_paths(spark):
+    """Both drop paths on a handcrafted increment: a doc matching the
+    seen table drops, within-batch duplicates collapse to the min
+    doc_id, whitespace/case variants hash together, and novel content
+    survives with its payload columns intact."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.functions.text import (
+        normalized_text,
+    )
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    prior = spark.createDataFrame(
+        [(1, "already ingested content", "en", "web", 24)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    seen = prior.select(F.md5(normalized_text(F.col("text"))).alias("fp")).distinct()
+    new = spark.createDataFrame(
+        [
+            (10, "Already  Ingested content", "en", "web", 25),  # vs history
+            (11, "fresh thing", "en", "web", 11),
+            (12, "fresh  THING", "en", "books", 12),             # within-batch dup of 11
+            (13, "another novel doc", "en", "web", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in dedup.incremental_dedup(new, seen).collect()}
+    assert set(out) == {11, 13}
+    assert out[11].source == "web" and out[11].text == "fresh thing"
+    assert out[13].n_chars == 17
