@@ -495,38 +495,54 @@ def simhash(documents: DataFrame, n: int = 3) -> DataFrame:
     return wide.select("doc_id", fp.alias("simhash"))
 
 
-def _simhash_bands_md5(documents: DataFrame, n: int = 3) -> DataFrame:
-    """md5-family SimHash, shaped as 4 x 16-bit band columns.
+def _simhash_bands_md5(documents: DataFrame, n: int = 3, n_bits: int = 64) -> DataFrame:
+    """md5-family SimHash, shaped as 4 band columns of n_bits/4 bits.
 
-    The 64 fingerprint bits come from the first 16 hex chars of
-    md5(shingle), parsed as two 32-bit ints (``conv`` in Spark, a
+    The fingerprint bits come from the first n_bits/4 hex chars of
+    md5(shingle), parsed as 32-bit ints (``conv`` in Spark, a
     '0x' cast in DuckDB — identical values); bit j of the fingerprint
     is the sign of the per-doc sum of (2*bit_j(hash) - 1). Emitting the
-    fingerprint as four 16-bit ints instead of one signed 64-bit long
+    fingerprint as four band ints instead of one signed long
     sidesteps signed-shift overflow differences between engines while
     keeping Hamming distance = sum of per-band xor popcounts.
+
+    ``n_bits=64`` (4x16-bit bands, 65k buckets) is the teaching/fixture
+    width; ``n_bits=128`` (4x32-bit bands, 4.3e9 buckets — md5's full
+    width) is the 100 TB form: expected same-bucket collisions drop
+    from N^2/2^16 to N^2/2^32, which is what keeps the candidate join
+    linear at web-corpus scale (knob-verified sub-linear at sf1 in
+    NOTES_r05 §3; driver-verified as ``simhash_pairs_wide``).
     """
+    if n_bits not in (64, 128):
+        raise ValueError(f"n_bits must be 64 or 128, got {n_bits}")
+    n_words = n_bits // 32
     sh = _with_shingles(documents, n)
     hashed = sh.select(
         "doc_id",
         F.explode(F.transform("shingles", lambda s: F.md5(s))).alias("m"),
     ).select(
         "doc_id",
-        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("v1"),
-        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("v2"),
+        *[
+            F.conv(F.substring("m", 1 + 8 * w, 8), 16, 10)
+            .cast("long")
+            .alias(f"v{w + 1}")
+            for w in range(n_words)
+        ],
     )
 
     def bit(j: int):
-        src = F.col("v1") if j < 32 else F.col("v2")
-        return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col(f"v{j // 32 + 1}"), j % 32).bitwiseAND(F.lit(1))
 
     wide = hashed.groupBy("doc_id").agg(
-        *[F.sum(bit(j).cast("long") * 2 - 1).alias(f"b{j}") for j in range(64)]
+        *[F.sum(bit(j).cast("long") * 2 - 1).alias(f"b{j}") for j in range(n_bits)]
     )
+    bb = n_bits // 4
     bands = [
         sum(
-            F.when(F.col(f"b{16 * k + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(16)
+            F.when(F.col(f"b{bb * k + j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bb)
         ).alias(f"band{k}")
         for k in range(4)
     ]
@@ -534,9 +550,13 @@ def _simhash_bands_md5(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _simhash_pairs_md5(
-    documents: DataFrame, n: int, max_hamming: int, persist_intermediate: bool = False
+    documents: DataFrame,
+    n: int,
+    max_hamming: int,
+    persist_intermediate: bool = False,
+    n_bits: int = 64,
 ) -> DataFrame:
-    fps = _simhash_bands_md5(documents, n)
+    fps = _simhash_bands_md5(documents, n, n_bits=n_bits)
     banded = fps.select(
         "doc_id",
         *[F.col(f"band{k}") for k in range(4)],
@@ -584,13 +604,20 @@ def simhash_pairs(
     max_hamming: int = 3,
     hash_family: str = "xxhash64",
     persist_intermediate: bool = False,
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance <= max_hamming.
 
-    Candidates via 4x16-bit band equality (pigeonhole: any pair within
-    Hamming 3 of 64 bits agrees exactly on at least one 16-bit quarter),
-    then verified with xor + bit_count. ``hash_family="md5"`` runs the
-    same banded plan on DuckDB-reproducible md5 bits (module docstring).
+    Candidates via 4-band equality (pigeonhole: any pair within
+    Hamming 3 of n_bits agrees exactly on at least one band of
+    n_bits/4 bits), then verified with xor + bit_count.
+    ``hash_family="md5"`` runs the same banded plan on
+    DuckDB-reproducible md5 bits (module docstring).
+
+    ``n_bits=128`` (md5 family only — xxhash64 yields 64 bits) widens
+    the bands to 32 bits: the scale-safe configuration, since candidate
+    collisions fall as N^2/2^band_bits. Registered as
+    ``simhash_pairs_wide`` with its own oracle.
 
     ``persist_intermediate=True`` caches the banded fingerprint table.
     Usually unnecessary: the two self-join sides are IDENTICAL subtrees,
@@ -600,7 +627,11 @@ def simhash_pairs(
     apply.
     """
     if hash_family == "md5":
-        return _simhash_pairs_md5(documents, n, max_hamming, persist_intermediate)
+        return _simhash_pairs_md5(
+            documents, n, max_hamming, persist_intermediate, n_bits=n_bits
+        )
+    if n_bits != 64:
+        raise ValueError("n_bits != 64 requires hash_family='md5'")
     if hash_family != "xxhash64":
         raise ValueError(f"unknown hash_family {hash_family!r}")
     fps = simhash(documents, n)

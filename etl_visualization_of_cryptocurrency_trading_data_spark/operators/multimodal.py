@@ -441,3 +441,213 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/upleft
+    to the linear estimate a + b - c, ties broken left, up, upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(ftype: int, raw: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Apply PNG scanline filter ``ftype`` to ``raw`` given the prior
+    reconstructed row ``prev`` (encoder side)."""
+    out = bytearray(len(raw))
+    for i, x in enumerate(raw):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) % 256
+        elif ftype == 2:
+            out[i] = (x - b) % 256
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) % 256
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Reverse a PNG scanline filter (decoder side) — sequential by
+    spec: Sub/Average/Paeth feed each byte's reconstruction into the
+    next byte's predictor."""
+    out = bytearray(len(filt))
+    for i, x in enumerate(filt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) % 256
+        elif ftype == 2:
+            out[i] = (x + b) % 256
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) % 256
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_table(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL image corpus in PNG — the most common image
+    format, spec-complete with stdlib ``zlib`` only: signature, IHDR
+    (8-bit truecolor, no interlace), one zlib-deflated IDAT whose
+    scanlines cycle through ALL FIVE PNG filter types
+    ((doc_id + row) % 5 — so the registered query's hash covers Sub /
+    Up / Average / Paeth reconstruction, not just None), CRC-correct
+    chunks, IEND.
+
+    Same closed-form pixel pattern as [[ppm_table]] (w = 4 + d%5,
+    h = 3 + d%4; channel values (d + k*i) % 256 for k=1,2,3), so the
+    oracle replays the decoded statistics without decoding anything.
+    Arrow-batched mapInPandas, pure map (no shuffle).
+    """
+    import struct
+    import zlib
+
+    schema = "doc_id long, width int, height int, payload binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.empty((w * h, 3), dtype=np.uint8)
+                px[:, 0] = (d + i) % 256
+                px[:, 1] = (d + 2 * i) % 256
+                px[:, 2] = (d + 3 * i) % 256
+                px = px.reshape(h, w * 3)
+                raw_stream = bytearray()
+                prev = bytes(w * 3)
+                for r in range(h):
+                    raw = px[r].tobytes()
+                    ftype = (d + r) % 5
+                    raw_stream += bytes([ftype]) + _png_filter_row(ftype, raw, prev)
+                    prev = raw
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(raw_stream)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_png(media: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """REAL bytes→pixels decode for PNG payloads with stdlib ``zlib`` —
+    the third real-decode modality next to [[decode_ppm]] (PPM) and
+    [[decode_wav]] (WAV), closing the most common image format without
+    PIL: chunk walk with CRC verification, IDAT concatenation + zlib
+    inflate, per-scanline unfilter (all five filter types per RFC 2083),
+    then per-channel means from the reconstructed pixels.
+
+    Output: (doc_id, width, height, n_pixels, mean_r, mean_g, mean_b)
+    — the same contract as decode_ppm, with width/height read from
+    IHDR (not trusted metadata). Supports 8-bit truecolor (color type
+    2), non-interlaced — raises on anything else rather than guessing.
+    Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out.
+    The per-row unfilter loop is Python (rows here are tiny); a
+    production swap-in is PIL/libpng behind the identical plumbing.
+    """
+    import struct
+    import zlib
+
+    schema = (
+        "doc_id long, width int, height int, n_pixels long,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+        if buf[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            ctype = buf[pos + 4 : pos + 8]
+            body = buf[pos + 8 : pos + 8 + size]
+            (crc,) = struct.unpack(">I", buf[pos + 8 + size : pos + 12 + size])
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + size
+        if ihdr is None or not idat:
+            raise ValueError("missing IHDR/IDAT chunk")
+        w, h, depth, ctype_code, comp, filt, interlace = ihdr
+        if (depth, ctype_code, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            raise ValueError(
+                f"unsupported PNG (depth={depth}, color={ctype_code}, "
+                f"interlace={interlace}) — only 8-bit truecolor supported"
+            )
+        stream = zlib.decompress(bytes(idat))
+        stride = w * 3
+        if len(stream) != h * (stride + 1):
+            raise ValueError("IDAT stream length does not match dimensions")
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = bytes(stride)
+        for r in range(h):
+            off = r * (stride + 1)
+            prev = _png_unfilter_row(
+                stream[off], stream[off + 1 : off + 1 + stride], prev
+            )
+            out[r] = np.frombuffer(prev, dtype=np.uint8)
+        return w, h, out.reshape(h, w, 3)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse_png(bytes(buf))
+                means = px.astype(np.float64).mean(axis=(0, 1)).round(round_decimals)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["mean_r"].append(means[0])
+                rows["mean_g"].append(means[1])
+                rows["mean_b"].append(means[2])
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(decode, schema)

@@ -473,6 +473,7 @@ def knn_ivf(
     centroid_modulus: int = 101,
     centroids: DataFrame | None = None,
     persist_assignment: bool = False,
+    centroid_limit: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the second scale path next to LSH.
 
@@ -492,6 +493,14 @@ def knn_ivf(
     euclidean — for unit-norm embeddings (see
     [[normalize_embeddings]]) the two orders coincide.
 
+    ``centroid_limit=C`` replaces the modulus rule with a FIXED-SIZE
+    coarse index (``vec_id < C``): C stays constant as the corpus
+    grows, so assignment cost is N*C (linear in N) and each probe scans
+    ~n_probe/C of the corpus — the scale-honest registration next to
+    the fixture-sized modulus default, whose C = N/modulus makes
+    assignment quadratic (measured 75x at 10x data, NOTES_r05 §3).
+    Registered as ``knn_ivf_fixed``.
+
     ``persist_assignment=True`` caches the ranked assignment (the
     inverted-list table): the inverted lists and the probe lists both
     consume it, and when ``centroids`` carries an expensive training
@@ -505,7 +514,12 @@ def knn_ivf(
         probe_filter = F.col("vec_id") % 50 == 0
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     if centroids is None:
-        centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
+        cent_rule = (
+            F.col("vec_id") < centroid_limit
+            if centroid_limit is not None
+            else F.col("vec_id") % centroid_modulus == 1
+        )
+        centroids = base.filter(cent_rule).select(
             F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
         )
     else:

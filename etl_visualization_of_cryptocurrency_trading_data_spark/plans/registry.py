@@ -947,18 +947,31 @@ def q_incremental_dedup(spark, sf_dir):
     half of the corpus (by doc_id — "today's crawl") deduped within
     itself and against the first half's fingerprint table ("everything
     already ingested") — the batch-over-time dedup form production
-    pipelines run, vs exact_dedup's whole-corpus pass. Fixture caveat
-    (shared with exact_dedup): the synthetic corpus plants NEAR-dups
-    but zero exact dups, so at fixture scale every new doc survives —
-    the within-batch and against-history drop paths are pinned by the
-    handcrafted unit test."""
+    pipelines run, vs exact_dedup's whole-corpus pass.
+
+    The fixtures plant NEAR-dups but zero exact dups, so the raw split
+    would only exercise the survive path (the r5 verdict's gap). The
+    increment therefore PLANTS both drop kinds in-engine: a re-crawl
+    of every 10th prior doc under a shifted id (must drop against the
+    seen table) and a second copy of every (10k+1)th new doc under a
+    higher id (must drop within-batch, min-doc_id survivor). The
+    surviving rows are exactly the original odd docs — and the driver
+    hash covers all three paths, because a failed drop adds rows."""
     from pyspark.sql import functions as F
 
     from ..functions.text import normalized_text
 
+    off = 10_000_000
     docs = _documents(spark, sf_dir)
     prior = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
+    new_base = docs.filter(F.col("doc_id") % 2 == 1)
+    recrawl = prior.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + off
+    )
+    within_dup = new_base.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 2 * off
+    )
+    new = new_base.unionByName(recrawl).unionByName(within_dup)
     seen = prior.select(F.md5(normalized_text(F.col("text"))).alias("fp")).distinct()
     return dedup.incremental_dedup(new, seen)
 
@@ -1484,19 +1497,22 @@ JOIN sh y ON y.doc_id = doc_id_b
 WHERE jaccard >= {threshold}"""
 
 
-def _simhash_sql(max_hamming: int = 3) -> str:
-    """DuckDB oracle for the md5-family SimHash: 64 signed-bit sums
-    over the first 16 hex chars of md5(shingle) (parsed as two 32-bit
+def _simhash_sql(max_hamming: int = 3, n_bits: int = 64) -> str:
+    """DuckDB oracle for the md5-family SimHash: n_bits signed-bit sums
+    over the first n_bits/4 hex chars of md5(shingle) (parsed as 32-bit
     ints — the same '0x' cast values Spark's conv produces), assembled
-    into 4x16-bit bands; pigeonhole candidates; xor+bit_count verify."""
+    into 4 bands of n_bits/4 bits; pigeonhole candidates;
+    xor+bit_count verify. ``n_bits=128`` is the scale-safe band width
+    (see dedup._simhash_bands_md5)."""
+    bb = n_bits // 4
     sums = ",\n         ".join(
-        f"sum((((v{1 if j < 32 else 2} >> {j % 32}) & 1) * 2 - 1)) AS b{j}"
-        for j in range(64)
+        f"sum((((v{j // 32 + 1} >> {j % 32}) & 1) * 2 - 1)) AS b{j}"
+        for j in range(n_bits)
     )
     band_cols = ", ".join(
         "("
         + " + ".join(
-            f"CASE WHEN b{16 * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+            f"CASE WHEN b{bb * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bb)
         )
         + f") AS band{k}"
         for k in range(4)
@@ -1505,12 +1521,15 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         f"  SELECT doc_id, {k} AS band, band{k} AS bucket FROM bands" for k in range(4)
     )
     hamming = " + ".join(f"bit_count(xor(x.band{k}, y.band{k}))" for k in range(4))
+    word_cols = ",\n         ".join(
+        f"CAST('0x' || substr(md5(s), {1 + 8 * w}, 8) AS BIGINT) AS v{w + 1}"
+        for w in range(n_bits // 32)
+    )
     return f"""
 WITH {SHINGLES_CTE},
 hashes AS (
   SELECT doc_id,
-         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS v1,
-         CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS v2
+         {word_cols}
   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
 ),
 sums AS (
@@ -1537,8 +1556,13 @@ def _knn_sql(
     bucketed: bool,
     round_decimals: int | None = None,
     multiprobe: bool = False,
+    n_planes: int | None = None,
 ) -> str:
-    planes = similarity.hyperplanes()
+    planes = (
+        similarity.hyperplanes(n_planes)
+        if n_planes is not None
+        else similarity.hyperplanes()
+    )
     bucket_expr = " + ".join(
         f"CASE WHEN list_dot_product(emb, {plane!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END"
         for i, plane in enumerate(planes)
@@ -1623,10 +1647,15 @@ JOIN base y ON y.vec_id = id_b
 WHERE cosine >= {threshold}"""
 
 
-KNN_IVF_SQL = """
+def _knn_ivf_sql(cent_where: str = "vec_id % 101 = 1") -> str:
+    """IVF-flat oracle; ``cent_where`` picks the coarse index — the
+    modulus default (C grows with N; fixture/teaching form) or a
+    fixed-size rule like ``vec_id < 32`` (constant C; the scale-honest
+    registration ``knn_ivf_fixed``)."""
+    return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 centroids AS (
-  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id % 101 = 1
+  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE {cent_where}
 ),
 scored AS (
   SELECT vec_id, emb, cent_id,
@@ -1656,6 +1685,9 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
                                ORDER BY cosine DESC, neighbor_id) AS rank
   FROM cand)
 WHERE rank <= 5"""
+
+
+KNN_IVF_SQL = _knn_ivf_sql()
 
 # knn_ivf against the TRAINED coarse index: the two Lloyd rounds of the
 # kmeans_centroids oracle (identical CTEs, digest select dropped) feed
@@ -2316,31 +2348,200 @@ def q_media_decode_wav(spark, sf_dir):
     )
 
 
-# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R5_WINDOW);
+def q_simhash_pairs_wide(spark, sf_dir):
+    """The SCALE-SAFE SimHash registration (dedup.simhash_pairs
+    n_bits=128): md5's full width as 4x32-bit bands — same plan shape
+    as simhash_pairs, but expected bucket collisions fall from
+    N^2/2^16 to N^2/2^32, which is what makes the candidate join
+    linear at web-corpus scale (the 4x16 default measured 21.9x at
+    10x data; this width knob-verified sub-linear — NOTES_r05 §3,
+    now driver-hash-verified here). Keeps the 64-bit entry as the
+    documented teaching/baseline form."""
+    return dedup.simhash_pairs(
+        _documents(spark, sf_dir),
+        n=3,
+        max_hamming=3,
+        hash_family="md5",
+        n_bits=128,
+    )
+
+
+def q_knn_lsh_planes8(spark, sf_dir):
+    """The SCALE-SAFE sign-bit LSH registration (similarity.knn_lsh
+    n_planes=8): 256 buckets instead of 16 — candidates per probe fall
+    16x, the dial that took the sf0.1→sf1 ratio from 18.6x to 2.0x
+    (NOTES_r05 §3, knob-verified; driver-hash-verified here). The
+    4-plane entry stays as the high-recall fixture form; recall at 8
+    planes is the documented cost of the bucket shrink."""
+    return similarity.knn_lsh(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8
+    )
+
+
+def q_knn_ivf_fixed(spark, sf_dir):
+    """The SCALE-SAFE IVF registration (similarity.knn_ivf
+    centroid_limit=32): a FIXED 32-centroid coarse index instead of
+    the modulus rule's C = N/101 — assignment cost N*C becomes linear
+    in N (the modulus form measured 75x at 10x data; fixed C is the
+    production shape, where C is a capacity choice, not a corpus
+    ratio). n_probe=2 of 32 lists => each probe scans ~1/16 of the
+    corpus, and the inverted-list id is the partition key at scale."""
+    return similarity.knn_ivf(
+        load_table(spark, sf_dir, "embeddings"), k=5, centroid_limit=32
+    )
+
+
+def q_media_decode_png(spark, sf_dir):
+    """REAL bytes→pixels decode for PNG (multimodal.decode_png over
+    multimodal.png_table) — the third real-decode modality and the
+    most common image format, with stdlib zlib only: CRC-verified
+    chunk walk, IDAT inflate, per-scanline unfilter covering ALL FIVE
+    filter types (the synthesized corpus cycles them per row), channel
+    means from the reconstructed pixels. Same closed-form pixel
+    pattern as media_decode_ppm, so the oracle needs no decoder."""
+    return multimodal.decode_png(
+        multimodal.png_table(_documents(spark, sf_dir))
+    )
+
+
+def q_salted_join_skew(spark, sf_dir):
+    """Skew-mitigated join evidence (relational.salted_join): the
+    price feed keyed by symbol with a DELIBERATE hot key (every
+    symbol with u % 5 != 0 remaps to 'HOT' — ~80% of all rows funnel
+    into one key), joined salted (8 buckets) against the derived
+    key dimension, then aggregated per key. Salting is result-
+    identical to the plain join by construction; the oracle IS the
+    plain join, so the driver hash pins exactly that equivalence.
+    At scale the salt spreads the hot key across 8 shuffle partitions
+    instead of one straggler task."""
+    from ..operators import relational
+
+    from pyspark.sql import functions as F
+
+    price = _price_base(spark, sf_dir)
+    u = F.regexp_extract("coin_id", "_C([0-9]+)$", 1).cast("int")
+    big = price.select(
+        F.when(u % 5 != 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("C"), u.cast("string")))
+        .alias("key"),
+        "volume",
+    )
+    small = big.select("key").distinct().select(
+        "key", F.md5(F.col("key")).alias("key_tag")
+    )
+    joined = relational.salted_join(big, small, ["key"], buckets=8)
+    return (
+        joined.groupBy("key", "key_tag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("volume"), 6).alias("total_volume"),
+        )
+    )
+
+
+def q_restfeed_stream_replay(spark, sf_dir):
+    """Fifth driver-checkable STREAMING path — the custom Python
+    DataSource's STREAMING face end-to-end
+    (pipeline.restfeed_stream_replay): the REST poll loop drained in
+    5-minute micro-batches under availableNow through the watermarked
+    candle aggregate. No sentinel: the final watermark stops inside
+    hour 2, so append mode withholds the open last window — the
+    oracle encodes exactly that (closed-form feed + candles for the
+    two closed hours). ``sf_dir`` is unused: the source IS the data."""
+    from ..streaming.pipeline import restfeed_stream_replay
+
+    return restfeed_stream_replay(spark)
+
+
+# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R6_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# Round-6 rotation plan (registry = 130 queries, window = first 50).
-# ZEROTH priority: ohlc_daily_rollup and event_bigrams (late-r5 tail
-# registrations — NO driver row ever; local sweep + sf0.001 parity only).
-# The 17 queries this round's second session added took the whole-new-
-# query priority, so the oldest-evidence set GREW; order r6's window:
-#   1. FIRST the entries whose newest driver rows are r3 (three rounds
-#      stale by r6): stale_coins_anti, top_coins_by_volume,
-#      union_price_feeds, asof_price_candle, top_suppliers,
-#      user_retention, price_correlation, event_props_stats,
-#      revenue_by_nation, AND the r5-planned-but-displaced trio
-#      exact_dedup's tail companions dedup_survivors /
-#      ngram_jaccard_pairs / dup_clusters / minhash_lsh_pairs /
-#      simhash_pairs / pack_chunks_overlap (rows r3);
-#   2. then anything r6 adds or whose plan r6 changes;
-#   3. then the displaced tail (kmeans_centroids, knn_quantized,
-#      embedding_normalize/quantize, knn_ivf, embedding_dup_pairs,
-#      media_frames/features: r4 rows; knn_lsh, knn_brute,
-#      exchange_cardinality: r3 rows — these three first), oldest
-#      first, to fill remaining slots.
-# Update EXPECTED_R5_WINDOW in test_sql_api.py in the same commit
-# (rename it EXPECTED_R6_WINDOW).
+# ROUND-6 ROTATION EXECUTED (registry = 140 queries, window = first 50):
+# the r5 verdict's entire evidence-debt set rotates in this round —
+# 6 new scale-safe/real-decode registrations + the re-planned
+# incremental_dedup, the 5 remaining zero-driver-row late-r5 entries,
+# ALL 32 r3-stale entries, and 6 of the oldest r4-row entries. New
+# registrations were capped (6) exactly so the debt clears instead of
+# growing again.
+# AFTER the r6 driver run: no registered query's newest driver row is
+# older than r4. Round-7 rotation guidance: front-load (a) anything r7
+# adds or re-plans, (b) the ~40 remaining entries whose newest rows are
+# r4 (media_metadata, frame_schedule, coins_dim, price_data,
+# ohlc_candles, technical_indicators, coin_market_cap, coin_table,
+# envelope_* x4, coin_indicators_left, volume_rollup, text_stats,
+# quality_score, token_counts, lang_id, doc_fingerprint, bigram_logprob,
+# doc_length_quantiles, top_terms, redact_pii, dataset_split,
+# deterministic_sample, stratified_sample, pack_chunks, close_pivot,
+# vwap_hourly, atr_14, stochastic, donchian, documents_profile,
+# rolling_beta, cross_exchange_spread, ichimoku, price_chart,
+# ohlc_chart, indicator_chart, coin_display, price_resample_1h...),
+# oldest first; the 50 r5-row and 44 r6-row entries can wait a round.
+# Update EXPECTED_R6_WINDOW in test_sql_api.py in the same commit as any
+# window change (rename it EXPECTED_R7_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round ---
+    # --- new this round (6): scale-safe ANN/LSH registrations,
+    # PNG real-decode, salted join, restfeed streaming face ---
+    "simhash_pairs_wide": q_simhash_pairs_wide,
+    "knn_lsh_planes8": q_knn_lsh_planes8,
+    "knn_ivf_fixed": q_knn_ivf_fixed,
+    "media_decode_png": q_media_decode_png,
+    "salted_join_skew": q_salted_join_skew,
+    "restfeed_stream_replay": q_restfeed_stream_replay,
+    # --- plan changed this round: increment now PLANTS both drop
+    # kinds so the driver row covers them ---
+    "incremental_dedup": q_incremental_dedup,
+    # --- zero-driver-row late-r5 registrations (front-loaded per
+    # the r5 verdict / registry rotation plan) ---
+    "ohlc_daily_rollup": q_ohlc_daily_rollup,
+    "event_bigrams": q_event_bigrams,
+    "restfeed_ohlc": q_restfeed_ohlc,
+    "orc_roundtrip": q_orc_roundtrip,
+    "spread_stream_replay": q_spread_stream_replay,
+    # --- r3-stale evidence set: newest driver rows were r3 (three
+    # rounds old) — the whole set rotates in this round ---
+    "exact_dedup": q_exact_dedup,
+    "dedup_survivors": q_dedup_survivors,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "pack_chunks_overlap": q_pack_chunks_overlap,
+    "contamination": q_contamination,
+    "curation_pipeline": q_curation_pipeline,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
+    "exchange_cardinality": q_exchange_cardinality,
+    "knn_lsh": q_knn_lsh,
+    "knn_brute": q_knn_brute,
+    "knn_ivf": q_knn_ivf,
+    "kmeans_centroids": q_kmeans_centroids,
+    "knn_quantized": q_knn_quantized,
+    "embedding_normalize": q_embedding_normalize,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_dup_pairs": q_embedding_dup,
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
+    "stale_coins_anti": q_stale_coins_anti,
+    "top_coins_by_volume": q_top_coins_by_volume,
+    "union_price_feeds": q_union_price_feeds,
+    "asof_price_candle": q_asof_price_candle,
+    "top_suppliers": q_top_suppliers,
+    "user_retention": q_user_retention,
+    "price_correlation": q_price_correlation,
+    "event_props_stats": q_event_props_stats,
+    "revenue_by_nation": q_revenue_by_nation,
+    # --- oldest r4 rows fill the remaining slots ---
+    "trading_sessions": q_trading_sessions,
+    "session_range_join": q_session_range_join,
+    "market_cap_chart": q_market_cap_chart,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "volume_cube": q_volume_cube,
+    # ---- end of driver correctness window (50 entries above) ----
+    # Tail: driver-green in r4/r5 under the current fixtures and
+    # unchanged this round; still pinned at sf0.001 every session by
+    # tests/test_oracle_parity.py. Ordered: r5-window members first
+    # (newest evidence), then the remaining r4-row entries.
     "keltner_channels": q_keltner_channels,
     "candlestick_patterns": q_candlestick_patterns,
     "vocab_coverage": q_vocab_coverage,
@@ -2384,84 +2585,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "volume_profile": q_volume_profile,
-    # --- plans changed this round (event_id tiebreak; probe glob) ---
     "bollinger_bands": q_bollinger_bands,
     "max_drawdown": q_max_drawdown,
     "obv": q_obv,
     "knn_brute_vectorized": q_knn_brute_vectorized,
-    # --- r4 tail (newest driver rows r3): relational/analytics ---
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
-    # --- r4 tail: dedup/text/corpus ---
-    # knn_lsh_multiprobe is r5-NEW: it must keep a window slot or end
-    # the round with zero driver evidence — it outranks the r3-row
-    # entries below for the final slot.
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
-    # ---- end of driver correctness window (50 entries above) ----
-    # Late r5 additions registered OUTSIDE the window (slots exhausted):
-    # local sweep + sf0.001 parity are their evidence until the r6
-    # rotation front-loads them with the rest of the zero/stale-row set.
-    "ohlc_daily_rollup": q_ohlc_daily_rollup,
-    "event_bigrams": q_event_bigrams,
-    "restfeed_ohlc": q_restfeed_ohlc,
-    "orc_roundtrip": q_orc_roundtrip,
-    "spread_stream_replay": q_spread_stream_replay,
-    "incremental_dedup": q_incremental_dedup,
-    "exact_dedup": q_exact_dedup,
-    "repetition_stats": q_repetition_stats,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "contamination": q_contamination,
-    "curation_pipeline": q_curation_pipeline,
-    "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
-    "exchange_cardinality": q_exchange_cardinality,
-    "pack_chunks_overlap": q_pack_chunks_overlap,
-    "dedup_survivors": q_dedup_survivors,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
-    "dup_clusters": q_dup_clusters,
-    "minhash_lsh_pairs": q_minhash_lsh,
-    # --- r4 tail: similarity/ANN/multimodal (+ the new multiprobe dial) ---
-    "simhash_pairs": q_simhash_pairs,
-    # knn_lsh / knn_lsh_multiprobe / knn_brute / kmeans_centroids /
-    # knn_quantized / embedding_normalize / embedding_quantize / knn_ivf
-    # / embedding_dup_pairs / media_frames / media_features displaced
-    # from the window by this session's twelve additions; all kept
-    # r4/r5-era driver rows — add them to the r6 front-load set below
-    # (knn_lsh/knn_lsh_multiprobe/knn_brute are r5-window members whose
-    # CORRECTNESS_r05 rows land this round before displacement).
-    "knn_lsh": q_knn_lsh,
-    "knn_brute": q_knn_brute,
-    "kmeans_centroids": q_kmeans_centroids,
-    "knn_quantized": q_knn_quantized,
-    "embedding_normalize": q_embedding_normalize,
-    "embedding_quantize": q_embedding_quantize,
-    "knn_ivf": q_knn_ivf,
-    "embedding_dup_pairs": q_embedding_dup,
-    "media_frames": q_media_frames,
-    "media_features": q_media_features,
-    # Tail head: r4-tail entries squeezed out by the 17 new r5 queries —
-    # their newest driver rows are r3; FRONT-LOAD THESE FIVE in the r6
-    # rotation: top_suppliers, user_retention, price_correlation,
-    # event_props_stats, revenue_by_nation, stale_coins_anti,
-    # top_coins_by_volume, union_price_feeds, asof_price_candle.
-    "top_suppliers": q_top_suppliers,
-    "user_retention": q_user_retention,
-    "price_correlation": q_price_correlation,
-    "event_props_stats": q_event_props_stats,
-    "revenue_by_nation": q_revenue_by_nation,
-    "stale_coins_anti": q_stale_coins_anti,
-    "top_coins_by_volume": q_top_coins_by_volume,
-    "union_price_feeds": q_union_price_feeds,
-    "asof_price_candle": q_asof_price_candle,
-    # --- r4-green fillers (rotated out as r5 additions displaced them) ---
-    "trading_sessions": q_trading_sessions,
-    "session_range_join": q_session_range_join,
-    "market_cap_chart": q_market_cap_chart,
-    # Tail: driver-green in r04 under the current fixtures and unchanged
-    # this round; still pinned at sf0.001 every session by
-    # tests/test_oracle_parity.py.
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "volume_cube": q_volume_cube,
     "close_pivot": q_close_pivot,
     "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
@@ -2944,6 +3074,8 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash_pairs": _simhash_sql(),
+    # scale-safe width: 4x32-bit bands over md5's full 128 bits
+    "simhash_pairs_wide": _simhash_sql(n_bits=128),
     "knn_brute": _knn_sql(bucketed=False),
     "kmeans_centroids": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -3041,6 +3173,10 @@ FROM m""",
     "knn_lsh": _knn_sql(bucketed=True),
     "knn_lsh_multiprobe": _knn_sql(bucketed=True, multiprobe=True),
     "knn_ivf": KNN_IVF_SQL,
+    # scale-safe configurations (r5 verdict item #2): fixed-C coarse
+    # index / 256-bucket LSH, each with its own exact oracle
+    "knn_ivf_fixed": _knn_ivf_sql("vec_id < 32"),
+    "knn_lsh_planes8": _knn_sql(bucketed=True, n_planes=8),
     # recall@5 of each approximate index vs brute truth — floors must
     # stay in sync with similarity.knn_recall's defaults
     "knn_recall": f"""
@@ -3094,6 +3230,18 @@ SELECT host, path, count(*)::BIGINT AS n_docs,
 FROM norm GROUP BY host, path""",
     # closed-form replay of ppm_table's pixel formula — checks the
     # REAL decode end-to-end (a parser bug cannot reproduce these means)
+    # PNG decode reconstructs the same closed-form pixels as PPM (the
+    # filters are lossless), so the oracle is the identical replay
+    "media_decode_png": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h""",
     "media_decode_ppm": """
 WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
 px AS (
@@ -3652,6 +3800,52 @@ FROM dd GROUP BY coin_id, exchange""",
     ),
     # replays the DataSource's integer-arithmetic generator with
     # generate_series, then the standard candle CTE on top
+    # salted join is result-identical to the plain join — the oracle
+    # IS the plain join, so the hash pins exactly that equivalence
+    "salted_join_skew": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+keyed AS (
+  SELECT CASE WHEN CAST(regexp_extract(coin_id, '_C([0-9]+)$', 1) AS INT) % 5 <> 0
+              THEN 'HOT'
+              ELSE 'C' || regexp_extract(coin_id, '_C([0-9]+)$', 1) END AS key,
+         volume
+  FROM base
+),
+dim AS (SELECT key, md5(key) AS key_tag FROM (SELECT DISTINCT key FROM keyed))
+SELECT k.key, d.key_tag, count(*)::BIGINT AS n_rows,
+       round(sum(k.volume), 6) AS total_volume
+FROM keyed k JOIN dim d ON k.key = d.key
+GROUP BY k.key, d.key_tag""",
+    # the feed generation of restfeed_ohlc over 180 minutes; the final
+    # watermark (last tick 02:59, delay 0) closes only hours 0 and 1 —
+    # append mode withholds the open hour-2 window, and the oracle
+    # encodes exactly that
+    "restfeed_stream_replay": """
+WITH coins AS (SELECT unnest(generate_series(0, 19)) AS coin),
+mins AS (SELECT unnest(generate_series(0, 179)) AS m),
+feed AS (
+  SELECT
+    (CASE coin % 3 WHEN 0 THEN 'binance' WHEN 1 THEN 'coinbase'
+                   ELSE 'kraken' END) || '_R' || coin AS coin_id,
+    CASE coin % 3 WHEN 0 THEN 'binance' WHEN 1 THEN 'coinbase'
+                  ELSE 'kraken' END AS exchange,
+    TIMESTAMP '2024-01-01' + m * INTERVAL 1 MINUTE AS timestamp,
+    (10000 + (coin * 9176 + m * 31) % 1000) / 100.0 AS price,
+    ((coin * 7 + m * 13) % 500 + 1)::DOUBLE AS volume
+  FROM coins, mins
+),
+candles AS (
+  SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
+         (min({'t': timestamp, 'p': price})).p AS open,
+         max(price) AS high,
+         min(price) AS low,
+         (max({'t': timestamp, 'p': price})).p AS close
+  FROM feed
+  GROUP BY coin_id, exchange, date_trunc('hour', timestamp)
+)
+SELECT coin_id, exchange, timestamp, open, high, low, close
+FROM candles
+WHERE timestamp <= TIMESTAMP '2024-01-01 01:00:00'""",
     "restfeed_ohlc": """
 WITH coins AS (SELECT unnest(generate_series(0, 19)) AS coin),
 mins AS (SELECT unnest(generate_series(0, 119)) AS m),
@@ -4218,14 +4412,27 @@ SELECT exchange, id, rank, wdeg, rk FROM (
     "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    # the increment plants both drop kinds (re-crawled priors under
+    # +1e7 ids; second copies of (10k+1)th new docs under +2e7 ids) so
+    # the hash pins the against-seen AND within-batch drop paths, not
+    # just survive (r5 verdict item #5)
     "incremental_dedup": f"""
 WITH seen AS (
   SELECT DISTINCT md5({NORM_TEXT_SQL}) AS fp
   FROM documents WHERE doc_id % 2 = 0
 ),
-tagged AS (
-  SELECT *, md5({NORM_TEXT_SQL}) AS fp
+newdocs AS (
+  SELECT doc_id, text, lang, source, n_chars
   FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 1
+),
+tagged AS (
+  SELECT *, md5({NORM_TEXT_SQL}) AS fp FROM newdocs
 ),
 within AS (SELECT fp, min(doc_id) AS doc_id FROM tagged GROUP BY fp),
 survivors AS (

@@ -154,10 +154,14 @@ class RestFeedStreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         lo = start["minute"]
         hi = min(lo + self.batch_minutes, self.minutes)
-        # MATERIALIZED list, not a generator: the runner pickles the
-        # prefetched batch into its offset cache (simple stream readers
-        # buffer driver-side by design; batch_minutes bounds the buffer)
-        return list(self._slice(lo, hi)), {"minute": hi}
+        # MATERIALIZED list (simple stream readers buffer driver-side
+        # by design; batch_minutes bounds the buffer) wrapped in iter():
+        # the runner's prefetch cache REQUIRES an iterator — on the
+        # exhausted-feed path (end == start) it probes emptiness with
+        # next(it), which raises TypeError on a bare list. That path
+        # only runs once a query drains past the feed's cap, so the
+        # single-batch tests never hit it; restfeed_stream_replay does.
+        return iter(list(self._slice(lo, hi))), {"minute": hi}
 
     def readBetweenOffsets(self, start, end):
         return list(self._slice(start["minute"], end["minute"]))

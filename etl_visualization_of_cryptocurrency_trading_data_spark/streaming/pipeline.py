@@ -621,3 +621,71 @@ def spread_stream_replay(
         query.stop()
         raise TimeoutError(f"spread replay did not finish in {timeout_s}s")
     return spark.table(name)
+
+
+def restfeed_stream_replay(
+    spark: SparkSession,
+    pages: int = 4,
+    coins_per_page: int = 5,
+    minutes: int = 180,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Fifth driver-checkable STREAMING path, and the first whose
+    SOURCE is the custom Python DataSource (sources.restfeed) rather
+    than a parquet spool: the reference's REST poll loop
+    (dags/crypto_data_streaming.py:223-246 fetches a page feed every 5
+    minutes) replayed end-to-end — ``readStream.format("cryptofeed")``
+    drains ``minutes`` of the deterministic feed in 5-minute
+    micro-batches under ``availableNow``, through the watermarked
+    tumbling-candle aggregate ([[ohlc_stream]]), into a memory sink.
+
+    No sentinel, deliberately: the final watermark stops at the feed's
+    last tick (minute ``minutes - 1``), so the LAST hour's window never
+    closes and append mode withholds it — the emitted result is exactly
+    the closed-form candles of the first ``minutes // 60 - 1`` full
+    hours (+ nothing from the open tail), which is the watermark
+    semantics the oracle encodes. The feed is integer arithmetic, so
+    the oracle replays generation + candles + the withheld-window rule
+    entirely in SQL (hash-exact, not rows-only).
+
+    Trigger mechanics: Python micro-batch streams do not support
+    ``availableNow`` (Spark falls back to single-batch execution,
+    which in append mode emits nothing — observed, not speculated), so
+    the drain is a fast ``processingTime`` loop + ``processAllAvailable``
+    — which ALSO waits for the trailing no-data micro-batch that
+    commits the final watermark and flushes the closed windows to the
+    sink (its barrier is "no pending offsets AND no pending commits",
+    and the no-data batch is scheduled immediately once the watermark
+    advances past committed state).
+
+    As with the other replays the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import uuid
+
+    from ..sources import restfeed
+
+    restfeed.register(spark)
+    feed = (
+        spark.readStream.format("cryptofeed")
+        .option("pages", pages)
+        .option("coins_per_page", coins_per_page)
+        .option("minutes", minutes)
+        .option("batch_minutes", 5)
+        .load()
+    )
+    name = f"restfeed_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        ohlc_stream(feed, delay="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    query.awaitTermination(timeout_s)
+    return spark.table(name)

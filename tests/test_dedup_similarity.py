@@ -667,3 +667,148 @@ def test_incremental_dedup_drop_paths(spark):
     assert set(out) == {11, 13}
     assert out[11].source == "web" and out[11].text == "fresh thing"
     assert out[13].n_chars == 17
+
+
+def test_simhash_wide_bands_and_validation(spark, docs):
+    """n_bits=128 (the scale-safe 4x32-bit band width) keeps SimHash's
+    contract: identical docs pair at hamming 0, emitted pairs are a
+    subset of the 64-bit configuration's near-dup set restricted to the
+    SHARED low 64 bits is not required (different metric) — what IS
+    required is that every emitted pair verifies at hamming<=3 on the
+    128-bit fingerprint, and the planted exact-identical pair appears.
+    Non-md5 or unsupported widths must raise, not silently downgrade."""
+    two = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated text about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    wide = dedup.simhash_pairs(two, hash_family="md5", n_bits=128).collect()
+    assert {(r.doc_id_a, r.doc_id_b, r.hamming) for r in wide} == {(1, 2, 0)}
+
+    # fixture corpus: every wide pair is hamming-verified <= 3
+    rows = dedup.simhash_pairs(docs, hash_family="md5", n_bits=128).collect()
+    assert all(r.hamming <= 3 for r in rows)
+
+    with pytest.raises(ValueError, match="md5"):
+        dedup.simhash_pairs(docs, n_bits=128)  # xxhash64 is 64-bit only
+    with pytest.raises(ValueError, match="64 or 128"):
+        dedup.simhash_pairs(docs, hash_family="md5", n_bits=96)
+
+
+def test_lsh_hyperplanes_are_prefix_stable():
+    """hyperplanes(8)[:4] == hyperplanes(4): the seeded generator draws
+    row-major, so widening the plane count REFINES the bucketing (every
+    8-plane bucket is a subset of a 4-plane bucket) instead of
+    rehashing the space — which is what makes the n_planes dial a
+    monotone candidate-set shrink."""
+    assert similarity.hyperplanes(8)[:4] == similarity.hyperplanes(4)
+
+
+def test_knn_lsh_planes8_refines_4plane_buckets(spark):
+    """Every neighbor the 8-plane search returns shares the probe's
+    4-plane bucket too (prefix-stability above made concrete on the
+    fixture corpus): the scale-safe configuration only ever SHRINKS
+    candidate sets."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.knn_lsh(emb, k=5, n_planes=8)
+    planes4 = similarity.hyperplanes(4)
+    b4 = emb.select(
+        "vec_id",
+        similarity.lsh_bucket(
+            F.transform("embedding", lambda x: x.cast("double")), planes4
+        ).alias("b4"),
+    )
+    joined = (
+        out.join(b4.withColumnRenamed("vec_id", "probe_id").withColumnRenamed("b4", "pb"), "probe_id")
+        .join(b4.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("b4", "nb"), "neighbor_id")
+    )
+    assert joined.filter(F.col("pb") != F.col("nb")).count() == 0
+    assert out.count() > 0
+
+
+def test_knn_ivf_fixed_c_recall_floor(spark):
+    """The fixed-C coarse index (centroid_limit=32) must stay a usable
+    ANN index, not just a fast one: recall@5 vs brute truth >= 0.25 on
+    the fixture corpus (measured 0.40 at sf0.001 / 0.30 at sf0.01 —
+    floor sits under both with margin)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.knn_brute(emb, k=5).select("probe_id", "neighbor_id").collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.knn_ivf(emb, k=5, centroid_limit=32)
+        .select("probe_id", "neighbor_id")
+        .collect()
+    }
+    assert len(truth) > 0
+    assert len(truth & approx) / len(truth) >= 0.25
+
+
+def test_decode_png_handcrafted_all_filters(spark):
+    """decode_png is a REAL decoder: a handcrafted PNG whose five
+    scanlines use filter types 0..4 (None/Sub/Up/Average/Paeth)
+    reconstructs the exact pixels; a corrupted CRC and a non-PNG
+    payload raise rather than guessing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 2, 5
+    px = (np.arange(w * h * 3, dtype=np.int64) * 37 % 256).astype(np.uint8).reshape(h, w * 3)
+    stream = bytearray()
+    prev = bytes(w * 3)
+    for r in range(h):
+        raw = px[r].tobytes()
+        stream += bytes([r % 5]) + multimodal._png_filter_row(r % 5, raw, prev)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    out = (
+        multimodal.decode_png(
+            spark.createDataFrame([(9, bytearray(payload))], "doc_id long, payload binary")
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    pix = px.reshape(h, w, 3).astype(float)
+    assert (out["width"], out["height"], out["n_pixels"]) == (2, 5, 10)
+    for i, c in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert out[c] == round(float(pix[:, :, i].mean()), 6)
+
+    corrupted = bytearray(payload)
+    corrupted[-5] ^= 0xFF  # last byte of IEND's CRC
+    with pytest.raises(Exception, match="CRC"):
+        multimodal.decode_png(
+            spark.createDataFrame([(10, corrupted)], "doc_id long, payload binary")
+        ).collect()
+    with pytest.raises(Exception, match="PNG"):
+        multimodal.decode_png(
+            spark.createDataFrame(
+                [(11, bytearray(b"GIF89a not a png"))], "doc_id long, payload binary"
+            )
+        ).collect()
+
+
+def test_png_and_ppm_decoders_agree(spark, docs):
+    """png_table and ppm_table encode the SAME closed-form pixels in
+    two different real formats; decoding each with its own parser must
+    produce identical frames — two independent codec paths
+    cross-checking each other (the PNG path additionally exercises all
+    five scanline filters, cycled per row by the generator)."""
+    sample = docs.limit(25)
+    via_png = multimodal.decode_png(multimodal.png_table(sample)).toPandas()
+    via_ppm = multimodal.decode_ppm(multimodal.ppm_table(sample)).toPandas()
+    via_png = via_png.sort_values("doc_id").reset_index(drop=True)
+    via_ppm = via_ppm.sort_values("doc_id").reset_index(drop=True)
+    assert via_png.equals(via_ppm)

@@ -237,3 +237,39 @@ def test_restfeed_stream_equals_batch(spark):
     )
     stream = sorted(map(tuple, spark.table("rf_stream_test").collect()))
     assert stream == batch and len(stream) == 80
+
+
+def test_restfeed_stream_read_returns_iterator_at_exhaustion():
+    """The simple stream reader's ``read`` must return an ITERATOR:
+    pyspark's prefetch wrapper probes the exhausted-feed path
+    (end == start) with ``next(it)``, which raises TypeError on a bare
+    list — the exact failure restfeed_stream_replay hit when a
+    processingTime drain ran past the feed cap (single-batch fallback
+    tests never reach that path)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.sources.restfeed import (
+        RestFeedStreamReader,
+    )
+
+    r = RestFeedStreamReader({"pages": "1", "coins_per_page": "2", "minutes": "10"})
+    it, off = r.read({"minute": 10})
+    assert off == {"minute": 10}
+    assert next(it, None) is None  # empty ITERATOR, not a list
+    it2, off2 = r.read({"minute": 0})
+    assert off2 == {"minute": 5}
+    assert iter(it2) is it2 and len(list(it2)) == 2 * 5
+
+
+def test_restfeed_stream_replay_withholds_open_window(spark):
+    """End-to-end custom-source streaming drain: the replay emits
+    exactly the candles of the CLOSED hours — the final watermark stops
+    inside hour 2 (last tick 02:59, delay 0), so append mode withholds
+    the open last window. 20 coins x 2 closed hours = 40 candles, none
+    at or after 02:00."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        restfeed_stream_replay,
+    )
+
+    out = restfeed_stream_replay(spark, timeout_s=180).collect()
+    assert len(out) == 40
+    hours = {r.timestamp.hour for r in out}
+    assert hours == {0, 1}

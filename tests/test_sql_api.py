@@ -224,33 +224,34 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 registry entries each
-# round. This list IS the round-5 window — any insertion/reorder of
+# round. This list IS the round-6 window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R5_WINDOW = [
-    # new this round
-    "keltner_channels", "candlestick_patterns",
-    "vocab_coverage", "scd2_volume_tiers", "knn_ivf_pq", "csv_roundtrip",
-    "heikin_ashi", "funnel_conversion",
-    "lead_lag_corr", "rolling_sharpe", "market_regime",
-    "corpus_quality_report",
-    "pricing_summary", "rolling_active_coins",
-    "event_props_variant", "activity_reconciliation",
-    "shipping_priority", "knn_ivf_pq_recall",
-    "exchange_hll_rollup", "ohlc_stream_replay", "dup_rate_by_source",
-    "coin_volume_percentile", "volume_grouping_sets",
-    "knn_recall", "url_dedup", "media_decode_ppm", "vwap_stream_replay",
-    "span_dedup", "gopher_rules", "media_decode_wav", "mixture_sample",
-    "knn_pq", "curation_pipeline_v2", "price_resample_1h", "knn_pq_recall",
-    "session_stream_replay", "coin_pagerank", "exchange_influencers",
-    "price_anomalies", "forecast_backtest", "bpe_merges", "jsonl_roundtrip",
-    "volume_profile",
-    # plans changed this round
-    "bollinger_bands", "max_drawdown", "obv", "knn_brute_vectorized",
-    # r4 tail (newest driver rows r3)
-    "active_coins_semi",
-    "momentum_ranks",
-    "knn_lsh_multiprobe",
+EXPECTED_R6_WINDOW = [
+    # new this round (scale-safe configs, PNG decode, salted join,
+    # restfeed streaming face)
+    "simhash_pairs_wide", "knn_lsh_planes8", "knn_ivf_fixed",
+    "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
+    # plan changed this round (planted-dup increment)
+    "incremental_dedup",
+    # zero-driver-row late-r5 registrations
+    "ohlc_daily_rollup", "event_bigrams", "restfeed_ohlc", "orc_roundtrip",
+    "spread_stream_replay",
+    # the full r3-stale evidence set
+    "exact_dedup", "dedup_survivors", "ngram_jaccard_pairs",
+    "dup_clusters", "minhash_lsh_pairs", "simhash_pairs",
+    "pack_chunks_overlap", "contamination", "curation_pipeline",
+    "repetition_stats", "tfidf_top_terms", "doc_length_quantiles_approx",
+    "exchange_cardinality", "knn_lsh", "knn_brute", "knn_ivf",
+    "kmeans_centroids", "knn_quantized", "embedding_normalize",
+    "embedding_quantize", "embedding_dup_pairs", "media_frames",
+    "media_features", "stale_coins_anti", "top_coins_by_volume",
+    "union_price_feeds", "asof_price_candle", "top_suppliers",
+    "user_retention", "price_correlation", "event_props_stats",
+    "revenue_by_nation",
+    # oldest r4 rows fill the remaining slots
+    "trading_sessions", "session_range_join", "market_cap_chart",
+    "exchange_cardinality_approx", "knn_ivf_trained", "volume_cube",
 ]
 
 
@@ -279,8 +280,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R5_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R5_WINDOW
+    assert len(EXPECTED_R6_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R6_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
