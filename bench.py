@@ -115,6 +115,26 @@ def main() -> None:
         print(f"bench: compile pre-pass total {precompile_sec}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-query timings as SHORT chunked stdout lines BEFORE the
+    # headline line: the driver's capture is a tail window and r4/r5
+    # both lost the head of the single long JSON line (r5: 52 of 134
+    # per-query timings clipped, including every new-window query).
+    # Ten queries per line keeps each line well under a screen width,
+    # so any tail capture deep enough for ~15 lines reconstructs the
+    # ENTIRE per-query dict by merging the "bench-q" chunk objects;
+    # the headline JSON line stays LAST and unchanged for the driver's
+    # one-line parse.
+    names = list(timings)
+    chunk_size = 10
+    for ci in range(0, len(names), chunk_size):
+        chunk = {k: timings[k] for k in names[ci : ci + chunk_size]}
+        print(
+            "bench-q"
+            + json.dumps(
+                {"chunk": ci // chunk_size, "queries": chunk},
+                separators=(",", ":"),
+            )
+        )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -124,12 +144,9 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # Trailing duplicates of the headline numbers: the driver's capture
-    # is a tail window and clipped the HEAD of this line in r4 (lost
-    # "value" plus the first 4 timings). With the totals repeated as the
-    # LAST keys, any tail capture wide enough for one screen still
-    # records total/count even when the dict head is gone. stdout
-    # carries ONLY this line (all chatter above goes to stderr).
+    # Trailing duplicates of the headline numbers: with the totals
+    # repeated as the LAST keys, any tail capture wide enough for one
+    # screen still records total/count even when the dict head is gone.
     if precompile_sec is not None:
         out["precompile_sec"] = precompile_sec
     out["n_queries"] = len(timings)
