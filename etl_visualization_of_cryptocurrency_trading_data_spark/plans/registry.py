@@ -2453,6 +2453,28 @@ def q_restfeed_stream_replay(spark, sf_dir):
     return restfeed_stream_replay(spark)
 
 
+def q_plan_audit(spark, sf_dir):
+    """Plan-shape observability as a driver-checked contract
+    (plans.audit): deterministic physical-plan features (shuffle /
+    broadcast / join-strategy / WindowGroupLimit counts) of eight
+    representative queries, hash-pinned against literal expected
+    values — a new shuffle or a degraded join strategy anywhere in
+    these plans flips the driver hash instead of waiting for a human
+    to re-read EXPLAIN.md. Features verified identical under the tuned
+    and vanilla sessions and across sf0.001/sf0.01 (they depend only
+    on the logical plan + planner; every audited join is hint-pinned).
+    ``sf_dir`` feeds the audited builders; the row count is the number
+    of audited queries (metadata, not data)."""
+    from .audit import audit_plans
+
+    names = [
+        "coin_table", "exact_dedup", "technical_indicators",
+        "coin_market_cap", "gopher_rules", "media_metadata",
+        "price_chart", "url_dedup",
+    ]
+    return audit_plans(spark, {n: QUERIES[n](spark, sf_dir) for n in names})
+
+
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R6_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # ROUND-6 ROTATION EXECUTED (registry = 140 queries, window = first 50):
@@ -2486,6 +2508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_png": q_media_decode_png,
     "salted_join_skew": q_salted_join_skew,
     "restfeed_stream_replay": q_restfeed_stream_replay,
+    "plan_audit": q_plan_audit,
     # --- plan changed this round: increment now PLANTS both drop
     # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
@@ -2530,14 +2553,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_correlation": q_price_correlation,
     "event_props_stats": q_event_props_stats,
     "revenue_by_nation": q_revenue_by_nation,
-    # --- oldest r4 rows fill the remaining slots ---
+    # --- oldest r4 rows fill the remaining slots (volume_cube yielded
+    # its slot to plan_audit; its r4 row stands) ---
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
     "exchange_cardinality_approx": q_exchange_cardinality_approx,
     "knn_ivf_trained": q_knn_ivf_trained,
-    "volume_cube": q_volume_cube,
     # ---- end of driver correctness window (50 entries above) ----
+    "volume_cube": q_volume_cube,
     # Tail: driver-green in r4/r5 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r5-window members first
@@ -3800,6 +3824,22 @@ FROM dd GROUP BY coin_id, exchange""",
     ),
     # replays the DataSource's integer-arithmetic generator with
     # generate_series, then the standard candle CTE on top
+    # the plan-shape contract: expected feature literals, measured and
+    # pinned (identical tuned/vanilla, sf-independent); a planner or
+    # plan regression = hash mismatch. Re-pin DELIBERATELY (with the
+    # new measurement) if Spark is upgraded or a plan is re-designed.
+    "plan_audit": """
+SELECT * FROM (VALUES
+  ('coin_table', 6, 3, 3, 0, 6),
+  ('exact_dedup', 1, 0, 0, 0, 0),
+  ('technical_indicators', 1, 0, 0, 0, 0),
+  ('coin_market_cap', 3, 1, 1, 0, 0),
+  ('gopher_rules', 0, 0, 0, 0, 0),
+  ('media_metadata', 0, 0, 0, 0, 0),
+  ('price_chart', 1, 1, 1, 0, 0),
+  ('url_dedup', 2, 0, 0, 0, 0)
+) AS t(query, n_shuffles, n_broadcasts, n_broadcast_joins,
+       n_sortmerge_joins, n_window_group_limits)""",
     # salted join is result-identical to the plain join — the oracle
     # IS the plain join, so the hash pins exactly that equivalence
     "salted_join_skew": f"""

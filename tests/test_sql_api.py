@@ -232,6 +232,7 @@ EXPECTED_R6_WINDOW = [
     # restfeed streaming face)
     "simhash_pairs_wide", "knn_lsh_planes8", "knn_ivf_fixed",
     "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
+    "plan_audit",
     # plan changed this round (planted-dup increment)
     "incremental_dedup",
     # zero-driver-row late-r5 registrations
@@ -251,7 +252,7 @@ EXPECTED_R6_WINDOW = [
     "revenue_by_nation",
     # oldest r4 rows fill the remaining slots
     "trading_sessions", "session_range_join", "market_cap_chart",
-    "exchange_cardinality_approx", "knn_ivf_trained", "volume_cube",
+    "exchange_cardinality_approx", "knn_ivf_trained",
 ]
 
 
@@ -491,3 +492,25 @@ def test_no_driver_side_materialization_in_operator_paths():
                 if n:
                     found[(rel, kind)] = n
     assert found == allowed, f"driver-side materialization drift: {found}"
+
+
+def test_plan_audit_pins_flagship_join_strategy(spark):
+    """The flagship coin_table plan must stay three BROADCAST hash
+    joins over WindowGroupLimit latest-per-group collapses — zero
+    sort-merge joins. plan_audit makes this driver-visible; this test
+    makes it fail locally first."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.audit import (
+        plan_features,
+    )
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        QUERIES,
+    )
+
+    f = plan_features(QUERIES["coin_table"](spark, SF_SMOKE))
+    assert f == {
+        "n_shuffles": 6,
+        "n_broadcasts": 3,
+        "n_broadcast_joins": 3,
+        "n_sortmerge_joins": 0,
+        "n_window_group_limits": 6,
+    }
