@@ -68,6 +68,12 @@ SHOWCASE = [
     "shipping_priority",     # TPC-H Q3: broadcast dims + TakeOrdered topk
     "rolling_active_coins",  # RANGE-window sketch union + exact range join
     "activity_reconciliation",  # single full-outer on the entity key
+    "simhash_pairs_wide",    # 128 codegen'd sums -> 4x32-bit band self-join
+    "knn_lsh_planes8",       # 256-bucket sign-LSH: refined candidate join
+    "knn_ivf_fixed",         # FIXED 32-centroid coarse index, N*C linear
+    "media_decode_png",      # synth + real zlib decode, two map stages
+    "salted_join_skew",      # hot key spread across 8 salted partitions
+    "incremental_dedup",     # fp groupBy + LEFT ANTI vs seen fingerprints
 ]
 
 
