@@ -1608,8 +1608,16 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
 WHERE rank <= 5"""
 
 
-def _embedding_dup_sql(threshold: float = 0.5, n_planes: int = 16, bands: int = 4) -> str:
-    """DuckDB oracle replaying the banded sign-bit LSH bit-for-bit."""
+def _embedding_dup_sql(
+    threshold: float = 0.5,
+    n_planes: int = 16,
+    bands: int = 4,
+    base_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings",
+) -> str:
+    """DuckDB oracle replaying the banded sign-bit LSH bit-for-bit.
+    ``base_sql`` overrides the corpus CTE (the wide registration plants
+    exact twins so its driver row verifies candidate generation AND the
+    cosine verify on non-empty output)."""
     planes = similarity.hyperplanes(n_planes)
     r = n_planes // bands
     bit_cols = ",\n         ".join(
@@ -1624,7 +1632,7 @@ def _embedding_dup_sql(threshold: float = 0.5, n_planes: int = 16, bands: int = 
         f"  SELECT vec_id, {b} AS band, band{b} AS val FROM banded" for b in range(bands)
     )
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH base AS ({base_sql}),
 bits AS (
   SELECT vec_id, emb,
          {bit_cols}
@@ -2453,6 +2461,35 @@ def q_restfeed_stream_replay(spark, sf_dir):
     return restfeed_stream_replay(spark)
 
 
+def q_embedding_dup_wide(spark, sf_dir):
+    """The SCALE-SAFE embedding near-dup registration
+    (similarity.embedding_dup_pairs n_planes=32, bands=4 — 8-bit
+    bands, 256 buckets/band): same banded sign-bit LSH + exact-cosine
+    verify as embedding_dup_pairs, with candidate collisions ∝
+    N²/2^8 per band instead of N²/2^4 — the knob NOTES_r05 §3
+    measured taking the sf0.1→sf1 ratio from 52x to 3.5x, now
+    driver-hash-verified with its own exact oracle (deterministic
+    plane literals shared with the SQL). The 16-plane entry stays as
+    the high-recall fixture form.
+
+    The fixtures' planted cosine near-dups don't collide at 8-bit
+    band width (the registered 16-plane run finds exactly 1 pair at
+    sf0.01; this config finds none), so the corpus PLANTS exact twins
+    of every 25th vector under shifted ids — identical sign bits make
+    every band collide, cosine 1 survives the verify, and the driver
+    row checks candidate generation AND verify on non-empty output
+    instead of hashing an empty set."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return similarity.embedding_dup_pairs(
+        emb.unionByName(twins), n_planes=32, bands=4
+    )
+
+
 def q_plan_audit(spark, sf_dir):
     """Plan-shape observability as a driver-checked contract
     (plans.audit): deterministic physical-plan features (shuffle /
@@ -2509,6 +2546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_skew": q_salted_join_skew,
     "restfeed_stream_replay": q_restfeed_stream_replay,
     "plan_audit": q_plan_audit,
+    "embedding_dup_wide": q_embedding_dup_wide,
     # --- plan changed this round: increment now PLANTS both drop
     # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
@@ -2553,15 +2591,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_correlation": q_price_correlation,
     "event_props_stats": q_event_props_stats,
     "revenue_by_nation": q_revenue_by_nation,
-    # --- oldest r4 rows fill the remaining slots (volume_cube yielded
-    # its slot to plan_audit; its r4 row stands) ---
+    # --- oldest r4 rows fill the remaining slots (volume_cube and
+    # exchange_cardinality_approx yielded their slots to plan_audit and
+    # embedding_dup_wide; their r4 rows stand) ---
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,
     "knn_ivf_trained": q_knn_ivf_trained,
     # ---- end of driver correctness window (50 entries above) ----
     "volume_cube": q_volume_cube,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,
     # Tail: driver-green in r4/r5 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r5-window members first
@@ -3100,6 +3139,17 @@ WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "simhash_pairs": _simhash_sql(),
     # scale-safe width: 4x32-bit bands over md5's full 128 bits
     "simhash_pairs_wide": _simhash_sql(n_bits=128),
+    # scale-safe width: 8-bit sign-LSH bands (52x -> 3.5x at 10x data);
+    # exact twins planted so the hash covers non-empty candidate+verify
+    "embedding_dup_wide": _embedding_dup_sql(
+        n_planes=32,
+        bands=4,
+        base_sql=(
+            "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[]"
+            " FROM embeddings WHERE vec_id % 25 = 0"
+        ),
+    ),
     "knn_brute": _knn_sql(bucketed=False),
     "kmeans_centroids": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -232,7 +232,7 @@ EXPECTED_R6_WINDOW = [
     # restfeed streaming face)
     "simhash_pairs_wide", "knn_lsh_planes8", "knn_ivf_fixed",
     "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
-    "plan_audit",
+    "plan_audit", "embedding_dup_wide",
     # plan changed this round (planted-dup increment)
     "incremental_dedup",
     # zero-driver-row late-r5 registrations
@@ -252,7 +252,7 @@ EXPECTED_R6_WINDOW = [
     "revenue_by_nation",
     # oldest r4 rows fill the remaining slots
     "trading_sessions", "session_range_join", "market_cap_chart",
-    "exchange_cardinality_approx", "knn_ivf_trained",
+    "knn_ivf_trained",
 ]
 
 
