@@ -745,11 +745,15 @@ def pq_codebooks(
             ).alias("d")
         )
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    # argmin via min(struct(d, code)) — identical (d asc, code asc)
+    # tie semantics as a row_number window, but it is a plain
+    # aggregate: map-side partial combine collapses the candidate rows
+    # before the exchange instead of shuffling and sorting all of them
+    # (measured on the encode twin below: 5.4 s -> 2.9 s at sf0.1).
     assign = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "code")
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("_m"))
+        .select("vec_id", "sub", F.col("_m.code").alias("code"))
     )
     return (
         vdim.join(assign, ["vec_id", "sub"])
@@ -790,11 +794,12 @@ def pq_encode(
             ).alias("d")
         )
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    # argmin as an aggregate, not a window — see pq_codebooks: same
+    # (d asc, code asc) order, map-side combinable, no per-group sort.
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "code")
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("_m"))
+        .select("vec_id", "sub", F.col("_m.code").alias("code"))
     )
 
 
