@@ -20,6 +20,9 @@ Determinism: ties broken by (cosine desc, vec_id asc) everywhere.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -710,10 +713,44 @@ def pq_codebooks(
     [[kmeans_centroids]]-style rounds per subspace.
 
     Returns one row per (sub, code, pos, c) codebook DIM — the exploded
-    layout every consumer joins on, codes*dim rows total,
-    broadcastable at any corpus scale. Codes that lose every member in
-    the update drop out (standard Lloyd), matching argmin consumers.
+    layout kept for API/oracle compat, codes*dim rows total,
+    broadcastable at any corpus scale (internal consumers use the
+    compact (sub, code, cvec) form from _pq_codebook_vecs). Codes that
+    lose every member in the update drop out (standard Lloyd),
+    matching argmin consumers.
     """
+    sub_d = dim // m
+    return _pq_codebook_vecs(
+        embeddings, m=m, codes=codes, dim=dim,
+        round_decimals=round_decimals, sample_modulus=sample_modulus,
+    ).select(
+        "sub",
+        "code",
+        F.posexplode("cvec").alias("i", "c"),
+    ).select(
+        "sub",
+        "code",
+        (F.col("sub") * sub_d + F.col("i")).cast("int").alias("pos"),
+        "c",
+    )
+
+
+def _pq_codebook_vecs(
+    embeddings: DataFrame,
+    m: int = 16,
+    codes: int = 64,
+    dim: int = 64,
+    round_decimals: int = 9,
+    sample_modulus: int = 7,
+) -> DataFrame:
+    """[[pq_codebooks]]'s trainer in its compact working layout: one
+    row per (sub, code) carrying the whole ``cvec`` codeword array —
+    m*codes rows. The Lloyd update is sub_d per-element ``avg``
+    aggregates in ONE groupBy (codegen, map-side combined) instead of
+    a posexplode + (sub, code, pos) shuffle: at fixture scale each
+    saved exchange is a whole scheduling round (the PQ chain is
+    stage-latency-bound there), and at 100 TB the update exchange
+    carries m*codes*sub_d partials either way."""
     sub_d = dim // m
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     w_seed = Window.orderBy("vec_id")
@@ -722,44 +759,103 @@ def pq_codebooks(
         .withColumn("code", (F.row_number().over(w_seed) - 1).cast("int"))
         .filter(F.col("code") < codes)
     )
-    cb = seeds.select(
-        "code", F.posexplode("emb").alias("pos", "v")
-    ).select(
-        (F.col("pos") / sub_d).cast("int").alias("sub"),
+    cvecs = seeds.select(
         "code",
-        "pos",
-        F.round(F.col("v"), round_decimals).alias("c"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.transform(
+                            F.slice("emb", s * sub_d + 1, sub_d),
+                            lambda x: F.round(x, round_decimals),
+                        ).alias("cvec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select(F.col("sc.sub").alias("sub"), "code", F.col("sc.cvec").alias("cvec"))
     # One Lloyd round: assign every vector to its nearest seed code per
-    # subspace, then recompute codewords as member means.
-    vdim = base.select(
-        "vec_id", F.posexplode("emb").alias("pos", "v")
-    ).withColumn("sub", (F.col("pos") / sub_d).cast("int"))
-    scored = (
-        vdim.join(F.broadcast(cb), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
+    # subspace (see _pq_assign), then recompute codewords as member
+    # means, element-wise in a single aggregation.
+    assigned = _pq_assign(base, cvecs, m, sub_d, round_decimals)
+    return (
+        assigned.groupBy("sub", "code")
         .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
-                round_decimals,
-            ).alias("d")
+            *[
+                F.round(F.avg(F.col("svec").getItem(i)), round_decimals).alias(
+                    f"_c{i}"
+                )
+                for i in range(sub_d)
+            ]
+        )
+        .select(
+            "sub",
+            "code",
+            F.array(*[F.col(f"_c{i}") for i in range(sub_d)]).alias("cvec"),
         )
     )
-    # argmin via min(struct(d, code)) — identical (d asc, code asc)
-    # tie semantics as a row_number window, but it is a plain
-    # aggregate: map-side partial combine collapses the candidate rows
-    # before the exchange instead of shuffling and sorting all of them
-    # (measured on the encode twin below: 5.4 s -> 2.9 s at sf0.1).
-    assign = (
-        scored.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d", "code")).alias("_m"))
-        .select("vec_id", "sub", F.col("_m.code").alias("code"))
-    )
+
+
+def _pq_assign(
+    base: DataFrame, cvecs: DataFrame, m: int, sub_d: int, round_decimals: int
+) -> DataFrame:
+    """Nearest-code assignment over (vec_id, sub) SUBVECTOR rows: the
+    corpus explodes to |corpus|*m rows (not |corpus|*dim), each joins
+    the broadcast per-sub codeword list (m*codes rows carrying the
+    whole ``cvec``), and the squared-L2 distance is sub_d literal
+    ``svec[i]-cvec[i]`` terms — plain codegen arithmetic, summed
+    left-to-right in index order (deterministic, then rounded). Argmin
+    is ``min(struct(d, code))`` — struct ordering IS the (d asc,
+    code asc) tie rule, and as a plain aggregate it map-side-combines
+    the codes-way candidate rows down to one row per (vec_id, sub)
+    before the exchange. vs the r5 shape (posexplode to |corpus|*dim
+    rows, codes-way join on (sub,pos), TWO shuffled aggregations):
+    sub_d-times fewer joined rows, one aggregation instead of two, and
+    the exchange carries only the argmin winners. A fully in-row HOF
+    variant (transform+zip_with+aggregate, zero shuffle) was measured
+    2x SLOWER at sf0.1 — higher-order functions are interpreted, and
+    2M interpreted fold evaluations lose to 2M codegen'd rows plus a
+    combine-collapsed exchange. Measured knn_pq at sf0.1:
+    6.7 s -> ~2 s."""
+    sv = _pq_subvec_rows(base, "vec_id", m, sub_d)
+    d = _pq_sub_dist(sub_d, round_decimals).alias("d")
     return (
-        vdim.join(assign, ["vec_id", "sub"])
-        .groupBy("sub", "code", "pos")
-        .agg(F.round(F.avg("v"), round_decimals).alias("c"))
+        sv.join(F.broadcast(cvecs), "sub")
+        .select("vec_id", "sub", "svec", "code", d)
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("_m"), F.first("svec").alias("svec"))
+        .select("vec_id", "sub", "svec", F.col("_m.code").alias("code"))
     )
+
+
+def _pq_subvec_rows(base: DataFrame, id_col: str, m: int, sub_d: int) -> DataFrame:
+    """Explode ``emb`` into m (sub, svec) subvector rows per vector."""
+    return base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice("emb", s * sub_d + 1, sub_d).alias("svec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select(id_col, F.col("sc.sub").alias("sub"), F.col("sc.svec").alias("svec"))
+
+
+def _pq_sub_dist(sub_d: int, round_decimals: int) -> Column:
+    """Squared L2 between ``svec`` and ``cvec`` as sub_d literal
+    getItem terms summed left-to-right (codegen, deterministic order),
+    rounded — the one distance expression every PQ consumer shares."""
+    diffs = [
+        F.col("svec").getItem(i) - F.col("cvec").getItem(i) for i in range(sub_d)
+    ]
+    return F.round(reduce(operator.add, [t * t for t in diffs]), round_decimals)
 
 
 def pq_encode(
@@ -775,31 +871,22 @@ def pq_encode(
     subspace compressed index that replaces the float vector at serving
     time (dim*4 bytes -> m bytes, the whole point of PQ).
 
-    Scale shape: one posexplode of the corpus joined against the
-    BROADCAST codebook dims (codes*dim rows), re-aggregated by
-    (vec_id, sub, code) with map-side partials — corpus cost is
-    |corpus| * dim * codes multiply-adds, all codegen, no corpus
-    shuffle wider than the dim explosion."""
+    Scale shape: the corpus explodes to |corpus|*m SUBVECTOR rows
+    (not |corpus|*dim scalars) against the broadcast codeword list —
+    sub_d-times fewer joined rows than a per-dim join, codegen'd
+    distances, and one combine-collapsed argmin aggregation (see
+    _pq_assign); the (sub, code, pos, c) codebook rows regroup into
+    (sub, code, cvec) once, m*codes rows, broadcastable at any corpus
+    scale."""
     sub_d = dim // m
-    vd = embeddings.select(
-        "vec_id", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    cvecs = (
+        codebooks.groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("sub", "code", F.transform("pc", lambda x: x["c"]).alias("cvec"))
     )
-    scored = (
-        vd.join(F.broadcast(codebooks), "pos")
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
-                round_decimals,
-            ).alias("d")
-        )
-    )
-    # argmin as an aggregate, not a window — see pq_codebooks: same
-    # (d asc, code asc) order, map-side combinable, no per-group sort.
-    return (
-        scored.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d", "code")).alias("_m"))
-        .select("vec_id", "sub", F.col("_m.code").alias("code"))
+    return _pq_assign(base, cvecs, m, sub_d, round_decimals).select(
+        "vec_id", "sub", "code"
     )
 
 
@@ -829,37 +916,35 @@ def knn_pq(
     accuracy/memory dial, exactly as in the IVF-PQ literature).
 
     Scale shape: the distance TABLE (probes * codes * dim multiply-
-    adds) is tiny and broadcast; the scoring join touches each corpus
-    CODE row once per probe — |corpus| * m * |probes| fixed-width rows,
-    the honest ADC cost, with no float vectors in the pair stream.
-    ``persist_codebooks`` pins the trained codebook at the
-    train-once/search-many boundary (two differently-shaped consumers —
-    the encode join and the probe tables — would each rerun the Lloyd
-    pass; measured 7.2->6.0 s at sf0.1, the same boundary
-    [[knn_ivf_trained]] persists).
+    adds) is tiny and broadcast — and built as a pure MAP (probe
+    subvector rows x broadcast codewords, the shared codegen'd
+    _pq_sub_dist; no aggregation at all); the scoring join touches
+    each corpus CODE row once per probe — |corpus| * m * |probes|
+    fixed-width rows, the honest ADC cost, with no float vectors in
+    the pair stream. ``persist_codebooks`` pins the trained codebook
+    (compact (sub, code, cvec) form) at the train-once/search-many
+    boundary — its two differently-shaped consumers, the encode join
+    and the probe tables, would each rerun the Lloyd pass.
     """
     if probe_filter is None:
         probe_filter = F.col("vec_id") % 50 == 0
-    cb = pq_codebooks(embeddings, m=m, codes=codes, dim=dim,
-                      round_decimals=round_decimals,
-                      sample_modulus=sample_modulus)
+    sub_d = dim // m
+    cvecs = _pq_codebook_vecs(embeddings, m=m, codes=codes, dim=dim,
+                              round_decimals=round_decimals,
+                              sample_modulus=sample_modulus)
     if persist_codebooks:
-        cb = cb.persist()
-    enc = pq_encode(embeddings, cb, m=m, codes=codes, dim=dim,
-                    round_decimals=round_decimals)
-    probes = embeddings.filter(probe_filter).select(
-        F.col("vec_id").alias("probe_id"),
-        F.posexplode(_as_double("embedding")).alias("pos", "v"),
+        cvecs = cvecs.persist()
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    enc = _pq_assign(base, cvecs, m, sub_d, round_decimals).select(
+        "vec_id", "sub", "code"
     )
-    dtab = (
-        probes.join(F.broadcast(cb), "pos")
-        .groupBy("probe_id", "sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
-                round_decimals,
-            ).alias("pd")
-        )
+    probe_sv = _pq_subvec_rows(
+        base.filter(probe_filter).withColumnRenamed("vec_id", "probe_id"),
+        "probe_id", m, sub_d,
+    )
+    dtab = probe_sv.join(F.broadcast(cvecs), "sub").select(
+        "probe_id", "sub", "code",
+        _pq_sub_dist(sub_d, round_decimals).alias("pd"),
     )
     adc = (
         enc.join(F.broadcast(dtab), ["sub", "code"])
@@ -988,28 +1073,23 @@ def knn_ivf_pq(
         .filter(F.col("crank") <= n_probe)
         .select(F.col("vec_id").alias("probe_id"), "cent_id")
     )
-    cb = pq_codebooks(
+    sub_d = dim // m
+    cvecs = _pq_codebook_vecs(
         embeddings, m=m, codes=codes, dim=dim,
         round_decimals=round_decimals, sample_modulus=sample_modulus,
     )
     if persist_codebooks:
-        cb = cb.persist()
-    enc = pq_encode(
-        embeddings, cb, m=m, codes=codes, dim=dim, round_decimals=round_decimals
+        cvecs = cvecs.persist()
+    enc = _pq_assign(base, cvecs, m, sub_d, round_decimals).select(
+        "vec_id", "sub", "code"
     )
-    probes = embeddings.filter(probe_filter).select(
-        F.col("vec_id").alias("probe_id"),
-        F.posexplode(_as_double("embedding")).alias("pos", "v"),
+    probe_sv = _pq_subvec_rows(
+        base.filter(probe_filter).withColumnRenamed("vec_id", "probe_id"),
+        "probe_id", m, sub_d,
     )
-    dtab = (
-        probes.join(F.broadcast(cb), "pos")
-        .groupBy("probe_id", "sub", "code")
-        .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
-                round_decimals,
-            ).alias("pd")
-        )
+    dtab = probe_sv.join(F.broadcast(cvecs), "sub").select(
+        "probe_id", "sub", "code",
+        _pq_sub_dist(sub_d, round_decimals).alias("pd"),
     )
     cand = (
         enc.join(lists, "vec_id")
