@@ -807,26 +807,59 @@ def _pq_assign(
     whole ``cvec``), and the squared-L2 distance is sub_d literal
     ``svec[i]-cvec[i]`` terms — plain codegen arithmetic, summed
     left-to-right in index order (deterministic, then rounded). Argmin
-    is ``min(struct(d, code))`` — struct ordering IS the (d asc,
-    code asc) tie rule, and as a plain aggregate it map-side-combines
-    the codes-way candidate rows down to one row per (vec_id, sub)
-    before the exchange. vs the r5 shape (posexplode to |corpus|*dim
-    rows, codes-way join on (sub,pos), TWO shuffled aggregations):
-    sub_d-times fewer joined rows, one aggregation instead of two, and
-    the exchange carries only the argmin winners. A fully in-row HOF
-    variant (transform+zip_with+aggregate, zero shuffle) was measured
-    2x SLOWER at sf0.1 — higher-order functions are interpreted, and
-    2M interpreted fold evaluations lose to 2M codegen'd rows plus a
-    combine-collapsed exchange. Measured knn_pq at sf0.1:
-    6.7 s -> ~2 s."""
+    is ``min()`` of ONE packed long — ``floor(d*10^rd + 0.5)`` is the
+    exact grid index of the ALREADY-ROUNDED d (d sits on the 10^-rd
+    grid, and d*scale carries ~1e-4 absolute float error at these
+    magnitudes, far under the 0.5 recovery margin), shifted left 20
+    bits with the code in the low bits, so long ordering IS the
+    (d asc, code asc) tie rule. A primitive-long min stays in
+    HashAggregate with map-side combine — the earlier
+    ``min(struct(d, code))`` form has a struct buffer, which forces
+    SortAggregate and SORTS the candidate rows per group (measured
+    +0.4 s per pass at sf0.1). vs the r5 shape (posexplode to
+    |corpus|*dim rows, codes-way join on (sub,pos), TWO shuffled
+    aggregations): sub_d-times fewer joined rows, one aggregation
+    instead of two, and the exchange carries only the argmin winners.
+    A fully in-row HOF variant (transform+zip_with+aggregate, zero
+    shuffle) was measured 2x SLOWER at sf0.1 — higher-order functions
+    are interpreted, and 2M interpreted fold evaluations lose to 2M
+    codegen'd rows plus a combine-collapsed exchange."""
     sv = _pq_subvec_rows(base, "vec_id", m, sub_d)
-    d = _pq_sub_dist(sub_d, round_decimals).alias("d")
+    scale = float(10 ** round_decimals)
+    # 20 bits for the code; d's grid index must fit 43 bits: d < ~8e3
+    # at rd=9, comfortably above any squared-subvector distance here.
+    code_bits = 20
+    key = (
+        F.floor(_pq_sub_dist(sub_d, round_decimals) * scale + F.lit(0.5)).cast(
+            "long"
+        )
+        * (1 << code_bits)
+        + F.col("code")
+    ).alias("_k")
+    # svec rides through the agg as sub_d primitive first()s, not
+    # first(array): ANY non-primitive aggregation buffer (array, the
+    # struct-min above) silently downgrades the whole aggregate to
+    # SortAggregate, which sorts the candidate rows per group. All
+    # buffers primitive => HashAggregate (plan-pinned in pytest).
+    # Consumers that only read `code` (the encode path) prune the
+    # _s columns out of the aggregate entirely.
     return (
         sv.join(F.broadcast(cvecs), "sub")
-        .select("vec_id", "sub", "svec", "code", d)
+        .select("vec_id", "sub", "svec", "code", key)
         .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d", "code")).alias("_m"), F.first("svec").alias("svec"))
-        .select("vec_id", "sub", "svec", F.col("_m.code").alias("code"))
+        .agg(
+            F.min("_k").alias("_k"),
+            *[
+                F.first(F.col("svec").getItem(i)).alias(f"_s{i}")
+                for i in range(sub_d)
+            ],
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.array(*[F.col(f"_s{i}") for i in range(sub_d)]).alias("svec"),
+            (F.col("_k") % (1 << code_bits)).cast("int").alias("code"),
+        )
     )
 
 

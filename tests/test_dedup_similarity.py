@@ -812,3 +812,16 @@ def test_png_and_ppm_decoders_agree(spark, docs):
     via_png = via_png.sort_values("doc_id").reset_index(drop=True)
     via_ppm = via_ppm.sort_values("doc_id").reset_index(drop=True)
     assert via_png.equals(via_ppm)
+
+
+def test_pq_assignment_stays_in_hash_aggregate(spark):
+    """The PQ argmin must never silently downgrade to SortAggregate:
+    any non-primitive aggregation buffer (min over a struct, first
+    over an array) forces sort-based aggregation, which SORTS the
+    |corpus|*m*codes candidate stream per group (measured +0.4 s per
+    assignment pass at sf0.1). The packed-long argmin + per-element
+    first()s keep every buffer primitive — pin it in the plan."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = similarity.knn_pq(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
