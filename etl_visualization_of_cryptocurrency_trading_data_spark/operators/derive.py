@@ -432,20 +432,26 @@ def resample_ffill(
     from .relational import asof_join
 
     ks = list(keys)
+    # max_by instead of max(struct): BOTH ordering keys are unique in
+    # their group (event_id is the global tick total order; ts is
+    # unique post-collapse), so max_by is deterministic here — and its
+    # aggregation buffer is primitive, so the aggregate stays a
+    # HashAggregate (a struct-min/max buffer downgrades the whole agg
+    # to SortAggregate, which sorts the tick stream per group). Where
+    # the ordering key CAN tie — raw ticks sharing a timestamp, as in
+    # ohlc_data — the struct form with its value tiebreak stays.
     collapsed = (
         ticks.groupBy(*ks, ts)
-        .agg(F.max(F.struct(order_col, value)).alias("_s"))
-        .select(*ks, ts, F.col(f"_s.{value}").alias(value))
+        .agg(F.max_by(value, order_col).alias(value))
+        .select(*ks, ts, value)
     )
     hourly = (
         collapsed.groupBy(*ks, F.date_trunc("hour", F.col(ts)).alias("hour_ts"))
-        .agg(F.max(F.struct(ts, value)).alias("_c"))
-        .select(
-            *ks,
-            "hour_ts",
-            F.col(f"_c.{ts}").alias("tick_ts"),
-            F.col(f"_c.{value}").alias(value),
+        .agg(
+            F.max(ts).alias("tick_ts"),
+            F.max_by(value, ts).alias(value),
         )
+        .select(*ks, "hour_ts", "tick_ts", value)
     )
     bounds = hourly.groupBy(*ks).agg(
         F.min("hour_ts").alias("_lo"), F.max("hour_ts").alias("_hi")
@@ -985,28 +991,24 @@ def ohlc_rollup(ohlc: DataFrame, bucket: str = "day") -> DataFrame:
     """Candle RE-aggregation (1h → 1d by default): the rollup layer a
     charting stack serves coarser zoom levels from, and the semantics
     bucket-boundary bugs love — open must be the FIRST sub-candle's
-    open (struct-min on (sub-candle ts, open): ties impossible, hours
-    are unique) and close the LAST's close, not min/max of the opens
-    and closes. High/low are order-insensitive extremes. One hash
-    aggregate with map-side partials on the (entity, bucket) key —
-    exactly the [[ohlc_data]] shape one level up, so rollups chain
-    (1h → 1d → 1w) without new machinery."""
+    open (min_by on the sub-candle ts: ties impossible, hours are
+    unique per entity, so min_by is deterministic AND its primitive
+    buffer keeps the aggregate a HashAggregate — a struct-min buffer
+    downgrades it to SortAggregate) and close the LAST's close, not
+    min/max of the opens and closes. High/low are order-insensitive
+    extremes. One hash aggregate with map-side partials on the
+    (entity, bucket) key — exactly the [[ohlc_data]] shape one level
+    up, so rollups chain (1h → 1d → 1w) without new machinery.
+    [[ohlc_data]] itself stays on struct-min/max: RAW ticks can tie
+    on timestamp, where min_by's answer is arbitrary."""
     b = F.date_trunc(bucket, F.col("timestamp"))
     return (
         ohlc.groupBy("coin_id", "exchange", b.alias("timestamp"))
         .agg(
-            F.min(F.struct("timestamp", "open")).alias("_first"),
+            F.min_by("open", "timestamp").alias("open"),
             F.max("high").alias("high"),
             F.min("low").alias("low"),
-            F.max(F.struct("timestamp", "close")).alias("_last"),
+            F.max_by("close", "timestamp").alias("close"),
         )
-        .select(
-            "coin_id",
-            "exchange",
-            "timestamp",
-            F.col("_first.open").alias("open"),
-            "high",
-            "low",
-            F.col("_last.close").alias("close"),
-        )
+        .select("coin_id", "exchange", "timestamp", "open", "high", "low", "close")
     )
