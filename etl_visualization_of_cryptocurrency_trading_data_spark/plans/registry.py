@@ -2490,6 +2490,28 @@ def q_embedding_dup_wide(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup,
+    Abbas et al. 2023): assignment-only clustering onto the fixed
+    32-seed coarse index, then cosine>=0.9 near-dup detection ONLY
+    within each cluster — the pair space is sum_c(|c| choose 2)
+    instead of (N choose 2), the bound that makes embedding dedup
+    tractable at corpus scale. Like embedding_dup_wide, the corpus
+    PLANTS exact twins of every 25th vector under shifted ids (random
+    fixture vectors almost never exceed 0.9), so the driver hash
+    verifies clustering, within-cluster pairing, the drop rule, and
+    the smallest-id dup_of attribution on non-empty output."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(twins), threshold=0.9, n_clusters=32
+    )
+
+
 def q_plan_audit(spark, sf_dir):
     """Plan-shape observability as a driver-checked contract
     (plans.audit): deterministic physical-plan features (shuffle /
@@ -2547,6 +2569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "restfeed_stream_replay": q_restfeed_stream_replay,
     "plan_audit": q_plan_audit,
     "embedding_dup_wide": q_embedding_dup_wide,
+    "semantic_dedup": q_semantic_dedup,
     # --- plan changed this round: increment now PLANTS both drop
     # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
@@ -3150,6 +3173,44 @@ WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
             " FROM embeddings WHERE vec_id % 25 = 0"
         ),
     ),
+    # SemDeDup replay: fixed-seed clustering -> within-cluster pairs
+    # -> smallest-id dup_of; same planted twins as embedding_dup_wide
+    "semantic_dedup": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+centroids AS (
+  SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 32
+),
+scored AS (
+  SELECT vec_id, emb, cent_id,
+         list_dot_product(emb, cent_emb)
+         / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent_emb, cent_emb))) AS cent_cos
+  FROM base CROSS JOIN centroids
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM scored
+),
+assigned AS (SELECT vec_id, emb, cent_id FROM ranked WHERE crank = 1),
+pairs AS (
+  SELECT a.cent_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+dups AS (SELECT * FROM pairs WHERE cosine >= 0.9),
+first_dup AS (
+  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM dups
+)
+SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
+FROM first_dup WHERE rn = 1""",
     "knn_brute": _knn_sql(bucketed=False),
     "kmeans_centroids": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

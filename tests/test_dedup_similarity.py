@@ -825,3 +825,39 @@ def test_pq_assignment_stays_in_hash_aggregate(spark):
     plan = similarity.knn_pq(emb)._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_semantic_dedup_drop_rule_and_boundary_miss(spark):
+    """semantic_dedup drops a vector iff a smaller-id near-dup shares
+    its CLUSTER: within-cluster dups are dropped with smallest-id
+    attribution, exact copies score cosine 1, and a high-cosine pair
+    that straddles the cluster boundary is MISSED — SemDeDup's
+    documented trade for the bounded pair space."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),    # seed centroid 0
+            (1, [0.0, 1.0]),    # seed centroid 1
+            (2, [1.0, 0.01]),   # near-dup of 0, cluster 0
+            (3, [0.99, 0.02]),  # near-dup of 0 AND 2 -> dup_of = 0
+            (4, [0.0, 1.0]),    # exact copy of 1, cluster 1
+            (5, [0.5, -0.5]),   # cluster 0, far from everything
+            (6, [1.0, 1.02]),   # boundary pair half, lands cluster 1
+            (7, [1.02, 1.0]),   # other half, lands cluster 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.9, n_clusters=2
+        ).collect()
+    }
+    assert set(rows) == {2, 3, 4}
+    assert rows[2].cluster_id == 0 and rows[2].dup_of == 0
+    # 3 duplicates both 0 and 2; attribution picks the smallest id
+    assert rows[3].cluster_id == 0 and rows[3].dup_of == 0
+    assert rows[4].cluster_id == 1 and rows[4].dup_of == 1
+    assert rows[4].cosine == pytest.approx(1.0)
+    # cos(6, 7) ~ 0.9998 >= threshold, but 6 clusters with [0,1] and
+    # 7 with [1,0]: the cross-cluster near-dup survives by design
+    assert 6 not in rows and 7 not in rows

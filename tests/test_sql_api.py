@@ -232,7 +232,7 @@ EXPECTED_R6_WINDOW = [
     # restfeed streaming face)
     "simhash_pairs_wide", "knn_lsh_planes8", "knn_ivf_fixed",
     "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
-    "plan_audit", "embedding_dup_wide",
+    "plan_audit", "embedding_dup_wide", "semantic_dedup",
     # plan changed this round (planted-dup increment)
     "incremental_dedup",
     # zero-driver-row late-r5 registrations
@@ -250,9 +250,9 @@ EXPECTED_R6_WINDOW = [
     "union_price_feeds", "asof_price_candle", "top_suppliers",
     "user_retention", "price_correlation", "event_props_stats",
     "revenue_by_nation",
-    # oldest r4 rows fill the remaining slots
+    # oldest r4 rows fill the remaining slots (knn_ivf_trained yielded
+    # its slot to semantic_dedup; its r4 row stands)
     "trading_sessions", "session_range_join", "market_cap_chart",
-    "knn_ivf_trained",
 ]
 
 
