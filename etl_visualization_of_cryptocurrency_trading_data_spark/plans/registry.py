@@ -2512,6 +2512,20 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_dedup_stream_replay(spark, sf_dir):
+    """SIXTH driver-checkable STREAMING path
+    (pipeline.dedup_stream_replay), first for the ingestion-dedup
+    guard: the spooled feed carries planted exact re-deliveries of
+    ~1/7 of the rows in later files, dropDuplicatesWithinWatermark
+    runs over the full row with a delay outlasting the replay, and
+    the emitted rows must hash-match one batch DISTINCT of the price
+    base — a single surviving duplicate (or a falsely dropped
+    original) flips the driver hash."""
+    from ..streaming.pipeline import dedup_stream_replay
+
+    return dedup_stream_replay(spark, _price_base(spark, sf_dir))
+
+
 def q_plan_audit(spark, sf_dir):
     """Plan-shape observability as a driver-checked contract
     (plans.audit): deterministic physical-plan features (shuffle /
@@ -2570,6 +2584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_audit": q_plan_audit,
     "embedding_dup_wide": q_embedding_dup_wide,
     "semantic_dedup": q_semantic_dedup,
+    "dedup_stream_replay": q_dedup_stream_replay,
     # --- plan changed this round: increment now PLANTS both drop
     # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
@@ -4478,6 +4493,12 @@ SELECT coin_id, exchange, date_trunc('hour', timestamp) AS timestamp,
        count(*)::BIGINT AS n_ticks
 FROM ({PRICE_BASE_SQL}) p
 GROUP BY coin_id, exchange, date_trunc('hour', timestamp)""",
+    # full-row streaming dedup over a feed with planted re-deliveries
+    # emits exactly DISTINCT(feed): copies are bit-identical, so which
+    # one survives is unobservable (see pipeline.dedup_stream_replay)
+    "dedup_stream_replay": f"""
+SELECT DISTINCT coin_id, exchange, timestamp, price, volume
+FROM ({PRICE_BASE_SQL}) p""",
     "bollinger_bands": f"""
 WITH base AS ({PRICE_BASE_TB_SQL}),
 w AS (

@@ -1,6 +1,7 @@
 from .pipeline import (  # noqa: F401
     cross_exchange_stream_join,
     dedup_stream,
+    dedup_stream_replay,
     enrich_stream,
     envelope_price_stream,
     ohlc_stream,

@@ -689,3 +689,80 @@ def restfeed_stream_replay(
         query.stop()
     query.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def dedup_stream_replay(
+    spark: SparkSession, price: DataFrame, timeout_s: int = 600
+) -> DataFrame:
+    """Deterministic end-to-end replay of [[dedup_stream]] — the sixth
+    streaming path with a driver-side oracle-hash row, and the first
+    for the at-least-once -> effectively-once ingestion guard: the
+    spool holds the real feed PLUS planted re-deliveries (an exact
+    copy of ~1/7 of the rows, landing in later spool files like a
+    source retry would), and the stream dedups on the FULL row with a
+    watermark delay that outlasts the whole replay horizon, so every
+    re-delivery is dropped no matter which micro-batch it lands in.
+    Emitted rows are therefore exactly DISTINCT(feed) — the oracle is
+    one DISTINCT over the batch price base, and a single surviving
+    duplicate flips the driver hash.
+
+    Full-row keys are what make the replay deterministic: copies are
+    bit-identical, so WHICH copy survives is unobservable — no
+    arrival-order dependence. No sentinel either, deliberately:
+    dedup emission is immediate (filter-shaped state, not
+    window-close-gated), so append mode needs no final watermark push.
+    With a production-sized delay the state-eviction path (re-emission
+    after the watermark passes a key) is exercised by the pytest, not
+    the replay.
+
+    As with the other replays the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cols = ["coin_id", "exchange", "timestamp", "price", "volume"]
+    real = price.select(*cols)
+    spool = tempfile.mkdtemp(prefix="dedup_replay_")
+    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
+    redelivered = real.filter(
+        F.crc32(
+            F.concat_ws(
+                "|", "coin_id", "exchange", F.col("timestamp").cast("string")
+            )
+        )
+        % 7
+        == 0
+    )
+    redelivered.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(spool, "redeliver")
+    )
+    n = 0
+    for sub in ("feed", "redeliver"):
+        subdir = os.path.join(spool, sub)
+        for f in sorted(os.listdir(subdir)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f), os.path.join(spool, f"{n:04d}.parquet")
+                )
+                n += 1
+        shutil.rmtree(subdir)
+    name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        dedup_stream(
+            read_price_stream(spark, os.path.join(spool, "*.parquet")),
+            keys=cols,
+            delay="8760 hours",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"dedup replay did not finish in {timeout_s}s")
+    return spark.table(name)

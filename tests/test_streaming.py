@@ -739,3 +739,16 @@ def test_spread_stream_replay_matches_batch_theta_join(spark):
         ("C1", T, T + dt.timedelta(minutes=30)): 4.0,
         ("C2", T + dt.timedelta(minutes=-5), T): 2.0,
     }
+
+
+def test_dedup_stream_replay_equals_batch_distinct(spark, price_df):
+    """The driver-facing replay (planted ~1/7 re-deliveries in later
+    spool files, full-row keys, horizon-sized watermark delay) emits
+    exactly DISTINCT(feed) — no surviving duplicate, no falsely
+    dropped original."""
+    got = streaming.dedup_stream_replay(spark, price_df)
+    cols = ["coin_id", "exchange", "timestamp", "price", "volume"]
+    expected = price_df.select(*cols).distinct()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
