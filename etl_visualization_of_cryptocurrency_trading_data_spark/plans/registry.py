@@ -2550,13 +2550,16 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R6_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-6 ROTATION EXECUTED (registry = 140 queries, window = first 50):
+# ROUND-6 ROTATION EXECUTED (registry = 144 queries, window = first 50):
 # the r5 verdict's entire evidence-debt set rotates in this round —
-# 6 new scale-safe/real-decode registrations + the re-planned
-# incremental_dedup, the 5 remaining zero-driver-row late-r5 entries,
-# ALL 32 r3-stale entries, and 6 of the oldest r4-row entries. New
-# registrations were capped (6) exactly so the debt clears instead of
-# growing again.
+# 10 new registrations (scale-safe ANN/LSH configs, PNG real-decode,
+# salted join, restfeed + dedup streaming replays, plan_audit,
+# semantic_dedup) + the re-planned incremental_dedup, the 5 remaining
+# zero-driver-row late-r5 entries, ALL 32 r3-stale entries, and 2 of
+# the oldest r4-row entries (volume_cube, exchange_cardinality_approx,
+# market_cap_chart and knn_ivf_trained yielded their slots; their r4
+# rows stand). New registrations stayed under the ~12 cap so the debt
+# clears instead of growing again.
 # AFTER the r6 driver run: no registered query's newest driver row is
 # older than r4. Round-7 rotation guidance: front-load (a) anything r7
 # adds or re-plans, (b) the ~40 remaining entries whose newest rows are
@@ -2569,7 +2572,7 @@ def q_plan_audit(spark, sf_dir):
 # vwap_hourly, atr_14, stochastic, donchian, documents_profile,
 # rolling_beta, cross_exchange_spread, ichimoku, price_chart,
 # ohlc_chart, indicator_chart, coin_display, price_resample_1h...),
-# oldest first; the 50 r5-row and 44 r6-row entries can wait a round.
+# oldest first; the 50 r5-row and ~46 r6-row entries can wait a round.
 # Update EXPECTED_R6_WINDOW in test_sql_api.py in the same commit as any
 # window change (rename it EXPECTED_R7_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
