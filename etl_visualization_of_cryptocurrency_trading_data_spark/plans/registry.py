@@ -1702,12 +1702,20 @@ KNN_IVF_SQL = _knn_ivf_sql()
 # the IVF search in place of the deterministic sample. Centroid dims are
 # round(avg, 9) in BOTH engines, so the search sees bit-identical
 # centroids; cosine ties break by id as everywhere else.
-PAGERANK_CTES = f"""base AS ({PRICE_BASE_SQL}),
+def _pagerank_ctes(cap: int = 2000) -> str:
+    """Edge build + 3 integer-fixed-point PageRank rounds as CTEs;
+    ``cap`` is graph.cooccurrence_edges' ``max_per_bucket`` guard —
+    2000 never binds on the fixtures (the teaching registration),
+    3 BINDS at sf0.01 (max per-minute density is 4) and bounds the
+    edge count to buckets * C(cap, 2) regardless of tick density
+    (the scale-safe registration ``coin_pagerank_capped``; the
+    uncapped minute-bucket build measured 103x edges at 10x data)."""
+    return f"""base AS ({PRICE_BASE_SQL}),
 eh AS (SELECT DISTINCT coin_id AS e, date_trunc('minute', timestamp) AS h FROM base),
 ehc AS (
   SELECT e, h FROM (
     SELECT e, h, row_number() OVER (PARTITION BY h ORDER BY e) AS rn FROM eh)
-  WHERE rn <= 2000
+  WHERE rn <= {cap}
 ),
 edges AS (
   SELECT a.e AS src, b.e AS dst, count(*) AS weight
@@ -1752,6 +1760,9 @@ r3 AS (
   SELECT nodes.id, (tele + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS r
   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
 )"""
+
+
+PAGERANK_CTES = _pagerank_ctes(2000)
 
 PQ_SEARCH_CTES = """base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 seeds AS (
@@ -2512,6 +2523,26 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_coin_pagerank_capped(spark, sf_dir):
+    """The SCALE-SAFE PageRank registration: identical iteration to
+    coin_pagerank, but the co-occurrence edge build runs with a
+    max_per_bucket cap that BINDS (3; max per-minute density at
+    sf0.01 is 4) — per-bucket pair growth is the graph family's
+    quadratic term (measured: 116k -> 11.9M edges, 103x, at 10x data
+    with the non-binding 2000 default), and the deterministic
+    top-K-by-id guard bounds edges to buckets * C(K, 2) no matter how
+    dense ticks get. K=3 is fixture-sized for the same reason
+    knn_ivf_fixed's C=32 is: the point the driver hash pins is the
+    guard's SEMANTICS (replayed exactly in SQL), while production
+    picks K for graph fidelity."""
+    from pyspark.sql import functions as F
+
+    price = _price_base(spark, sf_dir)
+    edges = graph.cooccurrence_edges(price, bucket="minute", max_per_bucket=3)
+    nodes = price.select(F.col("coin_id").alias("id")).distinct()
+    return graph.pagerank(edges, nodes, iters=3)
+
+
 def q_dedup_stream_replay(spark, sf_dir):
     """SIXTH driver-checkable STREAMING path
     (pipeline.dedup_stream_replay), first for the ingestion-dedup
@@ -2588,6 +2619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_wide": q_embedding_dup_wide,
     "semantic_dedup": q_semantic_dedup,
     "dedup_stream_replay": q_dedup_stream_replay,
+    "coin_pagerank_capped": q_coin_pagerank_capped,
     # --- plan changed this round: increment now PLANTS both drop
     # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
@@ -4716,6 +4748,12 @@ FROM base b JOIN med m USING (coin_id, exchange)
     ),
     "coin_pagerank": f"""
 WITH {PAGERANK_CTES}
+SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg
+FROM r3 LEFT JOIN wdeg w ON r3.id = w.id""",
+    # scale-safe twin: the max_per_bucket guard BINDS (cap=3), bounding
+    # edges to buckets * C(3,2) — the quadratic density term removed
+    "coin_pagerank_capped": f"""
+WITH {_pagerank_ctes(3)}
 SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg
 FROM r3 LEFT JOIN wdeg w ON r3.id = w.id""",
     "session_stream_replay": f"""

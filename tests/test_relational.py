@@ -413,6 +413,15 @@ def test_cooccurrence_and_pagerank(spark):
     assert ranks["z"].rank == round((1 - 0.85) / 4, 9) and ranks["z"].wdeg == 0
     assert sum(r.rank for r in ranks.values()) <= 1.0 + 1e-9
 
+    # max_per_bucket guard BINDS deterministically: cap=2 keeps the two
+    # smallest entity ids per bucket, so hour 1 collapses to the (a, b)
+    # pair — c is evicted from that bucket's pair space entirely
+    capped = {
+        (r.src, r.dst): r.weight
+        for r in graph.cooccurrence_edges(df, max_per_bucket=2).collect()
+    }
+    assert capped == {("a", "b"): 2}
+
 
 def test_exchange_hll_rollup_contract(spark):
     """The merged daily sketches must estimate each exchange's exact

@@ -233,7 +233,7 @@ EXPECTED_R6_WINDOW = [
     "simhash_pairs_wide", "knn_lsh_planes8", "knn_ivf_fixed",
     "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
     "plan_audit", "embedding_dup_wide", "semantic_dedup",
-    "dedup_stream_replay",
+    "dedup_stream_replay", "coin_pagerank_capped",
     # plan changed this round (planted-dup increment)
     "incremental_dedup",
     # zero-driver-row late-r5 registrations
@@ -251,10 +251,11 @@ EXPECTED_R6_WINDOW = [
     "union_price_feeds", "asof_price_candle", "top_suppliers",
     "user_retention", "price_correlation", "event_props_stats",
     "revenue_by_nation",
-    # oldest r4 rows fill the remaining slots (knn_ivf_trained and
-    # market_cap_chart yielded their slots to semantic_dedup and
-    # dedup_stream_replay; their r4 rows stand)
-    "trading_sessions", "session_range_join",
+    # oldest r4 rows fill the remaining slots (knn_ivf_trained,
+    # market_cap_chart and session_range_join yielded their slots to
+    # semantic_dedup, dedup_stream_replay and coin_pagerank_capped;
+    # their r4 rows stand)
+    "trading_sessions",
 ]
 
 
