@@ -861,3 +861,27 @@ def test_semantic_dedup_drop_rule_and_boundary_miss(spark):
     # cos(6, 7) ~ 0.9998 >= threshold, but 6 clusters with [0,1] and
     # 7 with [1,0]: the cross-cluster near-dup survives by design
     assert 6 not in rows and 7 not in rows
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark):
+    """The trained-index hook mirrors knn_ivf's: passing
+    kmeans_centroids output must keep the output contract, and exact
+    twins must still be caught — identical vectors always share a
+    cluster whatever the centroids are."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.unionByName(twins)
+    cents = similarity.kmeans_centroids(emb, iters=1)
+    got = similarity.semantic_dedup(corpus, threshold=0.9, centroids=cents)
+    assert got.columns == ["vec_id", "cluster_id", "dup_of", "cosine"]
+    rows = {r.vec_id: r.dup_of for r in got.collect()}
+    planted = {
+        r.vec_id + 1_000_000: r.vec_id
+        for r in emb.filter(F.col("vec_id") % 25 == 0).select("vec_id").collect()
+    }
+    # every planted twin is dropped and attributed to its original
+    # (or to an even-smaller-id dup — attribution picks the minimum)
+    for twin, orig in planted.items():
+        assert twin in rows and rows[twin] <= orig
