@@ -58,6 +58,8 @@ SHOWCASE = [
     "knn_ivf_pq",            # IVF routing over PQ byte-code ADC scoring
     "vocab_coverage",        # TakeOrdered partial top-k, no global sort
     "scd2_volume_tiers",     # day-keyed ntile + coin-keyed island windows
+    "semantic_dedup",        # broadcast centroid assign + cluster-key pairs
+    "coin_pagerank_capped",  # binding per-bucket top-K before the pair join
     "heikin_ashi",           # fused mapInPandas recursion, one shuffle
     "keltner_channels",      # ATR window + EMA Arrow pass, one shuffle
     "candlestick_patterns",  # one fused lag window over the candle agg
