@@ -143,6 +143,7 @@ def kmeans_centroids(
     iters: int = 2,
     centroid_modulus: int = 101,
     round_decimals: int = 9,
+    centroid_limit: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column — the trainer for the
     IVF coarse index ([[knn_ivf]] currently uses the deterministic
@@ -165,11 +166,23 @@ def kmeans_centroids(
     chain (each round's subtree consumed exactly once, no
     re-evaluation blow-up); for tens of rounds checkpoint each round
     like dup_clusters does.
+
+    ``centroid_limit=K`` replaces the modulus seed rule with a
+    FIXED-SIZE one (``vec_id < K``) — same dial as [[knn_ivf]]'s:
+    the modulus rule makes K = N/modulus, so per-round assignment is
+    N*K = N^2/modulus (measured 53x at 10x data, NOTES_r05 §3); with
+    K a capacity constant, training is linear in N per round.
+    Registered as ``kmeans_centroids_fixed``.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1 (n_members comes from the last update)")
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    centroids = base.filter(F.col("vec_id") % centroid_modulus == 1).select(
+    seed_rule = (
+        F.col("vec_id") < centroid_limit
+        if centroid_limit is not None
+        else F.col("vec_id") % centroid_modulus == 1
+    )
+    centroids = base.filter(seed_rule).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent")
     )
     for _ in range(iters):

@@ -473,6 +473,26 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_kmeans_fixed(spark, sf_dir):
+    """The SCALE-SAFE k-means registration
+    (similarity.kmeans_centroids centroid_limit=32): a fixed 32-seed
+    init instead of the modulus rule's K = N/101 — per-round
+    assignment cost N*K becomes linear in N (the modulus form
+    measured 53x at 10x data; fixed K is the production shape, same
+    dial as knn_ivf_fixed). Two Lloyd rounds, same digest output as
+    the teaching form."""
+    from pyspark.sql import functions as F
+
+    cent = similarity.kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings"), iters=2, centroid_limit=32
+    )
+    return cent.select(
+        "cent_id",
+        "n_members",
+        similarity.digest_i6(F.col("cent")).alias("cent_digest"),
+    )
+
+
 def q_knn_quantized(spark, sf_dir):
     """Top-k cosine over int8-quantized codes (exact integer-dot
     oracle, no rounding pin needed)."""
@@ -1655,6 +1675,63 @@ JOIN base y ON y.vec_id = id_b
 WHERE cosine >= {threshold}"""
 
 
+def _kmeans_sql(cent_where: str = "vec_id % 101 = 1") -> str:
+    """Two-Lloyd-round k-means oracle; ``cent_where`` picks the seed
+    set — the modulus default (K grows with N; teaching form) or the
+    fixed-size rule (``vec_id < 32``; the scale-honest registration
+    ``kmeans_centroids_fixed``, mirroring knn_ivf_fixed)."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE {cent_where}),
+s1 AS (
+  SELECT b.vec_id, b.emb, c.cent_id,
+         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
+                         for i in range(1, 65)]), 9) AS dist
+  FROM base b CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cent_id) AS rn
+    FROM s1) WHERE rn = 1
+),
+u1 AS (
+  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v, count(*) AS n
+  FROM a1, range(1, 65) t(i) GROUP BY cent_id, t.i
+),
+c1 AS (
+  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
+         max(n) AS n_members
+  FROM u1 GROUP BY cent_id
+),
+s2 AS (
+  SELECT b.vec_id, b.emb, c.cent_id,
+         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
+                         for i in range(1, 65)]), 9) AS dist
+  FROM base b CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cent_id) AS rn
+    FROM s2) WHERE rn = 1
+),
+u2 AS (
+  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v, count(*) AS n
+  FROM a2, range(1, 65) t(i) GROUP BY cent_id, t.i
+),
+c2 AS (
+  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
+         max(n) AS n_members
+  FROM u2 GROUP BY cent_id
+)
+SELECT cent_id, n_members,
+       md5(array_to_string(
+         list_transform(cent, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)),
+         ',')) AS cent_digest
+FROM c2"""
+
+
 def _knn_ivf_sql(cent_where: str = "vec_id % 101 = 1") -> str:
     """IVF-flat oracle; ``cent_where`` picks the coarse index — the
     modulus default (C grows with N; fixture/teaching form) or a
@@ -2621,6 +2698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dedup_stream_replay": q_dedup_stream_replay,
     "coin_pagerank_capped": q_coin_pagerank_capped,
+    "kmeans_centroids_fixed": q_kmeans_fixed,
     # --- plan changed this round: increment now PLANTS both drop
     # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
@@ -3263,56 +3341,10 @@ first_dup AS (
 SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
 FROM first_dup WHERE rn = 1""",
     "knn_brute": _knn_sql(bucketed=False),
-    "kmeans_centroids": """
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE vec_id % 101 = 1),
-s1 AS (
-  SELECT b.vec_id, b.emb, c.cent_id,
-         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
-                         for i in range(1, 65)]), 9) AS dist
-  FROM base b CROSS JOIN c0 c
-),
-a1 AS (
-  SELECT vec_id, emb, cent_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cent_id) AS rn
-    FROM s1) WHERE rn = 1
-),
-u1 AS (
-  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v, count(*) AS n
-  FROM a1, range(1, 65) t(i) GROUP BY cent_id, t.i
-),
-c1 AS (
-  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
-         max(n) AS n_members
-  FROM u1 GROUP BY cent_id
-),
-s2 AS (
-  SELECT b.vec_id, b.emb, c.cent_id,
-         round(list_sum([(b.emb[i] - c.cent[i]) * (b.emb[i] - c.cent[i])
-                         for i in range(1, 65)]), 9) AS dist
-  FROM base b CROSS JOIN c1 c
-),
-a2 AS (
-  SELECT vec_id, emb, cent_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cent_id) AS rn
-    FROM s2) WHERE rn = 1
-),
-u2 AS (
-  SELECT cent_id, t.i AS i, avg(emb[t.i]) AS v, count(*) AS n
-  FROM a2, range(1, 65) t(i) GROUP BY cent_id, t.i
-),
-c2 AS (
-  SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
-         max(n) AS n_members
-  FROM u2 GROUP BY cent_id
-)
-SELECT cent_id, n_members,
-       md5(array_to_string(
-         list_transform(cent, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)),
-         ',')) AS cent_digest
-FROM c2""",
+    "kmeans_centroids": _kmeans_sql(),
+    # scale-safe seed rule: fixed K=32 (the modulus rule makes
+    # K = N/101, i.e. N^2 assignment — measured 53x at 10x data)
+    "kmeans_centroids_fixed": _kmeans_sql("vec_id < 32"),
     "knn_quantized": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
 m AS (SELECT vec_id, raw,

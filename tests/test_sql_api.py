@@ -234,6 +234,7 @@ EXPECTED_R6_WINDOW = [
     "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
     "plan_audit", "embedding_dup_wide", "semantic_dedup",
     "dedup_stream_replay", "coin_pagerank_capped",
+    "kmeans_centroids_fixed",
     # plan changed this round (planted-dup increment)
     "incremental_dedup",
     # zero-driver-row late-r5 registrations
@@ -251,11 +252,11 @@ EXPECTED_R6_WINDOW = [
     "union_price_feeds", "asof_price_candle", "top_suppliers",
     "user_retention", "price_correlation", "event_props_stats",
     "revenue_by_nation",
-    # oldest r4 rows fill the remaining slots (knn_ivf_trained,
-    # market_cap_chart and session_range_join yielded their slots to
-    # semantic_dedup, dedup_stream_replay and coin_pagerank_capped;
-    # their r4 rows stand)
-    "trading_sessions",
+    # the four oldest-r4 slots all yielded to this wave's new
+    # registrations (semantic_dedup, dedup_stream_replay,
+    # coin_pagerank_capped, kmeans_centroids_fixed); trading_sessions,
+    # session_range_join, market_cap_chart and knn_ivf_trained keep
+    # their r4 rows and front-load the r7 rotation
 ]
 
 
