@@ -2658,17 +2658,16 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R6_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-6 ROTATION EXECUTED (registry = 144 queries, window = first 50):
+# ROUND-6 ROTATION EXECUTED (registry = 146 queries, window = first 50):
 # the r5 verdict's entire evidence-debt set rotates in this round —
-# 11 new registrations (scale-safe ANN/LSH + capped-PageRank configs,
+# 12 new registrations (scale-safe ANN/LSH/k-means/capped-PageRank configs,
 # PNG real-decode, salted join, restfeed + dedup streaming replays,
 # plan_audit, semantic_dedup) + the re-planned incremental_dedup, the
 # 5 remaining zero-driver-row late-r5 entries, ALL 32 r3-stale
-# entries, and 1 of the oldest r4-row entries (volume_cube,
-# exchange_cardinality_approx, market_cap_chart, knn_ivf_trained and
-# session_range_join yielded their slots; their r4 rows stand). New
-# registrations stayed under the ~12 cap so the debt clears instead
-# of growing again.
+# entries (volume_cube, exchange_cardinality_approx, market_cap_chart,
+# knn_ivf_trained, session_range_join and trading_sessions yielded
+# their window slots; their r4 rows stand and front-load r7). New
+# registrations hit the ~12 cap exactly; the debt still clears.
 # AFTER the r6 driver run: no registered query's newest driver row is
 # older than r4. Round-7 rotation guidance: front-load (a) anything r7
 # adds or re-plans, (b) the ~40 remaining entries whose newest rows are
