@@ -2663,10 +2663,11 @@ def q_plan_audit(spark, sf_dir):
 # 12 new registrations (scale-safe ANN/LSH/k-means/capped-PageRank configs,
 # PNG real-decode, salted join, restfeed + dedup streaming replays,
 # plan_audit, semantic_dedup) + the re-planned incremental_dedup, the
-# 5 remaining zero-driver-row late-r5 entries, ALL 32 r3-stale
-# entries (volume_cube, exchange_cardinality_approx, market_cap_chart,
-# knn_ivf_trained, session_range_join and trading_sessions yielded
-# their window slots; their r4 rows stand and front-load r7). New
+# 5 remaining zero-driver-row late-r5 entries, and ALL 32 r3-stale
+# entries. Six r4-row entries (volume_cube,
+# exchange_cardinality_approx, market_cap_chart, knn_ivf_trained,
+# session_range_join, trading_sessions) yielded their window slots to
+# the new registrations; their r4 rows stand and front-load r7. New
 # registrations hit the ~12 cap exactly; the debt still clears.
 # AFTER the r6 driver run: no registered query's newest driver row is
 # older than r4. Round-7 rotation guidance: front-load (a) anything r7
