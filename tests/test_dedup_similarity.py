@@ -885,3 +885,51 @@ def test_semantic_dedup_accepts_trained_centroids(spark):
     # (or to an even-smaller-id dup — attribution picks the minimum)
     for twin, orig in planted.items():
         assert twin in rows and rows[twin] <= orig
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([0.0, 1.0, -1.0, 0.5]), min_size=4, max_size=4
+        ).filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_semantic_dedup_property_vs_bruteforce(spark, vecs):
+    """Property: for arbitrary tiny corpora, semantic_dedup's dropped
+    set equals a brute-force Python replay of the SAME definition —
+    assign to argmax-cosine seed (ties by cent_id), drop iff a
+    smaller-id same-cluster vector has cosine >= threshold, attribute
+    to the smallest such id."""
+    import math
+
+    n_clusters = 2
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.cluster_id, r.dup_of)
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.9, n_clusters=n_clusters
+        ).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.hypot(*a) * math.hypot(*b))
+
+    cents = [(i, v) for i, v in enumerate(vecs) if i < n_clusters]
+    assign = {}
+    for i, v in enumerate(vecs):
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
+        assign[i] = best[0]
+    want = {}
+    for j, vj in enumerate(vecs):
+        dups = [
+            i for i, vi in enumerate(vecs)
+            if i < j and assign[i] == assign[j] and cos(vi, vj) >= 0.9
+        ]
+        if dups:
+            want[j] = (assign[j], min(dups))
+    assert got == want
