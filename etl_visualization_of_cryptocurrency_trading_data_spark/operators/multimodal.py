@@ -651,3 +651,311 @@ def decode_png(media: DataFrame, round_decimals: int = 6) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
+# --- JPEG (baseline grayscale) ------------------------------------
+# Standard JPEG Annex K luminance Huffman tables (public spec):
+# BITS (count of codes per length 1..16) and HUFFVAL (symbols in
+# code order). DC symbols are magnitude categories 0..11; AC symbols
+# are (run << 4) | size with 0x00 = EOB.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical JPEG code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.buf.append(b)
+                if b == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-pad per spec
+        return bytes(self.buf)
+
+
+def jpeg_table(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL image corpus in baseline JPEG (SOI/APP0/DQT/
+    SOF0/DHT/SOS/EOI, standard Annex K luminance Huffman tables,
+    grayscale, 8x8-aligned dims) — built so the LOSSY format becomes
+    EXACTLY decodable: every 8x8 block is a flat value, so only the DC
+    coefficient is nonzero, and with q[DC]=8 the dequantized DC is
+    8*(v-128) whose DC-only IDCT is exactly v-128 in IEEE doubles
+    (division by 8 is exact). Quantization loses nothing on this
+    corpus, making a closed-form oracle possible for a format where
+    general payloads round-trip only approximately.
+
+    Dims: w = 8*(1 + d%3), h = 8*(1 + d%2); block b (raster order)
+    holds value (d + 7*b) % 256. Arrow-batched mapInPandas, pure map.
+    """
+    import struct
+
+    schema = "doc_id long, width int, height int, payload binary"
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    qtab = bytes([8] * 64)
+
+    def segments(w: int, h: int) -> bytes:
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + qtab
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+        dht = bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + len(dht)) + bytes([0x00]) + dht
+        aht = bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + len(aht)) + bytes([0x10]) + aht
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+        return bytes(out)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                bw = _JpegBitWriter()
+                pred = 0
+                n_blocks = (w // 8) * (h // 8)
+                for b in range(n_blocks):
+                    v = (d + 7 * b) % 256
+                    dc_q = v - 128  # dequantizes to 8*(v-128)
+                    diff = dc_q - pred
+                    pred = dc_q
+                    mag = abs(diff)
+                    size = mag.bit_length()
+                    code, length = dc_codes[size]
+                    bw.put(code, length)
+                    if size:
+                        bits = diff if diff > 0 else diff + (1 << size) - 1
+                        bw.put(bits, size)
+                    eob_code, eob_len = ac_codes[0x00]
+                    bw.put(eob_code, eob_len)
+                payload = segments(w, h) + bw.flush() + b"\xff\xd9"
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """REAL bytes→pixels decode for baseline grayscale JPEG — the
+    fourth real-decode modality (PPM, WAV, PNG, now JPEG) with numpy
+    only: marker/segment walk, DQT/SOF0/DHT/SOS parse, canonical
+    Huffman decode over the 0xFF00-unstuffed bitstream, DC prediction,
+    AC run-length/zigzag placement, dequantization, and a REAL float
+    8x8 IDCT (separable cosine basis) with level shift + clamp. The
+    decoder is general within baseline/grayscale/single-scan (no
+    restart markers); on [[jpeg_table]]'s DC-only corpus the IDCT is
+    exact in IEEE doubles, which is what makes the closed-form oracle
+    possible for a lossy format.
+
+    Output: (doc_id, width, height, n_pixels, mean_gray) with
+    width/height read from SOF0, not trusted metadata. Arrow-batched
+    mapInPandas, pure map: no shuffle, linear scale-out.
+    """
+    import struct
+
+    schema = (
+        "doc_id long, width int, height int, n_pixels long, mean_gray double"
+    )
+
+    u = np.arange(8)
+    basis = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16)
+    basis[:, 0] *= 1 / np.sqrt(2)  # C(0) folded into column 0
+
+    def idct2(coef: np.ndarray) -> np.ndarray:
+        # f = (1/4) * B @ S @ B.T with C(u) folded into B's columns
+        return 0.25 * basis @ coef @ basis.T
+
+    def parse(buf: bytes):
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
+        qtabs: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        w = h = None
+        scan = None
+        while pos < len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError("bad marker alignment")
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (size,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            body = buf[pos + 4 : pos + 2 + size]
+            if marker == 0xDB:
+                if body[0] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[body[0] & 0x0F] = np.frombuffer(
+                    body[1:65], dtype=np.uint8
+                ).astype(np.int32)
+            elif marker == 0xC0:
+                depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+                if depth != 8 or ncomp != 1:
+                    raise ValueError("only 8-bit grayscale baseline supported")
+                comp_qtab = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3):
+                raise ValueError("only baseline SOF0 supported")
+            elif marker == 0xC4:
+                off = 0
+                while off < len(body):
+                    tc, th = body[off] >> 4, body[off] & 0x0F
+                    bits = list(body[off + 1 : off + 17])
+                    nval = sum(bits)
+                    vals = list(body[off + 17 : off + 17 + nval])
+                    codes = _jpeg_huff_codes(bits, vals)
+                    huff[(tc, th)] = {
+                        (length, code): sym for sym, (code, length) in codes.items()
+                    }
+                    off += 17 + nval
+            elif marker == 0xDA:
+                ncomp_s = body[0]
+                if ncomp_s != 1:
+                    raise ValueError("single-component scan only")
+                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                scan_start = pos + 2 + size
+                end = buf.rindex(b"\xff\xd9")
+                scan = buf[scan_start:end]
+                pos = end
+                continue
+            pos += 2 + size
+        if w is None or scan is None:
+            raise ValueError("missing SOF0/SOS")
+        # unstuff 0xFF00 and decode
+        data = scan.replace(b"\xff\x00", b"\xff")
+        dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
+        q = qtabs[comp_qtab]
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+        bitpos = 0
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            byte = data[bitpos >> 3]
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return bit
+
+        def read_huff(table) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in scan")
+
+        def receive_extend(size: int) -> int:
+            if size == 0:
+                return 0
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | read_bit()
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        pred = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = np.zeros(64, dtype=np.int64)
+                size = read_huff(dc_map)
+                pred += receive_extend(size)
+                zz[0] = pred
+                k = 1
+                while k < 64:
+                    sym = read_huff(ac_map)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, s = sym >> 4, sym & 0x0F
+                    if s == 0 and run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += run
+                    if s:
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        zz[k] = receive_extend(s)
+                        k += 1
+                    else:
+                        k += 1  # ZRL consumed 16 zeros total
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_JPEG_ZIGZAG] = zz * q[np.arange(64)]
+                block = idct2(coef.reshape(8, 8)) + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        px = np.clip(np.round(out[:h, :w]), 0, 255)
+        return w, h, px
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "n_pixels": [], "mean_gray": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse(bytes(buf))
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["mean_gray"].append(round(float(px.mean()), round_decimals))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(decode, schema)

@@ -933,3 +933,47 @@ def test_semantic_dedup_property_vs_bruteforce(spark, vecs):
         if dups:
             want[j] = (assign[j], min(dups))
     assert got == want
+
+
+def test_jpeg_roundtrip_closed_form(spark):
+    """Baseline-JPEG corpus decodes EXACTLY to the closed-form block
+    means: flat 8x8 blocks keep only the DC coefficient, q[DC]=8 makes
+    the DC-only IDCT exact in doubles, so the lossy format loses
+    nothing on this corpus. doc_id 250 forces a DC wrap (250 -> 1),
+    covering the negative-diff Huffman path; 0 covers the zero-diff
+    category-0 path."""
+    ids = spark.createDataFrame(
+        [(0,), (1,), (5,), (12,), (123,), (250,)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r
+        for r in multimodal.decode_jpeg(multimodal.jpeg_table(ids)).collect()
+    }
+    for d in [0, 1, 5, 12, 123, 250]:
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        n_blocks = (w // 8) * (h // 8)
+        want = sum((d + 7 * b) % 256 for b in range(n_blocks)) / n_blocks
+        r = got[d]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.mean_gray == round(want, 6)
+
+
+def test_decode_jpeg_rejects_non_jpeg_and_progressive(spark):
+    """The decoder refuses what it cannot honestly decode: payloads
+    without SOI, and progressive scans (SOF2) — mutated from a valid
+    baseline payload so everything else is intact."""
+    import pytest as _pytest
+
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    payload = bytes(
+        multimodal.jpeg_table(ids).collect()[0].payload
+    )
+    bad_soi = b"\x00" + payload[1:]
+    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    for buf, msg in [(bad_soi, "SOI"), (progressive, "baseline")]:
+        broken = spark.createDataFrame(
+            [(1, buf)], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception) as ei:
+            multimodal.decode_jpeg(broken).collect()
+        assert msg in str(ei.value)
