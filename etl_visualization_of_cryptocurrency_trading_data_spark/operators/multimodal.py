@@ -803,9 +803,13 @@ def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     AC run-length/zigzag placement, dequantization, and a REAL float
     8x8 IDCT (separable cosine basis) with level shift + clamp. The
     decoder is general within baseline/grayscale/single-scan (no
-    restart markers); on [[jpeg_table]]'s DC-only corpus the IDCT is
-    exact in IEEE doubles, which is what makes the closed-form oracle
-    possible for a lossy format.
+    restart markers; multi-table DQT segments are walked like DHT;
+    the final sample rounding uses numpy's round-half-even, which can
+    differ from the spec's round-half-away by 1 LSB on exact .5
+    reconstructions — irrelevant on [[jpeg_table]]'s corpus, whose
+    block means are integers); on [[jpeg_table]]'s DC-only corpus the
+    IDCT is exact in IEEE doubles, which is what makes the closed-form
+    oracle possible for a lossy format.
 
     Output: (doc_id, width, height, n_pixels, mean_gray) with
     width/height read from SOF0, not trusted metadata. Arrow-batched
@@ -842,11 +846,17 @@ def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
             (size,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
             body = buf[pos + 4 : pos + 2 + size]
             if marker == 0xDB:
-                if body[0] >> 4:
-                    raise ValueError("16-bit quant tables unsupported")
-                qtabs[body[0] & 0x0F] = np.frombuffer(
-                    body[1:65], dtype=np.uint8
-                ).astype(np.int32)
+                # a DQT segment may carry SEVERAL 65-byte (precision
+                # nibble + 64 entries) tables back to back — walk them
+                # all, like the DHT branch below (ADVICE r6)
+                off = 0
+                while off < len(body):
+                    if body[off] >> 4:
+                        raise ValueError("16-bit quant tables unsupported")
+                    qtabs[body[off] & 0x0F] = np.frombuffer(
+                        body[off + 1 : off + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    off += 65
             elif marker == 0xC0:
                 depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
                 if depth != 8 or ncomp != 1:

@@ -682,7 +682,17 @@ def semantic_dedup(
     in Spark and DuckDB because both evaluate the same left-to-right
     dot-product fold.
     """
-    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb")).filter(
+        # zero-norm guard (ADVICE r6): cosine is undefined for a zero
+        # vector — Spark yields NULL (sorts last under desc) while
+        # DuckDB's double division yields inf/NaN with a different
+        # sort placement, so an unguarded zero vector would silently
+        # diverge the two engines' cluster assignment. Dropping them
+        # up front (mirroring normalize_embeddings' l2>0 rule) keeps
+        # both engines on defined arithmetic; the oracle applies the
+        # identical predicate.
+        _norm(F.col("emb")) > 0
+    )
     if centroids is None:
         centroids = base.filter(F.col("vec_id") < n_clusters).select(
             F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")

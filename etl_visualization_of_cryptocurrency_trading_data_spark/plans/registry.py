@@ -2275,13 +2275,23 @@ def q_exchange_influencers(spark, sf_dir):
     """Composition query: top-3 coins per exchange by co-movement
     PageRank — graph analytics joined back into the serving dimension
     (exchange recovered from the entity key), ranked with the
-    deterministic (rank desc, id) tiebreak."""
+    deterministic (rank desc, id) tiebreak.
+
+    Re-planned r7 (verdict r6 item #2): the edge build now runs with
+    the BINDING ``max_per_bucket=3`` cap (the ``coin_pagerank_capped``
+    configuration — max per-minute density at sf0.01 is 4), not the
+    never-binding 2000 default. The uncapped minute-bucket build was
+    the last registered scale-killer: measured 103x edges / 7.8x wall
+    at 10x data, while the capped build bounds edges to
+    buckets * C(3, 2) whatever the tick density (measured 1.2x at
+    10x). The oracle replays the identical deterministic
+    top-K-by-entity-id guard via ``_pagerank_ctes(3)``."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     price = _price_base(spark, sf_dir)
     pr = graph.pagerank(
-        graph.cooccurrence_edges(price, bucket="minute"),
+        graph.cooccurrence_edges(price, bucket="minute", max_per_bucket=3),
         price.select(F.col("coin_id").alias("id")).distinct(),
         iters=3,
     )
@@ -3305,11 +3315,15 @@ WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     # SemDeDup replay: fixed-seed clustering -> within-cluster pairs
     # -> smallest-id dup_of; same planted twins as embedding_dup_wide
     "semantic_dedup": """
-WITH base AS (
+WITH raw AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000, embedding::DOUBLE[]
   FROM embeddings WHERE vec_id % 25 = 0
+),
+-- zero-norm guard: mirrors semantic_dedup's l2>0 filter exactly
+base AS (
+  SELECT vec_id, emb FROM raw WHERE sqrt(list_dot_product(emb, emb)) > 0
 ),
 centroids AS (
   SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 32
@@ -4638,8 +4652,10 @@ FROM ids GROUP BY coin_id, exchange, sid""",
     # round-2 sum fell on opposite sides of the grid in Spark vs DuckDB
     # and the flip cascaded); integer multiply/DIV/sum are bit-exact in
     # every engine. DuckDB // == Spark div for positive operands.
+    # re-planned r7: binding cap=3 (scale-safe edge bound), replayed
+    # by the same parameterized CTE stack as coin_pagerank_capped
     "exchange_influencers": f"""
-WITH {PAGERANK_CTES},
+WITH {_pagerank_ctes(3)},
 pr AS (
   SELECT r3.id, r3.r / 1000000000.0 AS rank, coalesce(w.wdeg, 0)::BIGINT AS wdeg
   FROM r3 LEFT JOIN wdeg w ON r3.id = w.id

@@ -437,10 +437,24 @@ def vwap_stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(f"vwap replay did not finish in {timeout_s}s")
+    _drain_spool(query, spool, "vwap", timeout_s)
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
+
+def _drain_spool(query, spool: str, what: str, timeout_s: int) -> None:
+    """Await an availableNow drain, then DELETE the spool tempdir: the
+    memory sink has materialized every emitted row on the driver by
+    termination, so the source files are dead weight — without this
+    every bench/test run grew /tmp by one spool (ADVICE r6). The spool
+    is removed on the timeout path too (the query is stopped first)."""
+    import shutil
+
+    ok = query.awaitTermination(timeout_s)
+    if not ok:
+        query.stop()
+    shutil.rmtree(spool, ignore_errors=True)
+    if not ok:
+        raise TimeoutError(f"{what} replay did not finish in {timeout_s}s")
+
 
 def _spool_with_sentinel(spark: SparkSession, real: DataFrame, max_ts, prefix: str) -> str:
     """Spool a price feed to a flat parquet dir plus one far-future
@@ -518,9 +532,7 @@ def session_stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(f"session replay did not finish in {timeout_s}s")
+    _drain_spool(query, spool, "session", timeout_s)
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
 
 
@@ -563,9 +575,7 @@ def ohlc_stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(f"ohlc replay did not finish in {timeout_s}s")
+    _drain_spool(query, spool, "ohlc", timeout_s)
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
 
 
@@ -617,9 +627,7 @@ def spread_stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(f"spread replay did not finish in {timeout_s}s")
+    _drain_spool(query, spool, "spread", timeout_s)
     return spark.table(name)
 
 
@@ -762,7 +770,5 @@ def dedup_stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(f"dedup replay did not finish in {timeout_s}s")
+    _drain_spool(query, spool, "dedup", timeout_s)
     return spark.table(name)

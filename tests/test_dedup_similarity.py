@@ -916,8 +916,14 @@ def test_semantic_dedup_property_vs_bruteforce(spark, vecs):
     }
 
     def cos(a, b):
+        # math.sqrt(left-to-right fold) — the exact expression shape of
+        # similarity._norm; math.hypot can differ by 1 ulp and flake a
+        # near-tie assignment or threshold comparison (ADVICE r6).
+        def norm(v):
+            return math.sqrt(sum(x * x for x in v))
+
         num = sum(x * y for x, y in zip(a, b))
-        return num / (math.hypot(*a) * math.hypot(*b))
+        return num / (norm(a) * norm(b))
 
     cents = [(i, v) for i, v in enumerate(vecs) if i < n_clusters]
     assign = {}
