@@ -72,14 +72,14 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def resize_media(
     media: DataFrame, target_w: int = 224, target_h: int = 224, real_decode: bool = False
 ) -> DataFrame:
-    """Resize step: metadata transform is real (new width/height,
-    deterministic output byte size); the pixel resample itself is the
-    stubbed part (payload re-hashed to the target size — swap for
-    PIL ``Image.resize`` in production). Same mapInPandas batch shape."""
+    """Resize step over the OPAQUE media table: metadata transform is
+    real (new width/height, deterministic output byte size); the pixel
+    path is stubbed because these payloads are synthetic bytes, not
+    images. ``real_decode=True`` routes to :func:`resize_pixels`, the
+    REAL numpy resample over decodable (PPM) payloads — it raises at
+    decode time on non-image bytes instead of pretending."""
     if real_decode:
-        raise NotImplementedError(
-            "real resize requires image codecs not present in this container"
-        )
+        return resize_pixels(media, target_w, target_h)
     # Preserve every input column (duration_s etc.) so resize composes
     # with the other media stages; only payload/width/height change.
     schema = ", ".join(
@@ -258,6 +258,114 @@ def ppm_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def _ppm_parse_header(buf: bytes) -> tuple[int, int, int, int]:
+    """Return (width, height, maxval, pixel_offset) of a binary PPM
+    (P6) payload — magic, dimensions, maxval, arbitrary whitespace and
+    ``#`` comments per the netpbm spec; raises on a malformed file
+    rather than guessing. Shared by :func:`decode_ppm` and
+    :func:`resize_pixels`."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    return fields[0], fields[1], fields[2], pos + 1  # single ws after maxval
+
+
+def _resample(px: np.ndarray, target_h: int, target_w: int, method: str) -> np.ndarray:
+    """Pure-numpy pixel resample, (h, w, c) uint8 -> (target_h,
+    target_w, c) — the piece that was an honest stub through r6
+    because "no image library" was conflated with "no resampler";
+    index arithmetic needs no codec.
+
+    ``nearest``: source index = (dst * src_size) // dst_size — pure
+    integer arithmetic, exactly replayable in SQL (the registered
+    oracle's form).
+    ``bilinear``: half-pixel-centered sampling with edge clamp (the
+    PIL/torchvision align_corners=False convention), float64 weights,
+    round-half-up back to uint8 — pinned by handcrafted-scale pytest,
+    not the driver oracle (weight arithmetic is IEEE-deterministic but
+    not worth expressing in SQL)."""
+    h, w = px.shape[0], px.shape[1]
+    if method == "nearest":
+        ri = (np.arange(target_h) * h) // target_h
+        ci = (np.arange(target_w) * w) // target_w
+        return px[ri][:, ci]
+    if method == "bilinear":
+
+        def axis(n_src: int, n_dst: int):
+            pos = (np.arange(n_dst) + 0.5) * n_src / n_dst - 0.5
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            return (
+                np.clip(lo, 0, n_src - 1),
+                np.clip(lo + 1, 0, n_src - 1),
+                frac,
+            )
+
+        r0, r1, fr = axis(h, target_h)
+        c0, c1, fc = axis(w, target_w)
+        p = px.astype(np.float64)
+        fc3 = fc[None, :, None]
+        top = p[r0][:, c0] * (1 - fc3) + p[r0][:, c1] * fc3
+        bot = p[r1][:, c0] * (1 - fc3) + p[r1][:, c1] * fc3
+        fr3 = fr[:, None, None]
+        out = top * (1 - fr3) + bot * fr3
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown resample method {method!r}")
+
+
+def resize_pixels(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    method: str = "nearest",
+) -> DataFrame:
+    """REAL pixel resample over decodable image payloads (closes the
+    r6 resize stub): decode the binary PPM payload, resample the
+    actual pixel grid with :func:`_resample`, re-encode as a
+    spec-compliant P6 payload at the target dimensions — so the
+    output composes with :func:`decode_ppm` (decode → resize →
+    channel means is the registered ``media_resize`` chain and its
+    closed-form oracle).
+
+    Arrow-batched mapInPandas, pure map: no shuffle, linear
+    scale-out; at 100 TB this is a per-file CPU transform exactly
+    like production PIL resize, and swapping the PPM codec for
+    PIL/ffmpeg changes only the decode/encode lines."""
+    schema = "doc_id long, width int, height int, payload binary"
+    header = f"P6\n{target_w} {target_h}\n255\n".encode("ascii")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                w, h, maxval, off = _ppm_parse_header(buf)
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = np.frombuffer(
+                    buf, dtype=np.uint8, count=w * h * 3, offset=off
+                ).reshape(h, w, 3)
+                out = _resample(px, target_h, target_w, method)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(target_w)
+                rows["height"].append(target_h)
+                rows["payload"].append(header + out.tobytes())
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(resize, schema)
+
+
 def decode_ppm(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     """REAL bytes→pixels decode for binary PPM (P6) payloads — no codec
     library needed, so unlike :func:`decode_features` this path has no
@@ -276,25 +384,7 @@ def decode_ppm(media: DataFrame, round_decimals: int = 6) -> DataFrame:
         "doc_id long, width int, height int, n_pixels long,"
         " mean_r double, mean_g double, mean_b double"
     )
-
-    def parse_header(buf: bytes) -> tuple[int, int, int, int]:
-        """Return (width, height, maxval, pixel_offset); raises on a
-        malformed file rather than guessing."""
-        if buf[:2] != b"P6":
-            raise ValueError("not a binary PPM (P6) payload")
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(buf) and buf[pos : pos + 1].isspace():
-                pos += 1
-            if buf[pos : pos + 1] == b"#":  # comment runs to end of line
-                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(buf) and not buf[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(buf[start:pos]))
-        return fields[0], fields[1], fields[2], pos + 1  # single ws after maxval
+    parse_header = _ppm_parse_header
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -638,6 +638,26 @@ def q_media_decode_ppm(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """REAL pixel resample (multimodal.resize_pixels, closes the r6
+    resize stub — verdict r6 item #4): the PPM corpus decoded,
+    nearest-resampled to 6x5 with pure-integer index mapping
+    (src = (dst * src_size) // dst_size — upsamples width 4-5,
+    downsamples 7-8, identity at 6, so both directions are exercised),
+    re-encoded as spec-compliant P6, then channel-meaned through
+    decode_ppm. The oracle replays the exact index arithmetic in SQL:
+    output pixel (ro, co) reads source index
+    ((ro*h)//5)*w + (co*w)//6 whose channels are closed-form in
+    doc_id — integer-exact, tolerance-free."""
+    return multimodal.decode_ppm(
+        multimodal.resize_pixels(
+            multimodal.ppm_table(_documents(spark, sf_dir)),
+            target_w=6,
+            target_h=5,
+        )
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup (dedup.url_dedup) over deterministic synthetic
     URLs: host from source, bucketed path from doc_id, plus www./
@@ -1577,6 +1597,7 @@ def _knn_sql(
     round_decimals: int | None = None,
     multiprobe: bool = False,
     n_planes: int | None = None,
+    plant_shift: int | None = None,
 ) -> str:
     planes = (
         similarity.hyperplanes(n_planes)
@@ -1609,9 +1630,27 @@ def _knn_sql(
         # rank on the rounded value too — the engine's vectorized path
         # prunes and ranks on rounded cosines, so ties must match
         cos = f"round({cos}, {round_decimals})"
+    # plant_shift: the corpus additionally carries an EXACT twin of
+    # every probe vector under vec_id + plant_shift (shift chosen so
+    # twins are never probes themselves) — identical vectors share
+    # every sign bit, so each probe's twin is a guaranteed bucket
+    # collision and a cosine-1 rank-1 neighbor; the driver hash then
+    # certifies candidate generation AND ranking on non-empty,
+    # known-answer output (the embedding_dup_wide recipe).
+    corpus = (
+        "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+        if plant_shift is None
+        else f"""SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + {plant_shift}, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % 50 = 0"""
+    )
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb{bucket_col} FROM embeddings
+WITH corpus AS (
+  {corpus}
+),
+base AS (
+  SELECT vec_id, emb{bucket_col} FROM corpus
 ),
 probes AS (
   SELECT vec_id AS probe_id, emb AS probe_emb{probe_bucket} {probe_from} WHERE vec_id % 50 = 0
@@ -2478,10 +2517,27 @@ def q_knn_lsh_planes8(spark, sf_dir):
     16x, the dial that took the sf0.1→sf1 ratio from 18.6x to 2.0x
     (NOTES_r05 §3, knob-verified; driver-hash-verified here). The
     4-plane entry stays as the high-recall fixture form; recall at 8
-    planes is the documented cost of the bucket shrink."""
-    return similarity.knn_lsh(
-        load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8
+    planes is the documented cost of the bucket shrink.
+
+    Re-planned r7 (verdict r6 item #3): 256 buckets over ~500 fixture
+    vectors made the r6 driver row vacuous on QUALITY — recall vs
+    random neighbors ≈ 0, so the hash certified bucketing but not
+    that the index finds anything. The corpus now PLANTS an exact
+    twin of every probe vector under vec_id + 1000001 (the shift
+    keeps twins out of the probe set: % 50 == 1): identical sign
+    bits collide in every bucketing, so each probe's twin is a
+    guaranteed candidate and its cosine-1 rank-1 neighbor — the
+    driver hash covers candidate generation, exact-cosine verify,
+    and ranking on non-empty known-answer output (the
+    embedding_dup_wide recipe); the planted-recall floor is pinned
+    in tests/test_dedup_similarity.py."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_001)
     )
+    return similarity.knn_lsh(emb.unionByName(twins), k=5, n_planes=8)
 
 
 def q_knn_ivf_fixed(spark, sf_dir):
@@ -2793,6 +2849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
+    "media_resize": q_media_resize,
     "vwap_stream_replay": q_vwap_stream_replay,
     "span_dedup": q_span_dedup,
     "gopher_rules": q_gopher_rules,
@@ -3408,7 +3465,7 @@ FROM m""",
     # scale-safe configurations (r5 verdict item #2): fixed-C coarse
     # index / 256-bucket LSH, each with its own exact oracle
     "knn_ivf_fixed": _knn_ivf_sql("vec_id < 32"),
-    "knn_lsh_planes8": _knn_sql(bucketed=True, n_planes=8),
+    "knn_lsh_planes8": _knn_sql(bucketed=True, n_planes=8, plant_shift=1_000_001),
     # recall@5 of each approximate index vs brute truth — floors must
     # stay in sync with similarity.knn_recall's defaults
     "knn_recall": f"""
@@ -3484,6 +3541,21 @@ SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
        round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
        round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id, w, h""",
+    # nearest-neighbor resize replayed as pure index arithmetic:
+    # output pixel (ro, co) of the 6x5 target reads source index
+    # ((ro*h)//5)*w + (co*w)//6; channels are the ppm_table closed form
+    "media_resize": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id,
+         ((ro * h) // 5) * w + ((co * w) // 6) AS i
+  FROM d, range(5) r(ro), range(6) c(co)
+)
+SELECT doc_id, 6 AS width, 5 AS height, 30::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id""",
     # Engine groups spans by xxhash64(span_text) (8-byte shuffle key);
     # the oracle groups by the text itself — identical counts, and the
     # hash never reaches the output.

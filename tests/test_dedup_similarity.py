@@ -234,9 +234,13 @@ def test_real_decode_gated(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(multimodal.media_table(docs), real_decode=True)
     with pytest.raises(NotImplementedError):
-        multimodal.resize_media(multimodal.media_table(docs), real_decode=True)
-    with pytest.raises(NotImplementedError):
         multimodal.extract_frames(multimodal.media_table(docs), real_decode=True)
+    # resize_media's real path EXISTS since r7 (resize_pixels) but
+    # refuses non-image payloads at decode time instead of pretending
+    with pytest.raises(Exception, match="not a binary PPM"):
+        multimodal.resize_media(
+            multimodal.media_table(docs.limit(2)), real_decode=True
+        ).collect()
 
 
 def test_resize_media_shape(spark, docs):
@@ -246,6 +250,62 @@ def test_resize_media_shape(spark, docs):
     expected_len = 224 * 224 // 64
     assert all(len(r.payload) == expected_len for r in rows)
     assert all(r.width == 224 and r.height == 224 for r in rows)
+
+
+def test_resample_nearest_handcrafted():
+    """2x2 -> 4x4 nearest: each source pixel becomes a 2x2 block
+    (src = (dst * 2) // 4), and resizing to the SAME dims is the
+    identity — the integer mapping the registered oracle replays."""
+    import numpy as np
+
+    px = np.array(
+        [[[10, 11, 12], [20, 21, 22]], [[30, 31, 32], [40, 41, 42]]],
+        dtype=np.uint8,
+    )
+    up = multimodal._resample(px, 4, 4, "nearest")
+    assert up.shape == (4, 4, 3)
+    for ro in range(4):
+        for co in range(4):
+            assert (up[ro, co] == px[ro // 2, co // 2]).all()
+    same = multimodal._resample(px, 2, 2, "nearest")
+    assert (same == px).all()
+
+
+def test_resample_bilinear_handcrafted():
+    """1x2 [0, 255] -> 1x4 under half-pixel-centered bilinear with
+    edge clamp: positions -0.25, 0.25, 0.75, 1.25 give exactly
+    [0, 64, 191, 255] (0.25/0.75 blends, round half up)."""
+    import numpy as np
+
+    px = np.array([[[0], [255]]], dtype=np.uint8)  # h=1, w=2, c=1
+    out = multimodal._resample(px, 1, 4, "bilinear")
+    assert out[0, :, 0].tolist() == [0, 64, 191, 255]
+    # identity resize reproduces the source exactly (frac = 0 everywhere)
+    same = multimodal._resample(px, 1, 2, "bilinear")
+    assert (same == px).all()
+
+
+def test_resize_pixels_composes_with_decode(spark, docs):
+    """decode -> resize -> decode: the resized payload is a complete
+    P6 file decode_ppm opens, dims are the target, and the channel
+    means equal a numpy replay of the same nearest mapping."""
+    import numpy as np
+
+    media = multimodal.ppm_table(docs.limit(12))
+    resized = multimodal.resize_pixels(media, target_w=6, target_h=5)
+    decoded = {r.doc_id: r for r in multimodal.decode_ppm(resized).collect()}
+    for src in media.collect():
+        d = src.doc_id
+        w, h, _, off = multimodal._ppm_parse_header(bytes(src.payload))
+        px = np.frombuffer(
+            bytes(src.payload), dtype=np.uint8, count=w * h * 3, offset=off
+        ).reshape(h, w, 3)
+        want = multimodal._resample(px, 5, 6, "nearest").astype(np.float64)
+        got = decoded[d]
+        assert (got.width, got.height, got.n_pixels) == (6, 5, 30)
+        assert got.mean_r == pytest.approx(want[:, :, 0].mean())
+        assert got.mean_g == pytest.approx(want[:, :, 1].mean())
+        assert got.mean_b == pytest.approx(want[:, :, 2].mean())
 
 
 def test_frame_extract_matches_schedule(spark, docs):
@@ -727,6 +787,32 @@ def test_knn_lsh_planes8_refines_4plane_buckets(spark):
     )
     assert joined.filter(F.col("pb") != F.col("nb")).count() == 0
     assert out.count() > 0
+
+
+def test_knn_lsh_planes8_planted_recall_floor(spark):
+    """The registered knn_lsh_planes8 corpus plants an exact twin of
+    every probe under vec_id + 1000001 (registry.q_knn_lsh_planes8):
+    identical sign bits collide in EVERY bucketing, so planted recall
+    must be 1.0 — each probe's rank-1 neighbor is its twin at cosine
+    ~1. This is what makes the driver row non-vacuous on quality
+    (r6: 256 buckets over ~500 random fixture vectors => recall ≈ 0,
+    the hash certified candidate generation only)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_001)
+    )
+    out = similarity.knn_lsh(emb.unionByName(twins), k=5, n_planes=8)
+    probes = [r.vec_id for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()]
+    assert probes, "fixture has no probes"
+    top1 = {
+        r.probe_id: (r.neighbor_id, r.cosine)
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    for p in probes:
+        assert p in top1, f"probe {p} found no candidates"
+        nid, cos = top1[p]
+        assert nid == p + 1_000_001, f"probe {p} rank-1 is {nid}, not its twin"
+        assert cos == pytest.approx(1.0)
 
 
 def test_knn_ivf_fixed_c_recall_floor(spark):
