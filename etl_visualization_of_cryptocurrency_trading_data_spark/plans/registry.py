@@ -1182,6 +1182,21 @@ def q_ohlc_stream_replay(spark, sf_dir):
     return ohlc_stream_replay(spark, _price_base(spark, sf_dir))
 
 
+def q_recovery_stream_replay(spark, sf_dir):
+    """Exactly-once failure-recovery replay (verdict r6 item #7;
+    pipeline.recovery_stream_replay): the candle drain is killed with
+    the midpoint hour still open in watermark state, restarted from
+    its checkpoint over the remaining feed + sentinel, and the final
+    PARQUET-sink contents must hash-match the uninterrupted batch
+    candles — lost state, double emission, or a late-drop across the
+    restart each change the frame and flip the hash. Promotes T7 from
+    pytest-only to driver-hash-verified like the other six streaming
+    rows."""
+    from ..streaming.pipeline import recovery_stream_replay
+
+    return recovery_stream_replay(spark, _price_base(spark, sf_dir))
+
+
 def q_dup_rate_by_source(spark, sf_dir):
     """Duplication observability per corpus slice
     (dedup.dup_rate_by_source): per source, docs / distinct contents /
@@ -1714,13 +1729,14 @@ JOIN base y ON y.vec_id = id_b
 WHERE cosine >= {threshold}"""
 
 
-def _kmeans_sql(cent_where: str = "vec_id % 101 = 1") -> str:
-    """Two-Lloyd-round k-means oracle; ``cent_where`` picks the seed
-    set — the modulus default (K grows with N; teaching form) or the
-    fixed-size rule (``vec_id < 32``; the scale-honest registration
-    ``kmeans_centroids_fixed``, mirroring knn_ivf_fixed)."""
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+def _kmeans_ctes(cent_where: str = "vec_id % 101 = 1") -> str:
+    """The two-Lloyd-round k-means CTE chain (base..c2), shared by the
+    ``kmeans_centroids*`` oracles and the trained-centroid
+    composition ``semantic_dedup_trained`` (which consumes c2 as its
+    coarse index); ``cent_where`` picks the seed set — the modulus
+    default (K grows with N; teaching form) or the fixed-size rule
+    (``vec_id < 32``; the scale-honest registrations)."""
+    return f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM base WHERE {cent_where}),
 s1 AS (
   SELECT b.vec_id, b.emb, c.cent_id,
@@ -1763,7 +1779,13 @@ c2 AS (
   SELECT cent_id, list(round(v, 9) ORDER BY i) AS cent,
          max(n) AS n_members
   FROM u2 GROUP BY cent_id
-)
+)"""
+
+
+def _kmeans_sql(cent_where: str = "vec_id % 101 = 1") -> str:
+    """Two-Lloyd-round k-means oracle over :func:`_kmeans_ctes`."""
+    return f"""
+WITH {_kmeans_ctes(cent_where)}
 SELECT cent_id, n_members,
        md5(array_to_string(
          list_transform(cent, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)),
@@ -2666,6 +2688,31 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_trained(spark, sf_dir):
+    """The trained-centroid SemDeDup route (verdict r6 item #6) —
+    the documented WEB-SCALE form: semantic_dedup's coarse index is
+    the OUTPUT of kmeans_centroids (fixed K=32, two Lloyd rounds)
+    instead of raw seed vectors, because refined centroids balance
+    cluster sizes, which at corpus scale evens the per-cluster
+    quadratic pair cost (the Σ|c|² bound is tightest when the |c|
+    are equal). Same planted-twin corpus as semantic_dedup, so the
+    driver hash verifies training → assignment → within-cluster
+    pairing → drop attribution end-to-end on non-empty output. The
+    oracle composes the _kmeans_ctes chain (both engines round
+    centroid dims to the shared 1e-9 grid each Lloyd round, so the
+    trained index is bit-identical) with the semantic-dedup replay."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    cents = similarity.kmeans_centroids(emb, iters=2, centroid_limit=32)
+    return similarity.semantic_dedup(
+        emb.unionByName(twins), threshold=0.9, centroids=cents
+    )
+
+
 def q_coin_pagerank_capped(spark, sf_dir):
     """The SCALE-SAFE PageRank registration: identical iteration to
     coin_pagerank, but the co-occurrence edge build runs with a
@@ -2762,6 +2809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_audit": q_plan_audit,
     "embedding_dup_wide": q_embedding_dup_wide,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_trained": q_semantic_dedup_trained,
     "dedup_stream_replay": q_dedup_stream_replay,
     "coin_pagerank_capped": q_coin_pagerank_capped,
     "kmeans_centroids_fixed": q_kmeans_fixed,
@@ -2843,6 +2891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_pq_recall": q_knn_ivf_pq_recall,
     "exchange_hll_rollup": q_exchange_hll_rollup,
     "ohlc_stream_replay": q_ohlc_stream_replay,
+    "recovery_stream_replay": q_recovery_stream_replay,
     "dup_rate_by_source": q_dup_rate_by_source,
     "coin_volume_percentile": q_coin_volume_percentile,
     "volume_grouping_sets": q_volume_grouping_sets,
@@ -3411,6 +3460,48 @@ first_dup AS (
 )
 SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
 FROM first_dup WHERE rn = 1""",
+    # trained-index SemDeDup: the _kmeans_ctes chain (c2 = trained
+    # centroids, dims rounded to the shared 1e-9 grid per round) feeds
+    # the same assignment/pair/drop replay as semantic_dedup
+    "semantic_dedup_trained": f"""
+WITH {_kmeans_ctes("vec_id < 32")},
+corpus_raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+corpus AS (
+  SELECT vec_id, emb FROM corpus_raw
+  WHERE sqrt(list_dot_product(emb, emb)) > 0
+),
+cents AS (SELECT cent_id, cent AS cent_emb FROM c2),
+sd_scored AS (
+  SELECT c.vec_id, c.emb, k.cent_id,
+         list_dot_product(c.emb, k.cent_emb)
+         / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(k.cent_emb, k.cent_emb))) AS cent_cos
+  FROM corpus c CROSS JOIN cents k
+),
+sd_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM sd_scored
+),
+sd_assigned AS (SELECT vec_id, emb, cent_id FROM sd_ranked WHERE crank = 1),
+sd_pairs AS (
+  SELECT a.cent_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM sd_assigned a JOIN sd_assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+sd_dups AS (SELECT * FROM sd_pairs WHERE cosine >= 0.9),
+sd_first AS (
+  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM sd_dups
+)
+SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
+FROM sd_first WHERE rn = 1""",
     "knn_brute": _knn_sql(bucketed=False),
     "kmeans_centroids": _kmeans_sql(),
     # scale-safe seed rule: fixed K=32 (the modulus rule makes
@@ -4099,6 +4190,13 @@ FROM dd GROUP BY coin_id, exchange""",
     # feed (sentinel-advanced watermark), so its oracle is the identical
     # batch ohlc SQL
     "ohlc_stream_replay": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
+    ),
+    # the kill-and-resume drain must ALSO emit exactly the batch
+    # candles — recovery that loses state, re-emits, or late-drops
+    # diverges from this same SQL
+    "recovery_stream_replay": _with(
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),

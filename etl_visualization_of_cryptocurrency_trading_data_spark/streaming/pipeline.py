@@ -772,3 +772,112 @@ def dedup_stream_replay(
     )
     _drain_spool(query, spool, "dedup", timeout_s)
     return spark.table(name)
+
+
+def recovery_stream_replay(
+    spark: SparkSession, price: DataFrame, timeout_s: int = 600
+) -> DataFrame:
+    """Exactly-once / checkpoint-recovery replay (T7) — the seventh
+    driver-hash streaming row, promoting failure recovery from
+    pytest-only evidence to an oracle-verified row: the drain is
+    KILLED mid-feed and restarted from its checkpoint, and the final
+    sink contents must hash-match the uninterrupted batch candles.
+
+    Mechanics: the feed is split AT A TIMESTAMP into two spool waves
+    (phase 1: ts <= midpoint; phase 2: the rest + the +72 h sentinel).
+    Run 1 drains wave 1 under ``availableNow`` through watermarked
+    tumbling OHLC into a PARQUET sink (the fault-tolerant sink family,
+    unlike the other replays' memory sinks) with a checkpoint, then
+    terminates — the hour straddling the split is still OPEN in state,
+    so the interruption lands mid-window, not at a tidy boundary.
+    Run 2 renames wave 2 into the spool and restarts the SAME query
+    from the SAME checkpoint: carried state must complete the
+    straddling hour from both waves' ticks, the sentinel closes every
+    real window, and the file-source log must neither re-read wave 1
+    (no duplicate candles) nor drop wave-2 ticks (time-split waves
+    keep every phase-2 window end above the recovered watermark).
+    Any failure mode — lost state, double emission, late-drop —
+    changes the final frame and flips the driver hash against the
+    batch-candle oracle (same SQL as [[ohlc_stream_replay]]).
+
+    The split point is the min/max-timestamp midpoint (two 1-row
+    driver reads, same documented boundary as the other replay
+    builders). The streaming jobs run at BUILD time; the returned
+    frame is localCheckpoint-materialized so every tempdir (spool,
+    checkpoint, sink) is deleted before returning — a bench timing
+    measures the materialized scan.
+    """
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    out_schema = (
+        "coin_id string, exchange string, timestamp timestamp,"
+        " open double, high double, low double, close double"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    bounds = real.agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        return spark.createDataFrame([], out_schema)
+    mid = bounds.lo + (bounds.hi - bounds.lo) / 2
+
+    root = tempfile.mkdtemp(prefix="recovery_replay_")
+    spool = os.path.join(root, "spool")
+    held = os.path.join(root, "held")
+    os.makedirs(spool)
+    os.makedirs(held)
+    real.filter(F.col("timestamp") <= mid).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "wave1"))
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", "__sentinel__", bounds.hi + timedelta(hours=72), 0.0, 0.0)],
+        PRICE_SCHEMA,
+    )
+    real.filter(F.col("timestamp") > mid).unionByName(sentinel).coalesce(
+        2
+    ).write.mode("overwrite").parquet(os.path.join(root, "wave2"))
+    for src, dst in (("wave1", spool), ("wave2", held)):
+        subdir = os.path.join(root, src)
+        for i, f in enumerate(sorted(os.listdir(subdir))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f), os.path.join(dst, f"{src}_{i:02d}.parquet")
+                )
+        shutil.rmtree(subdir)
+
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain() -> None:
+        query = (
+            ohlc_stream(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                delay="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(timeout_s):
+            query.stop()
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError(f"recovery replay did not finish in {timeout_s}s")
+
+    drain()  # run 1: wave 1 only — killed with the split hour open in state
+    for f in sorted(os.listdir(held)):
+        os.rename(os.path.join(held, f), os.path.join(spool, f))
+    drain()  # run 2: resumes from the checkpoint, drains wave 2 + sentinel
+    result = (
+        spark.read.schema(out_schema)
+        .parquet(out)
+        .filter(F.col("coin_id") != "__sentinel__")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -662,6 +662,47 @@ def test_ohlc_stream_replay_matches_batch(spark):
     assert got == want and len(got) == 3
 
 
+def test_recovery_stream_replay_carries_state_across_kill(spark):
+    """The kill-and-resume drain must emit exactly the batch candles —
+    on a feed BUILT so the interruption is load-bearing: the split
+    hour (the min/max midpoint lands at minute 95, inside hour 1) has
+    ticks in BOTH waves, so its candle is correct only if run 2
+    recovers run 1's open-window state from the checkpoint. A fresh
+    restart (lost state) would emit (open=14, low=14) for that hour
+    instead of (open=11, low=11); a wave-1 re-read would duplicate
+    hour 0."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        recovery_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "x", T + dt.timedelta(minutes=10), 10.0, 1.0),  # hour 0, wave 1
+        ("c1", "x", T + dt.timedelta(minutes=70), 11.0, 1.0),  # hour 1, wave 1
+        ("c1", "x", T + dt.timedelta(minutes=110), 14.0, 1.0),  # hour 1, wave 2
+        ("c1", "x", T + dt.timedelta(minutes=180), 9.0, 1.0),  # hour 3, wave 2
+        ("c2", "y", T + dt.timedelta(minutes=20), 5.0, 1.0),  # hour 0, wave 1
+    ]
+    price = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    emitted = recovery_stream_replay(spark, price).collect()
+    want = sorted(map(str, derive.ohlc_data(price).collect()))
+    assert sorted(map(str, emitted)) == want and len(emitted) == 4
+    straddle = [
+        r
+        for r in emitted
+        if r.coin_id == "c1" and r.timestamp == T + dt.timedelta(hours=1)
+    ]
+    assert len(straddle) == 1
+    assert (straddle[0].open, straddle[0].close) == (11.0, 14.0)
+    assert (straddle[0].low, straddle[0].high) == (11.0, 14.0)
+
+
 def test_vwap_stream_under_rocksdb_state_store(spark):
     """The watermarked VWAP stream must run (and match batch) under the
     RocksDB state-store provider — the production state backend for
