@@ -743,6 +743,360 @@ def decode_png(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(decode, schema)
 
 
+# --- BMP (24-bit BITMAPINFOHEADER) ---------------------------------
+
+
+def bmp_table(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL image corpus in BMP (Windows
+    BITMAPINFOHEADER, 24-bit, uncompressed) — the fifth real-codec
+    format, chosen because its three decode hazards are all
+    SEMANTIC, not byte-shuffling: rows are stored BOTTOM-UP, channels
+    are stored BGR, and every row is padded to a 4-byte boundary.
+    Same closed-form pixel pattern as [[ppm_table]]/[[png_table]]
+    (w = 4 + d%5, h = 3 + d%4; image-space channel values
+    (d + k*i) % 256 for k=1,2,3 at row-major index i), so the oracle
+    replays the decoded statistics without decoding anything.
+    Arrow-batched mapInPandas, pure map (no shuffle).
+    """
+    import struct
+
+    schema = "doc_id long, width int, height int, payload binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.empty((w * h, 3), dtype=np.uint8)
+                px[:, 0] = (d + i) % 256
+                px[:, 1] = (d + 2 * i) % 256
+                px[:, 2] = (d + 3 * i) % 256
+                img = px.reshape(h, w, 3)
+                pad = b"\x00" * ((-(w * 3)) % 4)
+                body = b"".join(
+                    img[r, :, ::-1].tobytes() + pad  # BGR, bottom-up
+                    for r in range(h - 1, -1, -1)
+                )
+                off = 14 + 40
+                payload = (
+                    b"BM"
+                    + struct.pack("<IHHI", off + len(body), 0, 0, off)
+                    + struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                        2835, 2835, 0, 0,
+                    )
+                    + body
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_bmp(media: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """REAL bytes→pixels decode for 24-bit uncompressed BMP — file
+    header, BITMAPINFOHEADER, stride arithmetic, bottom-up (or
+    top-down when height < 0, per spec) row order, BGR→RGB swap.
+
+    Output adds (px01_r, px01_g, px01_b) — the IMAGE-space pixel at
+    row 0, col 1 — on top of the usual channel means, because means
+    are invariant under row/channel reshuffling: a decoder that
+    forgets bottom-up reads the wrong row for px01, one that forgets
+    BGR swaps px01_r/px01_b, and one that forgets stride padding
+    shears every row — each flips the driver hash. Arrow-batched
+    mapInPandas, pure map: no shuffle, linear scale-out.
+    """
+    import struct
+
+    schema = (
+        "doc_id long, width int, height int, n_pixels long,"
+        " mean_r double, mean_g double, mean_b double,"
+        " px01_r int, px01_g int, px01_b int"
+    )
+
+    def parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
+        if buf[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        (off,) = struct.unpack("<I", buf[10:14])
+        hdr_size, w, h_signed = struct.unpack("<Iii", buf[14:26])
+        planes, bpp, comp = struct.unpack("<HHI", buf[26:34])
+        if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+            raise ValueError(
+                f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={comp})"
+                " — only 24-bit uncompressed supported"
+            )
+        h = abs(h_signed)
+        stride = (w * 3 + 3) // 4 * 4
+        data = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+        grid = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if h_signed > 0:  # bottom-up storage -> flip to image order
+            grid = grid[::-1]
+        return w, h, grid[:, :, ::-1]  # BGR -> RGB
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+                "px01_r": [], "px01_g": [], "px01_b": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse_bmp(bytes(buf))
+                means = px.astype(np.float64).mean(axis=(0, 1)).round(round_decimals)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["mean_r"].append(means[0])
+                rows["mean_g"].append(means[1])
+                rows["mean_b"].append(means[2])
+                rows["px01_r"].append(int(px[0, 1, 0]))
+                rows["px01_g"].append(int(px[0, 1, 1]))
+                rows["px01_b"].append(int(px[0, 1, 2]))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
+# --- GIF (87a/89a, LZW) ---------------------------------------------
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression of an index stream (encoder side of
+    the [[gif_table]] corpus): variable code width starting at
+    min_code_size+1 bits, CLEAR emitted first, dictionary reset at
+    4096 entries, codes packed LSB-first per the GIF spec."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        table = {bytes([j]): j for j in range(1 << min_code_size)}
+        return table, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        run = bytes([byte])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW decompression (decoder side of [[decode_gif]]):
+    LSB-first variable-width codes, CLEAR/EOI handling, width bump at
+    table size 2^width, and the KwKwK self-reference case."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> tuple[list[bytes], int]:
+        return [bytes([j]) for j in range(1 << min_code_size)] + [b"", b""], (
+            min_code_size + 1
+        )
+
+    table, width = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = bitcnt = pos = 0
+    while True:
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_table(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL image corpus in GIF89a — the sixth
+    real-codec format and the first with a real COMPRESSION codec
+    written both directions from scratch ([[_gif_lzw_encode]] /
+    [[_gif_lzw_decode]]; PNG leaned on stdlib zlib): header, logical
+    screen descriptor, 256-entry global color table, image
+    descriptor, LZW-compressed index stream in ≤255-byte sub-blocks,
+    trailer.
+
+    Closed-form content: pixel i's palette INDEX is (d + i) % 256 and
+    global palette entry j is (j, 2j % 256, 3j % 256), so decoded
+    channel R(i) = (d+i) % 256 — the oracle replays the statistics
+    without decoding. Arrow-batched mapInPandas, pure map.
+    """
+    import struct
+
+    schema = "doc_id long, width int, height int, payload binary"
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j % 256, (2 * j) % 256, (3 * j) % 256], axis=1).astype(
+        np.uint8
+    )
+    gct = palette.tobytes()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                i = np.arange(w * h, dtype=np.int64)
+                indices = ((d + i) % 256).astype(np.uint8).tobytes()
+                lzw = _gif_lzw_encode(indices)
+                blocks = b"".join(
+                    bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+                    for o in range(0, len(lzw), 255)
+                )
+                payload = (
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+                    + gct
+                    + b"\x2c"
+                    + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT/interlace
+                    + bytes([8])  # LZW min code size
+                    + blocks
+                    + b"\x00\x3b"  # block terminator + trailer
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_gif(media: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """REAL bytes→pixels decode for single-frame GIF87a/89a — header
+    and screen-descriptor parse, global color table, extension-block
+    skip, image descriptor, sub-block reassembly, from-scratch LZW
+    decompression ([[_gif_lzw_decode]]), palette lookup. Interlaced
+    or locally-paletted frames raise rather than guess.
+
+    Output: (doc_id, width, height, n_pixels, mean_r, mean_g, mean_b)
+    with dims read from the image descriptor, not trusted metadata.
+    Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out.
+    """
+    import struct
+
+    schema = (
+        "doc_id long, width int, height int, n_pixels long,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
+        if buf[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        while pos < len(buf):
+            block = buf[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while buf[pos]:
+                    pos += 1 + buf[pos]
+                pos += 1
+            elif block == 0x2C:
+                _l, _t, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+                pos += 10
+                if ipacked & 0x80:
+                    raise ValueError("local color tables unsupported")
+                if ipacked & 0x40:
+                    raise ValueError("interlaced GIF unsupported")
+                if palette is None:
+                    raise ValueError("no color table")
+                min_code = buf[pos]
+                pos += 1
+                lzw = bytearray()
+                while buf[pos]:
+                    lzw += buf[pos + 1 : pos + 1 + buf[pos]]
+                    pos += 1 + buf[pos]
+                indices = np.frombuffer(
+                    _gif_lzw_decode(bytes(lzw), min_code), np.uint8
+                )
+                if indices.size != w * h:
+                    raise ValueError("decoded index count != dimensions")
+                return w, h, palette[indices].reshape(h, w, 3)
+            elif block == 0x3B:
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+        raise ValueError("no image descriptor found")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse_gif(bytes(buf))
+                means = px.astype(np.float64).mean(axis=(0, 1)).round(round_decimals)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["mean_r"].append(means[0])
+                rows["mean_g"].append(means[1])
+                rows["mean_b"].append(means[2])
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
 # --- JPEG (baseline grayscale) ------------------------------------
 # Standard JPEG Annex K luminance Huffman tables (public spec):
 # BITS (count of codes per length 1..16) and HUFFVAL (symbols in

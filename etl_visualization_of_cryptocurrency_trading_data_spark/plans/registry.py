@@ -638,6 +638,35 @@ def q_media_decode_ppm(spark, sf_dir):
     )
 
 
+def q_media_decode_bmp(spark, sf_dir):
+    """REAL bytes→pixels decode for BMP (multimodal.decode_bmp over
+    multimodal.bmp_table) — fifth real-codec format (PPM, WAV, PNG,
+    JPEG, now BMP), covering the format's three semantic hazards:
+    bottom-up row storage, BGR channel order, 4-byte row padding.
+    The (px01_*) image-space corner pixel makes each hazard
+    hash-visible (channel means alone are invariant under row and
+    channel reshuffles); same closed-form pixel pattern as
+    media_decode_ppm, so the oracle needs no decoder."""
+    return multimodal.decode_bmp(
+        multimodal.bmp_table(_documents(spark, sf_dir))
+    )
+
+
+def q_media_decode_gif(spark, sf_dir):
+    """REAL bytes→pixels decode for GIF89a (multimodal.decode_gif over
+    multimodal.gif_table) — sixth real-codec format, and the first
+    with a COMPRESSION codec written both directions from scratch
+    (variable-width LSB-first LZW with CLEAR/EOI, width bumps, dict
+    reset, and the KwKwK case — fuzz-roundtripped in pytest): header,
+    screen descriptor, 256-entry global color table, sub-block
+    reassembly, LZW decode, palette lookup. Pixel i's palette index
+    is (d+i)%256 and palette entry j is (j, 2j%256, 3j%256), so the
+    oracle replays the channel means without decoding."""
+    return multimodal.decode_gif(
+        multimodal.gif_table(_documents(spark, sf_dir))
+    )
+
+
 def q_media_resize(spark, sf_dir):
     """REAL pixel resample (multimodal.resize_pixels, closes the r6
     resize stub — verdict r6 item #4): the PPM corpus decoded,
@@ -2898,6 +2927,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
+    "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_gif": q_media_decode_gif,
     "media_resize": q_media_resize,
     "vwap_stream_replay": q_vwap_stream_replay,
     "span_dedup": q_span_dedup,
@@ -3631,6 +3662,37 @@ SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
        round(avg((doc_id + i) % 256), 6) AS mean_r,
        round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
        round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h""",
+    # BMP: same closed-form channel stats as the PPM/PNG corpora plus
+    # the image-space (row 0, col 1) pixel — i = 1, so channels are
+    # (d+1)%256, (d+2)%256, (d+3)%256; a decoder that misreads
+    # bottom-up/BGR/stride diverges here even when the means agree
+    "media_decode_bmp": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b,
+       ((doc_id + 1) % 256)::INT AS px01_r,
+       ((doc_id + 2) % 256)::INT AS px01_g,
+       ((doc_id + 3) % 256)::INT AS px01_b
+FROM px GROUP BY doc_id, w, h""",
+    # GIF: pixel i's palette index is j = (d+i)%256; palette entry j
+    # is (j, 2j%256, 3j%256) — so decoded channels are closed-form in
+    # the index and the oracle needs neither LZW nor the palette bytes
+    "media_decode_gif": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, (doc_id + unnest(generate_series(0, w * h - 1))) % 256 AS j
+  FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg(j), 6) AS mean_r,
+       round(avg((2 * j) % 256), 6) AS mean_g,
+       round(avg((3 * j) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id, w, h""",
     # nearest-neighbor resize replayed as pure index arithmetic:
     # output pixel (ro, co) of the 6x5 target reads source index

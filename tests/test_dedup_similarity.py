@@ -900,6 +900,141 @@ def test_png_and_ppm_decoders_agree(spark, docs):
     assert via_png.equals(via_ppm)
 
 
+def test_decode_bmp_handcrafted_semantics(spark):
+    """decode_bmp's three format hazards pinned on a handcrafted 2x2
+    24-bit BMP: rows stored BOTTOM-UP, channels stored BGR, rows
+    padded to 4 bytes (2*3=6 -> stride 8). Image-space pixels are
+    TL=(1,2,3) TR=(4,5,6) / BL=(7,8,9) BR=(10,11,12); the payload
+    stores the bottom row first, each pixel as B,G,R, plus 2 pad
+    bytes per row. A top-down variant (height = -2) must decode to
+    the same image without the flip."""
+    import struct
+
+    def bmp(h_signed: int, row_first: bytes, row_second: bytes) -> bytes:
+        body = row_first + b"\x00\x00" + row_second + b"\x00\x00"
+        off = 54
+        return (
+            b"BM"
+            + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, 2, h_signed, 1, 24, 0,
+                          len(body), 0, 0, 0, 0)
+            + body
+        )
+
+    top = bytes([3, 2, 1, 6, 5, 4])      # TL, TR as B,G,R
+    bottom = bytes([9, 8, 7, 12, 11, 10])  # BL, BR as B,G,R
+    bottom_up = bmp(2, bottom, top)      # spec default: bottom row first
+    top_down = bmp(-2, top, bottom)      # negative height: image order
+    media = spark.createDataFrame(
+        [(1, bytearray(bottom_up)), (2, bytearray(top_down))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in multimodal.decode_bmp(media).collect()}
+    for d in (1, 2):
+        r = got[d]
+        assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+        # px01 = image-space top-right pixel = (4, 5, 6) in RGB
+        assert (r.px01_r, r.px01_g, r.px01_b) == (4, 5, 6)
+        assert r.mean_r == pytest.approx((1 + 4 + 7 + 10) / 4)
+        assert r.mean_g == pytest.approx((2 + 5 + 8 + 11) / 4)
+        assert r.mean_b == pytest.approx((3 + 6 + 9 + 12) / 4)
+    with pytest.raises(Exception, match="not a BMP"):
+        multimodal.decode_bmp(
+            spark.createDataFrame(
+                [(9, bytearray(b"P6 not a bmp"))], "doc_id long, payload binary"
+            )
+        ).collect()
+
+
+def test_bmp_and_ppm_decoders_agree(spark, docs):
+    """bmp_table and ppm_table encode the SAME closed-form pixels in
+    two different real formats; decoding each with its own parser must
+    produce identical channel statistics — independent codec paths
+    cross-checking each other (the BMP path additionally exercises
+    bottom-up row order, BGR, and stride padding)."""
+    sample = docs.limit(25)
+    via_bmp = (
+        multimodal.decode_bmp(multimodal.bmp_table(sample))
+        .drop("px01_r", "px01_g", "px01_b")
+        .toPandas()
+    )
+    via_ppm = multimodal.decode_ppm(multimodal.ppm_table(sample)).toPandas()
+    via_bmp = via_bmp.sort_values("doc_id").reset_index(drop=True)
+    via_ppm = via_ppm.sort_values("doc_id").reset_index(drop=True)
+    assert via_bmp.equals(via_ppm)
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """The from-scratch GIF LZW codec round-trips arbitrary byte
+    streams — random data (incompressible, max dict growth),
+    repetitive data (KwKwK + width bumps), streams long enough to
+    force the 4096-entry dictionary reset, and small min-code-sizes."""
+    import numpy as np
+
+    enc, dec = multimodal._gif_lzw_encode, multimodal._gif_lzw_decode
+    rng = np.random.RandomState(7)
+    for _ in range(30):
+        data = bytes(rng.randint(0, 256, rng.randint(1, 4000), dtype=np.uint8))
+        assert dec(enc(data)) == data
+    for pat in [b"\x00" * 10000, bytes(range(256)) * 40, b"ab" * 8000, b"a" * 4097]:
+        assert dec(enc(pat)) == pat
+    for mcs in (2, 4):
+        data = bytes(rng.randint(0, 1 << mcs, 3000, dtype=np.uint8))
+        assert dec(enc(data, mcs), mcs) == data
+    with pytest.raises(ValueError, match="without EOI"):
+        dec(enc(b"abc")[:-2])
+
+
+def test_decode_gif_handcrafted_with_extension(spark):
+    """A handcrafted 2x2 GIF89a with a graphic-control EXTENSION block
+    before the image descriptor (decode must skip it), a 4-entry
+    palette, and 2-bit LZW codes decodes to the exact palette colors;
+    non-GIF bytes and interlaced frames raise."""
+    import struct
+
+    palette = bytes(
+        [10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42]
+    )  # entries 0..3
+    indices = bytes([0, 1, 2, 3])
+    lzw = multimodal._gif_lzw_encode(indices, 2)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: label, 4-byte block, term
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)  # GCT, 4 entries
+        + palette
+        + ext
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])
+        + bytes([len(lzw)])
+        + lzw
+        + b"\x00\x3b"
+    )
+    media = spark.createDataFrame(
+        [(5, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = multimodal.decode_gif(media).collect()[0]
+    assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+    assert r.mean_r == pytest.approx((10 + 20 + 30 + 40) / 4)
+    assert r.mean_g == pytest.approx((11 + 21 + 31 + 41) / 4)
+    assert r.mean_b == pytest.approx((12 + 22 + 32 + 42) / 4)
+    with pytest.raises(Exception, match="not a GIF"):
+        multimodal.decode_gif(
+            spark.createDataFrame(
+                [(9, bytearray(b"BM not a gif"))], "doc_id long, payload binary"
+            )
+        ).collect()
+    interlaced = payload.replace(
+        struct.pack("<HHHHB", 0, 0, 2, 2, 0), struct.pack("<HHHHB", 0, 0, 2, 2, 0x40)
+    )
+    with pytest.raises(Exception, match="interlaced"):
+        multimodal.decode_gif(
+            spark.createDataFrame(
+                [(6, bytearray(interlaced))], "doc_id long, payload binary"
+            )
+        ).collect()
+
+
 def test_pq_assignment_stays_in_hash_aggregate(spark):
     """The PQ argmin must never silently downgrade to SortAggregate:
     any non-primitive aggregation buffer (min over a struct, first
