@@ -2798,39 +2798,111 @@ def q_plan_audit(spark, sf_dir):
     return audit_plans(spark, {n: QUERIES[n](spark, sf_dir) for n in names})
 
 
-# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R6_WINDOW);
+# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-6 ROTATION EXECUTED (registry = 146 queries, window = first 50):
-# the r5 verdict's entire evidence-debt set rotates in this round —
-# 12 new registrations (scale-safe ANN/LSH/k-means/capped-PageRank configs,
-# PNG real-decode, salted join, restfeed + dedup streaming replays,
-# plan_audit, semantic_dedup) + the re-planned incremental_dedup, the
-# 5 remaining zero-driver-row late-r5 entries, and ALL 32 r3-stale
-# entries. Six r4-row entries (volume_cube,
-# exchange_cardinality_approx, market_cap_chart, knn_ivf_trained,
-# session_range_join, trading_sessions) yielded their window slots to
-# the new registrations; their r4 rows stand and front-load r7. New
-# registrations hit the ~12 cap exactly; the debt still clears.
-# AFTER the r6 driver run: no registered query's newest driver row is
-# older than r4. Round-7 rotation guidance: front-load (a) anything r7
-# adds or re-plans, (b) the ~40 remaining entries whose newest rows are
-# r4 (media_metadata, frame_schedule, coins_dim, price_data,
-# ohlc_candles, technical_indicators, coin_market_cap, coin_table,
-# envelope_* x4, coin_indicators_left, volume_rollup, text_stats,
-# quality_score, token_counts, lang_id, doc_fingerprint, bigram_logprob,
-# doc_length_quantiles, top_terms, redact_pii, dataset_split,
-# deterministic_sample, stratified_sample, pack_chunks, close_pivot,
-# vwap_hourly, atr_14, stochastic, donchian, documents_profile,
-# rolling_beta, cross_exchange_spread, ichimoku, price_chart,
-# ohlc_chart, indicator_chart, coin_display, price_resample_1h...),
-# oldest first; the 50 r5-row and ~46 r6-row entries can wait a round.
-# Update EXPECTED_R6_WINDOW in test_sql_api.py in the same commit as any
-# window change (rename it EXPECTED_R7_WINDOW).
+# ROUND-7 ROTATION EXECUTED (registry = 151 queries, window = first 50):
+# 5 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# media_decode_bmp, media_decode_gif, media_resize) + 2 re-plans
+# (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
+# candidate+verify; exchange_influencers now runs the BINDING
+# max_per_bucket=3 edge cap) + 43 of the 46 r4-row entries — the whole
+# remaining r4-stale evidence set except stochastic/donchian/ichimoku,
+# which yielded their slots to the new registrations (their shared
+# fused-mapInPandas plan family is pinned this round by atr_14 and
+# technical_indicators; their r4 rows stand and front-load r8).
+# New registrations stay under the ~12 cap (5 + 2 re-plans).
+# AFTER the r7 driver run: no registered query's newest driver row is
+# older than r5 except the three yielded indicators (r4).
+# Round-8 rotation guidance: front-load (a) anything r8 adds or
+# re-plans, (b) stochastic/donchian/ichimoku (the only r4-row entries
+# left), (c) the 50 entries whose newest rows are r5
+# (activity_reconciliation, event_props_variant, keltner_channels,
+# candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
+# csv_roundtrip, heikin_ashi, funnel_conversion, lead_lag_corr,
+# rolling_sharpe, market_regime, corpus_quality_report,
+# pricing_summary, rolling_active_coins, shipping_priority,
+# knn_ivf_pq_recall, exchange_hll_rollup, ohlc_stream_replay,
+# dup_rate_by_source, coin_volume_percentile, volume_grouping_sets,
+# knn_recall, url_dedup, media_decode_ppm, vwap_stream_replay,
+# span_dedup, gopher_rules, media_decode_wav, mixture_sample, knn_pq,
+# curation_pipeline_v2, price_resample_1h, knn_pq_recall,
+# session_stream_replay, coin_pagerank, price_anomalies,
+# forecast_backtest, bpe_merges, jsonl_roundtrip, volume_profile,
+# bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
+# active_coins_semi, momentum_ranks, knn_lsh_multiprobe...), oldest
+# first; the ~48 r6-row and ~45 r7-row entries can wait.
+# Update EXPECTED_R7_WINDOW in test_sql_api.py in the same commit as any
+# window change (rename it EXPECTED_R8_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round (6): scale-safe ANN/LSH registrations,
-    # PNG real-decode, salted join, restfeed streaming face ---
-    "simhash_pairs_wide": q_simhash_pairs_wide,
+    # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
+    # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
+    # new this round (5): trained-index SemDeDup, exactly-once
+    # recovery replay, BMP + GIF real decode, real pixel resize
+    "semantic_dedup_trained": q_semantic_dedup_trained,
+    "recovery_stream_replay": q_recovery_stream_replay,
+    "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_gif": q_media_decode_gif,
+    "media_resize": q_media_resize,
+    # re-planned this round (2): knn_lsh_planes8 plants probe
+    # twins (non-vacuous recall); exchange_influencers runs the
+    # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
+    "exchange_influencers": q_exchange_influencers,
+    # the r4-stale evidence set rotates in (43 of 46; oldest rows
+    # in the registry) — stochastic/donchian/ichimoku yielded their
+    # slots to this round's new registrations (see tail note)
+    "trading_sessions": q_trading_sessions,
+    "session_range_join": q_session_range_join,
+    "market_cap_chart": q_market_cap_chart,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "volume_cube": q_volume_cube,
+    "exchange_cardinality_approx": q_exchange_cardinality_approx,
+    "close_pivot": q_close_pivot,
+    "vwap_hourly": q_vwap_hourly,
+    "atr_14": q_atr_14,
+    "documents_profile": q_documents_profile,
+    "rolling_beta": q_rolling_beta,
+    "cross_exchange_spread": q_cross_exchange_spread,
+    "price_chart": q_price_chart,
+    "ohlc_chart": q_ohlc_chart,
+    "indicator_chart": q_indicator_chart,
+    "coin_display": q_coin_display,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bigram_logprob": q_bigram_logprob,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "top_terms": q_top_terms,
+    "redact_pii": q_redact_pii,
+    "dataset_split": q_dataset_split,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "pack_chunks": q_pack_chunks,
+    "media_metadata": q_media_metadata,
+    "frame_schedule": q_frame_schedule,
+    "coins_dim": q_coins,
+    "price_data": q_price_data,
+    "ohlc_candles": q_ohlc,
+    "technical_indicators": q_indicators,
+    "coin_market_cap": q_market_cap,
+    "coin_table": q_coin_table,
+    "envelope_price": q_envelope_price,
+    "envelope_coins": q_envelope_coins,
+    "envelope_ohlc": q_envelope_ohlc,
+    "envelope_mcap": q_envelope_mcap,
+    "coin_indicators_left": q_coin_indicators_left,
+    "volume_rollup": q_volume_rollup,
+    "text_stats": q_text_stats,
+    # ---- end of driver correctness window (50 entries above) ----
+    # Tail: driver-green in r4/r5/r6 under the current fixtures and
+    # unchanged this round; still pinned at sf0.001 every session by
+    # tests/test_oracle_parity.py. Ordered: r6-row members first,
+    # then r5-row, then the three yielded r4-row stretch indicators
+    # (same fused-mapInPandas plan family as atr_14 +
+    # technical_indicators, both in-window this round) — they
+    # front-load the r8 rotation together with anything r8 re-plans.
+    "simhash_pairs_wide": q_simhash_pairs_wide,
     "knn_ivf_fixed": q_knn_ivf_fixed,
     "media_decode_png": q_media_decode_png,
     "salted_join_skew": q_salted_join_skew,
@@ -2838,22 +2910,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_audit": q_plan_audit,
     "embedding_dup_wide": q_embedding_dup_wide,
     "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_trained": q_semantic_dedup_trained,
     "dedup_stream_replay": q_dedup_stream_replay,
     "coin_pagerank_capped": q_coin_pagerank_capped,
     "kmeans_centroids_fixed": q_kmeans_fixed,
-    # --- plan changed this round: increment now PLANTS both drop
-    # kinds so the driver row covers them ---
     "incremental_dedup": q_incremental_dedup,
-    # --- zero-driver-row late-r5 registrations (front-loaded per
-    # the r5 verdict / registry rotation plan) ---
     "ohlc_daily_rollup": q_ohlc_daily_rollup,
     "event_bigrams": q_event_bigrams,
     "restfeed_ohlc": q_restfeed_ohlc,
     "orc_roundtrip": q_orc_roundtrip,
     "spread_stream_replay": q_spread_stream_replay,
-    # --- r3-stale evidence set: newest driver rows were r3 (three
-    # rounds old) — the whole set rotates in this round ---
     "exact_dedup": q_exact_dedup,
     "dedup_survivors": q_dedup_survivors,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2886,20 +2951,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_correlation": q_price_correlation,
     "event_props_stats": q_event_props_stats,
     "revenue_by_nation": q_revenue_by_nation,
-    # --- oldest r4 rows fill the remaining slots (volume_cube and
-    # exchange_cardinality_approx yielded their slots to plan_audit and
-    # embedding_dup_wide; their r4 rows stand) ---
-    "trading_sessions": q_trading_sessions,
-    "session_range_join": q_session_range_join,
-    "market_cap_chart": q_market_cap_chart,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    # ---- end of driver correctness window (50 entries above) ----
-    "volume_cube": q_volume_cube,
-    "exchange_cardinality_approx": q_exchange_cardinality_approx,
-    # Tail: driver-green in r4/r5 under the current fixtures and
-    # unchanged this round; still pinned at sf0.001 every session by
-    # tests/test_oracle_parity.py. Ordered: r5-window members first
-    # (newest evidence), then the remaining r4-row entries.
     "keltner_channels": q_keltner_channels,
     "candlestick_patterns": q_candlestick_patterns,
     "vocab_coverage": q_vocab_coverage,
@@ -2920,16 +2971,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_pq_recall": q_knn_ivf_pq_recall,
     "exchange_hll_rollup": q_exchange_hll_rollup,
     "ohlc_stream_replay": q_ohlc_stream_replay,
-    "recovery_stream_replay": q_recovery_stream_replay,
     "dup_rate_by_source": q_dup_rate_by_source,
     "coin_volume_percentile": q_coin_volume_percentile,
     "volume_grouping_sets": q_volume_grouping_sets,
     "knn_recall": q_knn_recall,
     "url_dedup": q_url_dedup,
     "media_decode_ppm": q_media_decode_ppm,
-    "media_decode_bmp": q_media_decode_bmp,
-    "media_decode_gif": q_media_decode_gif,
-    "media_resize": q_media_resize,
     "vwap_stream_replay": q_vwap_stream_replay,
     "span_dedup": q_span_dedup,
     "gopher_rules": q_gopher_rules,
@@ -2941,7 +2988,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_recall": q_knn_pq_recall,
     "session_stream_replay": q_session_stream_replay,
     "coin_pagerank": q_coin_pagerank,
-    "exchange_influencers": q_exchange_influencers,
     "price_anomalies": q_price_anomalies,
     "forecast_backtest": q_forecast_backtest,
     "bpe_merges": q_bpe_merges,
@@ -2954,46 +3000,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
-    "close_pivot": q_close_pivot,
-    "vwap_hourly": q_vwap_hourly,
-    "atr_14": q_atr_14,
     "stochastic": q_stochastic,
     "donchian": q_donchian,
-    "documents_profile": q_documents_profile,
-    "rolling_beta": q_rolling_beta,
-    "cross_exchange_spread": q_cross_exchange_spread,
     "ichimoku": q_ichimoku,
-    "price_chart": q_price_chart,
-    "ohlc_chart": q_ohlc_chart,
-    "indicator_chart": q_indicator_chart,
-    "coin_display": q_coin_display,
-    "quality_score": q_quality_score,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "bigram_logprob": q_bigram_logprob,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    "top_terms": q_top_terms,
-    "redact_pii": q_redact_pii,
-    "dataset_split": q_dataset_split,
-    "deterministic_sample": q_deterministic_sample,
-    "stratified_sample": q_stratified_sample,
-    "pack_chunks": q_pack_chunks,
-    "media_metadata": q_media_metadata,
-    "frame_schedule": q_frame_schedule,
-    "coins_dim": q_coins,
-    "price_data": q_price_data,
-    "ohlc_candles": q_ohlc,
-    "technical_indicators": q_indicators,
-    "coin_market_cap": q_market_cap,
-    "coin_table": q_coin_table,
-    "envelope_price": q_envelope_price,
-    "envelope_coins": q_envelope_coins,
-    "envelope_ohlc": q_envelope_ohlc,
-    "envelope_mcap": q_envelope_mcap,
-    "coin_indicators_left": q_coin_indicators_left,
-    "volume_rollup": q_volume_rollup,
-    "text_stats": q_text_stats,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,8 +1,19 @@
-"""Mirror of the driver's DuckDB-oracle gate (SURVEY §5.2), run at
-sf0.001 for speed: every registry query's Spark result must match its
-oracle SQL on row count, column names, and values (floats to 1e-9 rel)."""
+"""Mirror of the driver's DuckDB-oracle gate (SURVEY §5.2): every
+registry query's Spark result must match its oracle SQL on row count,
+column names, and values (floats to 1e-9 rel).
+
+SF policy (r6 verdict stretch #9): at 151 registered queries and a hard
+50-slot driver window, driver evidence for out-of-window entries ages
+~3 rounds per rotation — so the OUT-OF-WINDOW queries run here at the
+DRIVER'S sf (sf0.01), making local evidence match driver conditions
+exactly while slots rotate; in-window queries stay at sf0.001 (the
+driver re-checks them at sf0.01 every round anyway). Set
+SPARK_GRAFT_PARITY_FAST=1 to force sf0.001 everywhere during quick
+development iterations."""
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import numpy as np
@@ -14,14 +25,34 @@ from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry impor
 
 from conftest import SF_SMOKE
 
+SF_DRIVER = "/root/testdata/sf0.01"
+_FAST = os.environ.get("SPARK_GRAFT_PARITY_FAST") == "1"
+_WINDOW = frozenset(list(QUERIES)[:50])
+
+
+def _sf_for(name: str) -> str:
+    if _FAST or name in _WINDOW or not os.path.isdir(SF_DRIVER):
+        return SF_SMOKE
+    return SF_DRIVER
+
+
+def _make_duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
-        )
+    con = _make_duck(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def duck_driver_sf():
+    con = _make_duck(SF_DRIVER if os.path.isdir(SF_DRIVER) else SF_SMOKE)
     yield con
     con.close()
 
@@ -62,13 +93,15 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+def test_query_matches_oracle(spark, duck, duck_driver_sf, name):
+    sf_dir = _sf_for(name)
+    con = duck if sf_dir == SF_SMOKE else duck_driver_sf
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
         # rows-only contract (non-SQL-expressible op): must run and be stable
         assert len(sdf) >= 0
         return
-    odf = duck.sql(ORACLES[name]).df()
+    odf = con.sql(ORACLES[name]).df()
     assert_frames_match(sdf, odf, name)
 
 

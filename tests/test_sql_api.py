@@ -224,39 +224,65 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 registry entries each
-# round. This list IS the round-6 window — any insertion/reorder of
+# round. This list IS the round-7 window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R6_WINDOW = [
-    # new this round (scale-safe configs, PNG decode, salted join,
-    # restfeed streaming face)
-    "simhash_pairs_wide", "knn_lsh_planes8", "knn_ivf_fixed",
-    "media_decode_png", "salted_join_skew", "restfeed_stream_replay",
-    "plan_audit", "embedding_dup_wide", "semantic_dedup",
-    "dedup_stream_replay", "coin_pagerank_capped",
-    "kmeans_centroids_fixed",
-    # plan changed this round (planted-dup increment)
-    "incremental_dedup",
-    # zero-driver-row late-r5 registrations
-    "ohlc_daily_rollup", "event_bigrams", "restfeed_ohlc", "orc_roundtrip",
-    "spread_stream_replay",
-    # the full r3-stale evidence set
-    "exact_dedup", "dedup_survivors", "ngram_jaccard_pairs",
-    "dup_clusters", "minhash_lsh_pairs", "simhash_pairs",
-    "pack_chunks_overlap", "contamination", "curation_pipeline",
-    "repetition_stats", "tfidf_top_terms", "doc_length_quantiles_approx",
-    "exchange_cardinality", "knn_lsh", "knn_brute", "knn_ivf",
-    "kmeans_centroids", "knn_quantized", "embedding_normalize",
-    "embedding_quantize", "embedding_dup_pairs", "media_frames",
-    "media_features", "stale_coins_anti", "top_coins_by_volume",
-    "union_price_feeds", "asof_price_candle", "top_suppliers",
-    "user_retention", "price_correlation", "event_props_stats",
-    "revenue_by_nation",
-    # the four oldest-r4 slots all yielded to this wave's new
-    # registrations (semantic_dedup, dedup_stream_replay,
-    # coin_pagerank_capped, kmeans_centroids_fixed); trading_sessions,
-    # session_range_join, market_cap_chart and knn_ivf_trained keep
-    # their r4 rows and front-load the r7 rotation
+EXPECTED_R7_WINDOW = [
+    # new this round (trained SemDeDup, exactly-once recovery replay,
+    # BMP + GIF real decode, real pixel resize)
+    "semantic_dedup_trained",
+    "recovery_stream_replay",
+    "media_decode_bmp",
+    "media_decode_gif",
+    "media_resize",
+    # re-planned this round (planted probe twins; binding edge cap)
+    "knn_lsh_planes8",
+    "exchange_influencers",
+    # the r4-stale evidence set (43 of 46; stochastic/donchian/
+    # ichimoku yielded — see the registry rotation note)
+    "trading_sessions",
+    "session_range_join",
+    "market_cap_chart",
+    "knn_ivf_trained",
+    "volume_cube",
+    "exchange_cardinality_approx",
+    "close_pivot",
+    "vwap_hourly",
+    "atr_14",
+    "documents_profile",
+    "rolling_beta",
+    "cross_exchange_spread",
+    "price_chart",
+    "ohlc_chart",
+    "indicator_chart",
+    "coin_display",
+    "quality_score",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "bigram_logprob",
+    "doc_length_quantiles",
+    "top_terms",
+    "redact_pii",
+    "dataset_split",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_chunks",
+    "media_metadata",
+    "frame_schedule",
+    "coins_dim",
+    "price_data",
+    "ohlc_candles",
+    "technical_indicators",
+    "coin_market_cap",
+    "coin_table",
+    "envelope_price",
+    "envelope_coins",
+    "envelope_ohlc",
+    "envelope_mcap",
+    "coin_indicators_left",
+    "volume_rollup",
+    "text_stats",
 ]
 
 
@@ -285,8 +311,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R6_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R6_WINDOW
+    assert len(EXPECTED_R7_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R7_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
