@@ -667,6 +667,22 @@ def q_media_decode_gif(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL bytes→pixels decode for baseline grayscale JPEG
+    (multimodal.decode_jpeg over multimodal.jpeg_table) — the lossy
+    format made EXACTLY decodable: flat 8x8 blocks keep only the DC
+    coefficient and q[DC]=8 makes the DC-only IDCT exact in IEEE
+    doubles, so the closed-form block means replay in SQL with no
+    tolerance. The decoder is the real pipeline — marker walk,
+    canonical Huffman decode over the 0xFF00-unstuffed bitstream, DC
+    prediction, dequantization, separable float IDCT. Built in r6
+    with pytest-only evidence; registered r7 so the codec earns a
+    driver-hash row like the other five formats."""
+    return multimodal.decode_jpeg(
+        multimodal.jpeg_table(_documents(spark, sf_dir))
+    )
+
+
 def q_media_resize(spark, sf_dir):
     """REAL pixel resample (multimodal.resize_pixels, closes the r6
     resize stub — verdict r6 item #4): the PPM corpus decoded,
@@ -2800,21 +2816,24 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-7 ROTATION EXECUTED (registry = 151 queries, window = first 50):
-# 5 new registrations (semantic_dedup_trained, recovery_stream_replay,
-# media_decode_bmp, media_decode_gif, media_resize) + 2 re-plans
+# ROUND-7 ROTATION EXECUTED (registry = 152 queries, window = first 50):
+# 6 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# media_decode_bmp, media_decode_gif, media_decode_jpeg — the r6 JPEG
+# codec had pytest-only evidence — and media_resize) + 2 re-plans
 # (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
 # candidate+verify; exchange_influencers now runs the BINDING
-# max_per_bucket=3 edge cap) + 43 of the 46 r4-row entries — the whole
-# remaining r4-stale evidence set except stochastic/donchian/ichimoku,
-# which yielded their slots to the new registrations (their shared
-# fused-mapInPandas plan family is pinned this round by atr_14 and
-# technical_indicators; their r4 rows stand and front-load r8).
-# New registrations stay under the ~12 cap (5 + 2 re-plans).
+# max_per_bucket=3 edge cap) + 42 of the 46 r4-row entries — the whole
+# remaining r4-stale evidence set except stochastic/donchian/ichimoku/
+# rolling_beta, which yielded their slots to the new registrations
+# (their shared fused-mapInPandas / window-function plan family is
+# pinned this round by atr_14 and technical_indicators; their r4 rows
+# stand and front-load r8).
+# New registrations stay under the ~12 cap (6 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
-# older than r5 except the three yielded indicators (r4).
+# older than r5 except the four yielded indicators (r4).
 # Round-8 rotation guidance: front-load (a) anything r8 adds or
-# re-plans, (b) stochastic/donchian/ichimoku (the only r4-row entries
+# re-plans, (b) stochastic/donchian/ichimoku/rolling_beta (the only
+# r4-row entries
 # left), (c) the 50 entries whose newest rows are r5
 # (activity_reconciliation, event_props_variant, keltner_channels,
 # candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
@@ -2836,21 +2855,23 @@ def q_plan_audit(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
-    # new this round (5): trained-index SemDeDup, exactly-once
-    # recovery replay, BMP + GIF real decode, real pixel resize
+    # new this round (6): trained-index SemDeDup, exactly-once
+    # recovery replay, BMP + GIF + JPEG real-decode rows, real
+    # pixel resize
     "semantic_dedup_trained": q_semantic_dedup_trained,
     "recovery_stream_replay": q_recovery_stream_replay,
     "media_decode_bmp": q_media_decode_bmp,
     "media_decode_gif": q_media_decode_gif,
+    "media_decode_jpeg": q_media_decode_jpeg,
     "media_resize": q_media_resize,
     # re-planned this round (2): knn_lsh_planes8 plants probe
     # twins (non-vacuous recall); exchange_influencers runs the
     # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
     "exchange_influencers": q_exchange_influencers,
-    # the r4-stale evidence set rotates in (43 of 46; oldest rows
-    # in the registry) — stochastic/donchian/ichimoku yielded their
-    # slots to this round's new registrations (see tail note)
+    # the r4-stale evidence set rotates in (42 of 46; oldest rows
+    # in the registry) — stochastic/donchian/ichimoku/rolling_beta
+    # yielded their slots to this round's new registrations (tail note)
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
@@ -2861,7 +2882,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
     "documents_profile": q_documents_profile,
-    "rolling_beta": q_rolling_beta,
     "cross_exchange_spread": q_cross_exchange_spread,
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -3000,6 +3020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+    "rolling_beta": q_rolling_beta,
     "stochastic": q_stochastic,
     "donchian": q_donchian,
     "ichimoku": q_ichimoku,
@@ -3703,6 +3724,20 @@ SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
        round(avg((2 * j) % 256), 6) AS mean_g,
        round(avg((3 * j) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id, w, h""",
+    # JPEG: block b of doc d holds the flat value (d + 7b) % 256 and
+    # the DC-only IDCT is exact, so mean_gray is the closed-form block
+    # mean — no tolerance despite the lossy format
+    "media_decode_jpeg": """
+WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+           FROM documents),
+blk AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+  FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + 7 * b) % 256), 6) AS mean_gray
+FROM blk GROUP BY doc_id, w, h""",
     # nearest-neighbor resize replayed as pure index arithmetic:
     # output pixel (ro, co) of the 6x5 target reads source index
     # ((ro*h)//5)*w + (co*w)//6; channels are the ppm_table closed form

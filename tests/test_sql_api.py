@@ -234,12 +234,13 @@ EXPECTED_R7_WINDOW = [
     "recovery_stream_replay",
     "media_decode_bmp",
     "media_decode_gif",
+    "media_decode_jpeg",
     "media_resize",
     # re-planned this round (planted probe twins; binding edge cap)
     "knn_lsh_planes8",
     "exchange_influencers",
-    # the r4-stale evidence set (43 of 46; stochastic/donchian/
-    # ichimoku yielded — see the registry rotation note)
+    # the r4-stale evidence set (42 of 46; stochastic/donchian/
+    # ichimoku/rolling_beta yielded — see the registry rotation note)
     "trading_sessions",
     "session_range_join",
     "market_cap_chart",
@@ -250,7 +251,6 @@ EXPECTED_R7_WINDOW = [
     "vwap_hourly",
     "atr_14",
     "documents_profile",
-    "rolling_beta",
     "cross_exchange_spread",
     "price_chart",
     "ohlc_chart",
