@@ -2918,8 +2918,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r4/r5/r6 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r6-row members first,
-    # then r5-row, then the three yielded r4-row stretch indicators
-    # (same fused-mapInPandas plan family as atr_14 +
+    # then r5-row, then the four yielded r4-row stretch indicators
+    # (rolling_beta/stochastic/donchian/ichimoku — same
+    # fused-mapInPandas / window plan family as atr_14 +
     # technical_indicators, both in-window this round) — they
     # front-load the r8 rotation together with anything r8 re-plans.
     "simhash_pairs_wide": q_simhash_pairs_wide,
