@@ -1061,6 +1061,41 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(new, seen)
 
 
+def q_incremental_dedup_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup
+    (dedup.incremental_dedup_bloom) — the 100 TB form of the
+    crawl-increment join: the accumulated seen-fingerprint table's
+    Bloom bitset (a few MiB) broadcasts to every executor, the
+    definitely-new majority of the increment bypasses the exact
+    anti-join entirely, and only probe-positive rows (true dups + the
+    fpp sliver) reach it. Output is BIT-IDENTICAL to
+    incremental_dedup — no false negatives by construction (same
+    deterministic xxhash64/seed/m family in build and probe), false
+    positives removed by the exact verify — so the oracle IS the
+    exact incremental-dedup SQL and the driver hash pins the
+    equivalence, exactly like salted_join_skew pins salting. Same
+    planted increment as q_incremental_dedup (re-crawled priors +
+    within-batch copies), so all three drop/survive paths flow
+    through the prefilter."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalized_text
+
+    off = 10_000_000
+    docs = _documents(spark, sf_dir)
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    new_base = docs.filter(F.col("doc_id") % 2 == 1)
+    recrawl = prior.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + off
+    )
+    within_dup = new_base.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 2 * off
+    )
+    new = new_base.unionByName(recrawl).unionByName(within_dup)
+    seen = prior.select(F.md5(normalized_text(F.col("text"))).alias("fp")).distinct()
+    return dedup.incremental_dedup_bloom(new, seen)
+
+
 def q_spread_stream_replay(spark, sf_dir):
     """Fourth driver-checkable streaming path — the STREAM-STREAM join
     (pipeline.spread_stream_replay): view↔click cross-exchange pairs
@@ -2816,24 +2851,27 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-7 ROTATION EXECUTED (registry = 152 queries, window = first 50):
-# 6 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# ROUND-7 ROTATION EXECUTED (registry = 153 queries, window = first 50):
+# 7 new registrations (semantic_dedup_trained, recovery_stream_replay,
 # media_decode_bmp, media_decode_gif, media_decode_jpeg — the r6 JPEG
-# codec had pytest-only evidence — and media_resize) + 2 re-plans
+# codec had pytest-only evidence — media_resize, and
+# incremental_dedup_bloom) + 2 re-plans
 # (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
 # candidate+verify; exchange_influencers now runs the BINDING
-# max_per_bucket=3 edge cap) + 42 of the 46 r4-row entries — the whole
+# max_per_bucket=3 edge cap) + 41 of the 46 r4-row entries — the whole
 # remaining r4-stale evidence set except stochastic/donchian/ichimoku/
-# rolling_beta, which yielded their slots to the new registrations
-# (their shared fused-mapInPandas / window-function plan family is
-# pinned this round by atr_14 and technical_indicators; their r4 rows
-# stand and front-load r8).
-# New registrations stay under the ~12 cap (6 + 2 re-plans).
+# rolling_beta/cross_exchange_spread, which yielded their slots to the
+# new registrations (the indicators' shared fused-mapInPandas /
+# window-function plan family is pinned this round by in-window atr_14
+# and technical_indicators; cross_exchange_spread's batch theta join is
+# pinned by the r6-row spread_stream_replay; all five r4 rows stand and
+# front-load r8).
+# New registrations stay under the ~12 cap (7 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
-# older than r5 except the four yielded indicators (r4).
+# older than r5 except the five yielded entries (r4).
 # Round-8 rotation guidance: front-load (a) anything r8 adds or
-# re-plans, (b) stochastic/donchian/ichimoku/rolling_beta (the only
-# r4-row entries
+# re-plans, (b) stochastic/donchian/ichimoku/rolling_beta/
+# cross_exchange_spread (the only r4-row entries
 # left), (c) the 50 entries whose newest rows are r5
 # (activity_reconciliation, event_props_variant, keltner_channels,
 # candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
@@ -2855,23 +2893,24 @@ def q_plan_audit(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
-    # new this round (6): trained-index SemDeDup, exactly-once
+    # new this round (7): trained-index SemDeDup, exactly-once
     # recovery replay, BMP + GIF + JPEG real-decode rows, real
-    # pixel resize
+    # pixel resize, bloom-prefiltered incremental dedup
     "semantic_dedup_trained": q_semantic_dedup_trained,
     "recovery_stream_replay": q_recovery_stream_replay,
     "media_decode_bmp": q_media_decode_bmp,
     "media_decode_gif": q_media_decode_gif,
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_resize": q_media_resize,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
     # re-planned this round (2): knn_lsh_planes8 plants probe
     # twins (non-vacuous recall); exchange_influencers runs the
     # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
     "exchange_influencers": q_exchange_influencers,
-    # the r4-stale evidence set rotates in (42 of 46; oldest rows
-    # in the registry) — stochastic/donchian/ichimoku/rolling_beta
-    # yielded their slots to this round's new registrations (tail note)
+    # the r4-stale evidence set rotates in (41 of 46; oldest rows in
+    # the registry) — stochastic/donchian/ichimoku/rolling_beta/
+    # cross_exchange_spread yielded to this round's registrations
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
@@ -2882,7 +2921,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
     "documents_profile": q_documents_profile,
-    "cross_exchange_spread": q_cross_exchange_spread,
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
     "indicator_chart": q_indicator_chart,
@@ -2918,10 +2956,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r4/r5/r6 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r6-row members first,
-    # then r5-row, then the four yielded r4-row stretch indicators
-    # (rolling_beta/stochastic/donchian/ichimoku — same
-    # fused-mapInPandas / window plan family as atr_14 +
-    # technical_indicators, both in-window this round) — they
+    # then r5-row, then the five yielded r4-row entries
+    # (cross_exchange_spread + rolling_beta/stochastic/donchian/
+    # ichimoku — plan families pinned in-window this round by
+    # spread_stream_replay, atr_14 and technical_indicators) — they
     # front-load the r8 rotation together with anything r8 re-plans.
     "simhash_pairs_wide": q_simhash_pairs_wide,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -3021,11 +3059,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+    "cross_exchange_spread": q_cross_exchange_spread,
     "rolling_beta": q_rolling_beta,
     "stochastic": q_stochastic,
     "donchian": q_donchian,
     "ichimoku": q_ichimoku,
 }
+
+# shared by incremental_dedup AND incremental_dedup_bloom: the bloom
+# prefilter is result-identical to the exact form by construction
+INCREMENTAL_DEDUP_SQL = f"""
+WITH seen AS (
+  SELECT DISTINCT md5({NORM_TEXT_SQL}) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+newdocs AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 1
+),
+tagged AS (
+  SELECT *, md5({NORM_TEXT_SQL}) AS fp FROM newdocs
+),
+within AS (SELECT fp, min(doc_id) AS doc_id FROM tagged GROUP BY fp),
+survivors AS (
+  SELECT w.fp, w.doc_id FROM within w
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = w.fp)
+)
+SELECT t.doc_id, t.fp, t.text, t.lang, t.source, t.n_chars
+FROM survivors v JOIN tagged t ON t.fp = v.fp AND t.doc_id = v.doc_id"""
 
 ORACLES: dict[str, str] = {
     "coins_dim": _with(COINS_CTE, select="SELECT id, name, symbol, exchange FROM coins"),
@@ -4949,31 +5016,8 @@ SELECT exchange, id, rank, wdeg, rk FROM (
     # +1e7 ids; second copies of (10k+1)th new docs under +2e7 ids) so
     # the hash pins the against-seen AND within-batch drop paths, not
     # just survive (r5 verdict item #5)
-    "incremental_dedup": f"""
-WITH seen AS (
-  SELECT DISTINCT md5({NORM_TEXT_SQL}) AS fp
-  FROM documents WHERE doc_id % 2 = 0
-),
-newdocs AS (
-  SELECT doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 2 = 1
-  UNION ALL
-  SELECT doc_id + 10000000, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
-  UNION ALL
-  SELECT doc_id + 20000000, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 1
-),
-tagged AS (
-  SELECT *, md5({NORM_TEXT_SQL}) AS fp FROM newdocs
-),
-within AS (SELECT fp, min(doc_id) AS doc_id FROM tagged GROUP BY fp),
-survivors AS (
-  SELECT w.fp, w.doc_id FROM within w
-  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = w.fp)
-)
-SELECT t.doc_id, t.fp, t.text, t.lang, t.source, t.n_chars
-FROM survivors v JOIN tagged t ON t.fp = v.fp AND t.doc_id = v.doc_id""",
+    "incremental_dedup_bloom": INCREMENTAL_DEDUP_SQL,
+    "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     # inner stream-stream join emits exactly the batch theta join; the
     # regexp guard mirrors the engine's empty-symbol drop
     "spread_stream_replay": f"""

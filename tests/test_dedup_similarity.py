@@ -1035,6 +1035,92 @@ def test_decode_gif_handcrafted_with_extension(spark):
         ).collect()
 
 
+def test_incremental_dedup_bloom_equals_exact(spark, docs):
+    """The Bloom-prefiltered increment must be BIT-IDENTICAL to the
+    exact form on the full planted increment (re-crawled priors,
+    within-batch copies, genuinely-new docs) — the equivalence the
+    driver hash pins at sf0.01, pinned here at sf0.001 with a small
+    filter (m=2^12) so false positives actually occur and flow
+    through the exact verify."""
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    new_base = docs.filter(F.col("doc_id") % 2 == 1)
+    recrawl = prior.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    within = new_base.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(20_000_000)
+    )
+    new = new_base.unionByName(recrawl).unionByName(within)
+    from etl_visualization_of_cryptocurrency_trading_data_spark.functions.text import (
+        normalized_text,
+    )
+
+    seen = prior.select(F.md5(normalized_text(F.col("text"))).alias("fp")).distinct()
+    exact = {
+        (r.doc_id, r.fp) for r in dedup.incremental_dedup(new, seen).collect()
+    }
+    bloom = {
+        (r.doc_id, r.fp)
+        for r in dedup.incremental_dedup_bloom(new, seen, m_bits=1 << 12).collect()
+    }
+    assert bloom == exact and exact
+
+
+def test_bloom_bitset_contract(spark, docs):
+    """Structural Bloom guarantees on the real fingerprint corpus:
+    every inserted key probes POSITIVE (no false negatives — the
+    property that keeps incremental_dedup_bloom exact), and at the
+    default sizing most fresh keys probe NEGATIVE (the prefilter
+    actually skips work; fpp at m=2^20, k=3, n≈250 is ~0)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.functions.text import (
+        normalized_text,
+    )
+
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .distinct()
+    )
+
+    def probe(keys):
+        m_bits, k = 1 << 20, 3
+        bitset = dedup.bloom_bitset(seen, m_bits=m_bits, k=k)
+        probes = keys.select(
+            "fp",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("fp"), F.lit(s)), F.lit(m_bits))
+                        for s in range(k)
+                    ]
+                )
+            ).alias("_", "pos"),
+        ).select(
+            "fp",
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        return (
+            probes.join(F.broadcast(bitset), "word", "left")
+            .withColumn(
+                "hit",
+                F.coalesce(
+                    F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+                ),
+            )
+            .groupBy("fp")
+            .agg(F.min("hit").alias("maybe_seen"))
+        )
+
+    inserted = probe(seen)
+    assert inserted.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+    fresh = probe(
+        spark.range(500).select(F.md5(F.concat(F.lit("fresh"), "id")).alias("fp"))
+    )
+    n_pos = fresh.filter(F.col("maybe_seen")).count()
+    assert n_pos <= 25, f"{n_pos}/500 fresh keys probed positive (fpp too high)"
+
+
 def test_pq_assignment_stays_in_hash_aggregate(spark):
     """The PQ argmin must never silently downgrade to SortAggregate:
     any non-primitive aggregation buffer (min over a struct, first
