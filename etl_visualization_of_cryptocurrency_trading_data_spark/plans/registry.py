@@ -1096,6 +1096,29 @@ def q_incremental_dedup_bloom(spark, sf_dir):
     return dedup.incremental_dedup_bloom(new, seen)
 
 
+def q_zorder_profile(spark, sf_dir):
+    """Z-order (Morton) layout profile (operators/layout.py
+    zorder_cells) — the multi-column data-skipping primitive behind
+    Delta/Iceberg OPTIMIZE ZORDER BY: price bucket and epoch-minute
+    interleaved bit-by-bit into one key, rows grouped into top-level
+    Morton cells, per-cell row count + bounding box of BOTH
+    dimensions emitted. Tight per-cell boxes in both dimensions at
+    once are exactly what makes parquet min/max file pruning work for
+    predicates on either column after a zordered write
+    (layout.write_zordered; the collapse of per-file bounding-box
+    area vs an unclustered write is measured in pytest). The oracle
+    replays the 32-term shift/mask interleave verbatim — pure integer
+    arithmetic, bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    from ..operators import layout
+
+    price = _price_base(spark, sf_dir)
+    a = F.pmod(F.floor(F.col("price") * 100).cast("long"), F.lit(65536))
+    b = F.expr("unix_timestamp(timestamp) div 60 % 65536")
+    return layout.zorder_cells(price, a, b).orderBy("cell")
+
+
 def q_spread_stream_replay(spark, sf_dir):
     """Fourth driver-checkable streaming path — the STREAM-STREAM join
     (pipeline.spread_stream_replay): view↔click cross-exchange pairs
@@ -2851,27 +2874,28 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-7 ROTATION EXECUTED (registry = 153 queries, window = first 50):
-# 7 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# ROUND-7 ROTATION EXECUTED (registry = 154 queries, window = first 50):
+# 8 new registrations (semantic_dedup_trained, recovery_stream_replay,
 # media_decode_bmp, media_decode_gif, media_decode_jpeg — the r6 JPEG
-# codec had pytest-only evidence — media_resize, and
-# incremental_dedup_bloom) + 2 re-plans
+# codec had pytest-only evidence — media_resize,
+# incremental_dedup_bloom, and zorder_profile) + 2 re-plans
 # (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
 # candidate+verify; exchange_influencers now runs the BINDING
-# max_per_bucket=3 edge cap) + 41 of the 46 r4-row entries — the whole
+# max_per_bucket=3 edge cap) + 40 of the 46 r4-row entries — the whole
 # remaining r4-stale evidence set except stochastic/donchian/ichimoku/
-# rolling_beta/cross_exchange_spread, which yielded their slots to the
-# new registrations (the indicators' shared fused-mapInPandas /
-# window-function plan family is pinned this round by in-window atr_14
-# and technical_indicators; cross_exchange_spread's batch theta join is
-# pinned by the r6-row spread_stream_replay; all five r4 rows stand and
-# front-load r8).
-# New registrations stay under the ~12 cap (7 + 2 re-plans).
+# rolling_beta/cross_exchange_spread/documents_profile, which yielded
+# their slots to the new registrations (the indicators' shared
+# fused-mapInPandas / window plan family is pinned this round by
+# in-window atr_14 and technical_indicators; cross_exchange_spread's
+# batch theta join by the r6-row spread_stream_replay;
+# documents_profile's profiling aggregate by the r5-row
+# corpus_quality_report; all six r4 rows stand and front-load r8).
+# New registrations stay under the ~12 cap (8 + 2 re-plans = 10).
 # AFTER the r7 driver run: no registered query's newest driver row is
-# older than r5 except the five yielded entries (r4).
+# older than r5 except the six yielded entries (r4).
 # Round-8 rotation guidance: front-load (a) anything r8 adds or
 # re-plans, (b) stochastic/donchian/ichimoku/rolling_beta/
-# cross_exchange_spread (the only r4-row entries
+# cross_exchange_spread/documents_profile (the only r4-row entries
 # left), (c) the 50 entries whose newest rows are r5
 # (activity_reconciliation, event_props_variant, keltner_channels,
 # candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
@@ -2893,9 +2917,10 @@ def q_plan_audit(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
-    # new this round (7): trained-index SemDeDup, exactly-once
+    # new this round (8): trained-index SemDeDup, exactly-once
     # recovery replay, BMP + GIF + JPEG real-decode rows, real
-    # pixel resize, bloom-prefiltered incremental dedup
+    # pixel resize, bloom-prefiltered incremental dedup, Z-order
+    # layout profile
     "semantic_dedup_trained": q_semantic_dedup_trained,
     "recovery_stream_replay": q_recovery_stream_replay,
     "media_decode_bmp": q_media_decode_bmp,
@@ -2903,14 +2928,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_jpeg": q_media_decode_jpeg,
     "media_resize": q_media_resize,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
+    "zorder_profile": q_zorder_profile,
     # re-planned this round (2): knn_lsh_planes8 plants probe
     # twins (non-vacuous recall); exchange_influencers runs the
     # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
     "exchange_influencers": q_exchange_influencers,
-    # the r4-stale evidence set rotates in (41 of 46; oldest rows in
+    # the r4-stale evidence set rotates in (40 of 46; oldest rows in
     # the registry) — stochastic/donchian/ichimoku/rolling_beta/
-    # cross_exchange_spread yielded to this round's registrations
+    # cross_exchange_spread/documents_profile yielded to this
+    # round's registrations
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
@@ -2920,7 +2947,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "close_pivot": q_close_pivot,
     "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
-    "documents_profile": q_documents_profile,
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
     "indicator_chart": q_indicator_chart,
@@ -2956,9 +2982,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r4/r5/r6 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r6-row members first,
-    # then r5-row, then the five yielded r4-row entries
-    # (cross_exchange_spread + rolling_beta/stochastic/donchian/
-    # ichimoku — plan families pinned in-window this round by
+    # then r5-row, then the six yielded r4-row entries
+    # (documents_profile, cross_exchange_spread + rolling_beta/
+    # stochastic/donchian/ichimoku — plan families pinned in-window
+    # this round by corpus_quality_report (r5 row),
     # spread_stream_replay, atr_14 and technical_indicators) — they
     # front-load the r8 rotation together with anything r8 re-plans.
     "simhash_pairs_wide": q_simhash_pairs_wide,
@@ -3059,6 +3086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+    "documents_profile": q_documents_profile,
     "cross_exchange_spread": q_cross_exchange_spread,
     "rolling_beta": q_rolling_beta,
     "stochastic": q_stochastic,
@@ -5017,6 +5045,22 @@ SELECT exchange, id, rank, wdeg, rk FROM (
     # the hash pins the against-seen AND within-batch drop paths, not
     # just survive (r5 verdict item #5)
     "incremental_dedup_bloom": INCREMENTAL_DEDUP_SQL,
+    # Morton interleave replayed as 32 shift/mask terms; cells are the
+    # top 8 bits (zkey >> 24), so output is <=256 rows whatever the input
+    "zorder_profile": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+keyed AS (
+  SELECT CAST(floor(price * 100) AS BIGINT) % 65536 AS a,
+         -- floor, not CAST: epoch() is fractional and CAST rounds
+         -- half-even while Spark's unix_timestamp truncates
+         (CAST(floor(epoch(timestamp)) AS BIGINT) // 60) % 65536 AS b
+  FROM base
+),
+z AS (SELECT a, b, ((((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1) + (((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3) + (((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5) + (((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7) + (((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9) + (((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11) + (((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13) + (((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15) + (((a >> 8) & 1) << 16) + (((b >> 8) & 1) << 17) + (((a >> 9) & 1) << 18) + (((b >> 9) & 1) << 19) + (((a >> 10) & 1) << 20) + (((b >> 10) & 1) << 21) + (((a >> 11) & 1) << 22) + (((b >> 11) & 1) << 23) + (((a >> 12) & 1) << 24) + (((b >> 12) & 1) << 25) + (((a >> 13) & 1) << 26) + (((b >> 13) & 1) << 27) + (((a >> 14) & 1) << 28) + (((b >> 14) & 1) << 29) + (((a >> 15) & 1) << 30) + (((b >> 15) & 1) << 31)) AS zkey FROM keyed)
+SELECT zkey >> 24 AS cell, count(*)::BIGINT AS n_rows,
+       min(a) AS a_min, max(a) AS a_max,
+       min(b) AS b_min, max(b) AS b_max
+FROM z GROUP BY zkey >> 24 ORDER BY cell""",
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     # inner stream-stream join emits exactly the batch theta join; the
     # regexp guard mirrors the engine's empty-symbol drop

@@ -4,6 +4,7 @@ on tiny literal frames (SURVEY §5.2 operator-family tests)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from etl_visualization_of_cryptocurrency_trading_data_spark.operators import relational
 
@@ -754,3 +755,76 @@ def test_event_bigrams_sequencing_and_ties(spark):
     assert out[("click", "click")].n_transitions == 1
     assert len(out) == 2  # no cross-user view->view etc.
     assert out[("view", "click")].rank == 1
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+def test_zorder_key_handcrafted(spark):
+    """Morton interleave pinned on handcrafted values: bit i of a at
+    position 2i, bit i of b at 2i+1 — z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    z(2,0)=4, z(3,3)=15, z(0b101, 0b011)=0b011011=27 — and the key
+    orders cells so that both dimensions stay local."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import layout
+
+    rows = [(1, 0), (0, 1), (1, 1), (2, 0), (3, 3), (5, 3)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", layout.zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {(1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 0): 4, (3, 3): 15, (5, 3): 27}
+
+
+def test_write_zordered_collapses_file_bounding_boxes(spark, tmp_path):
+    """The layout claim, measured on actual parquet footers: write the
+    same (a, b) grid once zordered and once round-robin-shuffled, read
+    every file's per-column min/max statistics with pyarrow, and the
+    zordered layout's total bounding-box AREA (sum over files of
+    (a_max-a_min+1)*(b_max-b_min+1)) must collapse — tight boxes in
+    BOTH dimensions are what parquet min/max pruning needs for
+    predicates on either column."""
+    import pyarrow.parquet as pq
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import layout
+
+    n = 64  # a 64x64 grid, 4096 rows
+    grid = spark.range(n * n).selectExpr(
+        f"cast(id % {n} as long) a", f"cast(id div {n} as long) b"
+    )
+    zpath, npath = str(tmp_path / "zordered"), str(tmp_path / "naive")
+    layout.write_zordered(grid, F.col("a"), F.col("b"), zpath, n_files=16, bits=6)
+    grid.repartition(16).write.mode("overwrite").parquet(npath)
+
+    def bbox_area(path):
+        import glob as g
+
+        total = 0
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {"a": None, "b": None}
+            hi = {"a": None, "b": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            if lo["a"] is not None:
+                total += (hi["a"] - lo["a"] + 1) * (hi["b"] - lo["b"] + 1)
+        return total
+
+    z_area, n_area = bbox_area(zpath), bbox_area(npath)
+    # naive round-robin: every file spans the whole grid, ~16 * 4096;
+    # zordered: 16 contiguous Morton ranges tile the grid, ~1 * 4096
+    assert z_area < n_area / 4, f"zordered {z_area} vs naive {n_area}"
+    # and the rows themselves are unchanged (layout only)
+    assert (
+        spark.read.parquet(zpath).orderBy("a", "b").collect()
+        == grid.orderBy("a", "b").collect()
+    )

@@ -237,11 +237,13 @@ EXPECTED_R7_WINDOW = [
     "media_decode_jpeg",
     "media_resize",
     "incremental_dedup_bloom",
+    "zorder_profile",
     # re-planned this round (planted probe twins; binding edge cap)
     "knn_lsh_planes8",
     "exchange_influencers",
-    # the r4-stale evidence set (41 of 46; stochastic/donchian/ichimoku/
-    # rolling_beta/cross_exchange_spread yielded — registry rotation note)
+    # the r4-stale evidence set (40 of 46; stochastic/donchian/ichimoku/
+    # rolling_beta/cross_exchange_spread/documents_profile yielded —
+    # see the registry rotation note)
     "trading_sessions",
     "session_range_join",
     "market_cap_chart",
@@ -251,7 +253,6 @@ EXPECTED_R7_WINDOW = [
     "close_pivot",
     "vwap_hourly",
     "atr_14",
-    "documents_profile",
     "price_chart",
     "ohlc_chart",
     "indicator_chart",
