@@ -28,6 +28,8 @@ SHOWCASE = [
     "coin_indicators_left",  # broadcast LEFT join, preserved side unshuffled
     "doc_length_quantiles_approx",  # mergeable GK sketch, partial agg
     "media_features",        # pure mapInPandas over pruned scan, no shuffle
+    "incremental_dedup_bloom",  # broadcast bitset probe + anti-join on the slice
+    "zorder_profile",        # codegen'd Morton key + one cell aggregate
     "top_terms",             # partial+final WindowGroupLimit per-lang top-k
     "session_range_join",    # binned interval join: equi BHJ, no nested loop
     "trading_sessions",      # gaps-and-islands: 1 window pass + 1 agg shuffle
