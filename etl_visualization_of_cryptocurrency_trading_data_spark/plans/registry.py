@@ -1096,6 +1096,47 @@ def q_incremental_dedup_bloom(spark, sf_dir):
     return dedup.incremental_dedup_bloom(new, seen)
 
 
+def q_enrich_stream_replay(spark, sf_dir):
+    """Eighth driver-checkable STREAMING path — the STREAM-STATIC
+    broadcast lookup join (pipeline.enrich_stream_replay): the spooled
+    tick feed left-joins the coins dimension per micro-batch, emitted
+    rows hash-match the one-shot batch left join. Stateless join, no
+    watermark/sentinel: batch === stream by construction, proven
+    engine-to-engine here. The dimension side re-resolves per
+    micro-batch in production (a refreshed upsert table is picked up
+    between batches without a restart — pipeline.enrich_stream
+    docstring), which this replay's plan shape certifies."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import enrich_stream_replay
+
+    dim = derive.coins(_events(spark, sf_dir)).select(
+        F.col("id").alias("coin_id"), "exchange", "name", "symbol"
+    )
+    return enrich_stream_replay(spark, _price_base(spark, sf_dir), dim)
+
+
+def q_cms_frequencies(spark, sf_dir):
+    """Count-Min Sketch frequency estimation
+    (operators/sketches.cms_frequencies) — the frequency sketch next
+    to the HLL cardinality rollup and the GK quantile sketch: a
+    4×1024 counter grid (size independent of corpus and key
+    cardinality, cells are plain SUMs so grids merge by cell-wise
+    addition like the daily HLL table), per-key estimate = min over
+    rows, with the in-plan accuracy contract — ``is_overestimate``
+    (structurally ALWAYS true for a CMS) and ``within_bound``
+    (estimate ≤ exact + ceil(2N/width)). The md5-derived positions
+    make build + estimate replay bit-exactly in the oracle (the
+    MinHash/SimHash md5-family pattern), so the driver hash checks
+    the sketch's VALUES, not just the contract."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches
+
+    price = _price_base(spark, sf_dir)
+    return sketches.cms_frequencies(price, F.col("coin_id"))
+
+
 def q_zorder_profile(spark, sf_dir):
     """Z-order (Morton) layout profile (operators/layout.py
     zorder_cells) — the multi-column data-skipping primitive behind
@@ -2874,28 +2915,33 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-7 ROTATION EXECUTED (registry = 154 queries, window = first 50):
-# 8 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# ROUND-7 ROTATION EXECUTED (registry = 156 queries, window = first 50):
+# 10 new registrations (semantic_dedup_trained, recovery_stream_replay,
 # media_decode_bmp, media_decode_gif, media_decode_jpeg — the r6 JPEG
 # codec had pytest-only evidence — media_resize,
-# incremental_dedup_bloom, and zorder_profile) + 2 re-plans
+# incremental_dedup_bloom, zorder_profile, cms_frequencies, and
+# enrich_stream_replay) + 2 re-plans
 # (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
 # candidate+verify; exchange_influencers now runs the BINDING
-# max_per_bucket=3 edge cap) + 40 of the 46 r4-row entries — the whole
-# remaining r4-stale evidence set except stochastic/donchian/ichimoku/
-# rolling_beta/cross_exchange_spread/documents_profile, which yielded
-# their slots to the new registrations (the indicators' shared
+# max_per_bucket=3 edge cap) + 38 of the 46 r4-row entries — the whole
+# remaining r4-stale evidence set except eight yields:
+# stochastic/donchian/ichimoku/rolling_beta (the indicators' shared
 # fused-mapInPandas / window plan family is pinned this round by
-# in-window atr_14 and technical_indicators; cross_exchange_spread's
-# batch theta join by the r6-row spread_stream_replay;
-# documents_profile's profiling aggregate by the r5-row
-# corpus_quality_report; all six r4 rows stand and front-load r8).
-# New registrations stay under the ~12 cap (8 + 2 re-plans = 10).
+# in-window atr_14 and technical_indicators), cross_exchange_spread
+# (batch theta join pinned by the r6-row spread_stream_replay),
+# documents_profile (profiling aggregate pinned by the r5-row
+# corpus_quality_report), close_pivot (conditional-agg pivot pinned
+# by the r5-row volume_grouping_sets' Expand family + pytest), and
+# vwap_hourly (its EXACT oracle SQL is shared verbatim by the r5-row
+# vwap_stream_replay, so the computation stays driver-verified). All
+# eight r4 rows stand and front-load r8.
+# New registrations hit the ~12 cap exactly (10 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
-# older than r5 except the six yielded entries (r4).
+# older than r5 except the eight yielded entries (r4).
 # Round-8 rotation guidance: front-load (a) anything r8 adds or
-# re-plans, (b) stochastic/donchian/ichimoku/rolling_beta/
-# cross_exchange_spread/documents_profile (the only r4-row entries
+# re-plans, (b) the eight yielded r4-row entries (stochastic/donchian/
+# ichimoku/rolling_beta/cross_exchange_spread/documents_profile/
+# close_pivot/vwap_hourly — the only r4-row entries
 # left), (c) the 50 entries whose newest rows are r5
 # (activity_reconciliation, event_props_variant, keltner_channels,
 # candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
@@ -2917,10 +2963,11 @@ def q_plan_audit(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
-    # new this round (8): trained-index SemDeDup, exactly-once
+    # new this round (10): trained-index SemDeDup, exactly-once
     # recovery replay, BMP + GIF + JPEG real-decode rows, real
     # pixel resize, bloom-prefiltered incremental dedup, Z-order
-    # layout profile
+    # layout profile, CMS frequency sketch, stream-static
+    # enrichment replay
     "semantic_dedup_trained": q_semantic_dedup_trained,
     "recovery_stream_replay": q_recovery_stream_replay,
     "media_decode_bmp": q_media_decode_bmp,
@@ -2929,23 +2976,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "zorder_profile": q_zorder_profile,
+    "cms_frequencies": q_cms_frequencies,
+    "enrich_stream_replay": q_enrich_stream_replay,
     # re-planned this round (2): knn_lsh_planes8 plants probe
     # twins (non-vacuous recall); exchange_influencers runs the
     # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
     "exchange_influencers": q_exchange_influencers,
-    # the r4-stale evidence set rotates in (40 of 46; oldest rows in
+    # the r4-stale evidence set rotates in (38 of 46; oldest rows in
     # the registry) — stochastic/donchian/ichimoku/rolling_beta/
-    # cross_exchange_spread/documents_profile yielded to this
-    # round's registrations
+    # cross_exchange_spread/documents_profile/close_pivot/vwap_hourly
+    # yielded to this round's registrations
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
     "knn_ivf_trained": q_knn_ivf_trained,
     "volume_cube": q_volume_cube,
     "exchange_cardinality_approx": q_exchange_cardinality_approx,
-    "close_pivot": q_close_pivot,
-    "vwap_hourly": q_vwap_hourly,
     "atr_14": q_atr_14,
     "price_chart": q_price_chart,
     "ohlc_chart": q_ohlc_chart,
@@ -2982,12 +3029,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r4/r5/r6 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r6-row members first,
-    # then r5-row, then the six yielded r4-row entries
-    # (documents_profile, cross_exchange_spread + rolling_beta/
-    # stochastic/donchian/ichimoku — plan families pinned in-window
-    # this round by corpus_quality_report (r5 row),
-    # spread_stream_replay, atr_14 and technical_indicators) — they
-    # front-load the r8 rotation together with anything r8 re-plans.
+    # then r5-row, then the eight yielded r4-row entries
+    # (vwap_hourly, close_pivot, documents_profile,
+    # cross_exchange_spread + rolling_beta/stochastic/donchian/
+    # ichimoku — computations pinned elsewhere: vwap_stream_replay
+    # shares vwap_hourly's exact oracle SQL, volume_grouping_sets
+    # pins the Expand/conditional-agg family, corpus_quality_report,
+    # spread_stream_replay, atr_14 and technical_indicators cover
+    # the rest) — they front-load the r8 rotation together with
+    # anything r8 re-plans.
     "simhash_pairs_wide": q_simhash_pairs_wide,
     "knn_ivf_fixed": q_knn_ivf_fixed,
     "media_decode_png": q_media_decode_png,
@@ -3086,6 +3136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+    "vwap_hourly": q_vwap_hourly,
+    "close_pivot": q_close_pivot,
     "documents_profile": q_documents_profile,
     "cross_exchange_spread": q_cross_exchange_spread,
     "rolling_beta": q_rolling_beta,
@@ -5045,6 +5097,43 @@ SELECT exchange, id, rank, wdeg, rk FROM (
     # the hash pins the against-seen AND within-batch drop paths, not
     # just survive (r5 verdict item #5)
     "incremental_dedup_bloom": INCREMENTAL_DEDUP_SQL,
+    # stream-static enrichment emits exactly the batch LEFT join of
+    # feed x coins dim (stateless per-batch lookup; null-extended miss)
+    "enrich_stream_replay": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+{COINS_CTE.strip()}
+SELECT b.coin_id, b.exchange, b.timestamp, b.price, b.volume,
+       c.name, c.symbol
+FROM base b LEFT JOIN coins c
+  ON b.coin_id = c.id AND b.exchange = c.exchange""",
+    # CMS replayed bit-exactly via the md5 position family; the two
+    # contract booleans come out as actual comparisons, not literals —
+    # the hash checks sketch VALUES
+    "cms_frequencies": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+keyed AS (SELECT coin_id AS key FROM base),
+pos AS (
+  SELECT key, s.seed,
+         (('0x' || substr(md5(key || 's' || s.seed), 1, 8))::UBIGINT % 1024)::BIGINT AS col
+  FROM keyed, (VALUES (0), (1), (2), (3)) s(seed)
+),
+grid AS (SELECT seed, col, count(*)::BIGINT AS n FROM pos GROUP BY seed, col),
+total AS (SELECT sum(n) AS t FROM grid WHERE seed = 0),
+exact AS (SELECT key, count(*)::BIGINT AS exact_n FROM keyed GROUP BY key),
+probes AS (
+  SELECT e.key, e.exact_n, s.seed,
+         (('0x' || substr(md5(e.key || 's' || s.seed), 1, 8))::UBIGINT % 1024)::BIGINT AS col
+  FROM exact e, (VALUES (0), (1), (2), (3)) s(seed)
+),
+est AS (
+  SELECT p.key, p.exact_n, min(g.n) AS cms_n
+  FROM probes p JOIN grid g ON p.seed = g.seed AND p.col = g.col
+  GROUP BY p.key, p.exact_n
+)
+SELECT key, exact_n, cms_n,
+       cms_n >= exact_n AS is_overestimate,
+       cms_n <= exact_n + ceil(2.0 * t / 1024) AS within_bound
+FROM est CROSS JOIN total""",
     # Morton interleave replayed as 32 shift/mask terms; cells are the
     # top 8 bits (zkey >> 24), so output is <=256 rows whatever the input
     "zorder_profile": f"""

@@ -881,3 +881,55 @@ def recovery_stream_replay(
     )
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def enrich_stream_replay(
+    spark: SparkSession, price: DataFrame, dim: DataFrame, timeout_s: int = 600
+) -> DataFrame:
+    """Deterministic end-to-end replay of [[enrich_stream]] — the
+    STREAM-STATIC broadcast lookup join (the reference attaches coin
+    metadata to every tick the same way, client-side): the spooled
+    tick feed left-joins the coins dimension per micro-batch, and the
+    emitted rows must hash-match the one-shot batch left join. The
+    join is stateless (no watermark, no sentinel, every input row
+    emits exactly once, null-extended when the dimension misses), so
+    batch === stream by construction — this row proves it
+    engine-to-engine like the other seven streaming replays.
+
+    ``dim`` arrives keyed (coin_id, exchange, name, symbol); the
+    broadcast hint inside enrich_stream keeps the per-batch join
+    map-side — the executed micro-batch plans never shuffle the feed.
+    As with the other replays the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    out_schema = (
+        "coin_id string, exchange string, timestamp timestamp,"
+        " price double, volume double, name string, symbol string"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    if real.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    spool = tempfile.mkdtemp(prefix="enrich_replay_")
+    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
+    name = f"enrich_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        enrich_stream(
+            read_price_stream(spark, os.path.join(spool, "feed", "*.parquet")),
+            dim,
+            ["coin_id", "exchange"],
+        )
+        .select(
+            "coin_id", "exchange", "timestamp", "price", "volume", "name", "symbol"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_spool(query, spool, "enrich", timeout_s)
+    return spark.table(name)

@@ -1290,3 +1290,56 @@ def test_decode_jpeg_rejects_non_jpeg_and_progressive(spark):
         with _pytest.raises(Exception) as ei:
             multimodal.decode_jpeg(broken).collect()
         assert msg in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def test_cms_grid_is_mergeable(spark):
+    """The CMS scale contract: the grid of A ∪ B equals the cell-wise
+    SUM of A's and B's grids — what lets daily sketch tables merge
+    without re-touching facts (same pattern as the HLL rollup)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sketches
+
+    a = spark.range(300).selectExpr("cast(id % 7 as string) key")
+    b = spark.range(500).selectExpr("cast(id % 11 as string) key")
+    ga = sketches.cms_build(a, F.col("key"), width=64, depth=3)
+    gb = sketches.cms_build(b, F.col("key"), width=64, depth=3)
+    summed = {
+        (r.seed, r.col): r.n
+        for r in ga.unionByName(gb)
+        .groupBy("seed", "col")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    whole = {
+        (r.seed, r.col): r.n
+        for r in sketches.cms_build(
+            a.unionByName(b), F.col("key"), width=64, depth=3
+        ).collect()
+    }
+    assert summed == whole
+
+
+def test_cms_contract_and_collision_overshoot(spark):
+    """Never-underestimate holds even under FORCED collisions (width 4
+    « 40 keys): every estimate >= exact. At the registered 4x1024
+    sizing over the fixture feed, all within_bound booleans are TRUE
+    (what the driver hash pins)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sketches
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        _price_base,
+    )
+
+    skewed = spark.range(2000).selectExpr("cast(id % 40 as string) key")
+    tight = sketches.cms_frequencies(skewed, F.col("key"), width=4, depth=2)
+    rows = tight.collect()
+    assert all(r.is_overestimate for r in rows)
+    # width 4 forces heavy collisions: at least one real overshoot,
+    # proving the estimate is a genuine sketch, not a disguised count
+    assert any(r.cms_n > r.exact_n for r in rows)
+    registered = sketches.cms_frequencies(
+        _price_base(spark, SF_SMOKE), F.col("coin_id")
+    ).collect()
+    assert registered and all(r.is_overestimate and r.within_bound for r in registered)

@@ -229,7 +229,9 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # evictions deliberate and reviewed instead of silent.
 EXPECTED_R7_WINDOW = [
     # new this round (trained SemDeDup, exactly-once recovery replay,
-    # BMP + GIF real decode, real pixel resize)
+    # BMP/GIF/JPEG real-decode rows, real pixel resize, bloom-
+    # prefiltered incremental dedup, Z-order profile, CMS frequency
+    # sketch, stream-static enrichment replay)
     "semantic_dedup_trained",
     "recovery_stream_replay",
     "media_decode_bmp",
@@ -238,20 +240,20 @@ EXPECTED_R7_WINDOW = [
     "media_resize",
     "incremental_dedup_bloom",
     "zorder_profile",
+    "cms_frequencies",
+    "enrich_stream_replay",
     # re-planned this round (planted probe twins; binding edge cap)
     "knn_lsh_planes8",
     "exchange_influencers",
-    # the r4-stale evidence set (40 of 46; stochastic/donchian/ichimoku/
-    # rolling_beta/cross_exchange_spread/documents_profile yielded —
-    # see the registry rotation note)
+    # the r4-stale evidence set (38 of 46; stochastic/donchian/
+    # ichimoku/rolling_beta/cross_exchange_spread/documents_profile/
+    # close_pivot/vwap_hourly yielded — see the registry rotation note)
     "trading_sessions",
     "session_range_join",
     "market_cap_chart",
     "knn_ivf_trained",
     "volume_cube",
     "exchange_cardinality_approx",
-    "close_pivot",
-    "vwap_hourly",
     "atr_14",
     "price_chart",
     "ohlc_chart",

@@ -793,3 +793,33 @@ def test_dedup_stream_replay_equals_batch_distinct(spark, price_df):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_enrich_stream_replay_matches_batch_left_join(spark):
+    """The stream-static broadcast lookup replay emits exactly the
+    batch LEFT join — including the null-extended row for a tick
+    whose coin is missing from the dimension (left semantics: ticks
+    never drop)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        enrich_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    price = spark.createDataFrame(
+        [
+            ("c1", "x", T, 10.0, 1.0),
+            ("c2", "x", T, 20.0, 1.0),
+            ("ghost", "x", T, 5.0, 1.0),  # not in the dimension
+        ],
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    dim = spark.createDataFrame(
+        [("c1", "x", "Coin 1", "C1"), ("c2", "x", "Coin 2", "C2")],
+        "coin_id string, exchange string, name string, symbol string",
+    )
+    got = {r.coin_id: r for r in enrich_stream_replay(spark, price, dim).collect()}
+    assert len(got) == 3
+    assert got["c1"].name == "Coin 1" and got["c2"].symbol == "C2"
+    assert got["ghost"].name is None and got["ghost"].symbol is None
