@@ -710,6 +710,15 @@ def semantic_dedup(
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") == 1)
         .select("vec_id", "emb", "cent_id")
+        # persist: BOTH sides of the within-cluster pair self-join read
+        # this frame, and ReuseExchange does not fire across the alias
+        # boundary (measured: 0 ReusedExchange; the whole assignment
+        # subtree — including the 2-Lloyd-round k-means chain on the
+        # trained route — executed twice). One (vec_id, emb, cent_id)
+        # row per corpus vector. Measured at sf0.1 with the cache
+        # cleared per run: semantic_dedup 3.4 -> 1.6 s, trained form
+        # 4.3 -> 3.3 s; hash-identical output.
+        .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
