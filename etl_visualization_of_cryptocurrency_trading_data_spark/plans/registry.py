@@ -2958,6 +2958,12 @@ def q_plan_audit(spark, sf_dir):
 # bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
 # active_coins_semi, momentum_ranks, knn_lsh_multiprobe...), oldest
 # first; the ~48 r6-row and ~45 r7-row entries can wait.
+# r8 candidate (NOTES_r07 §11): a constant-probe IVF registration
+# (probe set fixed, e.g. vec_id < 200, instead of the %50 rule whose
+# probe COUNT grows with N and injects a probes*corpus/lists quadratic
+# into the fixture measurement) — production search cost is linear in
+# N for a fixed query workload, and a fixed-probe row would measure
+# exactly that.
 # Update EXPECTED_R7_WINDOW in test_sql_api.py in the same commit as any
 # window change (rename it EXPECTED_R8_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
