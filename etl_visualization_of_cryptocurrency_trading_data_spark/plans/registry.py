@@ -1937,11 +1937,18 @@ SELECT cent_id, n_members,
 FROM c2"""
 
 
-def _knn_ivf_sql(cent_where: str = "vec_id % 101 = 1") -> str:
+def _knn_ivf_sql(
+    cent_where: str = "vec_id % 101 = 1",
+    probe_where: str = "vec_id % 50 = 0",
+) -> str:
     """IVF-flat oracle; ``cent_where`` picks the coarse index — the
     modulus default (C grows with N; fixture/teaching form) or a
     fixed-size rule like ``vec_id < 32`` (constant C; the scale-honest
-    registration ``knn_ivf_fixed``)."""
+    registration ``knn_ivf_fixed``). ``probe_where`` picks the probe
+    set — the %50 default's probe COUNT grows with N (injecting a
+    probes*corpus/lists quadratic into fixture-scale measurements,
+    NOTES_r07 §11); a constant rule like ``vec_id < 200`` models the
+    production fixed query workload (the r8 registration candidate)."""
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 centroids AS (
@@ -1961,7 +1968,7 @@ ranked AS (
 lists AS (SELECT vec_id, emb, cent_id FROM ranked WHERE crank = 1),
 probe_lists AS (
   SELECT vec_id AS probe_id, emb AS probe_emb, cent_id
-  FROM ranked WHERE vec_id % 50 = 0 AND crank <= 2
+  FROM ranked WHERE {probe_where} AND crank <= 2
 ),
 cand AS (
   SELECT probe_id, l.vec_id AS neighbor_id,
