@@ -1343,3 +1343,37 @@ def test_cms_contract_and_collision_overshoot(spark):
         _price_base(spark, SF_SMOKE), F.col("coin_id")
     ).collect()
     assert registered and all(r.is_overestimate and r.within_bound for r in registered)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 4),
+    st.binary(min_size=3, max_size=30).filter(lambda b: len(b) % 3 == 0),
+    st.binary(min_size=3, max_size=30).filter(lambda b: len(b) % 3 == 0),
+)
+def test_png_filter_unfilter_inverse_property(ftype, raw, prev):
+    """Property: _png_unfilter_row inverts _png_filter_row for EVERY
+    filter type over arbitrary scanlines and prior rows (equal-length
+    pairs; the generator only ever exercises the corpus's pixel
+    pattern, this covers the full byte space — including the
+    sequential Sub/Average/Paeth recursion where each reconstructed
+    byte feeds the next predictor)."""
+    n = min(len(raw), len(prev))
+    n -= n % 3
+    raw, prev = raw[:n], prev[:n]
+    filt = multimodal._png_filter_row(ftype, raw, prev)
+    back = multimodal._png_unfilter_row(ftype, filt, prev)
+    assert back == raw
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+def test_paeth_predictor_spec_property(a, b, c):
+    """RFC 2083 §6.6 Paeth: the predictor returns whichever of
+    left/up/up-left is nearest to a + b - c, ties broken in the order
+    left, up, up-left — checked against a literal transcription of
+    the spec pseudocode."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    want = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+    assert multimodal._paeth(a, b, c) == want
