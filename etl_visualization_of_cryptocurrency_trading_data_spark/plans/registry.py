@@ -1116,6 +1116,23 @@ def q_enrich_stream_replay(spark, sf_dir):
     return enrich_stream_replay(spark, _price_base(spark, sf_dir), dim)
 
 
+def q_late_drop_stream_replay(spark, sf_dir):
+    """Ninth driver-checkable STREAMING path — watermark late-data
+    DROP enforcement (pipeline.late_drop_stream_replay): after the
+    full feed drains and its watermark commits, a second drain
+    re-delivers price −1e6 copies of the earliest hour's ticks; their
+    windows are finalized, so the aggregate must DISCARD them and the
+    final frame hash-matches the batch candles of the real feed — a
+    leaked late row would crater the first hour's `low` and flip the
+    hash. Complements recovery_stream_replay (state CARRIED for open
+    windows there, state FINALIZED against late arrivals here) and
+    the six close-correctly rows. The fixture feed spans 30 days, far
+    past the builder's more-than-one-hour precondition."""
+    from ..streaming.pipeline import late_drop_stream_replay
+
+    return late_drop_stream_replay(spark, _price_base(spark, sf_dir))
+
+
 def q_cms_frequencies(spark, sf_dir):
     """Count-Min Sketch frequency estimation
     (operators/sketches.cms_frequencies) — the frequency sketch next
@@ -2922,33 +2939,35 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-7 ROTATION EXECUTED (registry = 156 queries, window = first 50):
-# 10 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# ROUND-7 ROTATION EXECUTED (registry = 157 queries, window = first 50):
+# 11 new registrations (semantic_dedup_trained, recovery_stream_replay,
 # media_decode_bmp, media_decode_gif, media_decode_jpeg — the r6 JPEG
 # codec had pytest-only evidence — media_resize,
-# incremental_dedup_bloom, zorder_profile, cms_frequencies, and
-# enrich_stream_replay) + 2 re-plans
+# incremental_dedup_bloom, zorder_profile, cms_frequencies,
+# enrich_stream_replay, and late_drop_stream_replay) + 2 re-plans
 # (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
 # candidate+verify; exchange_influencers now runs the BINDING
-# max_per_bucket=3 edge cap) + 38 of the 46 r4-row entries — the whole
-# remaining r4-stale evidence set except eight yields:
+# max_per_bucket=3 edge cap) + 37 of the 46 r4-row entries — the whole
+# remaining r4-stale evidence set except nine yields:
 # stochastic/donchian/ichimoku/rolling_beta (the indicators' shared
 # fused-mapInPandas / window plan family is pinned this round by
 # in-window atr_14 and technical_indicators), cross_exchange_spread
 # (batch theta join pinned by the r6-row spread_stream_replay),
 # documents_profile (profiling aggregate pinned by the r5-row
 # corpus_quality_report), close_pivot (conditional-agg pivot pinned
-# by the r5-row volume_grouping_sets' Expand family + pytest), and
+# by the r5-row volume_grouping_sets' Expand family + pytest),
 # vwap_hourly (its EXACT oracle SQL is shared verbatim by the r5-row
-# vwap_stream_replay, so the computation stays driver-verified). All
-# eight r4 rows stand and front-load r8.
-# New registrations hit the ~12 cap exactly (10 + 2 re-plans).
+# vwap_stream_replay, so the computation stays driver-verified), and
+# ohlc_chart (its candle CTE is pinned by in-window ohlc_candles and
+# its serving filters by in-window price_chart/indicator_chart). All
+# nine r4 rows stand and front-load r8.
+# New registrations: 11 of the ~12 cap (+ 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
-# older than r5 except the eight yielded entries (r4).
+# older than r5 except the nine yielded entries (r4).
 # Round-8 rotation guidance: front-load (a) anything r8 adds or
-# re-plans, (b) the eight yielded r4-row entries (stochastic/donchian/
+# re-plans, (b) the nine yielded r4-row entries (stochastic/donchian/
 # ichimoku/rolling_beta/cross_exchange_spread/documents_profile/
-# close_pivot/vwap_hourly — the only r4-row entries
+# close_pivot/vwap_hourly/ohlc_chart — the only r4-row entries
 # left), (c) the 50 entries whose newest rows are r5
 # (activity_reconciliation, event_props_variant, keltner_channels,
 # candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
@@ -2976,11 +2995,11 @@ def q_plan_audit(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
-    # new this round (10): trained-index SemDeDup, exactly-once
-    # recovery replay, BMP + GIF + JPEG real-decode rows, real
-    # pixel resize, bloom-prefiltered incremental dedup, Z-order
-    # layout profile, CMS frequency sketch, stream-static
-    # enrichment replay
+    # new this round (11): trained-index SemDeDup, exactly-once
+    # recovery replay, late-data-drop replay, BMP + GIF + JPEG
+    # real-decode rows, real pixel resize, bloom-prefiltered
+    # incremental dedup, Z-order layout profile, CMS frequency
+    # sketch, stream-static enrichment replay
     "semantic_dedup_trained": q_semantic_dedup_trained,
     "recovery_stream_replay": q_recovery_stream_replay,
     "media_decode_bmp": q_media_decode_bmp,
@@ -2991,15 +3010,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_profile": q_zorder_profile,
     "cms_frequencies": q_cms_frequencies,
     "enrich_stream_replay": q_enrich_stream_replay,
+    "late_drop_stream_replay": q_late_drop_stream_replay,
     # re-planned this round (2): knn_lsh_planes8 plants probe
     # twins (non-vacuous recall); exchange_influencers runs the
     # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
     "exchange_influencers": q_exchange_influencers,
-    # the r4-stale evidence set rotates in (38 of 46; oldest rows in
+    # the r4-stale evidence set rotates in (37 of 46; oldest rows in
     # the registry) — stochastic/donchian/ichimoku/rolling_beta/
-    # cross_exchange_spread/documents_profile/close_pivot/vwap_hourly
-    # yielded to this round's registrations
+    # cross_exchange_spread/documents_profile/close_pivot/vwap_hourly/
+    # ohlc_chart yielded to this round's registrations
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
@@ -3008,7 +3028,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exchange_cardinality_approx": q_exchange_cardinality_approx,
     "atr_14": q_atr_14,
     "price_chart": q_price_chart,
-    "ohlc_chart": q_ohlc_chart,
     "indicator_chart": q_indicator_chart,
     "coin_display": q_coin_display,
     "quality_score": q_quality_score,
@@ -3042,12 +3061,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r4/r5/r6 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r6-row members first,
-    # then r5-row, then the eight yielded r4-row entries
-    # (vwap_hourly, close_pivot, documents_profile,
+    # then r5-row, then the nine yielded r4-row entries
+    # (ohlc_chart, vwap_hourly, close_pivot, documents_profile,
     # cross_exchange_spread + rolling_beta/stochastic/donchian/
-    # ichimoku — computations pinned elsewhere: vwap_stream_replay
-    # shares vwap_hourly's exact oracle SQL, volume_grouping_sets
-    # pins the Expand/conditional-agg family, corpus_quality_report,
+    # ichimoku — computations pinned elsewhere: ohlc_candles +
+    # price_chart cover ohlc_chart, vwap_stream_replay shares
+    # vwap_hourly's exact oracle SQL, volume_grouping_sets pins the
+    # Expand/conditional-agg family, corpus_quality_report,
     # spread_stream_replay, atr_14 and technical_indicators cover
     # the rest) — they front-load the r8 rotation together with
     # anything r8 re-plans.
@@ -3149,6 +3169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+    "ohlc_chart": q_ohlc_chart,
     "vwap_hourly": q_vwap_hourly,
     "close_pivot": q_close_pivot,
     "documents_profile": q_documents_profile,
@@ -4464,6 +4485,13 @@ FROM dd GROUP BY coin_id, exchange""",
     # candles — recovery that loses state, re-emits, or late-drops
     # diverges from this same SQL
     "recovery_stream_replay": _with(
+        PRICE_DATA_CTE, OHLC_CTE,
+        select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
+    ),
+    # ...and so must the late-drop drain: the sabotage re-deliveries
+    # are DROPPED behind the watermark, so the real feed's batch
+    # candles are again the exact expectation (a leak craters `low`)
+    "late_drop_stream_replay": _with(
         PRICE_DATA_CTE, OHLC_CTE,
         select="SELECT coin_id, exchange, timestamp, open, high, low, close FROM ohlc_data",
     ),

@@ -933,3 +933,105 @@ def enrich_stream_replay(
     )
     _drain_spool(query, spool, "enrich", timeout_s)
     return spark.table(name)
+
+
+def late_drop_stream_replay(
+    spark: SparkSession, price: DataFrame, timeout_s: int = 600
+) -> DataFrame:
+    """Late-data DROP replay (T6's other half): the six green replay
+    rows prove windows CLOSE correctly; this one proves rows arriving
+    BEHIND the watermark are actually discarded. Wave 1 drains the
+    whole real feed into a parquet sink (checkpoint kept); wave 2
+    re-delivers SABOTAGE copies of the earliest hour's ticks — price
+    −1e6 — plus the +72 h sentinel, and restarts from the checkpoint.
+    The recovered watermark already sits at the real feed's max event
+    time, so every sabotage row's window has been finalized and the
+    windowed aggregate must DROP them; the sentinel then closes the
+    real tail windows. Final frame = exactly the batch candles of the
+    real feed — if watermark enforcement ever leaked a late row, the
+    earliest hour's `low` would plummet to −1e6 and the driver hash
+    would flip. (Same two-drain mechanics as [[recovery_stream_replay]];
+    the two builders pin complementary halves of restart semantics:
+    state CARRIED for open windows there, state FINALIZED against late
+    arrivals here.)
+
+    As with the other replays the streaming jobs run at BUILD time; the
+    returned frame is localCheckpoint-materialized and every tempdir is
+    deleted before returning.
+    """
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    out_schema = (
+        "coin_id string, exchange string, timestamp timestamp,"
+        " open double, high double, low double, close double"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    bounds = real.agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        return spark.createDataFrame([], out_schema)
+
+    root = tempfile.mkdtemp(prefix="late_drop_replay_")
+    spool = os.path.join(root, "spool")
+    held = os.path.join(root, "held")
+    os.makedirs(spool)
+    os.makedirs(held)
+    real.coalesce(2).write.mode("overwrite").parquet(os.path.join(root, "wave1"))
+    first_hour_end = bounds.lo + timedelta(hours=1)
+    sabotage = (
+        real.filter(F.col("timestamp") < first_hour_end)
+        .withColumn("price", F.lit(-1_000_000.0))
+    )
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", "__sentinel__", bounds.hi + timedelta(hours=72), 0.0, 0.0)],
+        PRICE_SCHEMA,
+    )
+    sabotage.unionByName(sentinel).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(root, "wave2")
+    )
+    for src, dst in (("wave1", spool), ("wave2", held)):
+        subdir = os.path.join(root, src)
+        for i, f in enumerate(sorted(os.listdir(subdir))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f), os.path.join(dst, f"{src}_{i:02d}.parquet")
+                )
+        shutil.rmtree(subdir)
+
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain() -> None:
+        query = (
+            ohlc_stream(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                delay="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(timeout_s):
+            query.stop()
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError(f"late-drop replay did not finish in {timeout_s}s")
+
+    drain()  # run 1: the full real feed; watermark commits at max real ts
+    for f in sorted(os.listdir(held)):
+        os.rename(os.path.join(held, f), os.path.join(spool, f))
+    drain()  # run 2: sabotage late rows (must DROP) + sentinel (closes tail)
+    result = (
+        spark.read.schema(out_schema)
+        .parquet(out)
+        .filter(F.col("coin_id") != "__sentinel__")
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -228,10 +228,10 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
 EXPECTED_R7_WINDOW = [
-    # new this round (trained SemDeDup, exactly-once recovery replay,
-    # BMP/GIF/JPEG real-decode rows, real pixel resize, bloom-
-    # prefiltered incremental dedup, Z-order profile, CMS frequency
-    # sketch, stream-static enrichment replay)
+    # new this round: trained SemDeDup, exactly-once recovery +
+    # late-drop + enrichment streaming replays, BMP/GIF/JPEG
+    # real-decode rows, real pixel resize, bloom-prefiltered
+    # incremental dedup, Z-order profile, CMS frequency sketch
     "semantic_dedup_trained",
     "recovery_stream_replay",
     "media_decode_bmp",
@@ -242,12 +242,13 @@ EXPECTED_R7_WINDOW = [
     "zorder_profile",
     "cms_frequencies",
     "enrich_stream_replay",
+    "late_drop_stream_replay",
     # re-planned this round (planted probe twins; binding edge cap)
     "knn_lsh_planes8",
     "exchange_influencers",
-    # the r4-stale evidence set (38 of 46; stochastic/donchian/
-    # ichimoku/rolling_beta/cross_exchange_spread/documents_profile/
-    # close_pivot/vwap_hourly yielded — see the registry rotation note)
+    # the r4-stale evidence set (37 of 46; the nine yields are
+    # listed in the registry rotation note with their pinning
+    # evidence)
     "trading_sessions",
     "session_range_join",
     "market_cap_chart",
@@ -256,7 +257,6 @@ EXPECTED_R7_WINDOW = [
     "exchange_cardinality_approx",
     "atr_14",
     "price_chart",
-    "ohlc_chart",
     "indicator_chart",
     "coin_display",
     "quality_score",

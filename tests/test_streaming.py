@@ -823,3 +823,36 @@ def test_enrich_stream_replay_matches_batch_left_join(spark):
     assert len(got) == 3
     assert got["c1"].name == "Coin 1" and got["c2"].symbol == "C2"
     assert got["ghost"].name is None and got["ghost"].symbol is None
+
+
+def test_late_drop_stream_replay_discards_behind_watermark(spark):
+    """Run 2's sabotage re-deliveries (price -1e6 copies of hour-0
+    ticks) arrive with the recovered watermark already at the feed's
+    max event time — their windows are finalized, so the aggregate
+    must DROP them: the final frame equals the batch candles of the
+    real feed, and no candle's low shows the sabotage price. Requires
+    a feed spanning more than one hour (otherwise the re-deliveries
+    would not be late; the builder's docstring pins this)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        late_drop_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "x", T + dt.timedelta(minutes=10), 10.0, 1.0),  # hour 0
+        ("c1", "x", T + dt.timedelta(minutes=50), 12.0, 1.0),  # hour 0
+        ("c1", "x", T + dt.timedelta(minutes=90), 11.0, 1.0),  # hour 1
+        ("c1", "x", T + dt.timedelta(minutes=150), 9.0, 1.0),  # hour 2
+        ("c2", "y", T + dt.timedelta(minutes=20), 5.0, 1.0),  # hour 0
+    ]
+    price = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    emitted = late_drop_stream_replay(spark, price).collect()
+    want = sorted(map(str, derive.ohlc_data(price).collect()))
+    assert sorted(map(str, emitted)) == want and len(emitted) == 4
+    assert all(r.low > -1_000_000.0 for r in emitted), "late sabotage row leaked"
