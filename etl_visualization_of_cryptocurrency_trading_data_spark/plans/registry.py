@@ -1133,6 +1133,27 @@ def q_late_drop_stream_replay(spark, sf_dir):
     return late_drop_stream_replay(spark, _price_base(spark, sf_dir))
 
 
+def q_knn_ivf_full_fixed(spark, sf_dir):
+    """The PRODUCTION-shape IVF registration: fixed coarse index
+    (centroid_limit=32, the knn_ivf_fixed rule) AND a fixed probe set
+    (vec_id < 200) — closing the one honest caveat in the r7 100×
+    experiment (NOTES_r07 §11): the %50 probe rule grows the probe
+    COUNT with the corpus, injecting a probes×corpus/lists quadratic
+    that belongs to the fixture, not the index. With both C and the
+    query workload constant, search cost is linear in N exactly like
+    assignment — the 100×-data measurement of THIS registration is the
+    index's true scaling. Oracle via the parameterized
+    ``_knn_ivf_sql(cent_where, probe_where)``."""
+    from pyspark.sql import functions as F
+
+    return similarity.knn_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        probe_filter=F.col("vec_id") < 200,
+        k=5,
+        centroid_limit=32,
+    )
+
+
 def q_cms_frequencies(spark, sf_dir):
     """Count-Min Sketch frequency estimation
     (operators/sketches.cms_frequencies) — the frequency sketch next
@@ -2939,16 +2960,18 @@ def q_plan_audit(spark, sf_dir):
 
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
-# ROUND-7 ROTATION EXECUTED (registry = 157 queries, window = first 50):
-# 11 new registrations (semantic_dedup_trained, recovery_stream_replay,
+# ROUND-7 ROTATION EXECUTED (registry = 158 queries, window = first 50):
+# 12 new registrations (semantic_dedup_trained, recovery_stream_replay,
 # media_decode_bmp, media_decode_gif, media_decode_jpeg — the r6 JPEG
 # codec had pytest-only evidence — media_resize,
 # incremental_dedup_bloom, zorder_profile, cms_frequencies,
-# enrich_stream_replay, and late_drop_stream_replay) + 2 re-plans
+# enrich_stream_replay, late_drop_stream_replay, and
+# knn_ivf_full_fixed — fixed C AND fixed probes, 49x at 100x data vs
+# 104x for the %50-probe fixture rule) + 2 re-plans
 # (knn_lsh_planes8 now plants probe twins so its hash covers non-empty
 # candidate+verify; exchange_influencers now runs the BINDING
-# max_per_bucket=3 edge cap) + 37 of the 46 r4-row entries — the whole
-# remaining r4-stale evidence set except nine yields:
+# max_per_bucket=3 edge cap) + 36 of the 46 r4-row entries — the whole
+# remaining r4-stale evidence set except ten yields:
 # stochastic/donchian/ichimoku/rolling_beta (the indicators' shared
 # fused-mapInPandas / window plan family is pinned this round by
 # in-window atr_14 and technical_indicators), cross_exchange_spread
@@ -2959,15 +2982,18 @@ def q_plan_audit(spark, sf_dir):
 # vwap_hourly (its EXACT oracle SQL is shared verbatim by the r5-row
 # vwap_stream_replay, so the computation stays driver-verified), and
 # ohlc_chart (its candle CTE is pinned by in-window ohlc_candles and
-# its serving filters by in-window price_chart/indicator_chart). All
-# nine r4 rows stand and front-load r8.
-# New registrations: 11 of the ~12 cap (+ 2 re-plans).
+# its serving filters by in-window price_chart/indicator_chart), and
+# envelope_mcap (one of four identical-shape explode branches of the
+# same envelope codec; envelope_price/coins/ohlc stay in-window). All
+# ten r4 rows stand and front-load r8.
+# New registrations hit the ~12 cap exactly (12 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
-# older than r5 except the nine yielded entries (r4).
+# older than r5 except the ten yielded entries (r4).
 # Round-8 rotation guidance: front-load (a) anything r8 adds or
 # re-plans, (b) the nine yielded r4-row entries (stochastic/donchian/
 # ichimoku/rolling_beta/cross_exchange_spread/documents_profile/
-# close_pivot/vwap_hourly/ohlc_chart — the only r4-row entries
+# close_pivot/vwap_hourly/ohlc_chart/envelope_mcap — the only
+# r4-row entries
 # left), (c) the 50 entries whose newest rows are r5
 # (activity_reconciliation, event_props_variant, keltner_channels,
 # candlestick_patterns, vocab_coverage, scd2_volume_tiers, knn_ivf_pq,
@@ -2984,22 +3010,16 @@ def q_plan_audit(spark, sf_dir):
 # bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
 # active_coins_semi, momentum_ranks, knn_lsh_multiprobe...), oldest
 # first; the ~48 r6-row and ~45 r7-row entries can wait.
-# r8 candidate (NOTES_r07 §11): a constant-probe IVF registration
-# (probe set fixed, e.g. vec_id < 200, instead of the %50 rule whose
-# probe COUNT grows with N and injects a probes*corpus/lists quadratic
-# into the fixture measurement) — production search cost is linear in
-# N for a fixed query workload, and a fixed-probe row would measure
-# exactly that.
 # Update EXPECTED_R7_WINDOW in test_sql_api.py in the same commit as any
 # window change (rename it EXPECTED_R8_WINDOW).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
-    # new this round (11): trained-index SemDeDup, exactly-once
+    # new this round (12): trained-index SemDeDup, exactly-once
     # recovery replay, late-data-drop replay, BMP + GIF + JPEG
     # real-decode rows, real pixel resize, bloom-prefiltered
     # incremental dedup, Z-order layout profile, CMS frequency
-    # sketch, stream-static enrichment replay
+    # sketch, stream-static enrichment replay, production-shape IVF
     "semantic_dedup_trained": q_semantic_dedup_trained,
     "recovery_stream_replay": q_recovery_stream_replay,
     "media_decode_bmp": q_media_decode_bmp,
@@ -3011,15 +3031,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_frequencies": q_cms_frequencies,
     "enrich_stream_replay": q_enrich_stream_replay,
     "late_drop_stream_replay": q_late_drop_stream_replay,
+    "knn_ivf_full_fixed": q_knn_ivf_full_fixed,
     # re-planned this round (2): knn_lsh_planes8 plants probe
     # twins (non-vacuous recall); exchange_influencers runs the
     # BINDING max_per_bucket=3 edge cap (last scale-killer closed)
     "knn_lsh_planes8": q_knn_lsh_planes8,
     "exchange_influencers": q_exchange_influencers,
-    # the r4-stale evidence set rotates in (37 of 46; oldest rows in
-    # the registry) — stochastic/donchian/ichimoku/rolling_beta/
-    # cross_exchange_spread/documents_profile/close_pivot/vwap_hourly/
-    # ohlc_chart yielded to this round's registrations
+    # the r4-stale evidence set rotates in (36 of 46; oldest rows in
+    # the registry) — the ten yields are listed in the rotation note
+    # above with their pinning evidence
     "trading_sessions": q_trading_sessions,
     "session_range_join": q_session_range_join,
     "market_cap_chart": q_market_cap_chart,
@@ -3053,7 +3073,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "envelope_price": q_envelope_price,
     "envelope_coins": q_envelope_coins,
     "envelope_ohlc": q_envelope_ohlc,
-    "envelope_mcap": q_envelope_mcap,
     "coin_indicators_left": q_coin_indicators_left,
     "volume_rollup": q_volume_rollup,
     "text_stats": q_text_stats,
@@ -3061,8 +3080,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tail: driver-green in r4/r5/r6 under the current fixtures and
     # unchanged this round; still pinned at sf0.001 every session by
     # tests/test_oracle_parity.py. Ordered: r6-row members first,
-    # then r5-row, then the nine yielded r4-row entries
-    # (ohlc_chart, vwap_hourly, close_pivot, documents_profile,
+    # then r5-row, then the ten yielded r4-row entries
+    # (envelope_mcap, ohlc_chart, vwap_hourly, close_pivot,
+    # documents_profile,
     # cross_exchange_spread + rolling_beta/stochastic/donchian/
     # ichimoku — computations pinned elsewhere: ohlc_candles +
     # price_chart cover ohlc_chart, vwap_stream_replay shares
@@ -3169,6 +3189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_coins_semi": q_active_coins_semi,
     "momentum_ranks": q_momentum_ranks,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+    "envelope_mcap": q_envelope_mcap,
     "ohlc_chart": q_ohlc_chart,
     "vwap_hourly": q_vwap_hourly,
     "close_pivot": q_close_pivot,
@@ -3799,6 +3820,9 @@ FROM m""",
     # scale-safe configurations (r5 verdict item #2): fixed-C coarse
     # index / 256-bucket LSH, each with its own exact oracle
     "knn_ivf_fixed": _knn_ivf_sql("vec_id < 32"),
+    # fixed C AND fixed probes — the production shape; the fixture's
+    # %50 probe rule (probe count ∝ N) stays on the other entries
+    "knn_ivf_full_fixed": _knn_ivf_sql("vec_id < 32", "vec_id < 200"),
     "knn_lsh_planes8": _knn_sql(bucketed=True, n_planes=8, plant_shift=1_000_001),
     # recall@5 of each approximate index vs brute truth — floors must
     # stay in sync with similarity.knn_recall's defaults

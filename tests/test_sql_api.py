@@ -228,10 +228,10 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
 EXPECTED_R7_WINDOW = [
-    # new this round: trained SemDeDup, exactly-once recovery +
-    # late-drop + enrichment streaming replays, BMP/GIF/JPEG
-    # real-decode rows, real pixel resize, bloom-prefiltered
-    # incremental dedup, Z-order profile, CMS frequency sketch
+    # new this round: trained SemDeDup; recovery + late-drop +
+    # enrichment streaming replays; BMP/GIF/JPEG real-decode rows;
+    # real pixel resize; bloom-prefiltered incremental dedup;
+    # Z-order profile; CMS frequency sketch; production-shape IVF
     "semantic_dedup_trained",
     "recovery_stream_replay",
     "media_decode_bmp",
@@ -243,10 +243,11 @@ EXPECTED_R7_WINDOW = [
     "cms_frequencies",
     "enrich_stream_replay",
     "late_drop_stream_replay",
+    "knn_ivf_full_fixed",
     # re-planned this round (planted probe twins; binding edge cap)
     "knn_lsh_planes8",
     "exchange_influencers",
-    # the r4-stale evidence set (37 of 46; the nine yields are
+    # the r4-stale evidence set (36 of 46; the ten yields are
     # listed in the registry rotation note with their pinning
     # evidence)
     "trading_sessions",
@@ -282,7 +283,6 @@ EXPECTED_R7_WINDOW = [
     "envelope_price",
     "envelope_coins",
     "envelope_ohlc",
-    "envelope_mcap",
     "coin_indicators_left",
     "volume_rollup",
     "text_stats",
