@@ -506,8 +506,9 @@ def test_no_driver_side_materialization_in_operator_paths():
         "etl_visualization_of_cryptocurrency_trading_data_spark",
     )
     allowed = {
-        # replay max-ts reads (3) + recovery replay's min/max wave split (1)
-        ("streaming/pipeline.py", "collect"): 4,
+        # replay max-ts reads (3) + the recovery and late-drop replays'
+        # min/max wave-split reads (2) — all 1-row aggregates
+        ("streaming/pipeline.py", "collect"): 5,
         ("operators/similarity.py", "toPandas"): 1,  # lazy-probe hatch
     }
     found: dict[tuple[str, str], int] = {}
