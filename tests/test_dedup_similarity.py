@@ -1377,3 +1377,41 @@ def test_paeth_predictor_spec_property(a, b, c):
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
     want = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
     assert multimodal._paeth(a, b, c) == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    st.integers(2, 5),
+)
+def test_cms_estimate_property_vs_bruteforce(spark, keys, width_pow):
+    """Property: for arbitrary tiny corpora and filter widths, the
+    Spark CMS estimate EQUALS a brute-force Python replay of the same
+    definition (same md5 positions, same per-row counters, min over
+    rows) — not just the overestimate bound, the exact value."""
+    import hashlib
+    from collections import Counter
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sketches
+
+    width, depth = 1 << width_pow, 3
+    df = spark.createDataFrame([(str(k),) for k in keys], "key string")
+    got = {
+        r.key: r.cms_n
+        for r in sketches.cms_frequencies(
+            df, F.col("key"), width=width, depth=depth
+        ).collect()
+    }
+
+    def col(key: str, seed: int) -> int:
+        return int(hashlib.md5(f"{key}s{seed}".encode()).hexdigest()[:8], 16) % width
+
+    grid: Counter = Counter()
+    for k in map(str, keys):
+        for s in range(depth):
+            grid[(s, col(k, s))] += 1
+    want = {
+        k: min(grid[(s, col(k, s))] for s in range(depth))
+        for k in set(map(str, keys))
+    }
+    assert got == want
