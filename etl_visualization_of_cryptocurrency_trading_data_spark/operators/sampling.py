@@ -113,3 +113,70 @@ def mixture_sample(
     if keep_columns:
         return kept.select(*df.columns, "n_source", "rate")
     return kept.select(key, group_col, "n_source", "rate")
+
+
+def dsir_weights(
+    documents: DataFrame,
+    buckets: int = 256,
+    target_lang: str = "en",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public arXiv:2302.03169): score every document by how much more
+    likely its hashed-unigram features are under the TARGET
+    distribution than under the RAW corpus — the standard recipe for
+    tilting a 100 TB crawl toward a curated slice without training a
+    classifier. Here the target is the corpus's own ``target_lang``
+    slice (any predicate works); features are md5-hashed token buckets
+    (the [[hash-bucket]] idiom, so the whole estimator replays
+    bit-exactly in DuckDB), add-1 smoothed over ``buckets`` cells.
+
+    Emits (doc_id, n_tokens, log_weight, target_like) where
+    log_weight = sum over tokens of
+    ln p_target(bucket) - ln p_raw(bucket), rounded to 6 decimals
+    (partial-sum order drift ~1e-13 sits far under the grid), and
+    target_like = rounded log_weight > 0. Importance RESAMPLING is
+    then one `deterministic_sample`-style threshold on the weight.
+
+    Scale: ONE tokenize scan. Both bucket counts (raw and target) are
+    count windows over the exploded bucket stream — partitionBy(b),
+    one keyed exchange, never a corpus re-scan (the bigram_logprob
+    plan lesson) — and the 1-row totals frame joins in broadcast (A6
+    idiom). The bucket table itself is `buckets` cells whatever the
+    corpus size; a production run materializes it once per target and
+    broadcast-joins it against each new shard.
+    """
+    from ..functions.text import words
+
+    toks = documents.select(
+        "doc_id", "lang", words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
+    is_tgt = (F.col("lang") == target_lang).cast("long")
+    occ = toks.select(
+        "doc_id",
+        is_tgt.alias("tgt"),
+        F.explode("ws").alias("w"),
+    ).select("doc_id", "tgt", hash_bucket(F.col("w"), buckets, salt=salt).alias("b"))
+    from pyspark.sql.window import Window
+
+    counted = occ.withColumn(
+        "n_raw", F.count("*").over(Window.partitionBy("b"))
+    ).withColumn("n_tgt", F.sum("tgt").over(Window.partitionBy("b")))
+    totals = occ.agg(
+        F.count("*").alias("t_raw"),
+        F.sum("tgt").alias("t_tgt"),
+    )
+    j = counted.crossJoin(F.broadcast(totals))
+    contrib = F.log(
+        (F.col("n_tgt") + 1) / (F.col("t_tgt") + F.lit(buckets))
+    ) - F.log((F.col("n_raw") + 1) / (F.col("t_raw") + F.lit(buckets)))
+    scored = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum(contrib), 6).alias("log_weight"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") > 0).alias("target_like"),
+    )

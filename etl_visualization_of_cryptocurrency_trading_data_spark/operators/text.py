@@ -517,3 +517,70 @@ def corpus_quality_report(
             "pass_rate"
         ),
     )
+
+
+# Fixed literal query so the registered query and its oracle embed the
+# same terms (the LANG_LEXICONS pattern). Mixes high-df corpus words
+# with rarer ones so idf actually spreads.
+BM25_QUERY_TERMS = ("spark", "query", "window", "stream", "filter")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed term set
+    (Robertson & Spärck Jones probabilistic ranking; the Lucene
+    ``log(1 + (N - df + .5)/(df + .5))`` non-negative idf variant) —
+    the retrieval primitive a training-data pipeline uses for
+    targeted corpus search and RAG-style nearest-text lookup next to
+    the embedding ANN family in ``similarity``.
+
+    Emits (doc_id, n_matched, bm25) for every document containing at
+    least one query term, rounded to 6 decimals (partial-sum order
+    drifts ~1e-14, far under the grid — the [[bigram-logprob]]
+    convention).
+
+    Scale: ONE tokenize scan; the exploded stream is filtered to the
+    query terms BEFORE the shuffle, so the keyed exchanges carry only
+    matching occurrences (a vanishing fraction of the corpus at
+    100 TB). df comes from a count window over the per-(doc, term) tf
+    rows — partitionBy(term) over |terms| x |matching docs| rows, not
+    a corpus re-scan — and the 1-row corpus stats frame (N, avgdl)
+    joins in broadcast (the share-of-total A6 idiom, no 1-partition
+    window). Three keyed exchanges total, no joins on big sides.
+    """
+    toks = documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("ws")).alias("avgdl"),
+    )
+    matched = toks.select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        F.explode(F.filter("ws", lambda w: w.isin(*query_terms))).alias("term"),
+    )
+    tf = matched.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    scored = tf.crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum(contrib), 6).alias("bm25"),
+    )

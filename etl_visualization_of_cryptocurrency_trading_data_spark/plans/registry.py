@@ -2958,6 +2958,26 @@ def q_plan_audit(spark, sf_dir):
     return audit_plans(spark, {n: QUERIES[n](spark, sf_dir) for n in names})
 
 
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (text.bm25_scores) over the fixed
+    literal query terms — the lexical-search sibling of the embedding
+    ANN family: one tokenize scan, match-filtered before the shuffle,
+    df via a count window over per-(doc, term) rows, corpus stats
+    broadcast. Lucene's non-negative idf variant; ln (not log10) on
+    both engines."""
+    return text.bm25_scores(_documents(spark, sf_dir))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (sampling.dsir_weights, arXiv:2302.03169):
+    hashed-unigram bucket LM ratio of the corpus's own lang='en' slice
+    vs the raw corpus, add-1 smoothed over 256 md5 buckets — the
+    data-selection scorer that tilts a crawl toward a curated target
+    without training a classifier. Bucket counts are windows over the
+    exploded stream; the 1-row totals frame joins broadcast."""
+    return sampling.dsir_weights(_documents(spark, sf_dir))
+
+
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # ROUND-7 ROTATION EXECUTED (registry = 158 queries, window = first 50):
@@ -3199,6 +3219,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stochastic": q_stochastic,
     "donchian": q_donchian,
     "ichimoku": q_ichimoku,
+    # ---- appended mid-round-7 (out of the pinned 50-slot window;
+    # r8 rotation candidates) ----
+    "bm25_scores": q_bm25_scores,
+    "dsir_weights": q_dsir_weights,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5421,4 +5445,60 @@ SELECT s_suppkey, s_name, shipped_value FROM (
 JOIN (SELECT s_suppkey AS sk, s_name FROM supplier) s ON s_suppkey = sk
 ORDER BY shipped_value DESC, s_suppkey
 LIMIT 10""",
+    # Okapi BM25, Lucene non-negative idf ln(1 + (N-df+.5)/(df+.5));
+    # expression shapes mirror text.bm25_scores term-for-term (ln, not
+    # log10; 2.2 = k1+1; 0.25 = 1-b) so doubles agree to ~1e-14, far
+    # under the round-6 grid
+    "bm25_scores": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM toks WHERE len(ws) > 0),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+m AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM m
+  WHERE term IN ('spark', 'query', 'window', 'stream', 'filter')
+  GROUP BY doc_id, dl, term
+),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
+SELECT doc_id, count(*)::BIGINT AS n_matched,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+FROM wdf, stats
+GROUP BY doc_id""",
+    # DSIR hashed-unigram importance weights: bucket = first 32 bits of
+    # md5('dsir' || token) mod 256 (sampling.hash_bucket idiom), add-1
+    # smoothing over the 256 cells, target = lang='en' occurrences
+    "dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, tgt, ws FROM toks WHERE len(ws) > 0),
+occ AS (
+  SELECT doc_id, tgt,
+         (('0x' || substr(md5('dsir' || w), 1, 8))::UBIGINT % 256)::BIGINT AS b
+  FROM (SELECT doc_id, tgt, unnest(ws) AS w FROM d)
+),
+counted AS (
+  SELECT doc_id, b,
+         count(*) OVER (PARTITION BY b) AS n_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY b) AS n_tgt
+  FROM occ
+),
+totals AS (
+  SELECT count(*) AS t_raw, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tgt FROM occ
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(sum(ln((n_tgt + 1) / (t_tgt + 256))
+                   - ln((n_raw + 1) / (t_raw + 256))), 6) AS log_weight
+  FROM counted, totals
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS target_like FROM scored""",
 }

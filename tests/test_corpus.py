@@ -351,3 +351,53 @@ def test_curation_pipeline_v2_stage_effects(spark):
     # same BPE-ish regex the engine publishes
     tok = lambda t: len(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower()))  # noqa: E731
     assert web.n_tokens == tok(fill("alpha")) + tok(fill("beta"))
+
+
+def test_dsir_weights_hand_built(spark):
+    """Independent Python replay of the hashed-bucket DSIR estimator:
+    same md5 bucket rule via hashlib, add-1 smoothed bucket LMs, exact
+    per-doc log-weight comparison."""
+    import hashlib
+    import math
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sampling
+
+    rows = [
+        (1, "alpha alpha beta", "en"),
+        (2, "alpha gamma", "en"),
+        (3, "delta delta delta", "de"),
+        (4, "alpha delta", "de"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in sampling.dsir_weights(docs).collect()}
+
+    B = 256
+
+    def bucket(w):
+        return int(hashlib.md5(("dsir" + w).encode()).hexdigest()[:8], 16) % B
+
+    occ = [
+        (doc_id, lang == "en", bucket(w))
+        for doc_id, text_, lang in rows
+        for w in text_.lower().split()
+    ]
+    t_raw = len(occ)
+    t_tgt = sum(1 for _, t, _ in occ if t)
+    n_raw = {}
+    n_tgt = {}
+    for _, t, b in occ:
+        n_raw[b] = n_raw.get(b, 0) + 1
+        n_tgt[b] = n_tgt.get(b, 0) + (1 if t else 0)
+    for doc_id, _, lang in rows:
+        toks = [b for d, _, b in occ if d == doc_id]
+        exp = sum(
+            math.log((n_tgt[b] + 1) / (t_tgt + B))
+            - math.log((n_raw[b] + 1) / (t_raw + B))
+            for b in toks
+        )
+        assert out[doc_id].n_tokens == len(toks)
+        assert abs(out[doc_id].log_weight - round(exp, 6)) <= 2e-6
+        assert out[doc_id].target_like == (out[doc_id].log_weight > 0)
+    # 'alpha' occurs mostly in the en slice: the all-en-vocabulary doc
+    # must outscore the all-de-vocabulary doc.
+    assert out[1].log_weight > out[3].log_weight

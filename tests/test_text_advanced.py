@@ -381,3 +381,45 @@ def test_corpus_quality_report_counts(spark):
     assert web.n_pass == 1 and web.pass_rate == 0.5
     books = out[("books", "en")]
     assert books.n_docs == 1 and books.n_pass == 1 and books.pass_rate == 1.0
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_built(spark):
+    # Corpus of 3 docs; query = default ("spark", "query", "window",
+    # "stream", "filter"). N=3, avgdl=(4+2+3)/3=3.
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark query other"),  # dl=4: spark tf=2, query tf=1
+            (2, "nothing here"),             # dl=2: no match -> absent
+            (3, "query filter boring"),      # dl=3: query tf=1, filter tf=1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.bm25_scores(docs).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_matched == 2 and out[3].n_matched == 2
+
+    def idf(df):
+        return math.log(1 + (3 - df + 0.5) / (df + 0.5))
+
+    def tfn(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    exp1 = idf(1) * tfn(2, 4) + idf(2) * tfn(1, 4)  # spark df=1, query df=2
+    exp3 = idf(2) * tfn(1, 3) + idf(1) * tfn(1, 3)  # query df=2, filter df=1
+    assert out[1].bm25 == pytest.approx(round(exp1, 6), abs=2e-6)
+    assert out[3].bm25 == pytest.approx(round(exp3, 6), abs=2e-6)
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    # Same tf/dl; the term appearing in fewer docs must contribute more.
+    docs = spark.createDataFrame(
+        [(i, "query common words") for i in range(1, 6)] + [(6, "spark common words")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.bm25_scores(docs).collect()}
+    assert out[6].bm25 > out[1].bm25  # df(spark)=1 < df(query)=5
