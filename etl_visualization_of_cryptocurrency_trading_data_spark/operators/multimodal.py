@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stub (clearly marked); everything Spark-side — schema,
-binary handling, partitioning, mapInPandas batch shape — is real and
-tested. Swapping ``_fake_decode`` for a PIL/ffmpeg call is the only
-change needed in production.
+Six formats decode FOR REAL with no codec library — binary PPM, PNG
+(stdlib zlib), 24-bit BMP, GIF (from-scratch LZW), baseline grayscale
+JPEG, and RIFF/WAVE PCM16 — and :func:`sniff_media` dispatches a mixed
+payload column to the right parser per row
+(:func:`media_features_auto` / :func:`media_frames_real`). Formats
+beyond these (MP4/MP3/color JPEG…) are the honest external-library
+boundary: they surface as fmt='unknown' in the dispatch path, and the
+legacy ``_fake_decode`` stub remains for synthetic payloads so the
+Spark-side plumbing (schema, batch shape, partitioning) is exercised
+even where no real codec exists.
 
 ``media_table`` synthesizes a deterministic media corpus from the
 ``documents`` fixture (payload = utf-8 bytes of the text), which keeps
@@ -133,11 +138,25 @@ def extract_frames(
     media: DataFrame, every_s: float = 10.0, real_decode: bool = False
 ) -> DataFrame:
     """Frame extraction: schedule (real) joined back to payloads, frame
-    bytes produced by the stubbed decoder per (payload, frame_ts)."""
+    bytes produced by the stubbed decoder per (payload, frame_ts).
+
+    ``real_decode=True`` routes to :func:`media_frames_real` — actual
+    sample-decoded time windows for the codec this engine can really
+    open (RIFF/WAVE) — re-shaped into the same (doc_id, frame_idx,
+    frame_ts, frame_features) contract, features =
+    [n_samples, mean_amp, rms]. Video codecs (MP4 etc.) remain the
+    honest external-library boundary."""
     if real_decode:
-        raise NotImplementedError(
-            "real frame extraction requires video codecs not present in "
-            "this container; wire ffmpeg/PyAV here"
+        fr = media_frames_real(media, every_s=every_s)
+        return fr.select(
+            "doc_id",
+            "frame_idx",
+            "frame_ts",
+            F.array(
+                F.col("n_samples").cast("double"),
+                (F.col("sum_amp").cast("double") / F.col("n_samples")),
+                "rms",
+            ).alias("frame_features"),
         )
     sched = frame_schedule(media, every_s)
     joined = sched.join(media.select("doc_id", "payload"), "doc_id")
@@ -202,11 +221,27 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas — the
     production batch shape (Arrow record batches of binary columns in,
     fixed-dim float features out). Pure map: no shuffle, scales
-    linearly; partition sizing is inherited from the scan."""
+    linearly; partition sizing is inherited from the scan.
+
+    ``real_decode=True`` routes to :func:`media_features_auto` — the
+    magic-byte dispatch over the six real codecs (PPM/PNG/BMP/GIF/
+    JPEG/WAV) — and packs its uniform feature row into the same
+    (doc_id, media_type, features) contract as the stub path, with
+    media_type = the SNIFFED format and undecodable rows surfacing as
+    'unknown' with NULL features."""
     if real_decode:
-        raise NotImplementedError(
-            "real media decode requires image/audio codecs not present in "
-            "this container; wire PIL/torchaudio/ffmpeg here"
+        feats = media_features_auto(media)
+        return feats.select(
+            "doc_id",
+            F.col("fmt").alias("media_type"),
+            F.array(
+                F.col("width").cast("double"),
+                F.col("height").cast("double"),
+                F.col("n_pixels").cast("double"),
+                "mean_0",
+                "mean_1",
+                "mean_2",
+            ).alias("features"),
         )
     schema = "doc_id long, media_type string, features array<double>"
 
@@ -279,6 +314,16 @@ def _ppm_parse_header(buf: bytes) -> tuple[int, int, int, int]:
             pos += 1
         fields.append(int(buf[start:pos]))
     return fields[0], fields[1], fields[2], pos + 1  # single ws after maxval
+
+
+def _parse_ppm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Full P6 parse: header + pixel block as a (h, w, 3) uint8 array.
+    Shared by :func:`decode_ppm` and the [[sniff-media]] dispatcher."""
+    w, h, maxval, off = _ppm_parse_header(buf)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off)
+    return w, h, px.reshape(h, w, 3)
 
 
 def _resample(px: np.ndarray, target_h: int, target_w: int, method: str) -> np.ndarray:
@@ -384,7 +429,6 @@ def decode_ppm(media: DataFrame, round_decimals: int = 6) -> DataFrame:
         "doc_id long, width int, height int, n_pixels long,"
         " mean_r double, mean_g double, mean_b double"
     )
-    parse_header = _ppm_parse_header
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -393,11 +437,8 @@ def decode_ppm(media: DataFrame, round_decimals: int = 6) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for d, buf in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, maxval, off = parse_header(bytes(buf))
-                if maxval != 255:
-                    raise ValueError(f"unsupported maxval {maxval}")
-                px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off)
-                px = px.reshape(h, w, 3).astype(np.float64)
+                w, h, px = _parse_ppm(bytes(buf))
+                px = px.astype(np.float64)
                 means = px.mean(axis=(0, 1)).round(round_decimals)
                 rows["doc_id"].append(int(d))
                 rows["width"].append(w)
@@ -463,6 +504,32 @@ def wav_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def _parse_wav(buf: bytes) -> tuple[int, int, int, bytes]:
+    """RIFF/WAVE chunk walk: return (channels, sample_rate, bits,
+    data_bytes); raises on a malformed file rather than guessing.
+    Shared by :func:`decode_wav` and the [[sniff-media]] dispatcher."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sr, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAVE format ({audio_format}, {bits}-bit)")
+    return channels, sr, bits, data
+
+
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL bytes→samples decode for RIFF/WAVE PCM16 payloads — like
     :func:`decode_ppm`, no codec library and no stub: a proper RIFF
@@ -479,34 +546,11 @@ def decode_wav(media: DataFrame) -> DataFrame:
     one IEEE divide+sqrt, so the hash comparison needs no tolerance.
     Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out.
     """
-    import struct
-
     schema = (
         "doc_id long, n_channels int, sample_rate int, n_frames long,"
         " duration_s double, sum_amp long, sum_sq long, rms double"
     )
-
-    def parse_riff(buf: bytes) -> tuple[int, int, int, bytes]:
-        """Return (channels, sample_rate, bits, data_bytes); raises on a
-        malformed file rather than guessing."""
-        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-            raise ValueError("not a RIFF/WAVE payload")
-        pos, fmt, data = 12, None, None
-        while pos + 8 <= len(buf):
-            cid = buf[pos : pos + 4]
-            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            body = buf[pos + 8 : pos + 8 + size]
-            if cid == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", body[:16])
-            elif cid == b"data":
-                data = body
-            pos += 8 + size + (size & 1)  # chunks are word-aligned
-        if fmt is None or data is None:
-            raise ValueError("missing fmt/data chunk")
-        audio_format, channels, sr, _brate, _balign, bits = fmt
-        if audio_format != 1 or bits != 16:
-            raise ValueError(f"unsupported WAVE format ({audio_format}, {bits}-bit)")
-        return channels, sr, bits, data
+    parse_riff = _parse_wav
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -658,6 +702,53 @@ def png_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Full PNG parse (CRC-verified chunk walk, inflate, unfilter) to a
+    (h, w, 3) uint8 array. Shared by :func:`decode_png` and the
+    [[sniff-media]] dispatcher."""
+    import struct
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(buf):
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if (depth, ctype_code, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_code}, "
+            f"interlace={interlace}) — only 8-bit truecolor supported"
+        )
+    stream = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("IDAT stream length does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for r in range(h):
+        off = r * (stride + 1)
+        prev = _png_unfilter_row(
+            stream[off], stream[off + 1 : off + 1 + stride], prev
+        )
+        out[r] = np.frombuffer(prev, dtype=np.uint8)
+    return w, h, out.reshape(h, w, 3)
+
+
 def decode_png(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     """REAL bytes→pixels decode for PNG payloads with stdlib ``zlib`` —
     the third real-decode modality next to [[decode_ppm]] (PPM) and
@@ -674,53 +765,11 @@ def decode_png(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     The per-row unfilter loop is Python (rows here are tiny); a
     production swap-in is PIL/libpng behind the identical plumbing.
     """
-    import struct
-    import zlib
-
     schema = (
         "doc_id long, width int, height int, n_pixels long,"
         " mean_r double, mean_g double, mean_b double"
     )
-
-    def parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
-        if buf[:8] != b"\x89PNG\r\n\x1a\n":
-            raise ValueError("not a PNG payload")
-        pos, ihdr, idat = 8, None, bytearray()
-        while pos + 8 <= len(buf):
-            (size,) = struct.unpack(">I", buf[pos : pos + 4])
-            ctype = buf[pos + 4 : pos + 8]
-            body = buf[pos + 8 : pos + 8 + size]
-            (crc,) = struct.unpack(">I", buf[pos + 8 + size : pos + 12 + size])
-            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-                raise ValueError(f"bad CRC in {ctype!r} chunk")
-            if ctype == b"IHDR":
-                ihdr = struct.unpack(">IIBBBBB", body)
-            elif ctype == b"IDAT":
-                idat += body
-            elif ctype == b"IEND":
-                break
-            pos += 12 + size
-        if ihdr is None or not idat:
-            raise ValueError("missing IHDR/IDAT chunk")
-        w, h, depth, ctype_code, comp, filt, interlace = ihdr
-        if (depth, ctype_code, comp, filt, interlace) != (8, 2, 0, 0, 0):
-            raise ValueError(
-                f"unsupported PNG (depth={depth}, color={ctype_code}, "
-                f"interlace={interlace}) — only 8-bit truecolor supported"
-            )
-        stream = zlib.decompress(bytes(idat))
-        stride = w * 3
-        if len(stream) != h * (stride + 1):
-            raise ValueError("IDAT stream length does not match dimensions")
-        out = np.empty((h, stride), dtype=np.uint8)
-        prev = bytes(stride)
-        for r in range(h):
-            off = r * (stride + 1)
-            prev = _png_unfilter_row(
-                stream[off], stream[off + 1 : off + 1 + stride], prev
-            )
-            out[r] = np.frombuffer(prev, dtype=np.uint8)
-        return w, h, out.reshape(h, w, 3)
+    parse_png = _parse_png
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -798,6 +847,31 @@ def bmp_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def _parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Full 24-bit BMP parse (stride, bottom-up/top-down, BGR→RGB) to a
+    (h, w, 3) uint8 array. Shared by :func:`decode_bmp` and the
+    [[sniff-media]] dispatcher."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", buf[10:14])
+    hdr_size, w, h_signed = struct.unpack("<Iii", buf[14:26])
+    planes, bpp, comp = struct.unpack("<HHI", buf[26:34])
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={comp})"
+            " — only 24-bit uncompressed supported"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+    grid = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage -> flip to image order
+        grid = grid[::-1]
+    return w, h, grid[:, :, ::-1]  # BGR -> RGB
+
+
 def decode_bmp(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     """REAL bytes→pixels decode for 24-bit uncompressed BMP — file
     header, BITMAPINFOHEADER, stride arithmetic, bottom-up (or
@@ -811,32 +885,12 @@ def decode_bmp(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     shears every row — each flips the driver hash. Arrow-batched
     mapInPandas, pure map: no shuffle, linear scale-out.
     """
-    import struct
-
     schema = (
         "doc_id long, width int, height int, n_pixels long,"
         " mean_r double, mean_g double, mean_b double,"
         " px01_r int, px01_g int, px01_b int"
     )
-
-    def parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
-        if buf[:2] != b"BM":
-            raise ValueError("not a BMP payload")
-        (off,) = struct.unpack("<I", buf[10:14])
-        hdr_size, w, h_signed = struct.unpack("<Iii", buf[14:26])
-        planes, bpp, comp = struct.unpack("<HHI", buf[26:34])
-        if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
-            raise ValueError(
-                f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={comp})"
-                " — only 24-bit uncompressed supported"
-            )
-        h = abs(h_signed)
-        stride = (w * 3 + 3) // 4 * 4
-        data = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
-        grid = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        if h_signed > 0:  # bottom-up storage -> flip to image order
-            grid = grid[::-1]
-        return w, h, grid[:, :, ::-1]  # BGR -> RGB
+    parse_bmp = _parse_bmp
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1014,6 +1068,57 @@ def gif_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Full single-frame GIF parse (screen descriptor, global palette,
+    extension skip, sub-block reassembly, LZW decode, palette lookup)
+    to a (h, w, 3) uint8 array. Shared by :func:`decode_gif` and the
+    [[sniff-media]] dispatcher."""
+    import struct
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif block == 0x2C:
+            _l, _t, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if palette is None:
+                raise ValueError("no color table")
+            min_code = buf[pos]
+            pos += 1
+            lzw = bytearray()
+            while buf[pos]:
+                lzw += buf[pos + 1 : pos + 1 + buf[pos]]
+                pos += 1 + buf[pos]
+            indices = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code), np.uint8
+            )
+            if indices.size != w * h:
+                raise ValueError("decoded index count != dimensions")
+            return w, h, palette[indices].reshape(h, w, 3)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image descriptor found")
+
+
 def decode_gif(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     """REAL bytes→pixels decode for single-frame GIF87a/89a — header
     and screen-descriptor parse, global color table, extension-block
@@ -1025,56 +1130,11 @@ def decode_gif(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     with dims read from the image descriptor, not trusted metadata.
     Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out.
     """
-    import struct
-
     schema = (
         "doc_id long, width int, height int, n_pixels long,"
         " mean_r double, mean_g double, mean_b double"
     )
-
-    def parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
-        if buf[:6] not in (b"GIF87a", b"GIF89a"):
-            raise ValueError("not a GIF payload")
-        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
-        pos = 13
-        palette = None
-        if packed & 0x80:
-            n = 2 << (packed & 0x07)
-            palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
-            pos += n * 3
-        while pos < len(buf):
-            block = buf[pos]
-            if block == 0x21:  # extension: label + sub-blocks
-                pos += 2
-                while buf[pos]:
-                    pos += 1 + buf[pos]
-                pos += 1
-            elif block == 0x2C:
-                _l, _t, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
-                pos += 10
-                if ipacked & 0x80:
-                    raise ValueError("local color tables unsupported")
-                if ipacked & 0x40:
-                    raise ValueError("interlaced GIF unsupported")
-                if palette is None:
-                    raise ValueError("no color table")
-                min_code = buf[pos]
-                pos += 1
-                lzw = bytearray()
-                while buf[pos]:
-                    lzw += buf[pos + 1 : pos + 1 + buf[pos]]
-                    pos += 1 + buf[pos]
-                indices = np.frombuffer(
-                    _gif_lzw_decode(bytes(lzw), min_code), np.uint8
-                )
-                if indices.size != w * h:
-                    raise ValueError("decoded index count != dimensions")
-                return w, h, palette[indices].reshape(h, w, 3)
-            elif block == 0x3B:
-                break
-            else:
-                raise ValueError(f"unknown GIF block 0x{block:02x}")
-        raise ValueError("no image descriptor found")
+    parse_gif = _parse_gif
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1259,143 +1319,10 @@ def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     width/height read from SOF0, not trusted metadata. Arrow-batched
     mapInPandas, pure map: no shuffle, linear scale-out.
     """
-    import struct
-
     schema = (
         "doc_id long, width int, height int, n_pixels long, mean_gray double"
     )
-
-    u = np.arange(8)
-    basis = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16)
-    basis[:, 0] *= 1 / np.sqrt(2)  # C(0) folded into column 0
-
-    def idct2(coef: np.ndarray) -> np.ndarray:
-        # f = (1/4) * B @ S @ B.T with C(u) folded into B's columns
-        return 0.25 * basis @ coef @ basis.T
-
-    def parse(buf: bytes):
-        if buf[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG (missing SOI)")
-        pos = 2
-        qtabs: dict[int, np.ndarray] = {}
-        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-        w = h = None
-        scan = None
-        while pos < len(buf):
-            if buf[pos] != 0xFF:
-                raise ValueError("bad marker alignment")
-            marker = buf[pos + 1]
-            if marker == 0xD9:  # EOI
-                break
-            (size,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
-            body = buf[pos + 4 : pos + 2 + size]
-            if marker == 0xDB:
-                # a DQT segment may carry SEVERAL 65-byte (precision
-                # nibble + 64 entries) tables back to back — walk them
-                # all, like the DHT branch below (ADVICE r6)
-                off = 0
-                while off < len(body):
-                    if body[off] >> 4:
-                        raise ValueError("16-bit quant tables unsupported")
-                    qtabs[body[off] & 0x0F] = np.frombuffer(
-                        body[off + 1 : off + 65], dtype=np.uint8
-                    ).astype(np.int32)
-                    off += 65
-            elif marker == 0xC0:
-                depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-                if depth != 8 or ncomp != 1:
-                    raise ValueError("only 8-bit grayscale baseline supported")
-                comp_qtab = body[8]
-            elif marker in (0xC1, 0xC2, 0xC3):
-                raise ValueError("only baseline SOF0 supported")
-            elif marker == 0xC4:
-                off = 0
-                while off < len(body):
-                    tc, th = body[off] >> 4, body[off] & 0x0F
-                    bits = list(body[off + 1 : off + 17])
-                    nval = sum(bits)
-                    vals = list(body[off + 17 : off + 17 + nval])
-                    codes = _jpeg_huff_codes(bits, vals)
-                    huff[(tc, th)] = {
-                        (length, code): sym for sym, (code, length) in codes.items()
-                    }
-                    off += 17 + nval
-            elif marker == 0xDA:
-                ncomp_s = body[0]
-                if ncomp_s != 1:
-                    raise ValueError("single-component scan only")
-                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-                scan_start = pos + 2 + size
-                end = buf.rindex(b"\xff\xd9")
-                scan = buf[scan_start:end]
-                pos = end
-                continue
-            pos += 2 + size
-        if w is None or scan is None:
-            raise ValueError("missing SOF0/SOS")
-        # unstuff 0xFF00 and decode
-        data = scan.replace(b"\xff\x00", b"\xff")
-        dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
-        q = qtabs[comp_qtab]
-        nbx, nby = (w + 7) // 8, (h + 7) // 8
-        out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
-        bitpos = 0
-
-        def read_bit() -> int:
-            nonlocal bitpos
-            byte = data[bitpos >> 3]
-            bit = (byte >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            return bit
-
-        def read_huff(table) -> int:
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = table.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid Huffman code in scan")
-
-        def receive_extend(size: int) -> int:
-            if size == 0:
-                return 0
-            v = 0
-            for _ in range(size):
-                v = (v << 1) | read_bit()
-            if v < (1 << (size - 1)):
-                v -= (1 << size) - 1
-            return v
-
-        pred = 0
-        for by in range(nby):
-            for bx in range(nbx):
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_huff(dc_map)
-                pred += receive_extend(size)
-                zz[0] = pred
-                k = 1
-                while k < 64:
-                    sym = read_huff(ac_map)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, s = sym >> 4, sym & 0x0F
-                    if s == 0 and run != 15:
-                        raise ValueError("invalid AC symbol")
-                    k += run
-                    if s:
-                        if k > 63:
-                            raise ValueError("AC index out of range")
-                        zz[k] = receive_extend(s)
-                        k += 1
-                    else:
-                        k += 1  # ZRL consumed 16 zeros total
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_JPEG_ZIGZAG] = zz * q[np.arange(64)]
-                block = idct2(coef.reshape(8, 8)) + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        px = np.clip(np.round(out[:h, :w]), 0, 255)
-        return w, h, px
+    parse = _parse_jpeg
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1413,3 +1340,296 @@ def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
+def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Full baseline-grayscale JPEG parse (marker walk, Huffman decode,
+    DC prediction, dequantize, float IDCT) to a (h, w) float array of
+    clamped samples. Shared by :func:`decode_jpeg` and the
+    [[sniff-media]] dispatcher."""
+    import struct
+
+    u = np.arange(8)
+    basis = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16)
+    basis[:, 0] *= 1 / np.sqrt(2)  # C(0) folded into column 0
+
+    def idct2(coef: np.ndarray) -> np.ndarray:
+        # f = (1/4) * B @ S @ B.T with C(u) folded into B's columns
+        return 0.25 * basis @ coef @ basis.T
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    scan = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (size,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        body = buf[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            # a DQT segment may carry SEVERAL 65-byte (precision
+            # nibble + 64 entries) tables back to back — walk them
+            # all, like the DHT branch below (ADVICE r6)
+            off = 0
+            while off < len(body):
+                if body[off] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[body[off] & 0x0F] = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int32)
+                off += 65
+        elif marker == 0xC0:
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            comp_qtab = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nval = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nval])
+                codes = _jpeg_huff_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                off += 17 + nval
+        elif marker == 0xDA:
+            ncomp_s = body[0]
+            if ncomp_s != 1:
+                raise ValueError("single-component scan only")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + size
+            end = buf.rindex(b"\xff\xd9")
+            scan = buf[scan_start:end]
+            pos = end
+            continue
+        pos += 2 + size
+    if w is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    # unstuff 0xFF00 and decode
+    data = scan.replace(b"\xff\x00", b"\xff")
+    dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = qtabs[comp_qtab]
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+    bitpos = 0
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        byte = data[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_huff(table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def receive_extend(size: int) -> int:
+        if size == 0:
+            return 0
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | read_bit()
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = np.zeros(64, dtype=np.int64)
+            size = read_huff(dc_map)
+            pred += receive_extend(size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = read_huff(ac_map)
+                if sym == 0x00:  # EOB
+                    break
+                run, s = sym >> 4, sym & 0x0F
+                if s == 0 and run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += run
+                if s:
+                    if k > 63:
+                        raise ValueError("AC index out of range")
+                    zz[k] = receive_extend(s)
+                    k += 1
+                else:
+                    k += 1  # ZRL consumed 16 zeros total
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_JPEG_ZIGZAG] = zz * q[np.arange(64)]
+            block = idct2(coef.reshape(8, 8)) + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    px = np.clip(np.round(out[:h, :w]), 0, 255)
+    return w, h, px
+
+
+# --- format-dispatch real decode (sniff-media) ---------------------
+
+
+def sniff_media(buf: bytes) -> str:
+    """Magic-byte format sniff over an opaque binary payload — the
+    entry point of the generic real-decode path: at 100 TB a media
+    column is a mixed bag of formats (and garbage), so the decode
+    operator must dispatch per ROW, not per table. Returns one of
+    'ppm'/'png'/'bmp'/'gif'/'jpeg'/'wav'/'unknown'; never raises."""
+    if buf[:2] == b"P6":
+        return "ppm"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if buf[:2] == b"\xff\xd8":
+        return "jpeg"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+_IMAGE_PARSERS = {
+    "ppm": _parse_ppm,
+    "png": _parse_png,
+    "bmp": _parse_bmp,
+    "gif": _parse_gif,
+}
+
+
+def media_features_auto(media: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """GENERIC real feature extraction — the operator that closes the
+    r6 'generic any-codec feature-extract' stub for every format this
+    engine can actually decode (PPM, PNG, BMP, GIF, JPEG, WAV): sniff
+    the payload's magic bytes per row, route to the matching
+    from-scratch parser, and publish a uniform feature row
+    (doc_id, fmt, width, height, n_pixels, mean_0, mean_1, mean_2).
+
+    Per-format semantics: color images put channel means in
+    mean_0/1/2; grayscale JPEG replicates mean_gray into all three;
+    WAV has NULL width/height, n_pixels = total samples,
+    mean_0 = mean amplitude, mean_1 = RMS, mean_2 NULL. Rows whose
+    magic matches NO known format come back as fmt='unknown' with
+    NULL features — a production crawl quarantines corrupt bytes
+    instead of failing the job, and the NULLs make the quarantine
+    rate visible to one aggregate.
+
+    Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out;
+    each per-format mean is computed exactly as the single-format
+    decoder computes it, so the closed-form corpus oracles carry over
+    arm by arm. Truly-external codecs (MP4/MP3/JPEG-color) are the
+    remaining honest boundary — they surface as 'unknown' here.
+    """
+    schema = (
+        "doc_id long, fmt string, width int, height int, n_pixels long,"
+        " mean_0 double, mean_1 double, mean_2 double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "n_pixels": [], "mean_0": [], "mean_1": [], "mean_2": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                fmt = sniff_media(buf)
+                w = h = npx = m0 = m1 = m2 = None
+                if fmt in _IMAGE_PARSERS:
+                    w, h, px = _IMAGE_PARSERS[fmt](buf)
+                    means = (
+                        px.astype(np.float64).mean(axis=(0, 1)).round(round_decimals)
+                    )
+                    npx, (m0, m1, m2) = w * h, (float(means[0]), float(means[1]),
+                                                float(means[2]))
+                elif fmt == "jpeg":
+                    w, h, px = _parse_jpeg(buf)
+                    npx = w * h
+                    m0 = m1 = m2 = round(float(px.mean()), round_decimals)
+                elif fmt == "wav":
+                    c, sr, _bits, data = _parse_wav(buf)
+                    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                    npx = int(samples.size)
+                    sum_amp = int(samples.sum())
+                    sum_sq = int((samples * samples).sum())
+                    m0 = round(sum_amp / npx, round_decimals)
+                    m1 = round(float(np.sqrt(sum_sq / npx)), round_decimals)
+                rows["doc_id"].append(int(d))
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(npx)
+                rows["mean_0"].append(m0)
+                rows["mean_1"].append(m1)
+                rows["mean_2"].append(m2)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(extract, schema)
+
+
+def media_frames_real(
+    media: DataFrame, every_s: float = 0.008, round_decimals: int = 6
+) -> DataFrame:
+    """REAL frame extraction over decodable audio payloads — the
+    time-windowed sibling of :func:`media_features_auto` and the real
+    replacement for the frame-extract stub wherever the codec exists:
+    RIFF/WAVE payloads are sample-decoded ([[_parse_wav]]) and cut
+    into consecutive ``every_s``-second windows; each window row
+    carries exact int64 sums (bit-reproducible) plus the derived RMS.
+
+    Output: (doc_id, frame_idx, frame_ts, n_samples, sum_amp, sum_sq,
+    rms); window length in frames is round(every_s * sample_rate) with
+    a trailing partial window kept (its n_samples says so). Non-WAV
+    payloads raise — frame extraction over a still image is a caller
+    bug, not data to quarantine. Arrow-batched mapInPandas, pure map.
+    """
+    schema = (
+        "doc_id long, frame_idx int, frame_ts double, n_samples long,"
+        " sum_amp long, sum_sq long, rms double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "frame_ts": [], "n_samples": [],
+                "sum_amp": [], "sum_sq": [], "rms": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                c, sr, _bits, data = _parse_wav(bytes(buf))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = samples.size // c
+                grid = samples.reshape(n, c)
+                win = max(1, int(round(every_s * sr)))
+                for j in range((n + win - 1) // win):
+                    seg = grid[j * win : (j + 1) * win]
+                    size = int(seg.size)
+                    sum_amp = int(seg.sum())
+                    sum_sq = int((seg * seg).sum())
+                    rows["doc_id"].append(int(d))
+                    rows["frame_idx"].append(j)
+                    rows["frame_ts"].append(j * every_s)
+                    rows["n_samples"].append(size)
+                    rows["sum_amp"].append(sum_amp)
+                    rows["sum_sq"].append(sum_sq)
+                    rows["rms"].append(
+                        round(float(np.sqrt(sum_sq / size)), round_decimals)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(extract, schema)

@@ -2958,6 +2958,52 @@ def q_plan_audit(spark, sf_dir):
     return audit_plans(spark, {n: QUERIES[n](spark, sf_dir) for n in names})
 
 
+def q_media_features_auto(spark, sf_dir):
+    """GENERIC real decode (multimodal.media_features_auto): a MIXED
+    six-format media corpus — each document's payload synthesized as
+    real PPM/PNG/BMP/GIF/JPEG/WAV bytes by doc_id % 6, plus a slice of
+    raw-text payloads that must come back fmt='unknown' with NULL
+    features (the production quarantine path) — decoded through the
+    magic-byte dispatch into one uniform feature row per payload.
+    Closes the r6 'generic any-codec feature-extract' stub for every
+    format the engine really decodes; each arm's closed-form oracle is
+    the single-format corpus oracle, so the whole dispatch is
+    hash-verified end to end."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir)
+
+    def pick(k):
+        return docs.filter(F.col("doc_id") % 6 == k)
+
+    unknown = docs.filter(F.col("doc_id") % 97 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    corpus = (
+        multimodal.ppm_table(pick(0)).select("doc_id", "payload")
+        .unionByName(multimodal.png_table(pick(1)).select("doc_id", "payload"))
+        .unionByName(multimodal.bmp_table(pick(2)).select("doc_id", "payload"))
+        .unionByName(multimodal.gif_table(pick(3)).select("doc_id", "payload"))
+        .unionByName(multimodal.jpeg_table(pick(4)).select("doc_id", "payload"))
+        .unionByName(multimodal.wav_table(pick(5)).select("doc_id", "payload"))
+        .unionByName(unknown)
+    )
+    return multimodal.media_features_auto(corpus)
+
+
+def q_media_frames_real(spark, sf_dir):
+    """REAL frame extraction (multimodal.media_frames_real): the WAV
+    corpus sample-decoded and cut into 8 ms windows (64 frames at
+    8 kHz); each window row carries exact int64 amplitude sums plus
+    RMS, replayed closed-form from the wav_table sample formula —
+    frame sampling stops being schedule-only (frame_schedule) and
+    becomes decoded-samples-in, windowed-features-out."""
+    return multimodal.media_frames_real(
+        multimodal.wav_table(_documents(spark, sf_dir)), every_s=0.008
+    )
+
+
 def q_bm25_scores(spark, sf_dir):
     """Okapi BM25 retrieval scoring (text.bm25_scores) over the fixed
     literal query terms — the lexical-search sibling of the embedding
@@ -3223,6 +3269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8 rotation candidates) ----
     "bm25_scores": q_bm25_scores,
     "dsir_weights": q_dsir_weights,
+    "media_features_auto": q_media_features_auto,
+    "media_frames_real": q_media_frames_real,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5501,4 +5549,94 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS target_like FROM scored""",
+    # Six-format dispatch: each arm replays the single-format corpus
+    # oracle (ppm/png/bmp share the (d + k*i) % 256 pattern; gif goes
+    # through the palette index j; jpeg is DC-only block means; wav is
+    # the int16 sample formula), routed by doc_id % 6; the raw-text
+    # slice comes back 'unknown' with NULL features
+    "media_features_auto": """
+WITH base AS (SELECT doc_id FROM documents),
+imgd AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         FROM base WHERE doc_id % 6 IN (0, 1, 2)),
+rgbpx AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM imgd),
+rgb AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+         round(avg((doc_id + i) % 256), 6) AS mean_0,
+         round(avg((doc_id + 2 * i) % 256), 6) AS mean_1,
+         round(avg((doc_id + 3 * i) % 256), 6) AS mean_2
+  FROM rgbpx GROUP BY doc_id, w, h
+),
+gifd AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         FROM base WHERE doc_id % 6 = 3),
+gifpx AS (
+  SELECT doc_id, w, h, (doc_id + unnest(generate_series(0, w * h - 1))) % 256 AS j
+  FROM gifd
+),
+gif AS (
+  SELECT doc_id, 'gif' AS fmt, w::INT AS width, h::INT AS height,
+         (w * h)::BIGINT AS n_pixels,
+         round(avg(j), 6) AS mean_0,
+         round(avg((2 * j) % 256), 6) AS mean_1,
+         round(avg((3 * j) % 256), 6) AS mean_2
+  FROM gifpx GROUP BY doc_id, w, h
+),
+jpgd AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+         FROM base WHERE doc_id % 6 = 4),
+jpgb AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+  FROM jpgd
+),
+jpg AS (
+  SELECT doc_id, 'jpeg' AS fmt, w::INT AS width, h::INT AS height,
+         (w * h)::BIGINT AS n_pixels,
+         round(avg((doc_id + 7 * b) % 256), 6) AS mean_0,
+         round(avg((doc_id + 7 * b) % 256), 6) AS mean_1,
+         round(avg((doc_id + 7 * b) % 256), 6) AS mean_2
+  FROM jpgb GROUP BY doc_id, w, h
+),
+wavd AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 129 AS n
+         FROM base WHERE doc_id % 6 = 5),
+wi AS (SELECT doc_id, c, unnest(generate_series(0, n - 1)) AS i FROM wavd),
+ws AS (SELECT doc_id, i, unnest(generate_series(0, c - 1)) AS ch FROM wi),
+wv AS (SELECT doc_id, (doc_id * 31 + i * 17 + ch * 7919) % 65536 - 32768 AS v FROM ws),
+wav AS (
+  SELECT doc_id, 'wav' AS fmt, NULL::INT AS width, NULL::INT AS height,
+         count(*)::BIGINT AS n_pixels,
+         round(sum(v) / count(*), 6) AS mean_0,
+         round(sqrt(sum(v * v) / count(*)), 6) AS mean_1,
+         NULL::DOUBLE AS mean_2
+  FROM wv GROUP BY doc_id
+),
+unk AS (
+  SELECT doc_id + 1000000 AS doc_id, 'unknown' AS fmt, NULL::INT AS width,
+         NULL::INT AS height, NULL::BIGINT AS n_pixels, NULL::DOUBLE AS mean_0,
+         NULL::DOUBLE AS mean_1, NULL::DOUBLE AS mean_2
+  FROM base WHERE doc_id % 97 = 3
+)
+SELECT * FROM rgb UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpg
+UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM unk""",
+    # 8 ms windows over the closed-form int16 samples: 64 frames per
+    # window at 8 kHz, trailing partial window kept; sums are exact
+    # int64, rms derives with one IEEE divide+sqrt
+    "media_frames_real": """
+WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 129 AS n FROM documents),
+wi AS (SELECT doc_id, c, unnest(generate_series(0, n - 1)) AS i FROM d),
+ws AS (SELECT doc_id, i, unnest(generate_series(0, c - 1)) AS ch FROM wi),
+wv AS (
+  SELECT doc_id, i // 64 AS frame_idx,
+         (doc_id * 31 + i * 17 + ch * 7919) % 65536 - 32768 AS v
+  FROM ws
+),
+agg AS (
+  SELECT doc_id, frame_idx, count(*)::BIGINT AS n_samples,
+         sum(v)::BIGINT AS sum_amp, sum(v * v)::BIGINT AS sum_sq
+  FROM wv GROUP BY doc_id, frame_idx
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       frame_idx * CAST(0.008 AS DOUBLE) AS frame_ts,
+       n_samples, sum_amp, sum_sq,
+       round(sqrt(sum_sq / n_samples), 6) AS rms
+FROM agg""",
 }

@@ -231,10 +231,20 @@ def test_media_features_deterministic_shape(spark, docs):
 
 
 def test_real_decode_gated(spark, docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(multimodal.media_table(docs), real_decode=True)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_frames(multimodal.media_table(docs), real_decode=True)
+    # decode_features' real path is the sniff dispatch since mid-r7:
+    # media_table's utf-8 payloads match no codec magic, so they come
+    # back QUARANTINED (fmt='unknown', NULL features), never raising
+    out = multimodal.decode_features(
+        multimodal.media_table(docs.limit(3)), real_decode=True
+    ).collect()
+    assert all(r.media_type == "unknown" for r in out)
+    assert all(all(v is None for v in r.features) for r in out)
+    # extract_frames' real path decodes RIFF/WAVE only: a non-audio
+    # payload is a caller bug and refuses at decode time
+    with pytest.raises(Exception, match="not a RIFF/WAVE"):
+        multimodal.extract_frames(
+            multimodal.media_table(docs.limit(2)), real_decode=True
+        ).collect()
     # resize_media's real path EXISTS since r7 (resize_pixels) but
     # refuses non-image payloads at decode time instead of pretending
     with pytest.raises(Exception, match="not a binary PPM"):
@@ -1415,3 +1425,127 @@ def test_cms_estimate_property_vs_bruteforce(spark, keys, width_pow):
         for k in set(map(str, keys))
     }
     assert got == want
+
+
+def test_sniff_media_magic_bytes():
+    """The dispatcher recognizes each real-codec magic and returns
+    'unknown' (never raises) on garbage."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.multimodal import sniff_media
+
+    assert sniff_media(b"P6 2 2 255\n" + b"\x00" * 12) == "ppm"
+    assert sniff_media(b"\x89PNG\r\n\x1a\n" + b"x") == "png"
+    assert sniff_media(b"BM" + b"\x00" * 30) == "bmp"
+    assert sniff_media(b"GIF89a" + b"\x00" * 7) == "gif"
+    assert sniff_media(b"GIF87a" + b"\x00" * 7) == "gif"
+    assert sniff_media(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00WAVE") == "wav"
+    assert sniff_media(b"") == "unknown"
+    assert sniff_media(b"plain text payload") == "unknown"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00AVI ") == "unknown"  # RIFF != WAVE
+
+
+def test_media_features_auto_mixed_corpus(spark, docs):
+    """One mixed frame with every format + a garbage row: each row is
+    decoded by the right parser (features match the single-format
+    decoders) and the garbage row is quarantined as fmt='unknown'."""
+    from pyspark.sql import functions as F
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    base = docs.limit(6)
+    mixed = (
+        multimodal.ppm_table(base.filter(F.col("doc_id") % 6 == 0))
+        .select("doc_id", "payload")
+        .unionByName(
+            multimodal.gif_table(base.filter(F.col("doc_id") % 6 == 3)).select(
+                "doc_id", "payload"
+            )
+        )
+        .unionByName(
+            multimodal.wav_table(base.filter(F.col("doc_id") % 6 == 5)).select(
+                "doc_id", "payload"
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(999, bytearray(b"not a media file"))], ["doc_id", "payload"]
+            )
+        )
+    )
+    out = {r.doc_id: r for r in multimodal.media_features_auto(mixed).collect()}
+    fmts = {r.fmt for r in out.values()}
+    assert out[999].fmt == "unknown"
+    assert out[999].width is None and out[999].mean_0 is None
+    assert {"ppm", "gif", "wav"} <= fmts
+    # ppm arm agrees with decode_ppm exactly
+    ppm_ids = [i for i, r in out.items() if r.fmt == "ppm"]
+    ref = {
+        r.doc_id: r
+        for r in multimodal.decode_ppm(
+            multimodal.ppm_table(base.filter(F.col("doc_id") % 6 == 0))
+        ).collect()
+    }
+    for i in ppm_ids:
+        assert (out[i].width, out[i].height) == (ref[i].width, ref[i].height)
+        assert out[i].mean_0 == ref[i].mean_r
+        assert out[i].mean_2 == ref[i].mean_b
+    # wav arm: n_pixels is TOTAL samples (frames x channels)
+    wav_ids = [i for i, r in out.items() if r.fmt == "wav"]
+    for i in wav_ids:
+        assert out[i].n_pixels == (64 + i % 129) * (1 + i % 2)
+        assert out[i].width is None and out[i].mean_2 is None
+
+
+def test_media_frames_real_windowing(spark):
+    """Hand-built stereo WAV: 8 ms windows at 8 kHz are 64 frames; a
+    150-frame file yields windows of 128/128/44 samples (stereo), the
+    trailing partial kept; sums are exact."""
+    import struct
+
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    c, sr, n = 2, 8000, 150
+    i = np.arange(n, dtype=np.int64)[:, None]
+    ch = np.arange(c, dtype=np.int64)[None, :]
+    samples = ((i * 3 + ch * 5) % 200 - 100).astype("<i2")
+    data = samples.tobytes()
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, c, sr, sr * c * 2, c * 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame([(7, bytearray(payload))], ["doc_id", "payload"])
+    rows = sorted(
+        multimodal.media_frames_real(media, every_s=0.008).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.n_samples for r in rows] == [128, 128, 44]
+    assert [r.frame_ts for r in rows] == [0.0, 0.008, 2 * 0.008]
+    full = samples.astype(np.int64)
+    for j, r in enumerate(rows):
+        seg = full[j * 64 : (j + 1) * 64]
+        assert r.sum_amp == int(seg.sum())
+        assert r.sum_sq == int((seg * seg).sum())
+        assert r.rms == round(float(np.sqrt(r.sum_sq / r.n_samples)), 6)
+    # the array-contract wrapper carries [n_samples, mean, rms]
+    fr = multimodal.extract_frames(media, every_s=0.008, real_decode=True).collect()
+    by_idx = {r.frame_idx: r.frame_features for r in fr}
+    assert by_idx[0][0] == 128.0
+    assert by_idx[2][0] == 44.0
+
+
+def test_decode_features_real_routes_dispatch(spark, docs):
+    """decode_features(real_decode=True) no longer raises: it returns
+    the (doc_id, media_type, features) contract with sniffed formats."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    media = multimodal.png_table(docs.limit(3))
+    out = multimodal.decode_features(media, real_decode=True).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.media_type == "png"
+        assert len(r.features) == 6
+        w, h, npx = r.features[0], r.features[1], r.features[2]
+        assert npx == w * h
