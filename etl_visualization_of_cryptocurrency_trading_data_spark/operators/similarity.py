@@ -1313,3 +1313,76 @@ def knn_ivf_pq_recall(
         recall.alias("recall_at_k"),
         (recall >= floor).alias("meets_floor"),
     )
+
+
+def hybrid_retrieval_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    probe_id: int = 0,
+    k_rrf: int = 60,
+    top_n: int = 50,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher 2009 — the public recipe
+    behind Elasticsearch/OpenSearch hybrid search): the BM25 arm
+    ([[bm25-scores]]) and a brute-cosine vector arm against the
+    ``probe_id`` embedding each contribute 1/(k + rank) for their
+    top-``top_n``, and the union is scored by the sum — documents
+    found by BOTH arms rise above either arm alone.
+
+    Output: (doc_id, lex_rank, vec_rank, rrf_score) for every doc in
+    either arm's top-n (ranks NULL where an arm missed it), score
+    rounded to 6 decimals. The fixture's documents and embeddings
+    tables are id-aligned (doc_id == vec_id), which is the join key.
+
+    Scale: each arm ends in orderBy+limit — TakeOrderedAndProject
+    (per-partition top-n, merge on the driver-side singleton), never a
+    global sort — and the rank window runs AFTER the limit, over at
+    most ``top_n`` rows, so the 1-partition window is bounded by a
+    constant whatever the corpus size. The final full-outer join is
+    between two ≤top_n frames. The vector arm is the brute baseline
+    for oracle-exactness; swap knn_ivf/knn_lsh in production — the
+    fusion is rank-based, so the arm's engine is interchangeable.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .text import bm25_scores
+
+    lex_top = (
+        bm25_scores(documents)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    probe = base.filter(F.col("vec_id") == probe_id).select(
+        F.col("emb").alias("probe_emb")
+    )
+    vec_top = (
+        base.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != probe_id)
+        .select("vec_id", cosine(F.col("probe_emb"), F.col("emb")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(top_n)
+    )
+    vec = vec_top.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("vec_rank"),
+    )
+    fused = lex.join(vec, lex["doc_id"] == vec["vec_id"], "full_outer")
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("vec_rank")), F.lit(0.0))
+    return fused.select(
+        F.coalesce(lex["doc_id"], vec["vec_id"]).alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+        F.round(contrib, 6).alias("rrf_score"),
+    )

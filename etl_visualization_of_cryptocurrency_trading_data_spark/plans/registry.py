@@ -3004,6 +3004,18 @@ def q_media_frames_real(spark, sf_dir):
     )
 
 
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval (similarity.hybrid_retrieval_rrf): BM25 top-50
+    and brute-cosine top-50 against the vec_id=0 embedding, fused by
+    Reciprocal Rank Fusion 1/(60+rank) — the Elasticsearch-style
+    hybrid-search composition over this engine's own lexical and
+    vector arms. Each arm is TakeOrderedAndProject (no global sort);
+    the rank windows run over the post-limit <=50-row frames."""
+    return similarity.hybrid_retrieval_rrf(
+        _documents(spark, sf_dir), load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_bm25_scores(spark, sf_dir):
     """Okapi BM25 retrieval scoring (text.bm25_scores) over the fixed
     literal query terms — the lexical-search sibling of the embedding
@@ -3271,6 +3283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "media_features_auto": q_media_features_auto,
     "media_frames_real": q_media_frames_real,
+    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -3300,6 +3313,28 @@ survivors AS (
 )
 SELECT t.doc_id, t.fp, t.text, t.lang, t.source, t.n_chars
 FROM survivors v JOIN tagged t ON t.fp = v.fp AND t.doc_id = v.doc_id"""
+
+# Okapi BM25 replay (Lucene non-negative idf); shared verbatim by the
+# bm25_scores oracle and hybrid_retrieval_rrf's lexical arm
+_BM25_SQL = r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM toks WHERE len(ws) > 0),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+m AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM m
+  WHERE term IN ('spark', 'query', 'window', 'stream', 'filter')
+  GROUP BY doc_id, dl, term
+),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
+SELECT doc_id, count(*)::BIGINT AS n_matched,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+FROM wdf, stats
+GROUP BY doc_id"""
 
 ORACLES: dict[str, str] = {
     "coins_dim": _with(COINS_CTE, select="SELECT id, name, symbol, exchange FROM coins"),
@@ -5497,26 +5532,7 @@ LIMIT 10""",
     # expression shapes mirror text.bm25_scores term-for-term (ln, not
     # log10; 2.2 = k1+1; 0.25 = 1-b) so doubles agree to ~1e-14, far
     # under the round-6 grid
-    "bm25_scores": r"""
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-),
-d AS (SELECT doc_id, len(ws) AS dl, ws FROM toks WHERE len(ws) > 0),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
-m AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
-tf AS (
-  SELECT doc_id, dl, term, count(*) AS tf FROM m
-  WHERE term IN ('spark', 'query', 'window', 'stream', 'filter')
-  GROUP BY doc_id, dl, term
-),
-wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf)
-SELECT doc_id, count(*)::BIGINT AS n_matched,
-       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                 * (tf * 2.2)
-                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
-FROM wdf, stats
-GROUP BY doc_id""",
+    "bm25_scores": _BM25_SQL,
     # DSIR hashed-unigram importance weights: bucket = first 32 bits of
     # md5('dsir' || token) mod 256 (sampling.hash_bucket idiom), add-1
     # smoothing over the 256 cells, target = lang='en' occurrences
@@ -5639,4 +5655,34 @@ SELECT doc_id, frame_idx::INT AS frame_idx,
        n_samples, sum_amp, sum_sq,
        round(sqrt(sum_sq / n_samples), 6) AS rms
 FROM agg""",
+    # RRF fusion of the BM25 replay (shared _BM25_SQL, nested WITH) and
+    # the brute-cosine arm (list_dot_product idiom of the knn oracles);
+    # ranks are row_number over (score DESC, id) AFTER each arm's
+    # LIMIT 50, mirroring the engine's post-TakeOrdered rank window
+    "hybrid_retrieval_rrf": f"""
+WITH lex_all AS ({_BM25_SQL}),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT * FROM lex_all ORDER BY bm25 DESC, doc_id LIMIT 50)
+),
+emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+probe AS (SELECT emb AS probe_emb FROM emb WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id,
+         list_dot_product(probe_emb, emb)
+         / (sqrt(list_dot_product(probe_emb, probe_emb)) * sqrt(list_dot_product(emb, emb))) AS cosine
+  FROM emb, probe WHERE vec_id <> 0
+),
+vec AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+  FROM (SELECT * FROM cos ORDER BY cosine DESC, vec_id LIMIT 50)
+),
+f AS (
+  SELECT coalesce(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+)
+SELECT doc_id, lex_rank::INT AS lex_rank, vec_rank::INT AS vec_rank,
+       round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + vec_rank), 0), 6)
+         AS rrf_score
+FROM f""",
 }

@@ -1549,3 +1549,30 @@ def test_decode_features_real_routes_dispatch(spark, docs):
         assert len(r.features) == 6
         w, h, npx = r.features[0], r.features[1], r.features[2]
         assert npx == w * h
+
+
+def test_hybrid_retrieval_rrf_semantics(spark, docs):
+    """RRF invariants on the fixture: scores reconstruct exactly from
+    the published ranks, ranks are dense 1..n within each arm (<=50),
+    and a doc present in BOTH arms beats any doc a single arm put at
+    the same rank."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    out = similarity.hybrid_retrieval_rrf(docs, emb).collect()
+    assert out
+    lex_ranks = sorted(r.lex_rank for r in out if r.lex_rank is not None)
+    vec_ranks = sorted(r.vec_rank for r in out if r.vec_rank is not None)
+    assert lex_ranks == list(range(1, len(lex_ranks) + 1)) and len(lex_ranks) <= 50
+    assert vec_ranks == list(range(1, len(vec_ranks) + 1)) and len(vec_ranks) <= 50
+    for r in out:
+        expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert r.rrf_score == round(expect, 6)
+    both = [r for r in out if r.lex_rank and r.vec_rank]
+    single = [r for r in out if (r.lex_rank is None) != (r.vec_rank is None)]
+    if both and single:
+        # equal-rank comparison: two arms at rank k always beat one
+        k = both[0]
+        one = min(single, key=lambda r: r.lex_rank or r.vec_rank)
+        if (one.lex_rank or one.vec_rank) >= min(k.lex_rank, k.vec_rank):
+            assert k.rrf_score > one.rrf_score
