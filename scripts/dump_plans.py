@@ -78,6 +78,10 @@ SHOWCASE = [
     "media_decode_png",      # synth + real zlib decode, two map stages
     "salted_join_skew",      # hot key spread across 8 salted partitions
     "incremental_dedup",     # fp groupBy + LEFT ANTI vs seen fingerprints
+    "bm25_scores",           # match-filter before shuffle, df term window
+    "dsir_weights",          # bucket windows on one exchange, totals bcast
+    "media_features_auto",   # sniff-dispatch mapInPandas, no shuffle
+    "hybrid_retrieval_rrf",  # two TakeOrdered arms, bounded rank windows
 ]
 
 
