@@ -1017,3 +1017,76 @@ def incremental_dedup_bloom(
     return survivors.join(tagged, ["fp", "doc_id"]).select(
         "doc_id", "fp", *[c for c in new_docs.columns if c != "doc_id"]
     )
+
+
+def fuzzy_match_blocked(
+    df: DataFrame,
+    name_col: str = "name",
+    id_col: str = "doc_id",
+    block_prefix: int = 8,
+    max_dist: int = 2,
+    max_block: int | None = 200,
+    block_expr=None,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: (id_a, id_b, edit_dist) for every
+    pair whose normalized names are within ``max_dist`` Levenshtein
+    edits — the entity-resolution primitive (title/author/venue
+    matching when curating metadata, near-identical URL titles, OCR'd
+    strings) the dedup family lacked next to its set-similarity forms.
+
+    Blocking, not all-pairs: candidates are generated ONLY within a
+    block (default: the first ``block_prefix`` chars of the normalized
+    name), then prefiltered by the length bound (|len_a - len_b| <=
+    max_dist is a necessary condition for edit distance <= max_dist —
+    it prunes before the expensive comparison) and verified with the
+    JVM codegen'd ``levenshtein``. Cost is sum over blocks of |block|^2,
+    never N^2; ``max_block`` drops blocks above the cap (the
+    ``max_df`` posture of ngram_jaccard_pairs — at web scale one
+    boilerplate prefix otherwise makes a single block quadratic; pass
+    None to opt out at oracle scale).
+
+    Prefix blocking cannot see pairs that differ inside the prefix —
+    the standard single-pass blocking tradeoff. Production runs
+    multiple passes with different keys and unions the pairs; pass
+    ``block_expr`` (a Column over the normalized name available as
+    column ``norm``) to run this operator per pass, e.g. a suffix or
+    sorted-token key.
+
+    Scale: one shuffle each side keyed on the block, length prefilter
+    ahead of levenshtein, candidates bounded by max_block^2 per block.
+    Zero Python UDFs; DuckDB's levenshtein agrees with Spark's
+    (classic unit-cost edit distance), so the oracle is exact.
+    """
+    if block_prefix < 1:
+        raise ValueError("block_prefix must be >= 1")
+    norm = normalized_text(F.col(name_col))
+    base = df.select(F.col(id_col).alias("rid"), norm.alias("norm"))
+    blk = (
+        block_expr
+        if block_expr is not None
+        else F.substring(F.col("norm"), 1, block_prefix)
+    )
+    blocked = base.select(
+        "rid", "norm", blk.alias("blk"), F.length("norm").alias("ln")
+    )
+    if max_block is not None:
+        sizes = blocked.groupBy("blk").agg(F.count("*").alias("bn"))
+        blocked = blocked.join(
+            sizes.filter(F.col("bn") <= max_block).select("blk"), "blk"
+        )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist),
+        )
+        .filter(dist <= max_dist)
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

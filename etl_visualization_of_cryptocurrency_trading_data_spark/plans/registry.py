@@ -3036,6 +3036,41 @@ def q_dsir_weights(spark, sf_dir):
     return sampling.dsir_weights(_documents(spark, sf_dir))
 
 
+def q_fuzzy_match_blocked(spark, sf_dir):
+    """Blocked fuzzy record linkage (dedup.fuzzy_match_blocked):
+    edit-distance entity resolution — the primitive behind metadata
+    dedup (titles, authors, OCR'd strings) that set-similarity can't
+    express. The registered corpus is each document's normalized
+    24-char name PLUS a planted twin per doc_id % 7 == 3 (one char
+    substituted mid-string, AFTER the 8-char blocking prefix, so each
+    twin is a guaranteed same-block edit-distance-1 match — the
+    knn_lsh_planes8 known-answer recipe); the driver hash therefore
+    covers blocking, the length prefilter, and levenshtein verify on
+    non-empty output. Natural prefix-share pairs ride along
+    identically in both engines."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalized_text
+    from ..operators import dedup
+
+    norm = normalized_text(F.col("text"))
+    names = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.substring(norm, 1, 24).alias("name"))
+        .filter(F.length(norm) >= 24)
+    )
+    twins = names.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"),
+        F.concat(
+            F.substring("name", 1, 12), F.lit("#"), F.substring("name", 14, 11)
+        ).alias("name"),
+    )
+    return dedup.fuzzy_match_blocked(
+        names.unionByName(twins), name_col="name", id_col="doc_id",
+        block_prefix=8, max_dist=2, max_block=200,
+    )
+
+
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # ROUND-7 ROTATION EXECUTED (registry = 158 queries, window = first 50):
@@ -3284,6 +3319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features_auto": q_media_features_auto,
     "media_frames_real": q_media_frames_real,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    "fuzzy_match_blocked": q_fuzzy_match_blocked,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5685,4 +5721,35 @@ SELECT doc_id, lex_rank::INT AS lex_rank, vec_rank::INT AS vec_rank,
        round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + vec_rank), 0), 6)
          AS rrf_score
 FROM f""",
+    # blocked fuzzy record linkage: normalized 24-char names + planted
+    # edit-distance-1 twins (substitution at char 13 — inside the name,
+    # after the 8-char block prefix); block cap and length prefilter
+    # replayed; DuckDB's levenshtein is the same classic edit distance
+    # as Spark's
+    "fuzzy_match_blocked": f"""
+WITH norm AS (
+  SELECT doc_id, substr({NORM_TEXT_SQL}, 1, 24) AS name
+  FROM documents WHERE length({NORM_TEXT_SQL}) >= 24
+),
+corpus AS (
+  SELECT doc_id, name FROM norm
+  UNION ALL
+  SELECT doc_id + 1000001,
+         substr(name, 1, 12) || '#' || substr(name, 14)
+  FROM norm WHERE doc_id % 7 = 3
+),
+blocked AS (
+  SELECT doc_id, name, substr(name, 1, 8) AS blk, length(name) AS ln
+  FROM corpus
+),
+keep AS (
+  SELECT b.* FROM blocked b
+  JOIN (SELECT blk FROM blocked GROUP BY blk HAVING count(*) <= 200) s
+    USING (blk)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.name, b.name)::INT AS edit_dist
+FROM keep a JOIN keep b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
+WHERE levenshtein(a.name, b.name) <= 2""",
 }

@@ -1576,3 +1576,43 @@ def test_hybrid_retrieval_rrf_semantics(spark, docs):
         one = min(single, key=lambda r: r.lex_rank or r.vec_rank)
         if (one.lex_rank or one.vec_rank) >= min(k.lex_rank, k.vec_rank):
             assert k.rrf_score > one.rrf_score
+
+
+def test_fuzzy_match_blocked_handcrafted(spark):
+    """Known-answer record linkage: substitution/insertion matches
+    inside the block are found with the right distances; a pair that
+    differs inside the blocking prefix is invisible (the documented
+    single-pass blocking tradeoff); a pair beyond max_dist is
+    rejected by the verify even though it shares a block."""
+    rows = [
+        (1, "Satoshi Nakamoto Institute"),
+        (2, "satoshi nakamoto institute"),   # dist 0 after normalize
+        (3, "satoshi nakamoto   instituet"),  # swap at the tail: dist 2
+        (4, "satoshi nakamQto institute"),    # dist 1 (substitution)
+        (5, "xatoshi nakamoto institute"),    # differs in prefix: other block
+        (6, "satoshi nakamoto aaaaaaaaa"),    # same block, dist > 2
+        (7, "zzz unrelated name"),
+    ]
+    out = dedup.fuzzy_match_blocked(
+        spark.createDataFrame(rows, "doc_id long, name string"),
+        block_prefix=8, max_dist=2, max_block=None,
+    )
+    got = {(r.id_a, r.id_b): r.edit_dist for r in out.collect()}
+    # (3, 4) is absent: the tail swap (2) plus the 'q' substitution (1)
+    # puts that pair at distance 3 > max_dist even though it shares a block
+    assert got == {(1, 2): 0, (1, 3): 2, (1, 4): 1, (2, 3): 2, (2, 4): 1}
+
+
+def test_fuzzy_match_blocked_cap_and_length_prefilter(spark):
+    """max_block drops an oversized block entirely (the max_df
+    posture); the length bound is a true prefilter — a same-block
+    name whose length differs by more than max_dist never reaches
+    levenshtein, and its absence is also correct (edit distance >=
+    length difference)."""
+    hot = [(i, f"prefix00 hot {i:04d}") for i in range(10)]
+    cold = [(100, "coldpref one"), (101, "coldpref one!"),
+            (102, "coldpref one extra words beyond")]
+    df = spark.createDataFrame(hot + cold, "doc_id long, name string")
+    out = dedup.fuzzy_match_blocked(df, block_prefix=8, max_dist=2, max_block=5)
+    got = {(r.id_a, r.id_b): r.edit_dist for r in out.collect()}
+    assert got == {(100, 101): 1}, got
