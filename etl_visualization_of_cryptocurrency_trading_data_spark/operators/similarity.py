@@ -1386,3 +1386,124 @@ def hybrid_retrieval_rrf(
         "vec_rank",
         F.round(contrib, 6).alias("rrf_score"),
     )
+
+
+def _pca_terms(dim: int, iters: int, rd: int = 9):
+    """Dialect-shared expression strings for [[pca_top_component]] and
+    its DuckDB oracle (plans/registry._pca_sql imports this): round,
+    sqrt, +, *, / and CAST(x AS DOUBLE) parse identically in Spark SQL
+    and DuckDB, so BOTH engines execute these exact strings — the
+    expression shapes cannot drift apart. Returns (means, covs,
+    rounds, ps, lam, score) where rounds is one (w_exprs, nrm_expr)
+    pair per power iteration."""
+    import math
+
+    idx = range(dim)
+
+    def c(i: int, j: int) -> str:
+        a, b = (i, j) if i <= j else (j, i)
+        return f"c{a}_{b}"
+
+    means = [f"round(s{i}/n, {rd}) AS m{i}" for i in idx]
+    covs = [
+        f"round(g{i}_{j}/n - s{i}*s{j}/(n*n), {rd}) AS c{i}_{j}"
+        for i in idx
+        for j in idx
+        if j >= i
+    ]
+    v = [f"CAST({1.0 / math.sqrt(dim)!r} AS DOUBLE)"] * dim
+    rounds = []
+    for it in range(iters):
+        ws = [
+            " + ".join(f"{c(i, j)}*{v[j]}" for j in idx) + f" AS w{it}_{i}"
+            for i in idx
+        ]
+        nrm = (
+            "sqrt(" + " + ".join(f"w{it}_{i}*w{it}_{i}" for i in idx) + f") AS nrm{it}"
+        )
+        rounds.append((ws, nrm))
+        v = [f"round(w{it}_{i}/nrm{it}, {rd})" for i in idx]
+    lam = " + ".join(
+        f"{v[i]}*(" + " + ".join(f"{c(i, j)}*{v[j]}" for j in idx) + ")" for i in idx
+    )
+    ps = [f"{v[i]} AS p{i}" for i in idx]
+    score = " + ".join(f"(x{i} - m{i})*p{i}" for i in idx)
+    return means, covs, rounds, ps, lam, score
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    dim: int = 16,
+    iters: int = 12,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Top principal component of the first ``dim`` embedding
+    dimensions, as (vec_id, pc1, lambda1): one distributed covariance
+    aggregation + a fixed unrolled power iteration + a broadcast
+    projection pass — the dimensionality-reduction / whitening
+    primitive (ABTT-style dominant-direction removal, dedup
+    preprocessing, drift monitoring) next to the ANN family.
+
+    Plan shape, built for 100 TB: the ONLY pass over the corpus that
+    shuffles anything is one global aggregate producing a SINGLE row
+    of d means + d(d+1)/2 Gram sums (map-side combined; the shuffle
+    carries one ~(d^2/2)-double row per partition). Everything
+    after — covariance, ``iters`` rounds of v <- Cv / |Cv| from the
+    fixed CAST(1/sqrt(d) AS DOUBLE) start — is scalar arithmetic on
+    that one row, and the projection pass is a broadcast crossJoin +
+    one centered dot product per vector (map-only). No Python UDFs,
+    no driver-side linear algebra in the plan.
+
+    Determinism across engines: the post-aggregate arithmetic is
+    generated ONCE as SQL strings ([[_pca_terms]]) executed verbatim
+    by both Spark (selectExpr) and DuckDB (the oracle's CTEs) — same
+    text, same left-to-right evaluation, same round() grid every
+    iteration, so identical doubles. (The first cut built these
+    expressions as Python Column algebra: ~25k Py4J round-trips,
+    21 s of pure plan-construction at any data size. selectExpr
+    hands the JVM one string per stage: build time ~1 s, execution
+    unchanged.)
+
+    Power iteration with a fixed start and fixed rounds is a
+    REPLAYABLE approximation of the eigenvector; its quality CONTRACT
+    is the Rayleigh quotient ``lambda1`` (variance explained — what
+    whitening/ABTT consumes), pinned in pytest at >= 0.99 of numpy's
+    exact top eigenvalue. On a near-degenerate spectrum (the
+    fixture's lambda2/lambda1 is ~0.96) the specific eigenVECTOR is
+    statistically ill-determined and alignment converges like
+    (lambda2/lambda1)^iters, but any vector this close in Rayleigh
+    quotient spans the same high-variance subspace — the honest
+    convergence story for flat spectra. ``dim`` stays
+    expression-unrolled-small here; the full-width production variant
+    aggregates the same single Gram row and eigensolves the tiny
+    d x d off-plan, then broadcasts the component back into this same
+    projection pass.
+    """
+    if dim < 2 or iters < 1:
+        raise ValueError("dim >= 2 and iters >= 1 required")
+    idx = range(dim)
+    means, covs, rounds, ps, lam, score = _pca_terms(dim, iters, round_decimals)
+    base = embeddings.filter(F.size("embedding") >= dim).select(
+        "vec_id",
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in idx],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        *[F.sum(F.col(f"x{i}")).alias(f"s{i}") for i in idx],
+        *[
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"g{i}_{j}")
+            for i in idx
+            for j in idx
+            if j >= i
+        ],
+    )
+    row = stats.selectExpr("n", *means, *covs)
+    for ws, nrm in rounds:
+        row = row.selectExpr("*", *ws)
+        row = row.selectExpr("*", nrm)
+    comp = row.selectExpr(
+        *[f"m{i}" for i in idx], *ps, f"round({lam}, 6) AS lambda1"
+    )
+    return base.crossJoin(F.broadcast(comp)).selectExpr(
+        "vec_id", f"round({score}, 6) AS pc1", "lambda1"
+    )

@@ -1975,6 +1975,43 @@ SELECT cent_id, n_members,
 FROM c2"""
 
 
+def _pca_sql(dim: int = 16, iters: int = 12) -> str:
+    """Power-iteration PCA oracle: imports the SAME expression strings
+    the engine executes (similarity._pca_terms) and wraps them in
+    DuckDB CTEs — identical text, identical left-to-right evaluation,
+    identical round() grids, so both engines walk bit-identical
+    doubles. Only the dialect-specific pieces (1-based list indexing,
+    ::DOUBLE element casts, count(*)::DOUBLE) are written here."""
+    from ..operators.similarity import _pca_terms
+
+    idx = range(dim)
+    means, covs, rounds, ps, lam, score = _pca_terms(dim, iters)
+    xs = ",\n         ".join(f"embedding[{i + 1}]::DOUBLE AS x{i}" for i in idx)
+    sums = ", ".join(f"sum(x{i}) AS s{i}" for i in idx)
+    grams = ", ".join(
+        f"sum(x{i}*x{j}) AS g{i}_{j}" for i in idx for j in idx if j >= i
+    )
+    it_ctes = []
+    prev = "cov"
+    for it, (ws, nrm) in enumerate(rounds):
+        it_ctes.append(f"ia{it} AS (SELECT *, {', '.join(ws)} FROM {prev})")
+        it_ctes.append(f"ib{it} AS (SELECT *, {nrm} FROM ia{it})")
+        prev = f"ib{it}"
+    it_block = ",\n".join(it_ctes)
+    ms = ", ".join(f"m{i}" for i in idx)
+    return f"""
+WITH x AS (
+  SELECT vec_id, {xs}
+  FROM embeddings WHERE len(embedding) >= {dim}
+),
+st AS (SELECT count(*)::DOUBLE AS n, {sums}, {grams} FROM x),
+cov AS (SELECT n, {", ".join(means)}, {", ".join(covs)} FROM st),
+{it_block},
+comp AS (SELECT {ms}, {", ".join(ps)}, round({lam}, 6) AS lambda1 FROM {prev})
+SELECT vec_id, round({score}, 6) AS pc1, lambda1
+FROM x CROSS JOIN comp"""
+
+
 def _knn_ivf_sql(
     cent_where: str = "vec_id % 101 = 1",
     probe_where: str = "vec_id % 50 = 0",
@@ -3036,6 +3073,21 @@ def q_dsir_weights(spark, sf_dir):
     return sampling.dsir_weights(_documents(spark, sf_dir))
 
 
+def q_pca_top_component(spark, sf_dir):
+    """Distributed PCA (similarity.pca_top_component): top principal
+    component of the first 16 embedding dims via ONE single-row
+    covariance aggregate + a fixed unrolled power iteration + a
+    broadcast projection pass — distributed linear algebra where the
+    only corpus-wide shuffle carries d means + d(d+1)/2 Gram sums.
+    The oracle (_pca_sql) replays covariance, the 1/sqrt(16) start
+    vector, and all twelve normalized iterations expression-for-
+    expression on the same rounding grid; the Rayleigh-quotient
+    quality contract vs numpy's exact eigh is pinned in pytest."""
+    return similarity.pca_top_component(
+        load_table(spark, sf_dir, "embeddings"), dim=16, iters=12
+    )
+
+
 def q_fuzzy_match_blocked(spark, sf_dir):
     """Blocked fuzzy record linkage (dedup.fuzzy_match_blocked):
     edit-distance entity resolution — the primitive behind metadata
@@ -3320,6 +3372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames_real": q_media_frames_real,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "fuzzy_match_blocked": q_fuzzy_match_blocked,
+    "pca_top_component": q_pca_top_component,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5752,4 +5805,6 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM keep a JOIN keep b
   ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
 WHERE levenshtein(a.name, b.name) <= 2""",
+    # power-iteration PCA: generated, mirrored expression-for-expression
+    "pca_top_component": _pca_sql(dim=16, iters=12),
 }

@@ -1616,3 +1616,37 @@ def test_fuzzy_match_blocked_cap_and_length_prefilter(spark):
     out = dedup.fuzzy_match_blocked(df, block_prefix=8, max_dist=2, max_block=5)
     got = {(r.id_a, r.id_b): r.edit_dist for r in out.collect()}
     assert got == {(100, 101): 1}, got
+
+
+def test_pca_top_component_rayleigh_contract(spark):
+    """The unrolled power iteration is a REPLAYABLE approximation —
+    the driver hash pins the replay; this pins the quality CONTRACT:
+    lambda1 (the Rayleigh quotient) must reach >= 0.99 of numpy's
+    exact top eigenvalue and never exceed it, and the emitted
+    projections must be exactly the centered dot products against a
+    unit vector (norm check via the variance identity). The fixture
+    spectrum is near-degenerate (lambda2/lambda1 ~ 0.96), so the
+    VECTOR is ill-determined by nature — variance explained is the
+    quality metric whitening actually consumes."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.pca_top_component(emb, dim=16, iters=12).orderBy("vec_id")
+    rows = out.collect()
+    X = np.array(
+        [r.embedding[:16] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    evals = np.linalg.eigh(cov)[0]
+    top_val = evals[-1]
+    lam = rows[0].lambda1
+    assert 0 < lam <= top_val + 1e-6, (lam, top_val)
+    assert lam >= 0.99 * top_val, f"Rayleigh quotient not converged: {lam} vs {top_val}"
+    # projections of a unit component: their variance IS the Rayleigh
+    # quotient — ties the per-row output to the aggregate contract
+    got = np.array([r.pc1 for r in rows])
+    assert abs(got.mean()) < 1e-4
+    assert abs(got.var() - lam) <= 2e-4 * max(1.0, lam)
