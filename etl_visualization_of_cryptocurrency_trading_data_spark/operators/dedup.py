@@ -1090,3 +1090,114 @@ def fuzzy_match_blocked(
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 30,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the scale-path twin of [[dup_clusters]]: returns the
+    same (doc_id, cluster_id = component-minimum id) labeling, but
+    converges in O(log n) alternation rounds instead of min-label
+    propagation's O(component diameter). On near-clique dup graphs
+    (diameter 2-3) the Pregel form wins on constant factors; on the
+    chain/filament components that URL graphs, citation graphs and
+    transitively-linked fuzzy-match graphs produce, diameter grows
+    with N and the star alternation is the only form whose round
+    count survives a 100x scale-up (a diameter-10k component costs
+    min-label 10k shuffle rounds but the star form ~14).
+
+    Per round each star op is exactly two exchanges — one hash
+    partition on the grouping node for the windowed neighborhood min,
+    one for the dedup of rewired edges — and the driver reads only a
+    1-row changed-edge indicator per round (no edge data collected).
+    The edge frame is ``localCheckpoint``-ed per round: each round's
+    plan references the previous frame TWICE (the bidirectional union
+    + the convergence anti-join), so a persist alone leaves the
+    LOGICAL plan doubling every round — O(2^rounds) analyzer/optimizer
+    state that OOMs the driver near round ~12 regardless of data size
+    (measured on a 120-node chain). Checkpointing truncates lineage to
+    a leaf per round, the standard iterative-graph boundary (same
+    reason GraphFrames checkpoints its CC loop); values are unchanged.
+
+    large-star: every node connects its STRICTLY LARGER neighbors to
+    the minimum of its closed neighborhood; small-star: every node
+    connects its smaller-or-equal neighbors (all of them, under the
+    canonical u > v edge orientation) to that minimum. Both preserve
+    connectivity and the node set; the fixed point is a star forest
+    whose centers are the component minima. Convergence is verified
+    structurally (new edge set == old edge set via left-anti + count,
+    exact on DISTINCT sets); like [[dup_clusters]], the function
+    RAISES rather than returning a wrong labeling if ``max_iter`` is
+    exceeded.
+    """
+    from pyspark.sql.window import Window
+
+    w_u = Window.partitionBy("u")
+    # canonical orientation u > v; self-loops dropped, both input
+    # orientations accepted
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") > F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the bidirectional neighbor view
+        bi = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        large = (
+            bi.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the canonical orientation: all neighbors of u
+        # are < u, so m = min neighbor; rewire them all to m and keep
+        # (u, m) itself — explode emits both halves in one pass
+        small = (
+            large.withColumn("m", F.min("v").over(w_u))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") > F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = small.count()
+        grew = small.join(edges, ["u", "v"], "left_anti").limit(1).count()
+        edges, prev_count = small, n_edges
+        n_edges = new_count
+        # distinct sets: new \ old empty AND equal cardinality <=> equal
+        if grew == 0 and new_count == prev_count:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iter} "
+            "alternation rounds — raise max_iter"
+        )
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).unionByName(
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels

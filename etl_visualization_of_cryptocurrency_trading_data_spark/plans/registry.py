@@ -3088,6 +3088,32 @@ def q_pca_top_component(spark, sf_dir):
     )
 
 
+def q_dup_clusters_star(spark, sf_dir):
+    """Log-round connected components
+    (dedup.connected_components_star, Kiveris et al. 2014 alternating
+    large-star/small-star) — the scale-path twin of dup_clusters'
+    min-label propagation, on a fixture BUILT to break the Pregel
+    form: chain components of diameter ~127 (blocks of 64 consecutive
+    doc_ids chained, adjacent block pairs bridged), where min-label
+    needs ~127 shuffle rounds (its default max_iter=50 RAISES; pinned
+    in pytest) and the star alternation converges in ~7. Each round
+    is two exchanges per star op; the driver reads one changed-edge
+    indicator per round. Oracle: the dup_clusters recursive-CTE
+    reachability, over the same arithmetic edge construction."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    chain = docs.filter(F.col("doc_id") % 64 != 63).select(
+        F.col("doc_id").alias("doc_id_a"),
+        (F.col("doc_id") + F.lit(1)).alias("doc_id_b"),
+    )
+    bridge = docs.filter(F.col("doc_id") % 128 == 0).select(
+        F.col("doc_id").alias("doc_id_a"),
+        (F.col("doc_id") + F.lit(96)).alias("doc_id_b"),
+    )
+    return dedup.connected_components_star(chain.unionByName(bridge))
+
+
 def q_fuzzy_match_blocked(spark, sf_dir):
     """Blocked fuzzy record linkage (dedup.fuzzy_match_blocked):
     edit-distance entity resolution — the primitive behind metadata
@@ -3373,6 +3399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "fuzzy_match_blocked": q_fuzzy_match_blocked,
     "pca_top_component": q_pca_top_component,
+    "dup_clusters_star": q_dup_clusters_star,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5807,4 +5834,23 @@ FROM keep a JOIN keep b
 WHERE levenshtein(a.name, b.name) <= 2""",
     # power-iteration PCA: generated, mirrored expression-for-expression
     "pca_top_component": _pca_sql(dim=16, iters=12),
+    # log-round CC on the chain-planted graph: reachability replay
+    "dup_clusters_star": """
+WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+pairs AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM base WHERE doc_id % 64 <> 63
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 96 AS b FROM base WHERE doc_id % 128 = 0
+),
+edges AS (
+  SELECT a, b FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node""",
 }

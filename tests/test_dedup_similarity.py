@@ -1650,3 +1650,52 @@ def test_pca_top_component_rayleigh_contract(spark):
     got = np.array([r.pc1 for r in rows])
     assert abs(got.mean()) < 1e-4
     assert abs(got.var() - lam) <= 2e-4 * max(1.0, lam)
+
+
+def test_connected_components_star_matches_dup_clusters(spark):
+    """The log-round star alternation and Pregel min-label must agree
+    label-for-label on a real near-dup pair graph (same canonical
+    minimum per component)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=None).select(
+        "doc_id_a", "doc_id_b"
+    )
+    pregel = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert len(pregel) > 0
+    assert star == pregel
+
+
+def test_connected_components_star_log_rounds_on_long_chain(spark):
+    """The reason the star form exists: a 121-node chain has diameter
+    120, so min-label propagation moves the label one hop per round
+    (max_iter=6 must RAISE; 6 is also past where its 2x-per-round
+    logical-plan growth stays cheap) while the star alternation
+    converges within 12 checkpoint-truncated rounds — and still labels
+    every node with the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7, 127)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=6)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(pairs, max_iter=12).collect()
+    }
+    assert got == {i: 7 for i in range(7, 128)}
+
+
+def test_connected_components_star_canonicalizes_input(spark):
+    """Reversed orientations, duplicate pairs and self-loops must not
+    change the labeling or duplicate output rows."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (3, 3), (9, 8)],
+        "doc_id_a long, doc_id_b long",
+    )
+    rows = dedup.connected_components_star(pairs).collect()
+    got = {(r.doc_id, r.cluster_id) for r in rows}
+    assert len(rows) == len(got) == 5
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
