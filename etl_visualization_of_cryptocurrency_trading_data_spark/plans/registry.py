@@ -3114,6 +3114,22 @@ def q_dup_clusters_star(spark, sf_dir):
     return dedup.connected_components_star(chain.unionByName(bridge))
 
 
+def q_drawdown_stream_replay(spark, sf_dir):
+    """Custom-stateful streaming replay
+    (streaming.pipeline.drawdown_stream_replay → stateful_drawdown):
+    running peak / drawdown / tick counter via applyInPandasWithState,
+    the tick feed drained in three TIME-ORDERED waves one file per
+    micro-batch so per-key state genuinely crosses batch boundaries —
+    promotes T5 (custom stateful operators) from pytest-only to a
+    driver-hash row. The operator's arithmetic is bit-exact by
+    construction (comparison-only peak, one IEEE divide, integer tick
+    index), so the oracle is a plain window replay over the same tick
+    projection — no rounding pin needed."""
+    from ..streaming.pipeline import drawdown_stream_replay
+
+    return drawdown_stream_replay(spark, _price_base_tb(spark, sf_dir))
+
+
 def q_fuzzy_match_blocked(spark, sf_dir):
     """Blocked fuzzy record linkage (dedup.fuzzy_match_blocked):
     edit-distance entity resolution — the primitive behind metadata
@@ -3400,6 +3416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match_blocked": q_fuzzy_match_blocked,
     "pca_top_component": q_pca_top_component,
     "dup_clusters_star": q_dup_clusters_star,
+    "drawdown_stream_replay": q_drawdown_stream_replay,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5834,6 +5851,19 @@ FROM keep a JOIN keep b
 WHERE levenshtein(a.name, b.name) <= 2""",
     # power-iteration PCA: generated, mirrored expression-for-expression
     "pca_top_component": _pca_sql(dim=16, iters=12),
+    # custom-stateful streaming replay: bit-exact window replay of the
+    # running peak / drawdown / tick counter the stateful operator
+    # carries across micro-batches — batching must not change anything
+    "drawdown_stream_replay": f"""
+WITH base AS ({PRICE_BASE_TB_SQL})
+SELECT coin_id, exchange, timestamp, event_id, price,
+       max(price) OVER w AS running_peak,
+       price / max(price) OVER w - 1.0 AS drawdown,
+       row_number() OVER (PARTITION BY coin_id, exchange
+                          ORDER BY timestamp, event_id) AS tick_n
+FROM base
+WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     # log-round CC on the chain-planted graph: reachability replay
     "dup_clusters_star": """
 WITH RECURSIVE base AS (SELECT doc_id FROM documents),

@@ -1035,3 +1035,90 @@ def late_drop_stream_replay(
     )
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def drawdown_stream_replay(
+    spark: SparkSession,
+    ticks: DataFrame,
+    n_waves: int = 3,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Custom-stateful (``applyInPandasWithState``) replay — promotes
+    T5 from pytest-only to a driver-hash row: the tick feed is split
+    into ``n_waves`` TIME-ORDERED spool waves drained one file per
+    micro-batch (``maxFilesPerTrigger=1``), so per-key state
+    (running peak, tick counter) genuinely crosses batch boundaries —
+    a peak set in wave 1 must still depress drawdowns in wave 3, and a
+    lost/duplicated state carry shifts ``running_peak``/``tick_n`` for
+    every later row and flips the hash. Unlike the indicator path
+    (whose EMA recursion differs from the closed-form oracle at
+    ~1e-11 — rtol-testable but not hash-safe), [[stateful_drawdown]]'s
+    arithmetic is bit-exact by construction, so the oracle is a plain
+    window-function replay (max OVER + one divide + row_number) over
+    the same tick projection.
+
+    No sentinel and no watermark: NoTimeout appendix-mode state emits
+    every row in the batch that carried it. Wave files get strictly
+    increasing mtimes (the file source schedules oldest-first); ties
+    in ``timestamp`` stay within one wave (strict-inequality split)
+    and are ordered by ``event_id`` inside the operator, mirroring the
+    oracle's window ORDER BY. The streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from .stateful import stateful_drawdown
+
+    out_schema = (
+        "coin_id string, exchange string, timestamp timestamp, event_id long,"
+        " price double, running_peak double, drawdown double, tick_n long"
+    )
+    real = ticks.select(
+        "coin_id", "exchange", "timestamp", "price", "volume", "event_id"
+    )
+    bounds = real.agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        return spark.createDataFrame([], out_schema)
+    span = (bounds.hi - bounds.lo) / n_waves
+    spool = tempfile.mkdtemp(prefix="drawdown_replay_")
+    base_mtime = time.time() - 3600
+    n = 0
+    for i in range(n_waves):
+        lo = bounds.lo + span * i
+        hi = bounds.hi if i == n_waves - 1 else bounds.lo + span * (i + 1)
+        wave = real.filter(
+            (F.col("timestamp") >= lo if i == 0 else F.col("timestamp") > lo)
+            & (F.col("timestamp") <= hi)
+        )
+        wdir = os.path.join(spool, f"wave{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(wdir)
+        for f in sorted(os.listdir(wdir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(spool, f"{n:04d}.parquet")
+                os.rename(os.path.join(wdir, f), dst)
+                os.utime(dst, (base_mtime + n, base_mtime + n))
+                n += 1
+        shutil.rmtree(wdir)
+    tick_schema = PRICE_SCHEMA + ", event_id long"
+    stream = (
+        spark.readStream.schema(tick_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    name = f"drawdown_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        stateful_drawdown(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_spool(query, spool, "drawdown", timeout_s)
+    return spark.table(name)

@@ -123,3 +123,62 @@ def stateful_indicators(price_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+DD_STATE_SCHEMA = "peak double, n long"
+DD_OUTPUT_SCHEMA = (
+    "coin_id string, exchange string, timestamp timestamp, event_id long, "
+    "price double, running_peak double, drawdown double, tick_n long"
+)
+
+
+def _drawdown_func(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-key running peak / drawdown / tick counter. Rows are sorted
+    by (timestamp, event_id) WITHIN the batch; cross-batch order is the
+    caller's contract (time-split spool waves). Arithmetic is chosen to
+    be cross-engine bit-exact: the peak update is comparison-only, the
+    drawdown is a single IEEE divide + subtract on operands both
+    engines read identically from parquet, and the tick index is
+    integer — no accumulating float sums whose order could drift."""
+    coin_id, exchange = key
+    peak, n = (state.get if state.exists else (None, 0))
+    chunks = list(pdfs)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values(["timestamp", "event_id"])
+    rows = []
+    for ts, eid, price in zip(pdf["timestamp"], pdf["event_id"], pdf["price"]):
+        p = float(price)
+        if peak is None or p > peak:
+            peak = p
+        n += 1
+        rows.append(
+            (coin_id, exchange, ts, int(eid), p, peak, p / peak - 1.0, n)
+        )
+    state.update((peak, n))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "coin_id", "exchange", "timestamp", "event_id",
+            "price", "running_peak", "drawdown", "tick_n",
+        ],
+    )
+
+
+def stateful_drawdown(tick_stream: DataFrame) -> DataFrame:
+    """Running peak / drawdown-from-peak / tick index over a streaming
+    tick feed, state carried across micro-batches per
+    (coin_id, exchange) — the custom-stateful twin of the batch
+    ``operators.derive`` drawdown windows, built so the whole output is
+    CROSS-ENGINE BIT-EXACT (see [[_drawdown_func]]) and therefore
+    driver-hash-verifiable against a plain window-function oracle:
+    a lost or duplicated state carry shifts ``running_peak`` and
+    ``tick_n`` for every later row of the key and flips the hash."""
+    return tick_stream.groupBy("coin_id", "exchange").applyInPandasWithState(
+        _drawdown_func,
+        outputStructType=DD_OUTPUT_SCHEMA,
+        stateStructType=DD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -856,3 +856,69 @@ def test_late_drop_stream_replay_discards_behind_watermark(spark):
     want = sorted(map(str, derive.ohlc_data(price).collect()))
     assert sorted(map(str, emitted)) == want and len(emitted) == 4
     assert all(r.low > -1_000_000.0 for r in emitted), "late sabotage row leaked"
+
+
+def test_drawdown_stateful_cross_batch_peak_carry(spark):
+    """The wave-1 peak must keep depressing drawdowns in wave 3, and
+    the tick counter must keep incrementing across micro-batches — the
+    hand-built feed makes any state loss visible (a dropped carry would
+    reset running_peak to the later wave's local max)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        drawdown_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "x", T + dt.timedelta(minutes=m), eid, p, 1.0)
+        for eid, (m, p) in enumerate(
+            [(0, 100.0), (10, 80.0), (60, 90.0), (70, 95.0), (120, 50.0), (130, 101.0)]
+        )
+    ]
+    ticks = spark.createDataFrame(
+        [(c, x, ts, p, v, e) for (c, x, ts, e, p, v) in rows],
+        "coin_id string, exchange string, timestamp timestamp,"
+        " price double, volume double, event_id long",
+    )
+    got = {
+        r.event_id: (r.running_peak, round(r.drawdown, 10), r.tick_n)
+        for r in drawdown_stream_replay(spark, ticks, n_waves=3).collect()
+    }
+    assert got == {
+        0: (100.0, 0.0, 1),
+        1: (100.0, -0.2, 2),
+        2: (100.0, -0.1, 3),          # wave 2: peak carried from wave 1
+        3: (100.0, -0.05, 4),
+        4: (100.0, -0.5, 5),          # wave 3: still the wave-1 peak
+        5: (101.0, 0.0, 6),           # new all-time high resets drawdown
+    }
+
+
+def test_drawdown_replay_batch_boundary_independence(spark, price_df):
+    """Replaying the real feed in 1 wave vs 4 waves must be EXACTLY
+    identical (not rtol): the operator's arithmetic is comparison /
+    single-divide / integer only, which is the property that makes its
+    driver row hash-safe."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import derive
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        drawdown_stream_replay,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    ticks = derive.tick_base(events)
+    cols = ["coin_id", "exchange", "timestamp", "event_id"]
+    one = (
+        drawdown_stream_replay(spark, ticks, n_waves=1)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    four = (
+        drawdown_stream_replay(spark, ticks, n_waves=4)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(one) > 0
+    pd.testing.assert_frame_equal(one, four)
