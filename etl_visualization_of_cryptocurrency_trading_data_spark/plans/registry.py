@@ -3114,6 +3114,20 @@ def q_dup_clusters_star(spark, sf_dir):
     return dedup.connected_components_star(chain.unionByName(bridge))
 
 
+def q_spread_outer_stream_replay(spark, sf_dir):
+    """Stream-stream LEFT OUTER join replay
+    (pipeline.spread_outer_stream_replay): the watermark's
+    null-extension semantic — an unmatched left tick is emitted
+    null-extended exactly once, only after the watermark proves no
+    future right tick can match. An in-band sentinel pair (reserved
+    symbol, both exchanges, +72 h) pushes the final watermark past
+    the whole feed so the emitted frame equals the batch LEFT theta
+    join exactly; the inner-join face is spread_stream_replay."""
+    from ..streaming.pipeline import spread_outer_stream_replay
+
+    return spread_outer_stream_replay(spark, _price_base(spark, sf_dir))
+
+
 def q_drawdown_stream_replay(spark, sf_dir):
     """Custom-stateful streaming replay
     (streaming.pipeline.drawdown_stream_replay → stateful_drawdown):
@@ -3417,6 +3431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_top_component": q_pca_top_component,
     "dup_clusters_star": q_dup_clusters_star,
     "drawdown_stream_replay": q_drawdown_stream_replay,
+    "spread_outer_stream_replay": q_spread_outer_stream_replay,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5851,6 +5866,27 @@ FROM keep a JOIN keep b
 WHERE levenshtein(a.name, b.name) <= 2""",
     # power-iteration PCA: generated, mirrored expression-for-expression
     "pca_top_component": _pca_sql(dim=16, iters=12),
+    # stream-stream LEFT OUTER replay: batch left theta join — matched
+    # pairs per match, unmatched left ticks exactly once, null-extended
+    "spread_outer_stream_replay": f"""
+WITH base AS ({PRICE_BASE_SQL}),
+a AS (
+  SELECT regexp_extract(coin_id, '_(C[0-9]+)$', 1) AS symbol,
+         timestamp AS ts_a, price AS price_a
+  FROM base WHERE exchange = 'view'
+    AND regexp_extract(coin_id, '_(C[0-9]+)$', 1) <> ''
+),
+b AS (
+  SELECT regexp_extract(coin_id, '_(C[0-9]+)$', 1) AS symbol,
+         timestamp AS ts_b, price AS price_b
+  FROM base WHERE exchange = 'click'
+    AND regexp_extract(coin_id, '_(C[0-9]+)$', 1) <> ''
+)
+SELECT a.symbol, ts_a, price_a, ts_b, price_b,
+       price_b - price_a AS spread
+FROM a LEFT JOIN b ON a.symbol = b.symbol
+ AND ts_b BETWEEN ts_a - INTERVAL 30 MINUTES
+              AND ts_a + INTERVAL 30 MINUTES""",
     # custom-stateful streaming replay: bit-exact window replay of the
     # running peak / drawdown / tick counter the stateful operator
     # carries across micro-batches — batching must not change anything

@@ -79,6 +79,7 @@ def cross_exchange_stream_join(
     exchange_b: str,
     tolerance_minutes: int = 5,
     watermark_minutes: int = 10,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: for every tick of a symbol
     on ``exchange_a``, the ticks of the same symbol on ``exchange_b``
@@ -96,6 +97,14 @@ def cross_exchange_stream_join(
     share symbol '' and pair with each other across coins.
     With availableNow over a time-ordered spool the result equals the
     batch theta join exactly (pinned in tests).
+
+    ``how="leftOuter"`` exercises the watermark's OTHER semantic face:
+    an unmatched left tick is emitted null-extended only once the
+    watermark proves no future right tick can still match it. The
+    replay builder advances the final watermark past the whole feed
+    (an in-band sentinel pair on both exchanges) so the emitted frame
+    equals the batch LEFT join exactly — matched pairs per match,
+    unmatched ticks exactly once with NULL right columns.
     """
     if watermark_minutes < tolerance_minutes:
         raise ValueError("watermark must cover the join tolerance")
@@ -121,6 +130,7 @@ def cross_exchange_stream_join(
             f"ts_b BETWEEN ts_a - INTERVAL {tolerance_minutes} MINUTES "
             f"AND ts_a + INTERVAL {tolerance_minutes} MINUTES"
         ),
+        how,
     )
     return joined.select(
         F.col("symbol_a").alias("symbol"),
@@ -1122,3 +1132,89 @@ def drawdown_stream_replay(
     )
     _drain_spool(query, spool, "drawdown", timeout_s)
     return spark.table(name)
+
+
+def spread_outer_stream_replay(
+    spark: SparkSession,
+    price: DataFrame,
+    exchange_a: str = "view",
+    exchange_b: str = "click",
+    tolerance_minutes: int = 30,
+    watermark_minutes: int = 60,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join replay — the watermark semantic
+    the inner-join replay ([[spread_stream_replay]]) cannot show: an
+    unmatched left tick must be emitted null-extended exactly once,
+    and only after the watermark proves no future right tick can
+    match it. [[spread_stream_replay]]'s sentinel-free drain works for
+    INNER because matches emit on arrival; for LEFT OUTER the
+    null-extensions near the feed's end would stay buffered forever
+    without a final watermark push, so this builder spools an IN-BAND
+    sentinel pair — one tick per exchange at +72 h under the reserved
+    symbol ``C999999``, which passes the side filters (real symbols
+    are far smaller), advances BOTH sides' watermarks past every real
+    tick, matches only itself, and is dropped from the returned frame.
+
+    Emitted result == the batch LEFT theta join of the real feed
+    (matched pairs per match; unmatched left ticks once with NULL
+    ts_b/price_b/spread), which is exactly what the oracle states.
+    As with the other replays the streaming job runs at BUILD time; a
+    bench timing of the returned frame measures the memory-sink scan.
+    """
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    out_schema = (
+        "symbol string, ts_a timestamp, price_a double,"
+        " ts_b timestamp, price_b double, spread double"
+    )
+    real = price.select("coin_id", "exchange", "timestamp", "price", "volume")
+    max_ts = real.agg(F.max("timestamp")).collect()[0][0]
+    if max_ts is None:
+        return spark.createDataFrame([], out_schema)
+    spool = tempfile.mkdtemp(prefix="spread_outer_replay_")
+    real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
+    far = max_ts + timedelta(hours=72)
+    sentinel = spark.createDataFrame(
+        [
+            ("sentinel_C999999", exchange_a, far, 0.0, 0.0),
+            ("sentinel_C999999", exchange_b, far, 0.0, 0.0),
+        ],
+        PRICE_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(spool, "sentinel")
+    )
+    import shutil
+
+    n = 0
+    for sub in ("feed", "sentinel"):
+        subdir = os.path.join(spool, sub)
+        for f in sorted(os.listdir(subdir)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f), os.path.join(spool, f"{n:04d}.parquet")
+                )
+                n += 1
+        shutil.rmtree(subdir)
+    name = f"spread_outer_replay_{uuid.uuid4().hex[:8]}"
+    query = (
+        cross_exchange_stream_join(
+            read_price_stream(spark, os.path.join(spool, "*.parquet")),
+            exchange_a,
+            exchange_b,
+            tolerance_minutes=tolerance_minutes,
+            watermark_minutes=watermark_minutes,
+            how="leftOuter",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_spool(query, spool, "spread_outer", timeout_s)
+    return spark.table(name).filter(F.col("symbol") != "C999999")

@@ -506,10 +506,10 @@ def test_no_driver_side_materialization_in_operator_paths():
         "etl_visualization_of_cryptocurrency_trading_data_spark",
     )
     allowed = {
-        # replay max-ts reads (3) + the recovery, late-drop and
-        # drawdown replays' min/max wave-split reads (3) — all 1-row
-        # aggregates
-        ("streaming/pipeline.py", "collect"): 6,
+        # replay max-ts reads (4: vwap/spread-family sentinels) + the
+        # recovery, late-drop and drawdown replays' min/max wave-split
+        # reads (3) — all 1-row aggregates
+        ("streaming/pipeline.py", "collect"): 7,
         ("operators/similarity.py", "toPandas"): 1,  # lazy-probe hatch
     }
     found: dict[tuple[str, str], int] = {}

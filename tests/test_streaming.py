@@ -922,3 +922,37 @@ def test_drawdown_replay_batch_boundary_independence(spark, price_df):
     )
     assert len(one) > 0
     pd.testing.assert_frame_equal(one, four)
+
+
+def test_spread_outer_replay_null_extends_unmatched_once(spark):
+    """LEFT OUTER stream-stream join: matched ticks emit one row per
+    match; a left tick with no right tick inside ±30 min must appear
+    exactly once, null-extended — and only because the sentinel pushed
+    the final watermark past it (without that push it would still be
+    buffered when the drain ends)."""
+    import datetime as dt
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        spread_outer_stream_replay,
+    )
+
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        ("view_C1", "view", T + dt.timedelta(minutes=0), 10.0, 1.0),    # matched
+        ("click_C1", "click", T + dt.timedelta(minutes=5), 11.0, 1.0),
+        ("view_C1", "view", T + dt.timedelta(minutes=120), 12.0, 1.0),  # unmatched
+        ("view_C2", "view", T + dt.timedelta(minutes=10), 20.0, 1.0),   # no right side
+    ]
+    price = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp, price double, volume double",
+    )
+    got = sorted(
+        (r.symbol, r.ts_a.minute + 60 * r.ts_a.hour, r.price_b, r.spread)
+        for r in spread_outer_stream_replay(spark, price).collect()
+    )
+    assert got == [
+        ("C1", 0, 11.0, 1.0),
+        ("C1", 120, None, None),
+        ("C2", 10, None, None),
+    ]
