@@ -1507,3 +1507,60 @@ def pca_top_component(
     return base.crossJoin(F.broadcast(comp)).selectExpr(
         "vec_id", f"round({score}, 6) AS pc1", "lambda1"
     )
+
+
+def pca_residual_norms(
+    embeddings: DataFrame,
+    dim: int = 16,
+    iters: int = 12,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """All-but-the-top (ABTT, Mu & Viswanath 2018) residuals: remove
+    the dominant direction found by [[pca_top_component]] and emit
+    each vector's projection ``pc1`` plus the norm of what remains —
+    the post-processing step that de-biases embedding spaces before
+    cosine retrieval (the common direction carries corpus-frequency
+    signal, not semantics), and a drift monitor (residual-norm shifts
+    flag embedding-model changes).
+
+    Same plan as the component itself — ONE single-row corpus
+    aggregate, the unrolled power iteration as scalar arithmetic on
+    that row, then a broadcast map pass — the residual adds only
+    per-row expression work, no new shuffle. Cross-engine determinism
+    the same way: the residual expression is generated once and
+    executed verbatim by both engines, and it references the ROUNDED
+    ``pc1`` column (not the raw score) so both engines subtract
+    exactly the same projection.
+    """
+    if dim < 2 or iters < 1:
+        raise ValueError("dim >= 2 and iters >= 1 required")
+    idx = range(dim)
+    means, covs, rounds, ps, lam, score = _pca_terms(dim, iters, round_decimals)
+    base = embeddings.filter(F.size("embedding") >= dim).select(
+        "vec_id",
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in idx],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        *[F.sum(F.col(f"x{i}")).alias(f"s{i}") for i in idx],
+        *[
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"g{i}_{j}")
+            for i in idx
+            for j in idx
+            if j >= i
+        ],
+    )
+    row = stats.selectExpr("n", *means, *covs)
+    for ws, nrm in rounds:
+        row = row.selectExpr("*", *ws)
+        row = row.selectExpr("*", nrm)
+    comp = row.selectExpr(*[f"m{i}" for i in idx], *ps)
+    rexpr = "sqrt(" + " + ".join(
+        f"(x{i} - m{i} - pc1*p{i})*(x{i} - m{i} - pc1*p{i})" for i in idx
+    ) + ")"
+    proj = base.crossJoin(F.broadcast(comp)).selectExpr(
+        "*", f"round({score}, 6) AS pc1"
+    )
+    return proj.selectExpr(
+        "vec_id", "pc1", f"round({rexpr}, 6) AS residual_norm"
+    )

@@ -2012,6 +2012,47 @@ SELECT vec_id, round({score}, 6) AS pc1, lambda1
 FROM x CROSS JOIN comp"""
 
 
+def _pca_residual_sql(dim: int = 16, iters: int = 12) -> str:
+    """ABTT-residual oracle: the same generated CTE walk as
+    [[_pca_sql]] (identical expression text through covariance and all
+    power iterations), then the residual expression — which, exactly
+    like the engine side, references the ROUNDED pc1 column so both
+    engines subtract the same projection."""
+    from ..operators.similarity import _pca_terms
+
+    idx = range(dim)
+    means, covs, rounds, ps, lam, score = _pca_terms(dim, iters)
+    xs = ",\n         ".join(f"embedding[{i + 1}]::DOUBLE AS x{i}" for i in idx)
+    sums = ", ".join(f"sum(x{i}) AS s{i}" for i in idx)
+    grams = ", ".join(
+        f"sum(x{i}*x{j}) AS g{i}_{j}" for i in idx for j in idx if j >= i
+    )
+    it_ctes = []
+    prev = "cov"
+    for it, (ws, nrm) in enumerate(rounds):
+        it_ctes.append(f"ia{it} AS (SELECT *, {', '.join(ws)} FROM {prev})")
+        it_ctes.append(f"ib{it} AS (SELECT *, {nrm} FROM ia{it})")
+        prev = f"ib{it}"
+    it_block = ",\n".join(it_ctes)
+    ms = ", ".join(f"m{i}" for i in idx)
+    rexpr = "sqrt(" + " + ".join(
+        f"(x{i} - m{i} - pc1*p{i})*(x{i} - m{i} - pc1*p{i})" for i in idx
+    ) + ")"
+    return f"""
+WITH x AS (
+  SELECT vec_id, {xs}
+  FROM embeddings WHERE len(embedding) >= {dim}
+),
+st AS (SELECT count(*)::DOUBLE AS n, {sums}, {grams} FROM x),
+cov AS (SELECT n, {", ".join(means)}, {", ".join(covs)} FROM st),
+{it_block},
+comp AS (SELECT {ms}, {", ".join(ps)} FROM {prev}),
+proj AS (SELECT x.*, comp.*, round({score}, 6) AS pc1
+         FROM x CROSS JOIN comp)
+SELECT vec_id, pc1, round({rexpr}, 6) AS residual_norm
+FROM proj"""
+
+
 def _knn_ivf_sql(
     cent_where: str = "vec_id % 101 = 1",
     probe_where: str = "vec_id % 50 = 0",
@@ -3088,6 +3129,19 @@ def q_pca_top_component(spark, sf_dir):
     )
 
 
+def q_pca_residual(spark, sf_dir):
+    """ABTT whitening (similarity.pca_residual_norms): remove the
+    dominant direction pca_top_component finds and emit each vector's
+    projection + residual norm — the embedding de-biasing step (Mu &
+    Viswanath 2018) composed directly on the PCA primitive; still one
+    single-row corpus aggregate + a broadcast map pass. The oracle
+    replays the identical generated expressions including the
+    rounded-pc1 subtraction."""
+    return similarity.pca_residual_norms(
+        load_table(spark, sf_dir, "embeddings"), dim=16, iters=12
+    )
+
+
 def q_dup_clusters_star(spark, sf_dir):
     """Log-round connected components
     (dedup.connected_components_star, Kiveris et al. 2014 alternating
@@ -3432,6 +3486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters_star": q_dup_clusters_star,
     "drawdown_stream_replay": q_drawdown_stream_replay,
     "spread_outer_stream_replay": q_spread_outer_stream_replay,
+    "pca_residual": q_pca_residual,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5866,6 +5921,8 @@ FROM keep a JOIN keep b
 WHERE levenshtein(a.name, b.name) <= 2""",
     # power-iteration PCA: generated, mirrored expression-for-expression
     "pca_top_component": _pca_sql(dim=16, iters=12),
+    # ABTT residuals: same generated walk + rounded-pc1 subtraction
+    "pca_residual": _pca_residual_sql(dim=16, iters=12),
     # stream-stream LEFT OUTER replay: batch left theta join — matched
     # pairs per match, unmatched left ticks exactly once, null-extended
     "spread_outer_stream_replay": f"""

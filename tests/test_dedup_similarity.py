@@ -1699,3 +1699,25 @@ def test_connected_components_star_canonicalizes_input(spark):
     got = {(r.doc_id, r.cluster_id) for r in rows}
     assert len(rows) == len(got) == 5
     assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+
+
+def test_pca_residual_pythagoras_contract(spark):
+    """The residual must be orthogonal-decomposition-consistent: for a
+    UNIT component, residual² + pc1² == ‖x − mean‖² per vector (up to
+    the pinned rounding grids) — ties the ABTT output to the geometry
+    without re-deriving the component."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = similarity.pca_residual_norms(emb, dim=16, iters=12).orderBy("vec_id").collect()
+    X = np.array(
+        [r.embedding[:16] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    Xc = X - X.mean(axis=0)
+    cent_sq = (Xc * Xc).sum(axis=1)
+    got = np.array([r.residual_norm ** 2 + r.pc1 ** 2 for r in rows])
+    np.testing.assert_allclose(got, cent_sq, rtol=0, atol=5e-4)
+    pc1 = np.array([r.pc1 for r in rows])
+    assert abs(pc1.mean()) < 1e-4
