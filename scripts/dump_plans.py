@@ -82,6 +82,10 @@ SHOWCASE = [
     "dsir_weights",          # bucket windows on one exchange, totals bcast
     "media_features_auto",   # sniff-dispatch mapInPandas, no shuffle
     "hybrid_retrieval_rrf",  # two TakeOrdered arms, bounded rank windows
+    "fuzzy_match_blocked",   # prefix blocks + length band before levenshtein
+    "pca_top_component",     # ONE single-row Gram agg + broadcast projection
+    "pca_residual",          # ABTT: same Gram agg, residual map pass
+    "dup_clusters_star",     # log-round star CC, checkpointed per round
 ]
 
 
