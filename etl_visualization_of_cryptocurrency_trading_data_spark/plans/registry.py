@@ -2056,6 +2056,7 @@ FROM proj"""
 def _knn_ivf_sql(
     cent_where: str = "vec_id % 101 = 1",
     probe_where: str = "vec_id % 50 = 0",
+    base_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings",
 ) -> str:
     """IVF-flat oracle; ``cent_where`` picks the coarse index — the
     modulus default (C grows with N; fixture/teaching form) or a
@@ -2064,9 +2065,13 @@ def _knn_ivf_sql(
     set — the %50 default's probe COUNT grows with N (injecting a
     probes*corpus/lists quadratic into fixture-scale measurements,
     NOTES_r07 §11); a constant rule like ``vec_id < 200`` models the
-    production fixed query workload (the r8 registration candidate)."""
+    production fixed query workload (the r8 registration candidate).
+    ``base_sql`` overrides the corpus — the append registration passes
+    the base∪increment union, which IS the equivalence statement: a
+    from-scratch index over the union must equal the engine's
+    incremental build (per-row assignment against fixed centroids)."""
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH base AS ({base_sql}),
 centroids AS (
   SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE {cent_where}
 ),
@@ -3129,6 +3134,23 @@ def q_pca_top_component(spark, sf_dir):
     )
 
 
+def q_knn_ivf_append(spark, sf_dir):
+    """Incremental IVF maintenance (similarity.knn_ivf_append): the
+    ingest batch — exact twins of every 25th vector under shifted ids,
+    so probes verifiably find cosine-1.0 neighbors across the
+    base/increment boundary — joins the STORED index (centroids fixed
+    from the base, base lists materialized once) with increment-only
+    assignment work. The oracle is the from-scratch IVF over the
+    union, so the hash pins append ≡ full reindex."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inc = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return similarity.knn_ivf_append(emb, inc, centroid_limit=32)
+
+
 def q_pca_residual(spark, sf_dir):
     """ABTT whitening (similarity.pca_residual_norms): remove the
     dominant direction pca_top_component finds and emit each vector's
@@ -3491,6 +3513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drawdown_stream_replay": q_drawdown_stream_replay,
     "spread_outer_stream_replay": q_spread_outer_stream_replay,
     "pca_residual": q_pca_residual,
+    "knn_ivf_append": q_knn_ivf_append,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5927,6 +5950,16 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
     "pca_residual": _pca_residual_sql(dim=16, iters=12),
+    # incremental IVF: from-scratch oracle over the union pins
+    # append == full reindex (assignment is per-row deterministic)
+    "knn_ivf_append": _knn_ivf_sql(
+        cent_where="vec_id < 32",
+        base_sql=(
+            "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[]"
+            " FROM embeddings WHERE vec_id % 25 = 0"
+        ),
+    ),
     # stream-stream LEFT OUTER replay: batch left theta join — matched
     # pairs per match, unmatched left ticks exactly once, null-extended
     "spread_outer_stream_replay": f"""

@@ -1721,3 +1721,40 @@ def test_pca_residual_pythagoras_contract(spark):
     np.testing.assert_allclose(got, cent_sq, rtol=0, atol=5e-4)
     pc1 = np.array([r.pc1 for r in rows])
     assert abs(pc1.mean()) < 1e-4
+
+
+def test_knn_ivf_append_equals_full_reindex_and_finds_twins(spark):
+    """Appending a batch to the stored IVF index must equal a
+    from-scratch index over the union (assignment is per-row
+    deterministic given the fixed base centroids), and the planted
+    exact twins must surface: every probe whose twin exists reports it
+    at rank 1 with cosine ~1 — across the base/increment boundary in
+    BOTH directions."""
+    from pyspark.sql import functions as F
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    inc = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    appended = similarity.knn_ivf_append(emb, inc, centroid_limit=8)
+    union = emb.select("vec_id", "embedding").unionByName(inc)
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .selectExpr("vec_id AS cent_id", "CAST(embedding AS array<double>) AS cent")
+    )
+    scratch = similarity.knn_ivf(union, centroids=cents)
+    a = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in appended.collect()}
+    b = {(r.probe_id, r.rank): (r.neighbor_id, r.cosine) for r in scratch.collect()}
+    assert len(a) > 0
+    assert a == b
+    top1 = {p: n for (p, rk), (n, c) in a.items() if rk == 1}
+    cos1 = {p: c for (p, rk), (n, c) in a.items() if rk == 1}
+    # base probe -> increment twin AND increment probe -> base twin
+    twinned = [p for p in top1 if p % 25 == 0]
+    assert twinned
+    for p in twinned:
+        twin = p + 1_000_000 if p < 1_000_000 else p - 1_000_000
+        assert top1[p] == twin, (p, top1[p])
+        assert cos1[p] > 0.999999
