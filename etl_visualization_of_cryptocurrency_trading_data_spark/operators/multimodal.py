@@ -1299,6 +1299,125 @@ def jpeg_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def jpeg_table_color(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL color corpus in baseline YCbCr 4:2:0 JPEG —
+    the full interleaved-MCU structure (SOF0 with Y at 2x2 / chroma at
+    1x1 sampling, one interleaved scan, per-component DC prediction)
+    with the same exactness trick as [[jpeg_table]]: every 8x8 block
+    is flat so only DC survives, q[DC]=8 makes dequantized DC an exact
+    multiple of 8 whose DC-only IDCT is exact, and the CHROMA planes
+    are neutral (Cb=Cr=128, DC diff 0), so the JFIF YCbCr→RGB
+    conversion multiplies its float constants by exactly 0.0 and the
+    decoded RGB equals the luma integers — a closed-form oracle for a
+    lossy COLOR format. (Non-neutral chroma goes through the same
+    decode path and is pinned by a handcrafted pytest payload instead,
+    where exactness is not required.)
+
+    Dims: w = 16*(1 + d%2), h = 16 (whole MCUs). The t-th luma block
+    in MCU traversal order holds (d + 7*t) % 256 — channel means are
+    traversal-order independent: avg over t of (d + 7t) % 256.
+    Arrow-batched mapInPandas, pure map.
+    """
+    import struct
+
+    schema = "doc_id long, width int, height int, payload binary"
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qtab = bytes([8] * 64)
+    eob_code, eob_len = ac_codes[0x00]
+    zero_code, zero_len = dc_codes[0]
+
+    def segments(w: int, h: int) -> bytes:
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + qtab
+        # SOF0: 3 components — Y 2x2, Cb 1x1, Cr 1x1, all quant table 0
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        out += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        dht = bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + len(dht)) + bytes([0x00]) + dht
+        aht = bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + len(aht)) + bytes([0x10]) + aht
+        # SOS: all three components use DC table 0 / AC table 0
+        out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+            [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+        )
+        return bytes(out)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 2), 16
+                bw = _JpegBitWriter()
+                pred = 0
+                t = 0
+                for _mcu in range((w // 16) * (h // 16)):
+                    for _blk in range(4):  # 2x2 luma blocks per MCU
+                        v = (d + 7 * t) % 256
+                        t += 1
+                        dc_q = v - 128  # dequantizes to 8*(v-128)
+                        diff = dc_q - pred
+                        pred = dc_q
+                        mag = abs(diff)
+                        size = mag.bit_length()
+                        code, length = dc_codes[size]
+                        bw.put(code, length)
+                        if size:
+                            bits = diff if diff > 0 else diff + (1 << size) - 1
+                            bw.put(bits, size)
+                        bw.put(eob_code, eob_len)
+                    for _chroma in range(2):  # Cb, Cr: neutral (DC diff 0)
+                        bw.put(zero_code, zero_len)
+                        bw.put(eob_code, eob_len)
+                payload = segments(w, h) + bw.flush() + b"\xff\xd9"
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
+def decode_jpeg_color(media: DataFrame, round_decimals: int = 6) -> DataFrame:
+    """REAL bytes→pixels decode for baseline COLOR JPEG — closes the
+    last in-reach codec stub (the r6/r7 boundary said 'color JPEG
+    remains outside'): [[_parse_jpeg]] now walks interleaved YCbCr
+    MCUs with 1-2x sampling factors, replicates chroma up to full
+    resolution, and applies the JFIF YCbCr→RGB equations; this
+    operator publishes per-channel means. Output: (doc_id, width,
+    height, n_pixels, mean_r, mean_g, mean_b) with dims read from
+    SOF0. Arrow-batched mapInPandas, pure map: no shuffle."""
+    schema = (
+        "doc_id long, width int, height int, n_pixels long,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _parse_jpeg(bytes(buf))
+                if px.ndim != 3:
+                    raise ValueError("decode_jpeg_color needs a 3-component JPEG")
+                means = px.mean(axis=(0, 1)).round(round_decimals)
+                rows["doc_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(decode, schema)
+
+
 def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     """REAL bytes→pixels decode for baseline grayscale JPEG — the
     fourth real-decode modality (PPM, WAV, PNG, now JPEG) with numpy
@@ -1343,10 +1462,17 @@ def decode_jpeg(media: DataFrame, round_decimals: int = 6) -> DataFrame:
 
 
 def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Full baseline-grayscale JPEG parse (marker walk, Huffman decode,
-    DC prediction, dequantize, float IDCT) to a (h, w) float array of
-    clamped samples. Shared by :func:`decode_jpeg` and the
-    [[sniff-media]] dispatcher."""
+    """Full baseline JPEG parse (marker walk, Huffman decode, per-
+    component DC prediction, dequantize, float IDCT) — grayscale
+    (SOF0 ncomp=1, the original r6 decoder, numerics unchanged) or
+    YCbCr COLOR (ncomp=3, one interleaved scan, sampling factors
+    1-2): interleaved MCU traversal, chroma upsample by sample
+    replication, JFIF YCbCr→RGB. Returns (w, h, arr) with arr a
+    (h, w) float array of clamped samples for grayscale or a
+    (h, w, 3) float RGB array for color. Shared by
+    :func:`decode_jpeg`, :func:`decode_jpeg_color` and the
+    [[sniff-media]] dispatcher. No restart markers (DRI interval 0
+    accepted), no progressive (SOF2), 8-bit quant tables only."""
     import struct
 
     u = np.arange(8)
@@ -1364,6 +1490,8 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
     scan = None
+    sof: dict[int, tuple[int, int, int]] = {}  # cid -> (hi, vi, tq)
+    scan_comps: list[tuple[int, int, int]] = []  # (cid, dc_id, ac_id)
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -1386,9 +1514,14 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 off += 65
         elif marker == 0xC0:
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if depth != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            comp_qtab = body[8]
+            if depth != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError("sampling factors 1-2 only")
+                sof[cid] = (hi, vi, tq)
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xC4:
@@ -1403,25 +1536,31 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     (length, code): sym for sym, (code, length) in codes.items()
                 }
                 off += 17 + nval
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
             ncomp_s = body[0]
-            if ncomp_s != 1:
-                raise ValueError("single-component scan only")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ncomp_s not in (1, 3):
+                raise ValueError("1- or 3-component interleaved scan only")
+            scan_comps = [
+                (
+                    body[1 + 2 * i],
+                    body[2 + 2 * i] >> 4,
+                    body[2 + 2 * i] & 0x0F,
+                )
+                for i in range(ncomp_s)
+            ]
             scan_start = pos + 2 + size
             end = buf.rindex(b"\xff\xd9")
             scan = buf[scan_start:end]
             pos = end
             continue
         pos += 2 + size
-    if w is None or scan is None:
+    if w is None or scan is None or not scan_comps:
         raise ValueError("missing SOF0/SOS")
     # unstuff 0xFF00 and decode
     data = scan.replace(b"\xff\x00", b"\xff")
-    dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
-    q = qtabs[comp_qtab]
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
     bitpos = 0
 
     def read_bit() -> int:
@@ -1450,34 +1589,75 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
             v -= (1 << size) - 1
         return v
 
-    pred = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            zz = np.zeros(64, dtype=np.int64)
-            size = read_huff(dc_map)
-            pred += receive_extend(size)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = read_huff(ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                run, s = sym >> 4, sym & 0x0F
-                if s == 0 and run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += run
-                if s:
-                    if k > 63:
-                        raise ValueError("AC index out of range")
-                    zz[k] = receive_extend(s)
-                    k += 1
-                else:
-                    k += 1  # ZRL consumed 16 zeros total
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_JPEG_ZIGZAG] = zz * q[np.arange(64)]
-            block = idct2(coef.reshape(8, 8)) + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    px = np.clip(np.round(out[:h, :w]), 0, 255)
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        geo = {cid: sof[cid][:2] for cid, _, _ in scan_comps}
+    else:
+        # a single-component scan is never interleaved: the MCU is one
+        # block of that component regardless of its sampling factors
+        geo = {scan_comps[0][0]: (1, 1)}
+    hmax = max(hi for hi, _ in geo.values())
+    vmax = max(vi for _, vi in geo.values())
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, (hi, vi) in geo.items()
+    }
+    preds = {cid: 0 for cid, _, _ in scan_comps}
+    zig = np.array(_JPEG_ZIGZAG)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, dc_id, ac_id in scan_comps:
+                hi, vi = geo[cid]
+                dc_map, ac_map = huff[(0, dc_id)], huff[(1, ac_id)]
+                q = qtabs[sof[cid][2]]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = read_huff(dc_map)
+                        preds[cid] += receive_extend(size)
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = read_huff(ac_map)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, s = sym >> 4, sym & 0x0F
+                            if s == 0 and run != 15:
+                                raise ValueError("invalid AC symbol")
+                            k += run
+                            if s:
+                                if k > 63:
+                                    raise ValueError("AC index out of range")
+                                zz[k] = receive_extend(s)
+                                k += 1
+                            else:
+                                k += 1  # ZRL consumed 16 zeros total
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[zig] = zz * q[np.arange(64)]
+                        block = idct2(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    if len(scan_comps) == 1:
+        out = planes[scan_comps[0][0]]
+        px = np.clip(np.round(out[:h, :w]), 0, 255)
+        return w, h, px
+    # color: upsample chroma by sample replication, JFIF YCbCr -> RGB
+    full = {}
+    for cid, (hi, vi) in geo.items():
+        plane = planes[cid]
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        full[cid] = plane[:h, :w]
+    y, cb, cr = (full[cid] for cid, _, _ in scan_comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
     return w, h, px
 
 
@@ -1489,7 +1669,9 @@ def sniff_media(buf: bytes) -> str:
     entry point of the generic real-decode path: at 100 TB a media
     column is a mixed bag of formats (and garbage), so the decode
     operator must dispatch per ROW, not per table. Returns one of
-    'ppm'/'png'/'bmp'/'gif'/'jpeg'/'wav'/'unknown'; never raises."""
+    'ppm'/'png'/'bmp'/'gif'/'jpeg'/'wav'/'unknown' (jpeg covers both
+    grayscale and color — the parser dispatches on SOF0); never
+    raises."""
     if buf[:2] == b"P6":
         return "ppm"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1533,8 +1715,10 @@ def media_features_auto(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out;
     each per-format mean is computed exactly as the single-format
     decoder computes it, so the closed-form corpus oracles carry over
-    arm by arm. Truly-external codecs (MP4/MP3/JPEG-color) are the
-    remaining honest boundary — they surface as 'unknown' here.
+    arm by arm. Color JPEG decodes for real since mid-r7
+    ([[decode_jpeg_color]]) — per-channel means like the other color
+    formats; truly-external codecs (MP4/MP3) are the remaining honest
+    boundary, surfacing as 'unknown' here.
     """
     schema = (
         "doc_id long, fmt string, width int, height int, n_pixels long,"
@@ -1561,7 +1745,13 @@ def media_features_auto(media: DataFrame, round_decimals: int = 6) -> DataFrame:
                 elif fmt == "jpeg":
                     w, h, px = _parse_jpeg(buf)
                     npx = w * h
-                    m0 = m1 = m2 = round(float(px.mean()), round_decimals)
+                    if px.ndim == 3:  # color: per-channel means
+                        means = px.mean(axis=(0, 1)).round(round_decimals)
+                        m0, m1, m2 = (
+                            float(means[0]), float(means[1]), float(means[2])
+                        )
+                    else:  # grayscale: replicate mean_gray
+                        m0 = m1 = m2 = round(float(px.mean()), round_decimals)
                 elif fmt == "wav":
                     c, sr, _bits, data = _parse_wav(buf)
                     samples = np.frombuffer(data, dtype="<i2").astype(np.int64)

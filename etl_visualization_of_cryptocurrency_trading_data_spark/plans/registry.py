@@ -3151,6 +3151,22 @@ def q_knn_ivf_append(spark, sf_dir):
     return similarity.knn_ivf_append(emb, inc, centroid_limit=32)
 
 
+def q_media_decode_jpeg_color(spark, sf_dir):
+    """REAL bytes→pixels decode for baseline COLOR JPEG
+    (multimodal.decode_jpeg_color over multimodal.jpeg_table_color) —
+    the seventh real-decode row closes the 'color JPEG remains
+    outside' boundary: YCbCr 4:2:0 with interleaved 2x2+1+1 MCUs,
+    per-component DC prediction, chroma upsample, JFIF YCbCr→RGB.
+    Exactness trick: flat DC-only blocks + q[DC]=8 + NEUTRAL chroma
+    (Cb=Cr=128 → the RGB conversion multiplies its float constants by
+    exactly 0.0), so the channel means equal the luma block average —
+    closed-form in SQL for a lossy color format. Non-neutral chroma is
+    pinned by a handcrafted pytest payload through the same path."""
+    return multimodal.decode_jpeg_color(
+        multimodal.jpeg_table_color(_documents(spark, sf_dir))
+    )
+
+
 def q_pca_residual(spark, sf_dir):
     """ABTT whitening (similarity.pca_residual_norms): remove the
     dominant direction pca_top_component finds and emit each vector's
@@ -3515,6 +3531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spread_outer_stream_replay": q_spread_outer_stream_replay,
     "pca_residual": q_pca_residual,
     "knn_ivf_append": q_knn_ivf_append,
+    "media_decode_jpeg_color": q_media_decode_jpeg_color,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5951,6 +5968,22 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
     "pca_residual": _pca_residual_sql(dim=16, iters=12),
+    # color JPEG: neutral-chroma corpus makes the lossy color format
+    # exactly decodable — channel means = luma block average
+    "media_decode_jpeg_color": """
+WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h FROM documents),
+blk AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+  FROM d
+),
+m AS (
+  SELECT doc_id, w, h, round(avg((doc_id + 7 * b) % 256), 6) AS mg
+  FROM blk GROUP BY doc_id, w, h
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       mg AS mean_r, mg AS mean_g, mg AS mean_b
+FROM m""",
     # incremental IVF: from-scratch oracle over the union pins
     # append == full reindex (assignment is per-row deterministic)
     "knn_ivf_append": _knn_ivf_sql(

@@ -1758,3 +1758,103 @@ def test_knn_ivf_append_equals_full_reindex_and_finds_twins(spark):
         twin = p + 1_000_000 if p < 1_000_000 else p - 1_000_000
         assert top1[p] == twin, (p, top1[p])
         assert cos1[p] > 0.999999
+
+
+def _make_color_jpeg(w, h, y_val, cb_val, cr_val, subsample=True):
+    """Handcrafted baseline color JPEG: flat planes at the given
+    Y/Cb/Cr values (DC-only blocks, q=8), 4:2:0 when subsample else
+    4:4:4 — the NON-neutral-chroma payloads the registered corpus
+    deliberately avoids (exact oracle needs neutral chroma; this
+    exercises the full conversion path instead)."""
+    import struct
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
+        multimodal as M,
+    )
+
+    dc = M._jpeg_huff_codes(M._JPEG_DC_BITS, M._JPEG_DC_VALS)
+    ac = M._jpeg_huff_codes(M._JPEG_AC_BITS, M._JPEG_AC_VALS)
+    y_hv = 0x22 if subsample else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([8] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0])
+    dht = bytes(M._JPEG_DC_BITS) + bytes(M._JPEG_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + len(dht)) + bytes([0x00]) + dht
+    aht = bytes(M._JPEG_AC_BITS) + bytes(M._JPEG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + len(aht)) + bytes([0x10]) + aht
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    bw = M._JpegBitWriter()
+    eobc, eobl = ac[0]
+    mcu_px = 16 if subsample else 8
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid, val):
+        dcq = val - 128
+        diff = dcq - preds[cid]
+        preds[cid] = dcq
+        size = abs(diff).bit_length()
+        c, ln = dc[size]
+        bw.put(c, ln)
+        if size:
+            bits = diff if diff > 0 else diff + (1 << size) - 1
+            bw.put(bits, size)
+        bw.put(eobc, eobl)
+
+    for _ in range((w // mcu_px) * (h // mcu_px)):
+        for _ in range(4 if subsample else 1):
+            put_block(1, y_val)
+        put_block(2, cb_val)
+        put_block(3, cr_val)
+    return bytes(out) + bw.flush() + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("subsample", [True, False])
+def test_decode_jpeg_color_nonneutral_chroma(subsample):
+    """The color path must apply the REAL JFIF conversion: a flat
+    non-neutral (Y, Cb, Cr) image decodes to exactly the RGB the JFIF
+    equations give (computed independently here), identical at every
+    pixel, for both 4:2:0 and 4:4:4 layouts."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
+        multimodal as M,
+    )
+
+    y_v, cb, cr = 90, 168, 108
+    buf = _make_color_jpeg(32, 16, y_v, cb, cr, subsample=subsample)
+    w, h, px = M._parse_jpeg(buf)
+    assert (w, h, px.shape) == (32, 16, (16, 32, 3))
+    r = np.clip(np.round(y_v + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(
+        np.round(y_v - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
+    )
+    b = np.clip(np.round(y_v + 1.772 * (cb - 128.0)), 0, 255)
+    assert (px[:, :, 0] == r).all() and (px[:, :, 1] == g).all() and (
+        px[:, :, 2] == b
+    ).all(), (px[0, 0], (r, g, b))
+
+
+def test_jpeg_color_roundtrip_closed_form(spark):
+    """jpeg_table_color → decode_jpeg_color equals the closed-form
+    block-average oracle (neutral chroma ⇒ channel means equal the
+    luma average), and the grayscale decoder refuses color payloads."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
+        multimodal as M,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    out = M.decode_jpeg_color(M.jpeg_table_color(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        bcount = (r.width // 8) * (r.height // 8)
+        want = round(
+            float(np.mean([(r.doc_id + 7 * t) % 256 for t in range(bcount)])), 6
+        )
+        assert r.mean_r == r.mean_g == r.mean_b == want, (r, want)
+        assert r.n_pixels == r.width * r.height
