@@ -86,6 +86,8 @@ SHOWCASE = [
     "pca_top_component",     # ONE single-row Gram agg + broadcast projection
     "pca_residual",          # ABTT: same Gram agg, residual map pass
     "dup_clusters_star",     # log-round star CC, checkpointed per round
+    "knn_ivf_append",        # increment-only assignment vs stored lists
+    "media_decode_jpeg_color",  # interleaved YCbCr decode, pure map
 ]
 
 
