@@ -550,3 +550,39 @@ def event_bigrams(
         .filter(F.col("rank") <= k)
         .select("from_type", "to_type", "n_transitions", "rank")
     )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    qty_threshold: int = 300,
+) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose summed
+    lineitem quantity exceeds ``qty_threshold``, joined back to their
+    order and customer rows. The canonical AGGREGATE-AS-JOIN-FILTER
+    plan: the only corpus-sized shuffle is the l_orderkey partial-
+    combined sum (map-side partials collapse the ~4 rows/order before
+    the exchange); the HAVING filter leaves a tiny key set which is
+    then BROADCAST through both dimension joins — at 100 TB the
+    billions-row lineitem never reaches a join exchange, and orders /
+    customer are probed by hash lookup. An unhinted plan would
+    sort-merge lineitem against orders; the explicit broadcast of the
+    filtered aggregate is the difference between touching terabytes
+    and kilobytes in the join stage."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    ords = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    matched = ords.join(
+        F.broadcast(qty), ords.o_orderkey == qty.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+    return F.broadcast(matched).join(
+        customer.select("c_custkey", "c_name"),
+        matched.o_custkey == F.col("c_custkey"),
+    ).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty",
+    )

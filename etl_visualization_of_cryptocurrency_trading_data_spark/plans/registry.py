@@ -3167,6 +3167,23 @@ def q_media_decode_jpeg_color(spark, sf_dir):
     )
 
 
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (relational.large_volume_customers): the
+    aggregate-as-join-filter plan — one partial-combined corpus
+    aggregate, HAVING leaves a tiny key set, which is BROADCAST
+    through the orders and customer joins so lineitem never reaches a
+    join exchange. Completes the classic-OLAP anchor set next to Q1
+    (pricing_summary), Q3 (shipping_priority) and the Q5-shaped
+    revenue_by_nation."""
+    from ..operators.relational import large_volume_customers
+
+    return large_volume_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def q_pca_residual(spark, sf_dir):
     """ABTT whitening (similarity.pca_residual_norms): remove the
     dominant direction pca_top_component finds and emit each vector's
@@ -3532,6 +3549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_residual": q_pca_residual,
     "knn_ivf_append": q_knn_ivf_append,
     "media_decode_jpeg_color": q_media_decode_jpeg_color,
+    "large_volume_customers": q_large_volume_customers,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5968,6 +5986,16 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
     "pca_residual": _pca_residual_sql(dim=16, iters=12),
+    # TPC-H Q18: aggregate-as-join-filter
+    "large_volume_customers": """
+WITH qty AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM qty
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey""",
     # color JPEG: neutral-chroma corpus makes the lossy color format
     # exactly decodable — channel means = luma block average
     "media_decode_jpeg_color": """

@@ -854,3 +854,36 @@ def test_zorder_key_bijection_and_locality(spark):
     # keys 0..3 are exactly the 2x2 quad at the origin
     quad = sorted((r.a, r.b) for r in rows if r.z < 4)
     assert quad == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_large_volume_customers_broadcasts_filtered_aggregate(spark):
+    """Q18's point is the plan: the HAVING-filtered aggregate must be
+    BROADCAST through both dimension joins — lineitem never reaches a
+    join exchange (zero sort-merge joins), and values match a pandas
+    replay."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.relational import (
+        large_volume_customers,
+    )
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.audit import (
+        plan_features,
+    )
+
+    from conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    out = large_volume_customers(li, orders, cust, qty_threshold=100)
+    feats = plan_features(out)
+    assert feats["n_sortmerge_joins"] == 0, feats
+    assert feats["n_broadcast_joins"] == 2, feats
+    got = {(r.o_orderkey): (r.c_custkey, r.total_qty) for r in out.collect()}
+    lp = li.select("l_orderkey", "l_quantity").toPandas()
+    op = orders.select("o_orderkey", "o_custkey").toPandas()
+    agg = lp.groupby("l_orderkey")["l_quantity"].sum()
+    want_keys = set(agg[agg > 100].index)
+    assert set(got) == want_keys and len(got) > 0
+    omap = dict(zip(op["o_orderkey"], op["o_custkey"]))
+    for k, (ck, tq) in got.items():
+        assert ck == omap[k] and tq == agg[k]
