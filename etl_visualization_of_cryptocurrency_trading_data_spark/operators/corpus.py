@@ -393,3 +393,57 @@ def curation_pipeline_v2(
         F.max("n_source").alias("docs_before_mix"),
         F.max("rate").alias("rate"),
     )
+
+
+def ranking_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """AUC (area under the ROC curve) of a scoring column against a
+    boolean label — the evaluation primitive for quality classifiers
+    and filter heuristics (does the score actually rank kept docs
+    above dropped ones?), computed distributed via the Mann-Whitney
+    rank-sum identity in its DISTINCT-SCORE form: the only
+    corpus-sized operation is one map-side-combined groupBy on the
+    score value; the rank walk then runs over the distinct-score table
+    (a window whose input is |distinct scores| rows, not |corpus| —
+    heuristic scores are quantized by construction, and a continuous
+    score should be pre-rounded by the caller, the standard
+    histogram-AUC move at scale). U = Σ_s p_s·(negatives below s) +
+    p_s·n_s/2 (ties count half), AUC = U / (P·N). Counts are integers
+    and the tie term is exact halves, so every intermediate double is
+    exact and the single final division is engine-independent.
+
+    Returns one row: (auc, u_stat, n_pos, n_neg). NULL auc when
+    either class is empty (AUC undefined)."""
+    from pyspark.sql import Window
+
+    counts = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    below = counts.withColumn(
+        "neg_below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    u = F.sum(
+        F.col("p") * F.col("neg_below") + 0.5 * F.col("p") * F.col("n")
+    )
+    return below.agg(
+        u.alias("u"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+    ).select(
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("u") / (F.col("n_pos") * F.col("n_neg")),
+            ),
+            round_decimals,
+        ).alias("auc"),
+        F.round(F.col("u"), 1).alias("u_stat"),
+        "n_pos",
+        "n_neg",
+    )

@@ -3167,6 +3167,30 @@ def q_media_decode_jpeg_color(spark, sf_dir):
     )
 
 
+def q_quality_auc(spark, sf_dir):
+    """Classifier-eval AUC (corpus.ranking_auc): does the C4/Gopher
+    quality heuristic rank English docs above the rest? Mann-Whitney
+    rank-sum in its distinct-score form — the only corpus-sized
+    operation is one groupBy on the (quantized) score; the rank walk
+    runs over the distinct-score table. Composes quality_score with
+    the lang label; counts integer + exact-half tie terms ⇒ every
+    intermediate double exact, one final division."""
+    from pyspark.sql import functions as F
+
+    from ..operators import corpus as corpus_ops
+
+    docs = _documents(spark, sf_dir)
+    scored = (
+        text.quality_score(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.col("quality").alias("score"),
+            (F.col("lang") == "en").alias("label"),
+        )
+    )
+    return corpus_ops.ranking_auc(scored)
+
+
 def q_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape (relational.large_volume_customers): the
     aggregate-as-join-filter plan — one partial-combined corpus
@@ -3550,6 +3574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_append": q_knn_ivf_append,
     "media_decode_jpeg_color": q_media_decode_jpeg_color,
     "large_volume_customers": q_large_volume_customers,
+    "quality_auc": q_quality_auc,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5986,6 +6011,33 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
     "pca_residual": _pca_residual_sql(dim=16, iters=12),
+    # AUC via distinct-score Mann-Whitney: integers + exact halves
+    "quality_auc": f"""
+WITH s AS ({TEXT_STATS_SQL}),
+q AS (
+  SELECT s.doc_id,
+         (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) AS score,
+         (d.lang = 'en') AS label
+  FROM s JOIN documents d ON s.doc_id = d.doc_id
+),
+c AS (
+  SELECT score AS sv,
+         sum(CASE WHEN label THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN label THEN 0 ELSE 1 END) AS n
+  FROM q GROUP BY score
+),
+b AS (
+  SELECT *, coalesce(sum(n) OVER (ORDER BY sv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM c
+)
+SELECT round(CASE WHEN sum(p) > 0 AND sum(n) > 0
+             THEN sum(p * neg_below + 0.5 * p * n) / (sum(p) * sum(n)) END, 6) AS auc,
+       round(sum(p * neg_below + 0.5 * p * n), 1) AS u_stat,
+       sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg
+FROM b""",
     # TPC-H Q18: aggregate-as-join-filter
     "large_volume_customers": """
 WITH qty AS (

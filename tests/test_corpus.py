@@ -401,3 +401,31 @@ def test_dsir_weights_hand_built(spark):
     # 'alpha' occurs mostly in the en slice: the all-en-vocabulary doc
     # must outscore the all-de-vocabulary doc.
     assert out[1].log_weight > out[3].log_weight
+
+
+def test_ranking_auc_hand_computed_with_ties(spark):
+    """AUC via the distinct-score rank-sum must equal the
+    pair-counting definition (wins + half-ties over pos*neg pairs) on
+    a hand-built set with ties, and be NULL when a class is empty."""
+    from itertools import product
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.corpus import (
+        ranking_auc,
+    )
+
+    rows = [
+        (0.9, True), (0.8, True), (0.8, False), (0.5, True),
+        (0.5, False), (0.5, False), (0.2, False), (0.1, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = ranking_auc(df).collect()[0]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p, n in product(pos, neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert got.u_stat == round(u, 1)
+    assert got.auc == round(u / (len(pos) * len(neg)), 6)
+    only_pos = spark.createDataFrame(
+        [(0.5, True), (0.9, True)], "score double, label boolean"
+    )
+    assert ranking_auc(only_pos).collect()[0].auc is None
