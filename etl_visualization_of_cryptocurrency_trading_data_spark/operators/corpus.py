@@ -447,3 +447,34 @@ def ranking_auc(
         "n_pos",
         "n_neg",
     )
+
+
+def host_cap(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 50,
+    salt: str = "hostcap",
+) -> DataFrame:
+    """Per-host document cap — the C4-style crawl rebalance: keep at
+    most ``cap`` docs per host so no single domain dominates the
+    training mix, with DETERMINISTIC survivors (priority = md5 of the
+    doc key, the [[hash_bucket]] idiom) so re-runs and engines agree
+    on which rows live. Emits kept rows as (doc_id, host, keep_rank).
+
+    Plan shape: one hash shuffle on the host key and a
+    ``WindowGroupLimit`` top-``cap`` per host — the rank never
+    materializes beyond cap+1 rows per host on the map side, which is
+    what makes this safe on a host whose crawl has a billion pages.
+    Consistency property (pinned in pytest): survivors at cap K are a
+    SUPERSET of survivors at any K' < K — raising the cap only adds
+    docs, it never swaps them."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("host").orderBy(pri, F.col("doc_id"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(host_col).alias("host"))
+        .withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= cap)
+    )

@@ -3167,6 +3167,15 @@ def q_media_decode_jpeg_color(spark, sf_dir):
     )
 
 
+def q_host_cap(spark, sf_dir):
+    """C4-style per-host cap (corpus.host_cap): at most K docs per
+    source with md5-deterministic survivors — one host-keyed shuffle +
+    WindowGroupLimit, so a billion-page domain costs cap+1 rows per
+    map task, not a sort of its crawl. cap=40 binds at sf0.01 (sources
+    hold ~100 docs each)."""
+    return corpus.host_cap(_documents(spark, sf_dir), cap=40)
+
+
 def q_quality_auc(spark, sf_dir):
     """Classifier-eval AUC (corpus.ranking_auc): does the C4/Gopher
     quality heuristic rank English docs above the rest? Mann-Whitney
@@ -3575,6 +3584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_jpeg_color": q_media_decode_jpeg_color,
     "large_volume_customers": q_large_volume_customers,
     "quality_auc": q_quality_auc,
+    "host_cap": q_host_cap,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -6011,6 +6021,15 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
     "pca_residual": _pca_residual_sql(dim=16, iters=12),
+    # per-host cap: md5-priority row_number, survivors deterministic
+    "host_cap": """
+SELECT doc_id, host, keep_rank FROM (
+  SELECT doc_id, source AS host,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('hostcap' || doc_id::VARCHAR), doc_id
+         ) AS keep_rank
+  FROM documents)
+WHERE keep_rank <= 40""",
     # AUC via distinct-score Mann-Whitney: integers + exact halves
     "quality_auc": f"""
 WITH s AS ({TEXT_STATS_SQL}),

@@ -429,3 +429,29 @@ def test_ranking_auc_hand_computed_with_ties(spark):
         [(0.5, True), (0.9, True)], "score double, label boolean"
     )
     assert ranking_auc(only_pos).collect()[0].auc is None
+
+
+def test_host_cap_binds_and_raising_cap_is_superset(spark):
+    """The cap must bind (no host exceeds it), survivors must be
+    deterministic, and raising the cap must only ADD survivors (md5
+    priority is cap-independent) — the property that lets a crawl
+    re-balance change its cap without churning the kept set."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.corpus import (
+        host_cap,
+    )
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    small = {r.doc_id for r in host_cap(docs, cap=3).collect()}
+    big_rows = host_cap(docs, cap=7).collect()
+    big = {r.doc_id for r in big_rows}
+    per_host = {}
+    for r in big_rows:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+        assert 1 <= r.keep_rank <= 7
+    assert max(per_host.values()) <= 7
+    assert small < big
+    rerun = {r.doc_id for r in host_cap(docs, cap=3).collect()}
+    assert rerun == small
