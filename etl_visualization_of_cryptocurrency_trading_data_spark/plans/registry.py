@@ -3563,12 +3563,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "donchian": q_donchian,
     "ichimoku": q_ichimoku,
     # ---- appended mid-round-7 (out of the pinned 50-slot window;
-    # r8 rotation candidates — front-load ALL thirteen of these in
-    # the r8 window: retrieval (bm25/dsir/rrf), generic decode + real
+    # r8 rotation candidates — front-load ALL SIXTEEN of these in the
+    # r8 window: retrieval (bm25/dsir/rrf), generic decode + real
     # frames + color JPEG, fuzzy linkage, distributed PCA + ABTT
-    # residuals, log-round star CC, incremental IVF append, and the
-    # two new streaming replay rows (custom-stateful drawdown,
-    # stream-stream LEFT OUTER)) ----
+    # residuals, log-round star CC, incremental IVF append, TPC-H Q18,
+    # classifier-eval AUC, per-host crawl cap, and the two new
+    # streaming replay rows (custom-stateful drawdown, stream-stream
+    # LEFT OUTER)) ----
     "bm25_scores": q_bm25_scores,
     "dsir_weights": q_dsir_weights,
     "media_features_auto": q_media_features_auto,

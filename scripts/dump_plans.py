@@ -88,6 +88,9 @@ SHOWCASE = [
     "dup_clusters_star",     # log-round star CC, checkpointed per round
     "knn_ivf_append",        # increment-only assignment vs stored lists
     "media_decode_jpeg_color",  # interleaved YCbCr decode, pure map
+    "large_volume_customers",   # Q18: HAVING key set broadcast, 0 SMJ
+    "quality_auc",           # distinct-score rank walk, corpus groupBy
+    "host_cap",              # WindowGroupLimit top-K per host
 ]
 
 
