@@ -1858,3 +1858,47 @@ def test_jpeg_color_roundtrip_closed_form(spark):
         )
         assert r.mean_r == r.mean_g == r.mean_b == want, (r, want)
         assert r.n_pixels == r.width * r.height
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_star_property_vs_union_find(spark, edges):
+    """Property: on arbitrary small graphs (self-loops, duplicates,
+    both orientations included), the star alternation's labels equal a
+    plain union-find with component-minimum canonicalization."""
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for n in parent:
+        root = find(n)
+        want.setdefault(root, []).append(n)
+    expect = {}
+    for members in want.values():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+    df = spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(df).collect()
+    }
+    assert got == expect

@@ -956,3 +956,44 @@ def test_spread_outer_replay_null_extends_unmatched_once(spark):
         ("C1", 120, None, None),
         ("C2", 10, None, None),
     ]
+
+
+def test_drawdown_replay_property_vs_pandas_cummax(spark):
+    """Property-style replay: on a deterministic pseudo-random feed
+    split into 3 waves, running_peak must equal pandas' groupwise
+    cummax in (timestamp, event_id) order and drawdown the exact
+    single-divide expression — the stateful operator is just a
+    batch-equivalent cummax."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for coin in ("a", "b"):
+        for m in range(40):
+            price = float(((eid * 2654435761) % 1000) + 1) / 7.0
+            rows.append(
+                (coin, "x", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                 price, 1.0, eid)
+            )
+            eid += 1
+    ticks = spark.createDataFrame(
+        rows,
+        "coin_id string, exchange string, timestamp timestamp,"
+        " price double, volume double, event_id long",
+    )
+    got = (
+        streaming.drawdown_stream_replay(spark, ticks, n_waves=3)
+        .toPandas()
+        .sort_values(["coin_id", "timestamp", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["coin_id", "exchange", "timestamp", "price", "volume", "event_id"],
+    ).sort_values(["coin_id", "timestamp", "event_id"])
+    peaks = pdf.groupby("coin_id")["price"].cummax().to_numpy()
+    assert (got["running_peak"].to_numpy() == peaks).all()
+    assert (
+        got["drawdown"].to_numpy()
+        == pdf["price"].to_numpy() / peaks - 1.0
+    ).all()
