@@ -478,3 +478,43 @@ def host_cap(
         .withColumn("keep_rank", F.row_number().over(w))
         .filter(F.col("keep_rank") <= cap)
     )
+
+
+def quality_survivors(
+    clusters: DataFrame,
+    scored: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivorship — the production refinement of
+    [[dedup_survivors]]'s min-id policy: within each near-dup cluster
+    keep the HIGHEST-QUALITY member (curation practice: duplicates
+    differ by boilerplate, truncation and OCR noise, so 'first crawled'
+    is the wrong keep rule — 'best scored' is). Deterministic ties
+    break on doc_id. Emits one row per cluster:
+    (cluster_id, survivor_id, survivor_quality, n_members).
+
+    Scale: clusters hold only docs with at least one dup edge (a small
+    corpus fraction), the quality join is keyed on doc_id, and the
+    per-cluster argmax is a WindowGroupLimit top-1 — the same collapse
+    shape as latest-row-per-group, never a sort of the cluster."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        scored.select(F.col(id_col).alias("doc_id"), quality_col), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc("doc_id")
+    )
+    n = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("n_members", F.count("*").over(n))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col(quality_col).alias("survivor_quality"),
+            "n_members",
+        )
+    )

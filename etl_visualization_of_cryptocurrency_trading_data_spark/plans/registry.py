@@ -3167,6 +3167,22 @@ def q_media_decode_jpeg_color(spark, sf_dir):
     )
 
 
+def q_quality_survivors(spark, sf_dir):
+    """Quality-aware dedup survivorship (corpus.quality_survivors):
+    within each near-dup cluster keep the HIGHEST-quality member —
+    the production keep-rule (duplicates differ by boilerplate and
+    truncation, so min-id/first-crawled is wrong). Composes the exact
+    ngram pair graph → min-label clusters → quality_score argmax per
+    cluster (WindowGroupLimit top-1, ties on doc_id)."""
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+    )
+    return corpus.quality_survivors(
+        dedup.dup_clusters(pairs), text.quality_score(docs)
+    )
+
+
 def q_host_cap(spark, sf_dir):
     """C4-style per-host cap (corpus.host_cap): at most K docs per
     source with md5-deterministic survivors — one host-keyed shuffle +
@@ -3586,6 +3602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "quality_auc": q_quality_auc,
     "host_cap": q_host_cap,
+    "quality_survivors": q_quality_survivors,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -6022,6 +6039,38 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
     "pca_residual": _pca_residual_sql(dim=16, iters=12),
+    # quality-aware survivorship: clusters (recursive CTE) x quality
+    "quality_survivors": f"""
+WITH RECURSIVE {CAPPED_PAIRS_CTES},
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+stats AS ({TEXT_STATS_SQL}),
+q AS (
+  SELECT doc_id,
+         (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM stats
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_quality,
+       n_members
+FROM ranked WHERE rn = 1""",
     # per-host cap: md5-priority row_number, survivors deterministic
     "host_cap": """
 SELECT doc_id, host, keep_rank FROM (

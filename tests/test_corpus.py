@@ -455,3 +455,26 @@ def test_host_cap_binds_and_raising_cap_is_superset(spark):
     assert small < big
     rerun = {r.doc_id for r in host_cap(docs, cap=3).collect()}
     assert rerun == small
+
+
+def test_quality_survivors_picks_best_member(spark):
+    """Hand-built clusters + scores: the survivor must be the
+    max-quality member, n_members exact, and quality ties must break
+    on the smaller doc_id."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.corpus import (
+        quality_survivors,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.7), (7, 0.5), (8, 0.5)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r.cluster_id: (r.survivor_id, r.survivor_quality, r.n_members)
+        for r in quality_survivors(clusters, scored).collect()
+    }
+    assert got == {1: (2, 0.9, 3), 7: (7, 0.5, 2)}
