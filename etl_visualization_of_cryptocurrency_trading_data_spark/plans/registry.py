@@ -3579,11 +3579,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "donchian": q_donchian,
     "ichimoku": q_ichimoku,
     # ---- appended mid-round-7 (out of the pinned 50-slot window;
-    # r8 rotation candidates — front-load ALL SIXTEEN of these in the
+    # r8 rotation candidates — front-load ALL SEVENTEEN of these in the
     # r8 window: retrieval (bm25/dsir/rrf), generic decode + real
     # frames + color JPEG, fuzzy linkage, distributed PCA + ABTT
     # residuals, log-round star CC, incremental IVF append, TPC-H Q18,
-    # classifier-eval AUC, per-host crawl cap, and the two new
+    # classifier-eval AUC, per-host crawl cap, quality-aware
+    # survivorship, and the two new
     # streaming replay rows (custom-stateful drawdown, stream-stream
     # LEFT OUTER)) ----
     "bm25_scores": q_bm25_scores,
