@@ -1002,6 +1002,9 @@ def incremental_dedup_bloom(
         # (verified: 12 parquet scans, zero ReusedExchange). Same
         # materialization boundary as ngram's posting table; the frame
         # is one (fp, doc_id, bool) row per within-increment survivor.
+        # Deliberately NOT unpersisted: the builder returns a lazy
+        # frame (no action runs here), so the blocks are left to LRU
+        # eviction exactly like the posting-table persist.
         .persist()
     )
     definitely_new = hits.filter(~F.col("maybe_seen")).select("fp", "doc_id")

@@ -1068,6 +1068,37 @@ def gif_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def _gif_skip_subblocks(buf: bytes, pos: int) -> int:
+    """Advance past a GIF sub-block chain starting at ``pos``; returns
+    the offset just after the 0x00 terminator. A payload that ends
+    mid-chain raises ValueError (the documented malformed-file
+    contract), never IndexError."""
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated GIF")
+        size = buf[pos]
+        if size == 0:
+            return pos + 1
+        pos += 1 + size
+
+
+def _gif_read_subblocks(buf: bytes, pos: int) -> tuple[bytearray, int]:
+    """Reassemble a GIF sub-block chain starting at ``pos``; returns
+    (data, offset just after the terminator). Bounds-checked like
+    :func:`_gif_skip_subblocks` — a truncated chain raises ValueError."""
+    data = bytearray()
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated GIF")
+        size = buf[pos]
+        if size == 0:
+            return data, pos + 1
+        if pos + 1 + size > len(buf):
+            raise ValueError("truncated GIF")
+        data += buf[pos + 1 : pos + 1 + size]
+        pos += 1 + size
+
+
 def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Full single-frame GIF parse (screen descriptor, global palette,
     extension skip, sub-block reassembly, LZW decode, palette lookup)
@@ -1077,6 +1108,8 @@ def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
 
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
     pos = 13
     palette = None
@@ -1087,11 +1120,10 @@ def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
     while pos < len(buf):
         block = buf[pos]
         if block == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while buf[pos]:
-                pos += 1 + buf[pos]
-            pos += 1
+            pos = _gif_skip_subblocks(buf, pos + 2)
         elif block == 0x2C:
+            if pos + 10 > len(buf):
+                raise ValueError("truncated GIF")
             _l, _t, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
             pos += 10
             if ipacked & 0x80:
@@ -1100,12 +1132,11 @@ def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("interlaced GIF unsupported")
             if palette is None:
                 raise ValueError("no color table")
+            if pos >= len(buf):
+                raise ValueError("truncated GIF")
             min_code = buf[pos]
             pos += 1
-            lzw = bytearray()
-            while buf[pos]:
-                lzw += buf[pos + 1 : pos + 1 + buf[pos]]
-                pos += 1 + buf[pos]
+            lzw, pos = _gif_read_subblocks(buf, pos)
             indices = np.frombuffer(
                 _gif_lzw_decode(bytes(lzw), min_code), np.uint8
             )
@@ -1707,10 +1738,12 @@ def media_features_auto(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     mean_0/1/2; grayscale JPEG replicates mean_gray into all three;
     WAV has NULL width/height, n_pixels = total samples,
     mean_0 = mean amplitude, mean_1 = RMS, mean_2 NULL. Rows whose
-    magic matches NO known format come back as fmt='unknown' with
-    NULL features — a production crawl quarantines corrupt bytes
-    instead of failing the job, and the NULLs make the quarantine
-    rate visible to one aggregate.
+    magic matches NO known format — AND rows whose magic matches but
+    whose body fails to parse (truncated PNG, text that happens to
+    start with 'P6'/'BM') — come back as fmt='unknown' with NULL
+    features: a production crawl quarantines corrupt bytes instead of
+    failing the job, and the NULLs make the quarantine rate visible
+    to one aggregate.
 
     Arrow-batched mapInPandas, pure map: no shuffle, linear scale-out;
     each per-format mean is computed exactly as the single-format
@@ -1726,6 +1759,17 @@ def media_features_auto(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        # Everything a from-scratch parser raises on a malformed BODY
+        # whose magic bytes matched: truncated headers (struct),
+        # corrupt deflate streams (zlib), bad LZW/Huffman codes and
+        # dimension mismatches (ValueError), short reads (IndexError).
+        parse_errors = (
+            ValueError, IndexError, ZeroDivisionError, struct.error, zlib.error,
+        )
+
         for pdf in batches:
             rows = {
                 "doc_id": [], "fmt": [], "width": [], "height": [],
@@ -1735,31 +1779,40 @@ def media_features_auto(media: DataFrame, round_decimals: int = 6) -> DataFrame:
                 buf = bytes(buf)
                 fmt = sniff_media(buf)
                 w = h = npx = m0 = m1 = m2 = None
-                if fmt in _IMAGE_PARSERS:
-                    w, h, px = _IMAGE_PARSERS[fmt](buf)
-                    means = (
-                        px.astype(np.float64).mean(axis=(0, 1)).round(round_decimals)
-                    )
-                    npx, (m0, m1, m2) = w * h, (float(means[0]), float(means[1]),
-                                                float(means[2]))
-                elif fmt == "jpeg":
-                    w, h, px = _parse_jpeg(buf)
-                    npx = w * h
-                    if px.ndim == 3:  # color: per-channel means
-                        means = px.mean(axis=(0, 1)).round(round_decimals)
-                        m0, m1, m2 = (
-                            float(means[0]), float(means[1]), float(means[2])
+                try:
+                    if fmt in _IMAGE_PARSERS:
+                        w, h, px = _IMAGE_PARSERS[fmt](buf)
+                        means = (
+                            px.astype(np.float64)
+                            .mean(axis=(0, 1))
+                            .round(round_decimals)
                         )
-                    else:  # grayscale: replicate mean_gray
-                        m0 = m1 = m2 = round(float(px.mean()), round_decimals)
-                elif fmt == "wav":
-                    c, sr, _bits, data = _parse_wav(buf)
-                    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                    npx = int(samples.size)
-                    sum_amp = int(samples.sum())
-                    sum_sq = int((samples * samples).sum())
-                    m0 = round(sum_amp / npx, round_decimals)
-                    m1 = round(float(np.sqrt(sum_sq / npx)), round_decimals)
+                        npx, (m0, m1, m2) = w * h, (float(means[0]), float(means[1]),
+                                                    float(means[2]))
+                    elif fmt == "jpeg":
+                        w, h, px = _parse_jpeg(buf)
+                        npx = w * h
+                        if px.ndim == 3:  # color: per-channel means
+                            means = px.mean(axis=(0, 1)).round(round_decimals)
+                            m0, m1, m2 = (
+                                float(means[0]), float(means[1]), float(means[2])
+                            )
+                        else:  # grayscale: replicate mean_gray
+                            m0 = m1 = m2 = round(float(px.mean()), round_decimals)
+                    elif fmt == "wav":
+                        c, sr, _bits, data = _parse_wav(buf)
+                        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                        npx = int(samples.size)
+                        sum_amp = int(samples.sum())
+                        sum_sq = int((samples * samples).sum())
+                        m0 = round(sum_amp / npx, round_decimals)
+                        m1 = round(float(np.sqrt(sum_sq / npx)), round_decimals)
+                except parse_errors:
+                    # magic matched but the body is malformed (truncated
+                    # PNG, text that happens to start with 'BM'/'P6'):
+                    # quarantine like unknown-magic rows instead of
+                    # failing the whole job — the documented contract.
+                    fmt, w, h, npx, m0, m1, m2 = "unknown", None, None, None, None, None, None
                 rows["doc_id"].append(int(d))
                 rows["fmt"].append(fmt)
                 rows["width"].append(w)

@@ -717,7 +717,11 @@ def semantic_dedup(
         # trained route — executed twice). One (vec_id, emb, cent_id)
         # row per corpus vector. Measured at sf0.1 with the cache
         # cleared per run: semantic_dedup 3.4 -> 1.6 s, trained form
-        # 4.3 -> 3.3 s; hash-identical output.
+        # 4.3 -> 3.3 s; hash-identical output. Deliberately NOT
+        # unpersisted: the builder returns a lazy frame (no action runs
+        # here, so there is no "after the consuming action" inside this
+        # function); like the banded/posting persists, the MEMORY_AND_DISK
+        # blocks are left to Spark's LRU eviction.
         .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")

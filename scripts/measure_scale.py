@@ -51,6 +51,14 @@ def main() -> int:
         QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    # Compile pre-pass dir: smallest fixture NEXT TO the small arg (so
+    # the harness works on any machine/layout), falling back to the
+    # small dir itself; skipped entirely when nothing exists.
+    candidate = os.path.join(os.path.dirname(small.rstrip("/")), "sf0.001")
+    prepass = candidate if os.path.isdir(candidate) else small
+    if not os.path.isdir(prepass):
+        prepass = None
+
     failures = 0
     for name in names:
         if name not in QUERIES:
@@ -58,7 +66,8 @@ def main() -> int:
             failures += 1
             continue
         try:
-            timed(name, "/root/testdata/sf0.001")  # compile pre-pass
+            if prepass is not None:
+                timed(name, prepass)  # compile pre-pass
             a = min(timed(name, small) for _ in range(2))
             b = timed(name, big)
             print(

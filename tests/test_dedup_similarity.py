@@ -1496,6 +1496,75 @@ def test_media_features_auto_mixed_corpus(spark, docs):
         assert out[i].width is None and out[i].mean_2 is None
 
 
+def test_media_features_auto_quarantines_malformed_bodies(spark):
+    """The r7-ADVICE gap: payloads whose MAGIC matches a known format
+    but whose BODY is malformed must be quarantined as fmt='unknown'
+    with NULL features (the documented production contract), not fail
+    the job. One row per failure class: text that happens to start
+    with 'P6'/'BM'/'GIF8', a truncated PNG, a truncated WAV."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    bad = [
+        (1, b"P6 is how this sentence begins, not a pixmap"),
+        (2, b"BMW maintenance schedule, quarter two"),
+        (3, b"GIF89a" + b"\x00" * 4),  # truncated mid-screen-descriptor
+        (4, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),  # no valid chunks
+        (5, b"\xff\xd8 jpeg magic, no segments"),
+        (6, b"RIFF\x00\x00\x00\x00WAVE"),  # no fmt/data chunks
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in bad], ["doc_id", "payload"]
+    )
+    out = {r.doc_id: r for r in multimodal.media_features_auto(media).collect()}
+    assert len(out) == len(bad)
+    for i, _ in bad:
+        assert out[i].fmt == "unknown", f"doc {i} not quarantined: {out[i]}"
+        assert out[i].width is None and out[i].n_pixels is None
+        assert out[i].mean_0 is None and out[i].mean_1 is None
+
+
+def test_parse_gif_truncated_raises_valueerror():
+    """Truncation anywhere in the sub-block walks raises the documented
+    ValueError (r7 ADVICE: the naive `while buf[pos]` loops leaked
+    IndexError). Built by slicing a VALID payload at every prefix
+    length — no prefix may raise anything but ValueError."""
+    import numpy as np
+    import pytest
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    # build one real payload via the corpus generator's recipe
+    spark_free = multimodal._gif_lzw_encode(
+        ((7 + np.arange(20, dtype=np.int64)) % 256).astype(np.uint8).tobytes()
+    )
+    import struct
+
+    j = np.arange(256, dtype=np.int64)
+    gct = (
+        np.stack([j % 256, (2 * j) % 256, (3 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    blocks = b"".join(
+        bytes([len(spark_free[o : o + 255])]) + spark_free[o : o + 255]
+        for o in range(0, len(spark_free), 255)
+    )
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 5, 4, 0xF7, 0, 0) + gct
+        + b"\x21\xfe" + b"\x03abc\x00"  # comment extension: sub-blocks
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 5, 4, 0) + bytes([8])
+        + blocks + b"\x00\x3b"
+    )
+    w, h, px = multimodal._parse_gif(payload)  # sanity: full payload decodes
+    assert (w, h) == (5, 4)
+    for cut in range(6, len(payload)):
+        try:
+            multimodal._parse_gif(payload[:cut])
+        except ValueError:
+            pass  # the documented malformed-file contract
+        # any other exception type fails the test by propagating
+
+
 def test_media_frames_real_windowing(spark):
     """Hand-built stereo WAV: 8 ms windows at 8 kHz are 64 frames; a
     150-frame file yields windows of 128/128/44 samples (stereo), the
