@@ -432,6 +432,150 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def _bpe_initial_symbols(documents: DataFrame) -> DataFrame:
+    """BPE training state, round 0: the corpus collapsed to its word
+    frequency table (the standard formulation — training touches the
+    VOCABULARY, millions of rows at web scale, never the corpus
+    again), each word exploded to one (w, n, pos, sym) row per
+    character."""
+    word_freq = (
+        documents.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    return word_freq.select(
+        "w", "n", F.posexplode(F.split(F.col("w"), "")).alias("pos", "sym")
+    )
+
+
+def _bpe_merge_step(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE training round over the exploded symbol table: count
+    adjacent pairs (weighted by word frequency), pick the argmax pair
+    (ties by pair text — deterministic in both engines), and apply it
+    with BPE's greedy LEFT-TO-RIGHT NON-OVERLAPPING semantics.
+
+    The greedy rule is declarative, not a fold: adjacent matches can
+    only chain when p1 == p2 (a match at i+1 needs sym[i+1] = p1 = p2),
+    so within each run of CONSECUTIVE match positions exactly the
+    even offsets merge ("aaaa" + (a,a) -> [aa, aa]; "aaa" -> [aa, a]).
+    Runs are gaps-and-islands (pos - row_number over match rows), the
+    even-offset test is (pos - run_start) % 2 = 0, and the consumed
+    second symbol is lag(merge_here) — three window passes over the
+    vocabulary, zero interpreted lambdas, and the exact same windows
+    replay verbatim in the DuckDB oracle.
+
+    Returns (merge_row, next_syms): the 1-row (p1, p2, merged, cnt)
+    frame and the post-merge symbol table with positions renumbered.
+    """
+    wwin = Window.partitionBy("w").orderBy("pos")
+    with_next = syms.withColumn("nxt", F.lead("sym").over(wwin))
+    counts = (
+        with_next.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top1 = (
+        counts.orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("p1"), F.col("nxt").alias("p2"), F.col("cnt")
+        )
+    )
+    stepped = (
+        with_next.crossJoin(F.broadcast(top1.select("p1", "p2")))
+        .withColumn(
+            "match",
+            F.coalesce(
+                (F.col("sym") == F.col("p1")) & (F.col("nxt") == F.col("p2")),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("w", "match").orderBy("pos")),
+        )
+        .withColumn(
+            "run_start",
+            F.min("pos").over(Window.partitionBy("w", "match", "grp")),
+        )
+        .withColumn(
+            "merge_here",
+            F.col("match") & (((F.col("pos") - F.col("run_start")) % 2) == 0),
+        )
+        .withColumn(
+            "consumed", F.coalesce(F.lag("merge_here").over(wwin), F.lit(False))
+        )
+        .filter(~F.col("consumed"))
+        .select(
+            "w",
+            "n",
+            F.row_number().over(wwin).alias("pos"),
+            F.when(F.col("merge_here"), F.concat("p1", "p2"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return top1, stepped
+
+
+def bpe_train(
+    documents: DataFrame, rounds: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Iterative BPE tokenizer training for ``rounds`` merge rounds —
+    the real training loop (r7 verdict item #4: round 1 alone is
+    [[bpe_merge_candidates]]; the tokenizer is the FIXED POINT of
+    apply-top-pair-and-recount). Returns (merges, symbols): the
+    learned merge table (round, p1, p2, merged, n_occurrences) — the
+    artifact a tokenizer ships — and the post-training symbol table.
+
+    Scale shape: every round is two vocabulary-sized window passes +
+    one map-side-combined pair aggregate; the corpus is touched ONCE
+    (the round-0 word-frequency collapse). Each round's symbol table
+    feeds BOTH the next pair count and the next merge application, so
+    lineage doubles per round without truncation — the same
+    O(2^rounds) analyzer hazard measured on the star-CC operator
+    ([[dedup.connected_components_star]]); per-round eager
+    ``localCheckpoint`` is the documented fix and the GraphFrames
+    boundary, values unchanged.
+    """
+    syms = _bpe_initial_symbols(documents)
+    merges = None
+    for r in range(1, rounds + 1):
+        top1, stepped = _bpe_merge_step(syms)
+        row = top1.select(
+            F.lit(r).alias("round"),
+            "p1",
+            "p2",
+            F.concat("p1", "p2").alias("merged"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        syms = stepped.localCheckpoint(eager=True)
+    return merges, syms
+
+
+def bpe_vocab(
+    documents: DataFrame, rounds: int = 3, k: int = 40
+) -> DataFrame:
+    """Post-training BPE vocabulary: apply ``rounds`` learned merges
+    ([[bpe_train]]) and emit the top-``k`` symbols by word-frequency-
+    weighted occurrence count — (sym, n_occurrences, rank). Every
+    merge decision upstream moves mass between symbols here, so one
+    hash over this frame pins the whole training loop: pair counting,
+    argmax tie-breaks, and the greedy non-overlap application of all
+    K rounds."""
+    _, syms = bpe_train(documents, rounds=rounds)
+    counts = syms.groupBy("sym").agg(F.sum("n").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("sym"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("sym", "n_occurrences", "rank")
+    )
+
+
 def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000)) -> DataFrame:
     """Vocabulary coverage curve — for each candidate vocabulary size k,
     the fraction of all corpus token occurrences covered by the k most

@@ -667,6 +667,24 @@ def q_media_decode_gif(spark, sf_dir):
     )
 
 
+def q_media_frames_gif(spark, sf_dir):
+    """REAL video-frame extraction via animated GIF
+    (multimodal.gif_frames_real over multimodal.gif_table_animated) —
+    the r7-verdict item closing the last stubbed modality with the
+    engine's own LZW codec, no external library: each payload is
+    2 + d%3 full frames behind graphics-control extensions
+    (delay = 10 + d%5 cs), parsed by the multi-descriptor walk with
+    disposal-1 compositing ([[_parse_gif_frames]]; partial-frame
+    compositing pinned by handcrafted payloads in pytest). Frame f's
+    pixel i has palette index (d + 17f + i) % 256, so per-frame
+    channel means AND frame_ts = f*delay/100 replay closed-form in
+    SQL — the hash covers the GCE delay read, the per-frame LZW
+    decode, and the frame fan-out."""
+    return multimodal.gif_frames_real(
+        multimodal.gif_table_animated(_documents(spark, sf_dir))
+    )
+
+
 def q_media_decode_jpeg(spark, sf_dir):
     """REAL bytes→pixels decode for baseline grayscale JPEG
     (multimodal.decode_jpeg over multimodal.jpeg_table) — the lossy
@@ -2112,6 +2130,78 @@ KNN_IVF_SQL = _knn_ivf_sql()
 # the IVF search in place of the deterministic sample. Centroid dims are
 # round(avg, 9) in BOTH engines, so the search sees bit-identical
 # centroids; cosine ties break by id as everywhere else.
+def _bpe_sql(rounds: int = 3, k: int = 40) -> str:
+    """Generated oracle for [[q_bpe_vocab_k]]: the K-round BPE training
+    loop unrolled as a CTE chain. Each round mirrors the engine's
+    window formulation verbatim — lead() pair build, grouped argmax
+    with (count DESC, p1, p2) tie-break, gaps-and-islands run grouping
+    (pos - row_number over match rows), even-offset merge_here,
+    lag() consumed drop, row_number position renumbering — so the two
+    engines walk identical integer/string columns and the comparison
+    needs no tolerance."""
+    parts = [
+        r"""wf AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w HAVING length(w) >= 2
+),
+s0 AS (
+  SELECT w, n, i AS pos, substring(w, i, 1) AS sym
+  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM wf)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""nx{r} AS (
+  SELECT w, n, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s{p}
+),
+top{r} AS (
+  SELECT sym AS p1, nxt AS p2 FROM nx{r} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY sum(n) DESC, sym, nxt LIMIT 1
+),
+mk{r} AS (
+  SELECT w, n, pos, sym,
+         coalesce(sym = (SELECT p1 FROM top{r})
+                  AND nxt = (SELECT p2 FROM top{r}), FALSE) AS match
+  FROM nx{r}
+),
+gr{r} AS (
+  SELECT *, pos - row_number() OVER (PARTITION BY w, match ORDER BY pos) AS grp
+  FROM mk{r}
+),
+mh{r} AS (
+  SELECT *, match AND ((pos - min(pos) OVER (PARTITION BY w, match, grp)) % 2 = 0)
+            AS merge_here
+  FROM gr{r}
+),
+cs{r} AS (
+  SELECT *, coalesce(lag(merge_here) OVER (PARTITION BY w ORDER BY pos), FALSE)
+            AS consumed
+  FROM mh{r}
+),
+s{r} AS (
+  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN merge_here
+              THEN (SELECT p1 FROM top{r}) || (SELECT p2 FROM top{r})
+              ELSE sym END AS sym
+  FROM cs{r} WHERE NOT consumed
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT sym, n_occurrences, rank FROM (
+  SELECT sym, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, sym) AS rank
+  FROM (SELECT sym, sum(n)::BIGINT AS n_occurrences FROM s{rounds} GROUP BY sym)
+) WHERE rank <= {k}"""
+    )
+
+
 def _pagerank_ctes(cap: int = 2000) -> str:
     """Edge build + 3 integer-fixed-point PageRank rounds as CTEs;
     ``cap`` is graph.cooccurrence_edges' ``max_per_bucket`` guard —
@@ -2706,6 +2796,22 @@ def q_bpe_merges(spark, sf_dir):
     adjacent character pairs by word-frequency-weighted count — the
     merges BPE would learn first, computed on the vocabulary table."""
     return text.bpe_merge_candidates(_documents(spark, sf_dir), k=20)
+
+
+def q_bpe_vocab_k(spark, sf_dir):
+    """Iterative BPE tokenizer training, 3 merge rounds
+    (text.bpe_vocab over text.bpe_train — r7 verdict item #4: round 1
+    alone was bpe_merges): per round, count adjacent symbol pairs on
+    the word-frequency table, argmax with deterministic tie-breaks,
+    apply with BPE's greedy left-to-right non-overlap semantics —
+    expressed as pure window functions (runs of consecutive matches
+    merge at even offsets), so the DuckDB oracle replays the identical
+    windows and the hash pins the whole loop: counting, tie-breaks,
+    greedy application, and the cross-round dependency (each round's
+    top pair exists only because of the previous round's merge).
+    Per-round eager localCheckpoint truncates the doubling lineage
+    (the star-CC lesson). Output: top-40 post-training vocabulary."""
+    return text.bpe_vocab(_documents(spark, sf_dir), rounds=3, k=40)
 
 
 def q_price_anomalies(spark, sf_dir):
@@ -3604,6 +3710,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_auc": q_quality_auc,
     "host_cap": q_host_cap,
     "quality_survivors": q_quality_survivors,
+    # ---- round 8 registrations ----
+    "media_frames_gif": q_media_frames_gif,
+    "bpe_vocab_k": q_bpe_vocab_k,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -4357,6 +4466,28 @@ SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
        round(avg((2 * j) % 256), 6) AS mean_g,
        round(avg((3 * j) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id, w, h""",
+    # animated GIF: frame f's pixel i has palette index
+    # j = (d + 17f + i) % 256; per-doc constant delay makes the
+    # cumulative display time an exact f*delay/100 — frames, delays,
+    # and channel means all replay without the codec
+    "media_frames_gif": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                  2 + doc_id % 3 AS nf, 10 + doc_id % 5 AS delay
+           FROM documents),
+fr AS (SELECT doc_id, w, h, delay, unnest(generate_series(0, nf - 1)) AS f
+       FROM d),
+px AS (
+  SELECT doc_id, w, h, delay, f,
+         (doc_id + 17 * f + unnest(generate_series(0, w * h - 1))) % 256 AS j
+  FROM fr
+)
+SELECT doc_id, f::INT AS frame_idx, delay::INT AS delay_cs,
+       (f * delay) / 100.0 AS frame_ts,
+       w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg(j), 6) AS mean_r,
+       round(avg((2 * j) % 256), 6) AS mean_g,
+       round(avg((3 * j) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, f, delay, w, h""",
     # JPEG: block b of doc d holds the flat value (d + 7b) % 256 and
     # the DC-only IDCT is exact, so mean_gray is the closed-form block
     # mean — no tolerance despite the lossy format
@@ -5684,6 +5815,7 @@ SELECT coin_id, exchange, bin,
        round(any_value(mn) + (bin + 1) * ((any_value(mx) - any_value(mn)) / 20), 6) AS bin_hi
 FROM binned GROUP BY coin_id, exchange, bin""",
 
+    "bpe_vocab_k": _bpe_sql(rounds=3, k=40),
     "bpe_merges": r"""
 WITH wf AS (
   SELECT w, count(*) AS n FROM (

@@ -239,9 +239,10 @@ def test_real_decode_gated(spark, docs):
     ).collect()
     assert all(r.media_type == "unknown" for r in out)
     assert all(all(v is None for v in r.features) for r in out)
-    # extract_frames' real path decodes RIFF/WAVE only: a non-audio
-    # payload is a caller bug and refuses at decode time
-    with pytest.raises(Exception, match="not a RIFF/WAVE"):
+    # extract_frames' real path dispatches WAV (audio windows) and
+    # animated GIF (display frames) since r8: any OTHER payload is a
+    # caller bug and refuses at decode time
+    with pytest.raises(Exception, match="frame extraction unsupported"):
         multimodal.extract_frames(
             multimodal.media_table(docs.limit(2)), real_decode=True
         ).collect()
@@ -1563,6 +1564,130 @@ def test_parse_gif_truncated_raises_valueerror():
         except ValueError:
             pass  # the documented malformed-file contract
         # any other exception type fails the test by propagating
+
+
+def _handmade_gif(frames, sw, sh, delays, disposals=None, transparent=False):
+    """Build an animated GIF payload from (left, top, rect) frames —
+    rect is an index array — with per-frame graphics-control delays."""
+    import struct
+
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    j = np.arange(256, dtype=np.int64)
+    gct = (
+        np.stack([j % 256, (2 * j) % 256, (3 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    body = bytearray()
+    for k, ((left, top, rect), delay) in enumerate(zip(frames, delays)):
+        h, w = rect.shape
+        disp = (disposals or [0] * len(frames))[k]
+        packed = (disp << 2) | (1 if transparent else 0)
+        lzw = multimodal._gif_lzw_encode(rect.astype(np.uint8).tobytes())
+        blocks = b"".join(
+            bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+            for o in range(0, len(lzw), 255)
+        )
+        body += (
+            b"\x21\xf9\x04" + struct.pack("<BHB", packed, delay, 0) + b"\x00"
+            + b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes([8]) + blocks + b"\x00"
+        )
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0xF7, 0, 0) + gct
+        + bytes(body) + b"\x3b"
+    )
+
+
+def test_parse_gif_frames_compositing():
+    """Handcrafted 2-frame animation: the second frame is a PARTIAL
+    1x1 update at (1,1) composited over the first (disposal 1 — the
+    normal animation encoding); delays differ per frame and frame_ts
+    must be the cumulative PRIOR delay."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    f0 = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    f1 = np.array([[99]], dtype=np.uint8)
+    payload = _handmade_gif(
+        [(0, 0, f0), (1, 1, f1)], 2, 2, delays=[25, 50], disposals=[1, 1]
+    )
+    sw, sh, frames = multimodal._parse_gif_frames(payload)
+    assert (sw, sh) == (2, 2)
+    assert [d for d, _ in frames] == [25, 50]
+    # palette entry j is (j, 2j, 3j): frame 0 canvas R-channel
+    np.testing.assert_array_equal(frames[0][1][:, :, 0], f0)
+    # frame 1: only (1,1) changed, rest carried from frame 0
+    want = f0.copy()
+    want[1, 1] = 99
+    np.testing.assert_array_equal(frames[1][1][:, :, 0], want)
+    np.testing.assert_array_equal(frames[1][1][:, :, 1], (want.astype(int) * 2) % 256)
+    # frame 0 must be immutable after compositing (copy semantics)
+    np.testing.assert_array_equal(frames[0][1][:, :, 0], f0)
+
+
+def test_parse_gif_frames_rejects_unsupported():
+    """Transparency, disposal >1, and a partial FIRST frame each raise
+    rather than guess."""
+    import numpy as np
+    import pytest
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    f0 = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="transparency"):
+        multimodal._parse_gif_frames(
+            _handmade_gif([(0, 0, f0)], 2, 2, [10], transparent=True)
+        )
+    with pytest.raises(ValueError, match="disposal"):
+        multimodal._parse_gif_frames(
+            _handmade_gif([(0, 0, f0)], 2, 2, [10], disposals=[2])
+        )
+    with pytest.raises(ValueError, match="full-screen"):
+        multimodal._parse_gif_frames(
+            _handmade_gif([(0, 0, np.zeros((1, 1), dtype=np.uint8))], 2, 2, [10])
+        )
+
+
+def test_gif_frames_real_and_dispatch(spark, docs):
+    """gif_frames_real over the animated corpus: n_frames = 2 + d%3
+    rows per doc, frame_ts = frame_idx * delay/100 (constant per-doc
+    delay), channel means equal the closed-form palette formula; and
+    extract_frames(real_decode=True) routes GIF payloads here."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    base = docs.limit(5)
+    table = multimodal.gif_table_animated(base)
+    out = multimodal.gif_frames_real(table).collect()
+    by_key = {(r.doc_id, r.frame_idx): r for r in out}
+    metas = {r.doc_id: r for r in table.select("doc_id", "width", "height", "n_frames").collect()}
+    assert len(out) == sum(m.n_frames for m in metas.values())
+    for (d, f), r in by_key.items():
+        w, h = 4 + d % 5, 3 + d % 4
+        delay = 10 + d % 5
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.delay_cs == delay
+        assert r.frame_ts == (f * delay) / 100.0
+        i = np.arange(w * h, dtype=np.int64)
+        jj = (d + 17 * f + i) % 256
+        assert r.mean_r == round(float(jj.mean()), 6)
+        assert r.mean_g == round(float(((2 * jj) % 256).mean()), 6)
+        assert r.mean_b == round(float(((3 * jj) % 256).mean()), 6)
+    # the unified extract_frames contract carries [n_pixels, means...]
+    fr = multimodal.extract_frames(table, real_decode=True).collect()
+    assert len(fr) == len(out)
+    some = next(r for r in fr if r.frame_idx == 1)
+    ref = by_key[(some.doc_id, 1)]
+    assert some.frame_features == [
+        float(ref.n_pixels), ref.mean_r, ref.mean_g, ref.mean_b,
+    ]
+    assert some.frame_ts == ref.frame_ts
 
 
 def test_media_frames_real_windowing(spark):

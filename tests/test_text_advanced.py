@@ -423,3 +423,96 @@ def test_bm25_rarer_term_scores_higher(spark):
     )
     out = {r.doc_id: r for r in text.bm25_scores(docs).collect()}
     assert out[6].bm25 > out[1].bm25  # df(spark)=1 < df(query)=5
+
+
+def test_bpe_train_hand_computed_three_rounds(spark):
+    """Corpus 'aaab aaab ab': round 1 merges (a,a) cnt 4 (greedy
+    non-overlap: 'aaab' -> [aa,a,b]); round 2 merges (a,b) cnt 3;
+    round 3 merges (aa,ab) cnt 2; final vocab {aaab:2, ab:1}."""
+    docs = spark.createDataFrame([(1, "aaab aaab ab")], ["doc_id", "text"])
+    merges, _ = text.bpe_train(docs, rounds=3)
+    got = [(r.round, r.p1, r.p2, r.merged, r.n_occurrences)
+           for r in sorted(merges.collect(), key=lambda r: r.round)]
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+    vocab = {(r.sym): (r.n_occurrences, r.rank)
+             for r in text.bpe_vocab(docs, rounds=3, k=10).collect()}
+    assert vocab == {"aaab": (2, 1), "ab": (1, 2)}
+
+
+def test_bpe_greedy_non_overlap(spark):
+    """'aaa' + (a,a) -> [aa, a]; 'aaaa' -> [aa, aa] — the even-offset
+    run rule equals greedy left-to-right non-overlapping merging."""
+    docs = spark.createDataFrame([(1, "aaa aaaa")], ["doc_id", "text"])
+    _, syms = text.bpe_train(docs, rounds=1)
+    by_word = {}
+    for r in syms.collect():
+        by_word.setdefault(r.w, []).append((r.pos, r.sym))
+    assert [s for _, s in sorted(by_word["aaa"])] == ["aa", "a"]
+    assert [s for _, s in sorted(by_word["aaaa"])] == ["aa", "aa"]
+
+
+def _reference_bpe(word_freq, rounds):
+    """Independent plain-Python BPE trainer (the classic list-walk
+    formulation) with the engine's tie-break: (count DESC, p1, p2)."""
+    state = {tuple(w): n for w, n in word_freq.items()}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for syms, n in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + n
+        if not counts:
+            break
+        (p1, p2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((p1, p2, cnt))
+        new_state = {}
+        for syms, n in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] = n
+        state = new_state
+    return merges, state
+
+
+def test_bpe_train_matches_reference_random(spark):
+    """Property pin: the window formulation equals the classic greedy
+    list-walk BPE on a randomized corpus (fixed seed), 4 rounds."""
+    import random
+
+    rng = random.Random(8)
+    words_pool = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(2, 7)))
+        for _ in range(30)
+    ]
+    corpus = " ".join(rng.choice(words_pool) for _ in range(200))
+    docs = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges, syms = text.bpe_train(docs, rounds=4)
+    got = [(r.p1, r.p2, r.n_occurrences)
+           for r in sorted(merges.collect(), key=lambda r: r.round)]
+
+    freq = {}
+    for w in corpus.split():
+        if len(w) >= 2:
+            freq[w] = freq.get(w, 0) + 1
+    want_merges, want_state = _reference_bpe(freq, 4)
+    assert got == want_merges
+    got_state = {}
+    for r in syms.collect():
+        got_state.setdefault(r.w, {})[r.pos] = r.sym
+    got_tuples = {
+        w: tuple(s for _, s in sorted(poss.items()))
+        for w, poss in got_state.items()
+    }
+    assert got_tuples == {"".join(k): k for k in want_state}
