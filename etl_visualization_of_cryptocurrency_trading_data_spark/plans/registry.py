@@ -3147,6 +3147,21 @@ def q_plan_audit(spark, sf_dir):
     return audit_plans(spark, {n: QUERIES[n](spark, sf_dir) for n in names})
 
 
+def q_plan_audit_skew(spark, sf_dir):
+    """Native AQE skew-join split as a driver-hash row (plans.audit.
+    aqe_skew_probe — r7 verdict stretch #8, the runtime twin of
+    salted_join_skew's manual salting): a deliberately skewed SMJ on
+    a FIXED synthetic input runs twice, skewJoin on/off; the row pins
+    that the adaptive FINAL plan really split the straggler partition
+    (skew=true + AQEShuffleRead) exactly when enabled, and that both
+    modes return bit-identical aggregates. Probe-scoped configs are
+    pinned and restored, so the row is invariant to session config
+    and to ``sf_dir`` (unused — the probe must not scale with sf)."""
+    from .audit import aqe_skew_probe
+
+    return aqe_skew_probe(spark)
+
+
 def q_media_features_auto(spark, sf_dir):
     """GENERIC real decode (multimodal.media_features_auto): a MIXED
     six-format media corpus — each document's payload synthesized as
@@ -3713,6 +3728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round 8 registrations ----
     "media_frames_gif": q_media_frames_gif,
     "bpe_vocab_k": q_bpe_vocab_k,
+    "plan_audit_skew": q_plan_audit_skew,
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -5083,6 +5099,14 @@ FROM dd GROUP BY coin_id, exchange""",
     # pinned (identical tuned/vanilla, sf-independent); a planner or
     # plan regression = hash mismatch. Re-pin DELIBERATELY (with the
     # new measurement) if Spark is upgraded or a plan is re-designed.
+    # AQE skew probe: fixed synthetic input, so the whole row --
+    # results AND adaptive-plan booleans -- is a literal contract
+    "plan_audit_skew": """
+SELECT * FROM (VALUES
+  ('skew_on',  100000::BIGINT, 3200000::BIGINT, 999900000::BIGINT, TRUE, TRUE,  TRUE),
+  ('skew_off', 100000::BIGINT, 3200000::BIGINT, 999900000::BIGINT, TRUE, FALSE, FALSE)
+) AS t(mode, n_rows, pad_chars, tag_sum, smj_in_final, skew_split_applied,
+       aqe_shuffle_reads)""",
     "plan_audit": """
 SELECT * FROM (VALUES
   ('coin_table', 6, 3, 3, 0, 6),

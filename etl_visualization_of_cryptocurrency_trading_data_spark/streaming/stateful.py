@@ -33,6 +33,7 @@ import math
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -147,22 +148,30 @@ def _drawdown_func(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
         return
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
     pdf = pdf.sort_values(["timestamp", "event_id"])
-    rows = []
-    for ts, eid, price in zip(pdf["timestamp"], pdf["event_id"], pdf["price"]):
-        p = float(price)
-        if peak is None or p > peak:
-            peak = p
-        n += 1
-        rows.append(
-            (coin_id, exchange, ts, int(eid), p, peak, p / peak - 1.0, n)
-        )
-    state.update((peak, n))
+    # Vectorized state update (r7 verdict item #7 — the per-key Python
+    # loop dominated wide-batch cost): np.maximum.accumulate performs
+    # the SAME pairwise comparisons as the sequential peak carry, and
+    # folding the carried peak in with one np.maximum equals carrying
+    # it forward row by row, so every output double is bit-identical
+    # to the loop form (pinned by the replay's driver hash and the
+    # exact 1-wave-vs-4-wave pytest equality).
+    prices = pdf["price"].to_numpy(dtype=np.float64)
+    peaks = np.maximum.accumulate(prices)
+    if peak is not None:
+        peaks = np.maximum(peaks, peak)
+    ticks = n + np.arange(1, prices.size + 1, dtype=np.int64)
+    state.update((float(peaks[-1]), int(ticks[-1])))
     yield pd.DataFrame(
-        rows,
-        columns=[
-            "coin_id", "exchange", "timestamp", "event_id",
-            "price", "running_peak", "drawdown", "tick_n",
-        ],
+        {
+            "coin_id": coin_id,
+            "exchange": exchange,
+            "timestamp": pdf["timestamp"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+            "price": prices,
+            "running_peak": peaks,
+            "drawdown": prices / peaks - 1.0,
+            "tick_n": ticks,
+        }
     )
 
 

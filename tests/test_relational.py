@@ -887,3 +887,20 @@ def test_large_volume_customers_broadcasts_filtered_aggregate(spark):
     omap = dict(zip(op["o_orderkey"], op["o_custkey"]))
     for k, (ck, tq) in got.items():
         assert ck == omap[k] and tq == agg[k]
+
+
+def test_aqe_skew_probe_contract(spark):
+    """The adaptive skew-join probe: final plan splits the straggler
+    partition exactly when skewJoin is enabled, results identical in
+    both modes, and session configs are restored afterwards."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.audit import aqe_skew_probe
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = {r.mode: r for r in aqe_skew_probe(spark).collect()}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    on, off = rows["skew_on"], rows["skew_off"]
+    assert on.skew_split_applied and on.aqe_shuffle_reads and on.smj_in_final
+    assert not off.skew_split_applied and not off.aqe_shuffle_reads
+    for c in ["n_rows", "pad_chars", "tag_sum"]:
+        assert getattr(on, c) == getattr(off, c)
+    assert on.n_rows == 100_000

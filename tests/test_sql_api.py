@@ -511,6 +511,10 @@ def test_no_driver_side_materialization_in_operator_paths():
         # reads (3) — all 1-row aggregates
         ("streaming/pipeline.py", "collect"): 7,
         ("operators/similarity.py", "toPandas"): 1,  # lazy-probe hatch
+        # AQE skew probe: one 1-row global-aggregate read per mode —
+        # the probe must EXECUTE eagerly to read the final adaptive
+        # plan (documented driver boundary in aqe_skew_probe)
+        ("plans/audit.py", "collect"): 1,
     }
     found: dict[tuple[str, str], int] = {}
     for root, _, files in os.walk(pkg):
