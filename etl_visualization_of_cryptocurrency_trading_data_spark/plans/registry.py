@@ -3458,7 +3458,7 @@ def q_fuzzy_match_blocked(spark, sf_dir):
     )
 
 
-# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R7_WINDOW);
+# tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R8_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # ROUND-7 ROTATION EXECUTED (registry = 158 queries, window = first 50):
 # 12 new registrations (semantic_dedup_trained, recovery_stream_replay,
@@ -3489,7 +3489,22 @@ def q_fuzzy_match_blocked(spark, sf_dir):
 # New registrations hit the ~12 cap exactly (12 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
 # older than r5 except the ten yielded entries (r4).
-# Round-8 rotation guidance: front-load (a) anything r8 adds or
+# ROUND-8 ROTATION EXECUTED per the guidance below — see the
+# _R8_WINDOW_FRONT reorder after the QUERIES literal (and PINNING.md
+# for the per-query evidence map). Round-9 rotation guidance:
+# front-load (a) anything r9 adds or re-plans, (b) the remaining
+# ~30 r5-row entries not covered by the r8 window (dup_rate_by_source,
+# coin_volume_percentile, volume_grouping_sets, knn_recall, url_dedup,
+# media_decode_ppm, vwap_stream_replay, span_dedup, gopher_rules,
+# media_decode_wav, mixture_sample, knn_pq, curation_pipeline_v2,
+# price_resample_1h, knn_pq_recall, session_stream_replay,
+# coin_pagerank, price_anomalies, forecast_backtest, bpe_merges,
+# jsonl_roundtrip, volume_profile, bollinger_bands, max_drawdown, obv,
+# knn_brute_vectorized, active_coins_semi, momentum_ranks,
+# knn_lsh_multiprobe, ...), oldest first, then (c) the ten r4-yield
+# entries rotated through r8 only if their r8 rows aged out.
+# The original r7-written guidance (kept for history):
+# front-load (a) anything r8 adds or
 # re-plans, (b) the nine yielded r4-row entries (stochastic/donchian/
 # ichimoku/rolling_beta/cross_exchange_spread/documents_profile/
 # close_pivot/vwap_hourly/ohlc_chart/envelope_mcap — the only
@@ -3510,10 +3525,13 @@ def q_fuzzy_match_blocked(spark, sf_dir):
 # bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
 # active_coins_semi, momentum_ranks, knn_lsh_multiprobe...), oldest
 # first; the ~48 r6-row and ~45 r7-row entries can wait.
-# Update EXPECTED_R7_WINDOW in test_sql_api.py in the same commit as any
-# window change (rename it EXPECTED_R8_WINDOW).
+# Update EXPECTED_R8_WINDOW in test_sql_api.py in the same commit as any
+# window change (rename it EXPECTED_R9_WINDOW next rotation).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- ROUND-7 DRIVER WINDOW (first 50; pinned by
+    # ---- literal order = REGISTRATION history. Since r8 the driver
+    # window is applied by the _R8_WINDOW_FRONT reorder after this
+    # dict; the section comments below record each round's additions.
+    # ---- ROUND-7 DRIVER WINDOW (was first 50; pinned then by
     # tests/test_sql_api.py::EXPECTED_R7_WINDOW) ----
     # new this round (12): trained-index SemDeDup, exactly-once
     # recovery replay, late-data-drop replay, BMP + GIF + JPEG
@@ -3729,6 +3747,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames_gif": q_media_frames_gif,
     "bpe_vocab_k": q_bpe_vocab_k,
     "plan_audit_skew": q_plan_audit_skew,
+}
+
+# ---- ROUND-8 DRIVER WINDOW (applied below; pinned by
+# tests/test_sql_api.py::EXPECTED_R8_WINDOW) ----
+# The dict literal above preserves REGISTRATION history; the driver's
+# 50-slot correctness window is applied by reordering here, per the
+# r7 rotation note: (a) the 3 r8 registrations (media_frames_gif,
+# bpe_vocab_k, plan_audit_skew) plus the re-verified drawdown replay
+# (its state loop was vectorized this round — in the 17 below);
+# (b) the 17 mid-r7 registrations that have never had a driver row;
+# (c) the ten r4-row yielded entries (the oldest driver evidence
+# left); (d) the 20 oldest r5-row entries, in the rotation note's
+# order. After the r8 driver run: no registered query's newest driver
+# row will predate r5, and the never-driver-checked backlog is zero.
+_R8_WINDOW_FRONT = [
+    # (a) new this round
+    "media_frames_gif",
+    "bpe_vocab_k",
+    "plan_audit_skew",
+    # (b) mid-r7 registrations awaiting their first driver row
+    "bm25_scores",
+    "dsir_weights",
+    "media_features_auto",
+    "media_frames_real",
+    "hybrid_retrieval_rrf",
+    "fuzzy_match_blocked",
+    "pca_top_component",
+    "pca_residual",
+    "dup_clusters_star",
+    "drawdown_stream_replay",
+    "spread_outer_stream_replay",
+    "knn_ivf_append",
+    "media_decode_jpeg_color",
+    "large_volume_customers",
+    "quality_auc",
+    "host_cap",
+    "quality_survivors",
+    # (c) the ten r4-row yields
+    "envelope_mcap",
+    "ohlc_chart",
+    "vwap_hourly",
+    "close_pivot",
+    "documents_profile",
+    "cross_exchange_spread",
+    "rolling_beta",
+    "stochastic",
+    "donchian",
+    "ichimoku",
+    # (d) the 20 oldest r5-row entries
+    "activity_reconciliation",
+    "event_props_variant",
+    "keltner_channels",
+    "candlestick_patterns",
+    "vocab_coverage",
+    "scd2_volume_tiers",
+    "knn_ivf_pq",
+    "csv_roundtrip",
+    "heikin_ashi",
+    "funnel_conversion",
+    "lead_lag_corr",
+    "rolling_sharpe",
+    "market_regime",
+    "corpus_quality_report",
+    "pricing_summary",
+    "rolling_active_coins",
+    "shipping_priority",
+    "knn_ivf_pq_recall",
+    "exchange_hll_rollup",
+    "ohlc_stream_replay",
+]
+assert len(_R8_WINDOW_FRONT) == 50 and len(set(_R8_WINDOW_FRONT)) == 50
+assert set(_R8_WINDOW_FRONT) <= set(QUERIES), sorted(
+    set(_R8_WINDOW_FRONT) - set(QUERIES)
+)
+QUERIES = {
+    k: QUERIES[k]
+    for k in _R8_WINDOW_FRONT + [k for k in QUERIES if k not in _R8_WINDOW_FRONT]
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom

@@ -227,65 +227,64 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # round. This list IS the round-7 window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R7_WINDOW = [
-    # new this round: trained SemDeDup; recovery + late-drop +
-    # enrichment streaming replays; BMP/GIF/JPEG real-decode rows;
-    # real pixel resize; bloom-prefiltered incremental dedup;
-    # Z-order profile; CMS frequency sketch; production-shape IVF
-    "semantic_dedup_trained",
-    "recovery_stream_replay",
-    "media_decode_bmp",
-    "media_decode_gif",
-    "media_decode_jpeg",
-    "media_resize",
-    "incremental_dedup_bloom",
-    "zorder_profile",
-    "cms_frequencies",
-    "enrich_stream_replay",
-    "late_drop_stream_replay",
-    "knn_ivf_full_fixed",
-    # re-planned this round (planted probe twins; binding edge cap)
-    "knn_lsh_planes8",
-    "exchange_influencers",
-    # the r4-stale evidence set (36 of 46; the ten yields are
-    # listed in the registry rotation note with their pinning
-    # evidence)
-    "trading_sessions",
-    "session_range_join",
-    "market_cap_chart",
-    "knn_ivf_trained",
-    "volume_cube",
-    "exchange_cardinality_approx",
-    "atr_14",
-    "price_chart",
-    "indicator_chart",
-    "coin_display",
-    "quality_score",
-    "token_counts",
-    "lang_id",
-    "doc_fingerprint",
-    "bigram_logprob",
-    "doc_length_quantiles",
-    "top_terms",
-    "redact_pii",
-    "dataset_split",
-    "deterministic_sample",
-    "stratified_sample",
-    "pack_chunks",
-    "media_metadata",
-    "frame_schedule",
-    "coins_dim",
-    "price_data",
-    "ohlc_candles",
-    "technical_indicators",
-    "coin_market_cap",
-    "coin_table",
-    "envelope_price",
-    "envelope_coins",
-    "envelope_ohlc",
-    "coin_indicators_left",
-    "volume_rollup",
-    "text_stats",
+EXPECTED_R8_WINDOW = [
+    # (a) new this round: animated-GIF frame extraction, K-round BPE
+    # training, native AQE skew-join probe
+    "media_frames_gif",
+    "bpe_vocab_k",
+    "plan_audit_skew",
+    # (b) the 17 mid-r7 registrations awaiting their first driver row
+    # (drawdown_stream_replay also re-verified after the r8 numpy
+    # vectorization of its state loop)
+    "bm25_scores",
+    "dsir_weights",
+    "media_features_auto",
+    "media_frames_real",
+    "hybrid_retrieval_rrf",
+    "fuzzy_match_blocked",
+    "pca_top_component",
+    "pca_residual",
+    "dup_clusters_star",
+    "drawdown_stream_replay",
+    "spread_outer_stream_replay",
+    "knn_ivf_append",
+    "media_decode_jpeg_color",
+    "large_volume_customers",
+    "quality_auc",
+    "host_cap",
+    "quality_survivors",
+    # (c) the ten r4-row yields (oldest driver evidence left)
+    "envelope_mcap",
+    "ohlc_chart",
+    "vwap_hourly",
+    "close_pivot",
+    "documents_profile",
+    "cross_exchange_spread",
+    "rolling_beta",
+    "stochastic",
+    "donchian",
+    "ichimoku",
+    # (d) the 20 oldest r5-row entries
+    "activity_reconciliation",
+    "event_props_variant",
+    "keltner_channels",
+    "candlestick_patterns",
+    "vocab_coverage",
+    "scd2_volume_tiers",
+    "knn_ivf_pq",
+    "csv_roundtrip",
+    "heikin_ashi",
+    "funnel_conversion",
+    "lead_lag_corr",
+    "rolling_sharpe",
+    "market_regime",
+    "corpus_quality_report",
+    "pricing_summary",
+    "rolling_active_coins",
+    "shipping_priority",
+    "knn_ivf_pq_recall",
+    "exchange_hll_rollup",
+    "ohlc_stream_replay",
 ]
 
 
@@ -314,8 +313,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R7_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R7_WINDOW
+    assert len(EXPECTED_R8_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R8_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
