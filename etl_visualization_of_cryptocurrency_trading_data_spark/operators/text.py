@@ -576,6 +576,39 @@ def bpe_vocab(
     )
 
 
+def bpe_encode_counts(
+    documents: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Tokenizer APPLICATION — the serving side of [[bpe_train]]: count
+    each document's tokens under the K-round trained BPE vocabulary.
+    Because BPE merges apply per WORD, encoding reduces to one
+    vocabulary-sized lookup table (word → post-merge symbol count)
+    LEFT-joined onto the corpus word stream; words shorter than the
+    training floor (length < 2) stay single tokens. This is the
+    100 TB shape of trained-tokenizer accounting: the corpus pays one
+    tokenize+explode pass and one broadcast-sized join — training cost
+    is vocabulary-bound and amortized, exactly like a shipped
+    tokenizer's merge table.
+
+    Output: (doc_id, n_words, n_tokens_bpe). n_tokens_bpe strictly
+    decreases (weakly) as rounds grow — each merge can only shrink a
+    word's symbol count — which pytest pins as the training-progress
+    contract."""
+    _, syms = bpe_train(documents, rounds=rounds)
+    per_word = syms.groupBy("w").agg(F.count("*").alias("toks"))
+    docw = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    )
+    return (
+        docw.join(F.broadcast(per_word), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(1))).alias("n_tokens_bpe"),
+        )
+    )
+
+
 def vocab_coverage(documents: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000)) -> DataFrame:
     """Vocabulary coverage curve — for each candidate vocabulary size k,
     the fraction of all corpus token occurrences covered by the k most

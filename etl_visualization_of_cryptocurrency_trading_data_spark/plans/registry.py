@@ -2202,6 +2202,31 @@ SELECT sym, n_occurrences, rank FROM (
     )
 
 
+def _bpe_encode_sql(rounds: int = 3) -> str:
+    """Oracle for [[q_bpe_encode]]: reuse the K-round training CTE
+    chain (everything up to the final SELECT of [[_bpe_sql]]), then
+    encode = per-word post-merge symbol counts LEFT-joined onto the
+    corpus word stream (words below the length-2 training floor stay
+    single tokens)."""
+    train = _bpe_sql(rounds=rounds)
+    ctes = train[: train.rindex("\nSELECT sym, n_occurrences, rank")]
+    return (
+        ctes
+        + f""",
+per_word AS (SELECT w, count(*) AS toks FROM s{rounds} GROUP BY w),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(coalesce(toks, 1))::BIGINT AS n_tokens_bpe
+FROM docw LEFT JOIN per_word USING (w)
+GROUP BY doc_id"""
+    )
+
+
 def _pagerank_ctes(cap: int = 2000) -> str:
     """Edge build + 3 integer-fixed-point PageRank rounds as CTEs;
     ``cap`` is graph.cooccurrence_edges' ``max_per_bucket`` guard —
@@ -2812,6 +2837,17 @@ def q_bpe_vocab_k(spark, sf_dir):
     Per-round eager localCheckpoint truncates the doubling lineage
     (the star-CC lesson). Output: top-40 post-training vocabulary."""
     return text.bpe_vocab(_documents(spark, sf_dir), rounds=3, k=40)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Trained-tokenizer APPLICATION (text.bpe_encode_counts): per-doc
+    token counts under the 3-round BPE vocabulary of [[q_bpe_vocab_k]]
+    — the serving path a shipped tokenizer runs. The corpus pays one
+    tokenize pass + one broadcast vocabulary join; n_tokens_bpe weakly
+    decreases as rounds grow (pytest pins the progress contract).
+    Oracle reuses the training CTE chain verbatim plus the same
+    LEFT-join/coalesce encode step."""
+    return text.bpe_encode_counts(_documents(spark, sf_dir), rounds=3)
 
 
 def q_price_anomalies(spark, sf_dir):
@@ -3747,6 +3783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames_gif": q_media_frames_gif,
     "bpe_vocab_k": q_bpe_vocab_k,
     "plan_audit_skew": q_plan_audit_skew,
+    "bpe_encode": q_bpe_encode,
 }
 
 # ---- ROUND-8 DRIVER WINDOW (applied below; pinned by
@@ -3765,6 +3802,7 @@ _R8_WINDOW_FRONT = [
     # (a) new this round
     "media_frames_gif",
     "bpe_vocab_k",
+    "bpe_encode",
     "plan_audit_skew",
     # (b) mid-r7 registrations awaiting their first driver row
     "bm25_scores",
@@ -3815,7 +3853,6 @@ _R8_WINDOW_FRONT = [
     "shipping_priority",
     "knn_ivf_pq_recall",
     "exchange_hll_rollup",
-    "ohlc_stream_replay",
 ]
 assert len(_R8_WINDOW_FRONT) == 50 and len(set(_R8_WINDOW_FRONT)) == 50
 assert set(_R8_WINDOW_FRONT) <= set(QUERIES), sorted(
@@ -5935,6 +5972,7 @@ SELECT coin_id, exchange, bin,
 FROM binned GROUP BY coin_id, exchange, bin""",
 
     "bpe_vocab_k": _bpe_sql(rounds=3, k=40),
+    "bpe_encode": _bpe_encode_sql(rounds=3),
     "bpe_merges": r"""
 WITH wf AS (
   SELECT w, count(*) AS n FROM (

@@ -232,6 +232,7 @@ EXPECTED_R8_WINDOW = [
     # training, native AQE skew-join probe
     "media_frames_gif",
     "bpe_vocab_k",
+    "bpe_encode",
     "plan_audit_skew",
     # (b) the 17 mid-r7 registrations awaiting their first driver row
     # (drawdown_stream_replay also re-verified after the r8 numpy
@@ -284,7 +285,6 @@ EXPECTED_R8_WINDOW = [
     "shipping_priority",
     "knn_ivf_pq_recall",
     "exchange_hll_rollup",
-    "ohlc_stream_replay",
 ]
 
 

@@ -516,3 +516,21 @@ def test_bpe_train_matches_reference_random(spark):
         for w, poss in got_state.items()
     }
     assert got_tuples == {"".join(k): k for k in want_state}
+
+
+def test_bpe_encode_counts_progress_contract(spark):
+    """Token counts under the trained tokenizer: exact on the hand
+    fixture, and weakly DECREASING in training rounds (each merge can
+    only shrink a word's symbol count)."""
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "a aaab")], ["doc_id", "text"]
+    )
+    # rounds=3 on doc 1: aaab -> 1 token (x2), ab -> 1 => 3 tokens
+    # doc 2: 'a' is below the length-2 floor -> 1 token; aaab -> 1
+    out3 = {r.doc_id: r for r in text.bpe_encode_counts(docs, rounds=3).collect()}
+    assert (out3[1].n_words, out3[1].n_tokens_bpe) == (3, 3)
+    assert (out3[2].n_words, out3[2].n_tokens_bpe) == (2, 2)
+    # rounds=0-equivalent baseline: characters (via rounds=1 vs 3)
+    out1 = {r.doc_id: r for r in text.bpe_encode_counts(docs, rounds=1).collect()}
+    for d in (1, 2):
+        assert out1[d].n_tokens_bpe >= out3[d].n_tokens_bpe
