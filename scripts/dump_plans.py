@@ -78,6 +78,9 @@ SHOWCASE = [
     "media_decode_png",      # synth + real zlib decode, two map stages
     "salted_join_skew",      # hot key spread across 8 salted partitions
     "incremental_dedup",     # fp groupBy + LEFT ANTI vs seen fingerprints
+    "media_frames_gif",      # animated-GIF frame fan-out, pure map chain
+    "bpe_vocab_k",           # 3 window-only merge rounds on the vocab table
+    "bpe_encode",            # trained-tokenizer encode: broadcast vocab join
     "bm25_scores",           # match-filter before shuffle, df term window
     "dsir_weights",          # bucket windows on one exchange, totals bcast
     "media_features_auto",   # sniff-dispatch mapInPandas, no shuffle
