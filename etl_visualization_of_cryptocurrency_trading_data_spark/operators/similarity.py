@@ -644,6 +644,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     n_clusters: int = 32,
     centroids: DataFrame | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus onto a FIXED-SIZE
@@ -724,6 +725,28 @@ def semantic_dedup(
         # blocks are left to Spark's LRU eviction.
         .persist()
     )
+    if max_cluster is not None:
+        # Per-cluster member cap (r8, measured motivation): at sf10 the
+        # TRAINED C=320 route still serialized on ONE straggler task —
+        # this fixture's embedding distribution has a dominant mode, so
+        # "refined centroids balance the lists" fails exactly where it
+        # matters and |c_max|^2 owns the wall clock. The production
+        # posture is the repo's established guard family (ngram max_df,
+        # coin_pagerank_capped top-K, corpus.host_cap): clusters larger
+        # than the cap participate via their top-max_cluster members by
+        # deterministic md5 priority — WindowGroupLimit keeps cap+1
+        # rows per map task, the priority is cap-independent (raising
+        # the cap is a superset), and the documented tradeoff is the
+        # same recall trade SemDeDup already makes at the cluster
+        # boundary: pairs among the dropped tail are not examined.
+        cw = Window.partitionBy("cent_id").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+        )
+        assigned = (
+            assigned.withColumn("_crk", F.row_number().over(cw))
+            .filter(F.col("_crk") <= max_cluster)
+            .drop("_crk")
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(

@@ -3127,6 +3127,36 @@ def q_semantic_dedup_trained(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_capped(spark, sf_dir):
+    """The CLUSTER-SKEW-safe SemDeDup registration (r8, measured
+    motivation): at sf10 the trained route's within-cluster pair join
+    serialized on ONE straggler task in BOTH the C=32 (>25 min,
+    truncated) and C=320 (>20 min, truncated) configurations — this
+    fixture's embedding distribution has a dominant mode, so the
+    "refined centroids balance the lists" premise fails exactly where
+    it matters and |c_max|² owns the wall clock. Same trained index
+    and planted-twin corpus as semantic_dedup_trained, plus the
+    max_cluster=12 deterministic member cap (BINDS at sf0.01, where
+    trained clusters run up to 25 members — the capped output DIFFERS
+    from the uncapped form, so the hash genuinely covers the guard): md5-priority WindowGroupLimit top-K per cluster —
+    the ngram max_df / coin_pagerank_capped / host_cap guard family —
+    bounds pair candidates to C·cap² regardless of skew. The driver
+    hash pins the guard's exact semantics (priority, tie-break,
+    superset-on-raise); measured at sf10: the capped form runs in
+    assignment-bound time where both uncapped forms were truncated
+    (NOTES_r08 §10)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    cents = similarity.kmeans_centroids(emb, iters=2, centroid_limit=32)
+    return similarity.semantic_dedup(
+        emb.unionByName(twins), threshold=0.9, centroids=cents, max_cluster=12
+    )
+
+
 def q_coin_pagerank_capped(spark, sf_dir):
     """The SCALE-SAFE PageRank registration: identical iteration to
     coin_pagerank, but the co-occurrence edge build runs with a
@@ -3784,6 +3814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_vocab_k": q_bpe_vocab_k,
     "plan_audit_skew": q_plan_audit_skew,
     "bpe_encode": q_bpe_encode,
+    "semantic_dedup_capped": q_semantic_dedup_capped,
 }
 
 # ---- ROUND-8 DRIVER WINDOW (applied below; pinned by
@@ -3852,7 +3883,7 @@ _R8_WINDOW_FRONT = [
     "rolling_active_coins",
     "shipping_priority",
     "knn_ivf_pq_recall",
-    "exchange_hll_rollup",
+    "semantic_dedup_capped",
 ]
 assert len(_R8_WINDOW_FRONT) == 50 and len(set(_R8_WINDOW_FRONT)) == 50
 assert set(_R8_WINDOW_FRONT) <= set(QUERIES), sorted(
@@ -4441,6 +4472,54 @@ sd_pairs AS (
          list_dot_product(a.emb, b.emb)
          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
   FROM sd_assigned a JOIN sd_assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+sd_dups AS (SELECT * FROM sd_pairs WHERE cosine >= 0.9),
+sd_first AS (
+  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM sd_dups
+)
+SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
+FROM sd_first WHERE rn = 1""",
+    # capped SemDeDup: identical chain + the md5-priority top-64
+    # member cap per cluster (the guard the r8 sf10 straggler
+    # measurement motivated)
+    "semantic_dedup_capped": f"""
+WITH {_kmeans_ctes("vec_id < 32")},
+corpus_raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+corpus AS (
+  SELECT vec_id, emb FROM corpus_raw
+  WHERE sqrt(list_dot_product(emb, emb)) > 0
+),
+cents AS (SELECT cent_id, cent AS cent_emb FROM c2),
+sd_scored AS (
+  SELECT c.vec_id, c.emb, k.cent_id,
+         list_dot_product(c.emb, k.cent_emb)
+         / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(k.cent_emb, k.cent_emb))) AS cent_cos
+  FROM corpus c CROSS JOIN cents k
+),
+sd_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM sd_scored
+),
+sd_assigned AS (SELECT vec_id, emb, cent_id FROM sd_ranked WHERE crank = 1),
+sd_capped AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cent_id
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+    FROM sd_assigned) WHERE crk <= 12
+),
+sd_pairs AS (
+  SELECT a.cent_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM sd_capped a JOIN sd_capped b
     ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 ),
 sd_dups AS (SELECT * FROM sd_pairs WHERE cosine >= 0.9),

@@ -2096,3 +2096,53 @@ def test_connected_components_star_property_vs_union_find(spark, edges):
         for r in dedup.connected_components_star(df).collect()
     }
     assert got == expect
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    """The r8 cluster-skew cap: deterministic md5-priority top-K per
+    cluster. Pins (a) the cap binds (capped output is a strict subset
+    relationship vs uncapped on a skewed fixture), (b) raising the cap
+    is a superset (priority is cap-independent), (c) planted twins
+    that both survive the cap are still caught."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import similarity
+
+    rng = np.random.RandomState(8)
+    # one dominant mode: 60 vectors near a single direction (one hot
+    # cluster under any index), plus 20 scattered
+    hot = rng.normal(0, 0.01, (60, 8)) + np.array([1.0] * 8)
+    cold = rng.normal(0, 1.0, (20, 8))
+    vecs = np.vstack([hot, cold])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    # plant exact twins of vectors 0 and 1
+    rows += [(1000, rows[0][1]), (1001, rows[1][1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # a 2-centroid index puts the whole hot mode in ONE cluster (the
+    # default vec_id<32 seed rule would scatter it across 32 near-
+    # identical seed centroids and no cluster would exceed the cap)
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0, -1.0] * 4)],
+        "cent_id long, cent array<double>",
+    )
+    uncapped = similarity.semantic_dedup(emb, threshold=0.99, centroids=cents)
+    capped16 = similarity.semantic_dedup(
+        emb, threshold=0.99, centroids=cents, max_cluster=16)
+    capped32 = similarity.semantic_dedup(
+        emb, threshold=0.99, centroids=cents, max_cluster=32)
+    # compare DROP SETS (vec_ids): under a cap a vec's smallest
+    # surviving duplicate may be a larger id than uncapped, so the
+    # (vec_id, dup_of) tuples legitimately differ — the monotone
+    # property is over which vecs get dropped at all
+    u = {r.vec_id for r in uncapped.collect()}
+    c16 = {r.vec_id for r in capped16.collect()}
+    c32 = {r.vec_id for r in capped32.collect()}
+    assert c16 < u, "cap=16 must bind on the 60-member hot cluster"
+    assert c16 <= c32 <= u, "raising the cap must be a superset"
+    # planted exact twins: under the uncapped run both twins are
+    # caught; under any cap a caught twin's dup_of must be a smaller
+    # id (the smallest SURVIVING duplicate)
+    assert {1000, 1001} <= u
+    for r in capped32.collect():
+        assert r.dup_of < r.vec_id

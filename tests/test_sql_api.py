@@ -284,7 +284,7 @@ EXPECTED_R8_WINDOW = [
     "rolling_active_coins",
     "shipping_priority",
     "knn_ivf_pq_recall",
-    "exchange_hll_rollup",
+    "semantic_dedup_capped",
 ]
 
 
