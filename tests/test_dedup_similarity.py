@@ -2146,3 +2146,26 @@ def test_semantic_dedup_max_cluster_guard(spark):
     assert {1000, 1001} <= u
     for r in capped32.collect():
         assert r.dup_of < r.vec_id
+
+
+def test_parse_gif_frames_agrees_with_single_frame_parser(spark, docs):
+    """Cross-parser pin: gif_table's single-frame payloads (no
+    graphics-control extension at all) decode through the ANIMATED
+    walk to exactly one frame with delay 0, pixel-equal to
+    _parse_gif's output."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    payloads = (
+        multimodal.gif_table(docs.limit(4)).select("payload").collect()
+    )
+    for r in payloads:
+        buf = bytes(r.payload)
+        w1, h1, px1 = multimodal._parse_gif(buf)
+        sw, sh, frames = multimodal._parse_gif_frames(buf)
+        assert (sw, sh) == (w1, h1)
+        assert len(frames) == 1
+        delay, canvas = frames[0]
+        assert delay == 0
+        np.testing.assert_array_equal(canvas, px1)
