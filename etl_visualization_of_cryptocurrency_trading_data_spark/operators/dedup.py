@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import normalized_text, word_shingles, words
 
@@ -824,6 +825,84 @@ def span_dedup(
                 ),
             ).alias("text_kept"),
         )
+    )
+
+
+def repeated_spans_sliding(
+    documents: DataFrame,
+    span_words: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Alignment-invariant repeated-substring detection — the SLIDING-
+    window form of [[span_dedup]] and the closest distributed analogue
+    of exact-substring dedup (Lee et al. 2022): every OVERLAPPING
+    ``span_words``-word window is counted corpus-wide, windows whose
+    text repeats ``min_count``+ times are flagged, and per document the
+    flagged window STARTS are collapsed into maximal word ranges
+    (gaps-and-islands over consecutive starts). Fixed non-overlapping
+    spans miss a duplicate block whose offset differs between carriers
+    (a header pasted after a 3-word salutation never aligns to the
+    8-word grid); sliding windows catch it at every offset, which is
+    exactly what the suffix-array method buys — without the inherently
+    sequential suffix array.
+
+    Output (one row per maximal repeated range):
+    (doc_id, range_start, range_len_words, n_windows) where
+    range_start is the 0-based word offset, range_len_words =
+    last_start − first_start + span_words, and n_windows the flagged
+    window count inside the range. Downstream cutters remove the
+    ranges; survivors are the complement.
+
+    Scale shape: tokenize + window build are map-side (explode over
+    ``size − span_words + 1`` starts ≈ one row per corpus TOKEN — the
+    honest cost of alignment invariance, a ``span_words``× blow-up
+    over the chunked form; both forms ship because the chunked one is
+    the cheap screen and this one the exact sweep). The corpus-wide
+    count is ONE groupBy on the 8-byte xxhash64 window key with
+    map-side combine; only the DUPLICATED keys join back (the
+    span_dedup broadcast posture); range collapse is one window pass
+    per doc. The hash only correlates identical windows — it never
+    reaches the output — so a 2^-64 collision inflates one count,
+    never corrupts a range.
+    """
+    toks = documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= span_words
+    )
+    n_starts = F.size("ws") - span_words + 1
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("start"),
+        "ws",
+    ).select(
+        "doc_id",
+        "start",
+        F.xxhash64(
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("start") + 1, F.lit(span_words))
+            )
+        ).alias("span_key"),
+    )
+    dup_keys = (
+        wins.groupBy("span_key")
+        .agg(F.count("*").alias("span_df"))
+        .filter(F.col("span_df") >= min_count)
+        .select("span_key")
+    )
+    hits = wins.join(dup_keys, "span_key").select("doc_id", "start")
+    run_w = Window.partitionBy("doc_id").orderBy("start")
+    grouped = hits.withColumn(
+        "grp", F.col("start") - F.row_number().over(run_w)
+    )
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.min("start").alias("range_start"),
+            (F.max("start") - F.min("start") + span_words).alias(
+                "range_len_words"
+            ),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "range_start", "range_len_words", "n_windows")
     )
 
 

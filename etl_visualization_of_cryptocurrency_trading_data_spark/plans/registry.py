@@ -2675,6 +2675,22 @@ def q_span_dedup(spark, sf_dir):
     return dedup.span_dedup(_documents(spark, sf_dir), span_words=8, min_count=2)
 
 
+def q_repeated_spans_sliding(spark, sf_dir):
+    """Alignment-invariant repeated-substring sweep
+    (dedup.repeated_spans_sliding — the SLIDING form of span_dedup,
+    r8): every overlapping 8-word window counted corpus-wide, flagged
+    windows collapsed per doc into maximal word ranges via
+    gaps-and-islands. Catches duplicate blocks at ANY offset (the
+    suffix-array property of Lee et al. 2022), which the chunked form
+    misses whenever the copy is not 8-word aligned — pinned by a
+    planted shifted-copy pytest. Engine correlates windows by
+    xxhash64; the oracle groups by the window text itself — identical
+    counts, and the hash never reaches the output."""
+    return dedup.repeated_spans_sliding(
+        _documents(spark, sf_dir), span_words=8, min_count=2
+    )
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher quality-rule battery (text.gopher_rules): the Rae et al.
     2021 §A.1.1 ruleset as per-rule boolean columns + the conjunction;
@@ -3815,6 +3831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_audit_skew": q_plan_audit_skew,
     "bpe_encode": q_bpe_encode,
     "semantic_dedup_capped": q_semantic_dedup_capped,
+    "repeated_spans_sliding": q_repeated_spans_sliding,
 }
 
 # ---- ROUND-8 DRIVER WINDOW (applied below; pinned by
@@ -4744,6 +4761,30 @@ SELECT doc_id, 6 AS width, 5 AS height, 30::BIGINT AS n_pixels,
        round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
        round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
 FROM px GROUP BY doc_id""",
+    # sliding windows: oracle groups by the window TEXT (the engine's
+    # xxhash64 only correlates); ranges collapse via the same
+    # gaps-and-islands walk
+    "repeated_spans_sliding": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
+wins AS (
+  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
+  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
+),
+dups AS (SELECT span_text FROM wins GROUP BY span_text HAVING count(*) >= 2),
+hits AS (SELECT doc_id, start FROM wins JOIN dups USING (span_text)),
+grouped AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM hits
+)
+SELECT doc_id, min(start)::INT AS range_start,
+       (max(start) - min(start) + 8)::INT AS range_len_words,
+       count(*)::BIGINT AS n_windows
+FROM grouped GROUP BY doc_id, grp""",
     # Engine groups spans by xxhash64(span_text) (8-byte shuffle key);
     # the oracle groups by the text itself — identical counts, and the
     # hash never reaches the output.

@@ -2169,3 +2169,46 @@ def test_parse_gif_frames_agrees_with_single_frame_parser(spark, docs):
         delay, canvas = frames[0]
         assert delay == 0
         np.testing.assert_array_equal(canvas, px1)
+
+
+def test_repeated_spans_sliding_alignment_invariance(spark):
+    """A 10-word block pasted at word offset 0 in doc 1 and offset 3
+    in doc 2: the sliding sweep finds it in BOTH docs as one maximal
+    range (3 overlapping 8-word windows -> range_len 10), while the
+    chunked span_dedup misses the misaligned copy entirely (its
+    8-word grid never isolates the block in doc 2)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    filler1 = " ".join(f"pad{i}" for i in range(8))
+    filler2 = "uno dos tres"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{block} {filler1}"),
+            (2, f"{filler2} {block} " + " ".join(f"tail{i}" for i in range(8))),
+        ],
+        ["doc_id", "text"],
+    )
+    ranges = {
+        r.doc_id: r
+        for r in dedup.repeated_spans_sliding(docs, span_words=8).collect()
+    }
+    assert set(ranges) == {1, 2}
+    assert (ranges[1].range_start, ranges[1].range_len_words) == (0, 10)
+    assert (ranges[2].range_start, ranges[2].range_len_words) == (3, 10)
+    assert ranges[1].n_windows == ranges[2].n_windows == 3
+    # the chunked form cannot see it: doc 2's grid spans mix block and
+    # filler words, so no span text repeats
+    chunked = dedup.span_dedup(docs, span_words=8, min_count=2).collect()
+    assert all(r.n_kept == r.n_spans for r in chunked)
+
+
+def test_repeated_spans_sliding_no_false_ranges(spark):
+    """All-unique corpus: no window repeats, empty output."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    assert dedup.repeated_spans_sliding(docs, span_words=8).count() == 0
