@@ -3838,14 +3838,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_sql_api.py::EXPECTED_R8_WINDOW) ----
 # The dict literal above preserves REGISTRATION history; the driver's
 # 50-slot correctness window is applied by reordering here, per the
-# r7 rotation note: (a) the 3 r8 registrations (media_frames_gif,
-# bpe_vocab_k, plan_audit_skew) plus the re-verified drawdown replay
-# (its state loop was vectorized this round — in the 17 below);
-# (b) the 17 mid-r7 registrations that have never had a driver row;
-# (c) the ten r4-row yielded entries (the oldest driver evidence
-# left); (d) the 20 oldest r5-row entries, in the rotation note's
-# order. After the r8 driver run: no registered query's newest driver
-# row will predate r5, and the never-driver-checked backlog is zero.
+# r7 rotation note: (a) the 5 r8 registrations (media_frames_gif,
+# bpe_vocab_k, bpe_encode, plan_audit_skew, semantic_dedup_capped)
+# plus the re-verified drawdown replay (its state loop was vectorized
+# this round — in the 17 below); (b) the 17 mid-r7 registrations that
+# have never had a driver row; (c) the ten r4-row yielded entries
+# (the oldest driver evidence left); (d) the 18 oldest r5-row entries
+# in the rotation note's order (ohlc_stream_replay and
+# exchange_hll_rollup yielded their slots to bpe_encode and
+# semantic_dedup_capped; both keep r5 rows and front-load r9, as does
+# the mid-r8 repeated_spans_sliding appended after the window). After
+# the r8 driver run: no registered query's newest driver row will
+# predate r5, and the never-driver-checked backlog is the single
+# documented mid-r8 append.
 _R8_WINDOW_FRONT = [
     # (a) new this round
     "media_frames_gif",
