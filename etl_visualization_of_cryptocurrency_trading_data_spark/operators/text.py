@@ -482,8 +482,24 @@ def _bpe_merge_step(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("sym").alias("p1"), F.col("nxt").alias("p2"), F.col("cnt")
         )
     )
+    # LEFT join on a constant key, not crossJoin: when the pair counts
+    # saturate before the requested rounds (every word already a single
+    # symbol) top1 is EMPTY, and a crossJoin would drop every symbol row
+    # — bpe_vocab would return an empty vocabulary and bpe_encode_counts
+    # would silently coalesce every word to 1 token (ADVICE r8). With
+    # the left join, p1/p2 are NULL, match coalesces to False, and the
+    # round is a no-op — matching the DuckDB oracle, whose scalar
+    # subqueries (SELECT p1 FROM topN) yield NULL on the same state.
     stepped = (
-        with_next.crossJoin(F.broadcast(top1.select("p1", "p2")))
+        with_next.withColumn("_k", F.lit(1))
+        .join(
+            F.broadcast(
+                top1.select("p1", "p2").withColumn("_k", F.lit(1))
+            ),
+            "_k",
+            "left",
+        )
+        .drop("_k")
         .withColumn(
             "match",
             F.coalesce(

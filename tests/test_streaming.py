@@ -895,6 +895,44 @@ def test_drawdown_stateful_cross_batch_peak_carry(spark):
     }
 
 
+def test_drawdown_state_func_ignores_nan_prices(spark):
+    """ADVICE r8 pin: the vectorized state update must keep the loop
+    form's NaN behavior — a NaN price never becomes the running peak
+    (np.fmax ignores NaN; np.maximum would propagate it into every
+    later row's peak). Direct call with a fake GroupState."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.stateful import (
+        _drawdown_func,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    T = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "coin_id": "c1",
+            "exchange": "x",
+            "timestamp": [T + dt.timedelta(minutes=m) for m in range(4)],
+            "event_id": [0, 1, 2, 3],
+            "price": [100.0, float("nan"), 90.0, 120.0],
+        }
+    )
+    state = FakeState()
+    (out,) = list(_drawdown_func(("c1", "x"), iter([pdf]), state))
+    assert list(out["running_peak"]) == [100.0, 100.0, 100.0, 120.0]
+    assert np.isnan(out["drawdown"][1])
+    assert list(out["drawdown"][[0, 2, 3]]) == [0.0, 90.0 / 100.0 - 1.0, 0.0]
+    assert state.value == (120.0, 4)
+
+
 def test_drawdown_replay_batch_boundary_independence(spark, price_df):
     """Replaying the real feed in 1 wave vs 4 waves must be EXACTLY
     identical (not rtol): the operator's arithmetic is comparison /

@@ -443,6 +443,23 @@ def test_bpe_train_hand_computed_three_rounds(spark):
     assert vocab == {"aaab": (2, 1), "ab": (1, 2)}
 
 
+def test_bpe_train_saturation_keeps_vocab(spark):
+    """ADVICE r8 pin: when pair counts saturate BEFORE the requested
+    rounds (every word already one symbol), the extra rounds are
+    no-ops — the symbol table survives (the old crossJoin against an
+    empty top-pair frame dropped every row, returning an empty
+    vocabulary). Corpus 'ab ab': round 1 merges (a,b); rounds 2-3 have
+    no pairs left."""
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    merges, syms = text.bpe_train(docs, rounds=3)
+    got = [(r.round, r.p1, r.p2) for r in merges.collect()]
+    assert got == [(1, "a", "b")]  # saturated rounds add no merge rows
+    assert [(r.w, r.sym) for r in syms.collect()] == [("ab", "ab")]
+    vocab = {r.sym: r.n_occurrences
+             for r in text.bpe_vocab(docs, rounds=3, k=10).collect()}
+    assert vocab == {"ab": 2}
+
+
 def test_bpe_greedy_non_overlap(spark):
     """'aaa' + (a,a) -> [aa, a]; 'aaaa' -> [aa, aa] — the even-offset
     run rule equals greedy left-to-right non-overlapping merging."""
