@@ -1252,17 +1252,125 @@ def gif_table_animated(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, schema)
 
 
+def gif_table_disposal(documents: DataFrame) -> DataFrame:
+    """Deterministic animated GIF89a corpus exercising the GIF
+    features REAL animations use that [[gif_table_animated]] does not:
+    disposal 2 (restore to background), disposal 3 (restore to
+    previous), and transparency — with displayed-canvas channel means
+    still closed-form in SQL (r8 verdict item #4's oracle).
+
+    Per doc d (screen w = 4+d%5, h = 3+d%4, background palette index
+    bg = 7d % 256, constant delay = 10+d%5 cs, the (j, 2j%256, 3j%256)
+    global palette):
+
+    - frame 0: FULL-SCREEN, pixel i -> index (d+i) % 256, disposal 2 —
+      so the whole canvas reverts to bg before frame 1.
+    - frame 1: partial rect at (1,1) size (w-2)x(h-2), pixel r ->
+      index (d+5+r) % 256, TRANSPARENT index (d+5) % 256 (exactly the
+      r=0 pixel — rect size <= 24 < 256 so no other r collides),
+      disposal 3 — displayed canvas is bg everywhere except the rect's
+      r>=1 pixels; before frame 2 the rect reverts to the pre-frame-1
+      content (all bg).
+    - frame 2: top-row rect at (0,0) size (w-1)x1, pixel x -> index
+      (d+9+x) % 256, disposal 0 — displayed canvas is bg except that
+      row.
+
+    Every displayed pixel is a CASE expression over (doc_id, p), so
+    the oracle replays the full composite-dispose-restore walk without
+    decoding. Arrow-batched mapInPandas, pure map.
+    """
+    import struct
+
+    schema = "doc_id long, width int, height int, n_frames int, payload binary"
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j % 256, (2 * j) % 256, (3 * j) % 256], axis=1).astype(
+        np.uint8
+    )
+    gct = palette.tobytes()
+
+    def _frame(
+        left: int, top: int, w: int, h: int, idx: np.ndarray,
+        delay: int, disposal: int, transp: int | None,
+    ) -> bytes:
+        lzw = _gif_lzw_encode(idx.astype(np.uint8).tobytes())
+        blocks = b"".join(
+            bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+            for o in range(0, len(lzw), 255)
+        )
+        gpacked = (disposal << 2) | (1 if transp is not None else 0)
+        return (
+            b"\x21\xf9\x04"
+            + struct.pack("<BHB", gpacked, delay, transp or 0)
+            + b"\x00"
+            + b"\x2c"
+            + struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes([8])
+            + blocks
+            + b"\x00"
+        )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_frames": [],
+                "payload": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                delay, bg = 10 + d % 5, (7 * d) % 256
+                i = np.arange(w * h, dtype=np.int64)
+                r = np.arange((w - 2) * (h - 2), dtype=np.int64)
+                x = np.arange(w - 1, dtype=np.int64)
+                body = (
+                    _frame(0, 0, w, h, (d + i) % 256, delay, 2, None)
+                    + _frame(
+                        1, 1, w - 2, h - 2, (d + 5 + r) % 256,
+                        delay, 3, (d + 5) % 256,
+                    )
+                    + _frame(0, 0, w - 1, 1, (d + 9 + x) % 256, delay, 0, None)
+                )
+                payload = (
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", w, h, 0xF7, bg, 0)
+                    + gct
+                    + body
+                    + b"\x3b"
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(3)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(synth, schema)
+
+
 def _parse_gif_frames(buf: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]]]:
     """ANIMATED GIF parse: walk every graphics-control extension +
     image descriptor to (screen_w, screen_h, [(delay_cs, canvas_rgb)
-    per frame]). Compositing follows the GIF89a spec for the disposal
-    methods this engine supports: 0 (unspecified) and 1 (do not
-    dispose) — each frame's rectangle is painted OVER the previous
-    canvas, so partial-frame updates (the normal animation encoding)
-    decode correctly. Disposal 2/3 (restore-to-background/previous)
-    and transparency raise rather than guess; the first frame must
-    cover the full screen (there is no background color semantics
-    here). Truncated payloads raise ValueError ([[_gif_skip_subblocks]]).
+    per frame]). Compositing follows the GIF89a spec for ALL FOUR
+    disposal methods (r8 verdict item #4 closed the 2/3 gap):
+
+    - 0 (unspecified) / 1 (do not dispose): the frame's rectangle is
+      painted OVER the previous canvas — partial-frame updates, the
+      normal animation encoding.
+    - 2 (restore to background): after the frame is displayed, its
+      rectangle reverts to the GLOBAL BACKGROUND COLOR (the screen
+      descriptor's background palette index — the spec-literal
+      reading; browsers that substitute transparent-black are layering
+      a web-compat quirk this decoder does not).
+    - 3 (restore to previous): the rectangle reverts to the canvas
+      content captured immediately before the frame was composited.
+
+    Transparency (GCE flag + transparent index) is palette-index
+    passthrough: rect pixels holding the transparent index leave the
+    canvas unchanged. The canvas initializes to the background color,
+    so a partial or transparent FIRST frame is well-defined (the old
+    full-screen-first restriction is gone). Disposal 4-7 are undefined
+    by the spec and raise; truncated payloads raise ValueError
+    ([[_gif_skip_subblocks]]).
     """
     import struct
 
@@ -1270,7 +1378,7 @@ def _parse_gif_frames(buf: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]
         raise ValueError("not a GIF payload")
     if len(buf) < 13:
         raise ValueError("truncated GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", buf[6:13])
     pos = 13
     palette = None
     if packed & 0x80:
@@ -1279,7 +1387,13 @@ def _parse_gif_frames(buf: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]
         pos += n * 3
     frames: list[tuple[int, np.ndarray]] = []
     canvas = None
-    delay = 0  # GCE applies to the NEXT image descriptor; default 0
+    # GCE state applies to the NEXT image descriptor
+    delay, disposal, transp = 0, 0, None
+    # the PREVIOUS frame's disposal is applied just before compositing
+    # the next frame (the displayed canvas is pre-disposal)
+    prev_disposal = 0
+    prev_box: tuple[int, int, int, int] | None = None
+    prev_saved: np.ndarray | None = None
     while pos < len(buf):
         block = buf[pos]
         if block == 0x21:
@@ -1289,12 +1403,17 @@ def _parse_gif_frames(buf: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]
             if label == 0xF9:  # graphics control extension
                 if pos + 7 >= len(buf):
                     raise ValueError("truncated GIF")
+                # the fixed-offset reads below assume the spec's 4-byte
+                # GCE body; a nonstandard size would silently misread
+                # delay/packed (ADVICE r8)
+                if buf[pos + 2] != 4:
+                    raise ValueError("bad GCE block size")
                 gpacked = buf[pos + 3]
-                if gpacked & 0x01:
-                    raise ValueError("GIF transparency unsupported")
-                if (gpacked >> 2) & 0x07 > 1:
-                    raise ValueError("GIF disposal method > 1 unsupported")
+                disposal = (gpacked >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError("undefined GIF disposal method")
                 delay = struct.unpack("<H", buf[pos + 4 : pos + 6])[0]
+                transp = buf[pos + 6] if gpacked & 0x01 else None
                 pos = _gif_skip_subblocks(buf, pos + 2)
             else:  # other extensions: skip
                 pos = _gif_skip_subblocks(buf, pos + 2)
@@ -1321,18 +1440,37 @@ def _parse_gif_frames(buf: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]
             )
             if indices.size != w * h:
                 raise ValueError("decoded index count != dimensions")
-            rect = palette[indices].reshape(h, w, 3)
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame rectangle exceeds screen")
             if canvas is None:
-                if (left, top, w, h) != (0, 0, sw, sh):
-                    raise ValueError("first GIF frame must be full-screen")
-                canvas = rect.copy()
+                if bg >= palette.shape[0]:
+                    raise ValueError("background index outside palette")
+                canvas = np.broadcast_to(
+                    palette[bg], (sh, sw, 3)
+                ).copy()
             else:
-                if left + w > sw or top + h > sh:
-                    raise ValueError("GIF frame rectangle exceeds screen")
                 canvas = canvas.copy()
+                if prev_disposal == 2:
+                    if bg >= palette.shape[0]:
+                        raise ValueError(
+                            "background index outside palette"
+                        )
+                    pt, pl, ph_, pw_ = prev_box
+                    canvas[pt : pt + ph_, pl : pl + pw_] = palette[bg]
+                elif prev_disposal == 3:
+                    pt, pl, ph_, pw_ = prev_box
+                    canvas[pt : pt + ph_, pl : pl + pw_] = prev_saved
+            saved = canvas[top : top + h, left : left + w].copy()
+            rect = palette[indices].reshape(h, w, 3)
+            if transp is not None:
+                mask = indices.reshape(h, w) != transp
+                region = canvas[top : top + h, left : left + w]
+                region[mask] = rect[mask]
+            else:
                 canvas[top : top + h, left : left + w] = rect
             frames.append((delay, canvas))
-            delay = 0
+            prev_disposal, prev_box, prev_saved = disposal, (top, left, h, w), saved
+            delay, disposal, transp = 0, 0, None
         elif block == 0x3B:
             break
         else:

@@ -1566,9 +1566,13 @@ def test_parse_gif_truncated_raises_valueerror():
         # any other exception type fails the test by propagating
 
 
-def _handmade_gif(frames, sw, sh, delays, disposals=None, transparent=False):
+def _handmade_gif(
+    frames, sw, sh, delays, disposals=None, transparents=None, bg=0
+):
     """Build an animated GIF payload from (left, top, rect) frames —
-    rect is an index array — with per-frame graphics-control delays."""
+    rect is an index array — with per-frame graphics-control delays,
+    disposal methods, transparent indices (None = opaque), and a
+    screen-descriptor background index."""
     import struct
 
     import numpy as np
@@ -1585,19 +1589,21 @@ def _handmade_gif(frames, sw, sh, delays, disposals=None, transparent=False):
     for k, ((left, top, rect), delay) in enumerate(zip(frames, delays)):
         h, w = rect.shape
         disp = (disposals or [0] * len(frames))[k]
-        packed = (disp << 2) | (1 if transparent else 0)
+        transp = (transparents or [None] * len(frames))[k]
+        packed = (disp << 2) | (1 if transp is not None else 0)
         lzw = multimodal._gif_lzw_encode(rect.astype(np.uint8).tobytes())
         blocks = b"".join(
             bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
             for o in range(0, len(lzw), 255)
         )
         body += (
-            b"\x21\xf9\x04" + struct.pack("<BHB", packed, delay, 0) + b"\x00"
+            b"\x21\xf9\x04"
+            + struct.pack("<BHB", packed, delay, transp or 0) + b"\x00"
             + b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
             + bytes([8]) + blocks + b"\x00"
         )
     return (
-        b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0xF7, 0, 0) + gct
+        b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0xF7, bg, 0) + gct
         + bytes(body) + b"\x3b"
     )
 
@@ -1631,26 +1637,111 @@ def test_parse_gif_frames_compositing():
 
 
 def test_parse_gif_frames_rejects_unsupported():
-    """Transparency, disposal >1, and a partial FIRST frame each raise
-    rather than guess."""
+    """Disposal 4-7 (undefined by the spec) and a nonstandard GCE
+    block size each raise rather than guess (ADVICE r8 / r8 verdict
+    item #4: transparency and disposal 2/3 are now SUPPORTED — see
+    the disposal/transparency compositing tests)."""
     import numpy as np
     import pytest
 
     from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
 
     f0 = np.zeros((2, 2), dtype=np.uint8)
-    with pytest.raises(ValueError, match="transparency"):
-        multimodal._parse_gif_frames(
-            _handmade_gif([(0, 0, f0)], 2, 2, [10], transparent=True)
-        )
     with pytest.raises(ValueError, match="disposal"):
         multimodal._parse_gif_frames(
-            _handmade_gif([(0, 0, f0)], 2, 2, [10], disposals=[2])
+            _handmade_gif([(0, 0, f0)], 2, 2, [10], disposals=[4])
         )
-    with pytest.raises(ValueError, match="full-screen"):
-        multimodal._parse_gif_frames(
-            _handmade_gif([(0, 0, np.zeros((1, 1), dtype=np.uint8))], 2, 2, [10])
-        )
+    good = _handmade_gif([(0, 0, f0)], 2, 2, [10])
+    gce_at = good.index(b"\x21\xf9\x04")
+    bad = bytearray(good)
+    bad[gce_at + 2] = 5  # nonstandard GCE body size
+    with pytest.raises(ValueError, match="GCE"):
+        multimodal._parse_gif_frames(bytes(bad))
+
+
+def test_parse_gif_frames_disposal_and_transparency():
+    """Handcrafted 4-frame animation pinning the GIF89a disposal /
+    transparency walk on exact pixel values (screen 3x2, bg index 7):
+
+    - frame 0: partial FIRST frame at (1,0) 1x1 — composites over the
+      background-initialized canvas (the old full-screen restriction
+      is gone); disposal 2.
+    - frame 1: full-screen with the (0,1) pixel TRANSPARENT — frame
+      0's rect reverted to bg first (disposal 2), and the transparent
+      pixel shows that restored background, not frame 0's pixel;
+      disposal 3.
+    - frame 2: 1x1 overwrite at (0,0); before it, frame 1's rect
+      (full screen) reverts to the pre-frame-1 canvas (disposal 3),
+      i.e. all-bg with nothing from frame 1 surviving.
+    - frame 3: 1x1 at (2,1), disposal 0 — composites over frame 2's
+      displayed canvas (disposal 0 of frame 2 keeps it).
+    """
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    BG = 7
+    f0 = np.array([[50]], dtype=np.uint8)
+    f1 = np.array([[10, 99, 30]], dtype=np.uint8)  # 99 = transparent
+    f2 = np.array([[60]], dtype=np.uint8)
+    f3 = np.array([[70]], dtype=np.uint8)
+    payload = _handmade_gif(
+        [(1, 0, f0), (0, 0, np.vstack([f1, [[11, 12, 13]]])), (0, 0, f2),
+         (2, 1, f3)],
+        3, 2, delays=[10, 20, 30, 40],
+        disposals=[2, 3, 0, 0],
+        transparents=[None, 99, None, None],
+        bg=BG,
+    )
+    sw, sh, frames = multimodal._parse_gif_frames(payload)
+    assert (sw, sh) == (3, 2)
+    assert [d for d, _ in frames] == [10, 20, 30, 40]
+    r = [c[:, :, 0].tolist() for _, c in frames]  # R channel = index
+    assert r[0] == [[BG, 50, BG], [BG, BG, BG]]  # partial first over bg
+    # disposal 2 reverted (1,0) to bg BEFORE frame 1; transparent (0,1)
+    # shows that restored bg, everything else is frame 1's pixels
+    assert r[1] == [[10, BG, 30], [11, 12, 13]]
+    # disposal 3 reverted the full screen to the pre-frame-1 canvas
+    # (all bg — frame 0's rect was already disposed), then 1x1 at (0,0)
+    assert r[2] == [[60, BG, BG], [BG, BG, BG]]
+    # disposal 0: frame 2's canvas survives under frame 3's update
+    assert r[3] == [[60, BG, BG], [BG, BG, 70]]
+    # G channel follows the palette: entry j -> 2j % 256
+    assert frames[3][1][1, 2, 1] == (2 * 70) % 256
+
+
+def test_gif_table_disposal_matches_oracle_formula(spark, docs):
+    """gif_frames_real over the disposal/transparency corpus equals
+    the registered oracle's CASE formula pixel-for-pixel (the same
+    arithmetic the driver hash covers at sf0.01)."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    base = docs.limit(6)
+    out = multimodal.gif_frames_real(
+        multimodal.gif_table_disposal(base)
+    ).collect()
+    assert len(out) == 6 * 3
+    for row in out:
+        d, f = row.doc_id, row.frame_idx
+        w, h, bg = 4 + d % 5, 3 + d % 4, (7 * d) % 256
+        p = np.arange(w * h, dtype=np.int64)
+        y, x = p // w, p % w
+        if f == 0:
+            j = (d + p) % 256
+        elif f == 1:
+            rr = (y - 1) * (w - 2) + (x - 1)
+            in_rect = (y >= 1) & (y <= h - 2) & (x >= 1) & (x <= w - 2)
+            j = np.where(in_rect & (rr != 0), (d + 5 + rr) % 256, bg)
+        else:
+            j = np.where((y == 0) & (x <= w - 2), (d + 9 + x) % 256, bg)
+        assert row.delay_cs == 10 + d % 5
+        assert row.frame_ts == (f * (10 + d % 5)) / 100.0
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert row.mean_r == round(float(j.mean()), 6)
+        assert row.mean_g == round(float(((2 * j) % 256).mean()), 6)
+        assert row.mean_b == round(float(((3 * j) % 256).mean()), 6)
 
 
 def test_gif_frames_real_and_dispatch(spark, docs):
