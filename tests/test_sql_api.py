@@ -227,64 +227,62 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # round. This list IS the round-7 window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R8_WINDOW = [
-    # (a) new this round: animated-GIF frame extraction, K-round BPE
-    # training, native AQE skew-join probe
-    "media_frames_gif",
-    "bpe_vocab_k",
-    "bpe_encode",
-    "plan_audit_skew",
-    # (b) the 17 mid-r7 registrations awaiting their first driver row
-    # (drawdown_stream_replay also re-verified after the r8 numpy
-    # vectorization of its state loop)
-    "bm25_scores",
-    "dsir_weights",
-    "media_features_auto",
-    "media_frames_real",
-    "hybrid_retrieval_rrf",
+EXPECTED_R9_WINDOW = [
+    # (a) new or re-planned this round: GIF disposal-2/3 +
+    # transparency frames; the de-spilled fuzzy linkage re-plan
+    "media_frames_gif2",
     "fuzzy_match_blocked",
-    "pca_top_component",
-    "pca_residual",
-    "dup_clusters_star",
-    "drawdown_stream_replay",
-    "spread_outer_stream_replay",
-    "knn_ivf_append",
-    "media_decode_jpeg_color",
-    "large_volume_customers",
-    "quality_auc",
-    "host_cap",
-    "quality_survivors",
-    # (c) the ten r4-row yields (oldest driver evidence left)
-    "envelope_mcap",
-    "ohlc_chart",
-    "vwap_hourly",
-    "close_pivot",
-    "documents_profile",
-    "cross_exchange_spread",
-    "rolling_beta",
-    "stochastic",
-    "donchian",
-    "ichimoku",
-    # (d) the 20 oldest r5-row entries
-    "activity_reconciliation",
-    "event_props_variant",
-    "keltner_channels",
-    "candlestick_patterns",
-    "vocab_coverage",
-    "scd2_volume_tiers",
-    "knn_ivf_pq",
-    "csv_roundtrip",
-    "heikin_ashi",
-    "funnel_conversion",
-    "lead_lag_corr",
-    "rolling_sharpe",
-    "market_regime",
-    "corpus_quality_report",
-    "pricing_summary",
-    "rolling_active_coins",
-    "shipping_priority",
-    "knn_ivf_pq_recall",
-    "semantic_dedup_capped",
+    # (b) the one never-driver-checked registration (mid-r8 append)
+    "repeated_spans_sliding",
+    # (c) all 31 remaining r5-row entries
+    "exchange_hll_rollup",
+    "ohlc_stream_replay",
+    "dup_rate_by_source",
+    "coin_volume_percentile",
+    "volume_grouping_sets",
+    "knn_recall",
+    "url_dedup",
+    "media_decode_ppm",
+    "vwap_stream_replay",
+    "span_dedup",
+    "gopher_rules",
+    "media_decode_wav",
+    "mixture_sample",
+    "knn_pq",
+    "curation_pipeline_v2",
+    "price_resample_1h",
+    "knn_pq_recall",
+    "session_stream_replay",
+    "coin_pagerank",
+    "price_anomalies",
+    "forecast_backtest",
+    "bpe_merges",
+    "jsonl_roundtrip",
+    "volume_profile",
+    "bollinger_bands",
+    "max_drawdown",
+    "obv",
+    "knn_brute_vectorized",
+    "active_coins_semi",
+    "momentum_ranks",
+    "knn_lsh_multiprobe",
+    # (d) 16 oldest r6-row entries (teaching forms skipped)
+    "simhash_pairs_wide",
+    "knn_ivf_fixed",
+    "media_decode_png",
+    "salted_join_skew",
+    "restfeed_stream_replay",
+    "plan_audit",
+    "embedding_dup_wide",
+    "dedup_stream_replay",
+    "coin_pagerank_capped",
+    "kmeans_centroids_fixed",
+    "ohlc_daily_rollup",
+    "event_bigrams",
+    "restfeed_ohlc",
+    "orc_roundtrip",
+    "spread_stream_replay",
+    "exact_dedup",
 ]
 
 
@@ -313,8 +311,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R8_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R8_WINDOW
+    assert len(EXPECTED_R9_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R9_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
