@@ -1134,10 +1134,21 @@ def fuzzy_match_blocked(
     column ``norm``) to run this operator per pass, e.g. a suffix or
     sorted-token key.
 
-    Scale: one shuffle each side keyed on the block, length prefilter
-    ahead of levenshtein, candidates bounded by max_block^2 per block.
-    Zero Python UDFs; DuckDB's levenshtein agrees with Spark's
-    (classic unit-cost edit distance), so the oracle is exact.
+    Scale (r8 verdict item #2 — the de-spill): the block self-join
+    shuffles ONLY (rid, blk, ln) — 16-ish bytes a row — never the
+    string column; the r7/r8 sf10 measurement attributed the 143x
+    second-decade wall to shuffle SPILL of full strings through the
+    skewed block key. The verified text is joined back AFTER candidate
+    generation, keyed on the uniform rid (two streaming SMJs the
+    skewed block distribution can't concentrate), and only for rids
+    that actually appear in a candidate pair. The verdict's suggested
+    xxhash64 fingerprint is deliberately NOT shipped: a fingerprint
+    can only shortcut dist==0 probabilistically, the levenshtein
+    verify needs both texts anyway, and the hash would widen the
+    narrow shuffle for nothing. Length prefilter ahead of levenshtein,
+    candidates bounded by max_block^2 per block. Zero Python UDFs;
+    DuckDB's levenshtein agrees with Spark's (classic unit-cost edit
+    distance), so the oracle is exact.
     """
     if block_prefix < 1:
         raise ValueError("block_prefix must be >= 1")
@@ -1148,29 +1159,33 @@ def fuzzy_match_blocked(
         if block_expr is not None
         else F.substring(F.col("norm"), 1, block_prefix)
     )
-    blocked = base.select(
-        "rid", "norm", blk.alias("blk"), F.length("norm").alias("ln")
+    keys = base.select(
+        "rid", blk.alias("blk"), F.length("norm").alias("ln")
     )
     if max_block is not None:
-        sizes = blocked.groupBy("blk").agg(F.count("*").alias("bn"))
-        blocked = blocked.join(
+        sizes = keys.groupBy("blk").agg(F.count("*").alias("bn"))
+        keys = keys.join(
             sizes.filter(F.col("bn") <= max_block).select("blk"), "blk"
         )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    dist = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.rid") < F.col("b.rid"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist),
+    ).select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"))
+    dist = F.levenshtein(F.col("norm_a"), F.col("norm_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.rid") < F.col("b.rid"))
-            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist),
+        cand.join(
+            base.select(F.col("rid").alias("id_a"), F.col("norm").alias("norm_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("rid").alias("id_b"), F.col("norm").alias("norm_b")),
+            "id_b",
         )
         .filter(dist <= max_dist)
-        .select(
-            F.col("a.rid").alias("id_a"),
-            F.col("b.rid").alias("id_b"),
-            dist.cast("int").alias("edit_dist"),
-        )
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
     )
 
 
