@@ -1163,9 +1163,15 @@ def fuzzy_match_blocked(
         "rid", blk.alias("blk"), F.length("norm").alias("ln")
     )
     if max_block is not None:
-        sizes = keys.groupBy("blk").agg(F.count("*").alias("bn"))
-        keys = keys.join(
-            sizes.filter(F.col("bn") <= max_block).select("blk"), "blk"
+        # block-size guard as a window over the SAME narrow key rows
+        # (one shuffle, no extra corpus scan — a groupBy+join here paid
+        # a fourth full pass of the normalize regex over the corpus)
+        keys = (
+            keys.withColumn(
+                "bn", F.count("*").over(Window.partitionBy("blk"))
+            )
+            .filter(F.col("bn") <= max_block)
+            .drop("bn")
         )
     a, b = keys.alias("a"), keys.alias("b")
     cand = a.join(
