@@ -94,6 +94,9 @@ SHOWCASE = [
     "large_volume_customers",   # Q18: HAVING key set broadcast, 0 SMJ
     "quality_auc",           # distinct-score rank walk, corpus groupBy
     "host_cap",              # WindowGroupLimit top-K per host
+    "media_frames_gif2",     # disposal/transparency compositing, pure map
+    "repeated_spans_sliding",  # 1-row-per-token sliding spans, dup-key join
+    "semantic_dedup_capped",   # md5-priority top-K cap ahead of pair join
 ]
 
 
