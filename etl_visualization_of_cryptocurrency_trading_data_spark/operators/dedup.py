@@ -1195,6 +1195,79 @@ def fuzzy_match_blocked(
     )
 
 
+def remove_repeated_spans(
+    documents: DataFrame,
+    span_words: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The CUTTER for [[repeated_spans_sliding]] — completes the
+    exact-substring-dedup story (Lee et al. 2022): the flagged maximal
+    repeated ranges are REMOVED from every carrier and the surviving
+    words reassembled into the cleaned document. This is the
+    aggressive every-occurrence form (all copies of a corpus-repeated
+    span go, not all-but-one) — the right default for boilerplate
+    (headers, licenses, navigation chrome), which is what corpus-level
+    ``min_count``+ repetition predominantly flags; an all-but-one
+    variant needs a canonical-carrier choice that is a survivorship
+    policy ([[dedup_survivors]]'s job), not a cutting policy.
+
+    Output (one row per INPUT document — cleaning never drops a doc):
+    (doc_id, clean_text, n_words_kept, n_words_removed) where
+    clean_text is the kept words space-joined in position order, in
+    the same lowercase/whitespace normalization the span detector
+    tokenizes with (documented: the cleaned corpus is normalized).
+    Fully-repeated documents come out as '' with n_words_kept = 0.
+
+    Scale shape: [[repeated_spans_sliding]]'s cost dominates (1 row
+    per token); the cut itself is one doc_id-equi anti-join of the
+    token stream against the per-doc ranges (ranges are few per doc)
+    plus one per-doc reassembly aggregate (collect_list of
+    (pos, word) structs, sorted in-plan — no Python, no UDF).
+    """
+    # ranges shares documents' lineage with toks — rename its columns
+    # so the join condition cannot resolve both doc_id sides to the
+    # same attribute (self-join ambiguity would make it trivially true
+    # and cut words by OTHER docs' ranges)
+    ranges = repeated_spans_sliding(documents, span_words, min_count).select(
+        F.col("doc_id").alias("r_doc"),
+        F.col("range_start").alias("r_start"),
+        F.col("range_len_words").alias("r_len"),
+    )
+    toks = documents.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    )
+    cond = (
+        (F.col("doc_id") == F.col("r_doc"))
+        & (F.col("pos") >= F.col("r_start"))
+        & (F.col("pos") < F.col("r_start") + F.col("r_len"))
+    )
+    kept = toks.join(ranges, cond, "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_words_kept"),
+    )
+    totals = documents.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_words")
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_words_kept"), F.lit(0).cast("long")).alias(
+            "n_words_kept"
+        ),
+        (
+            F.col("n_words")
+            - F.coalesce(F.col("n_words_kept"), F.lit(0).cast("long"))
+        ).alias("n_words_removed"),
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     max_iter: int = 30,

@@ -180,3 +180,48 @@ def dsir_weights(
         "log_weight",
         (F.col("log_weight") > 0).alias("target_like"),
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate-aware train/val/test split: every document in a
+    near-dup CLUSTER gets the SAME split, so an eval document can never
+    have a near-copy in train — the contamination mode a doc_id-keyed
+    [[train_val_test_split]] cannot prevent (Lee et al. 2022 measure
+    exactly this train/test overlap in C4/RealNews). Clusters are
+    connected components ([[dedup.connected_components_star]],
+    log-round star) over the MinHash-LSH verified pair graph
+    ([[dedup.minhash_lsh_pairs]]); documents in no pair are singletons
+    keyed by their own doc_id. The split itself is the same
+    md5-threshold bucket rule as every sampler here — deterministic,
+    engine-independent, and stable when the corpus grows (a cluster's
+    split never changes unless dedup MERGES it with another, which is
+    the correct behavior: the merged cluster is one leakage unit).
+
+    Output: (doc_id, cluster_id, split) — one row per input document.
+
+    Scale shape: the pair graph + log-round CC dominate (both measured
+    sub-linear on their own driver rows); the labeling is one
+    broadcast-or-equi LEFT join and the split a pure map.
+    """
+    from .dedup import connected_components_star, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        documents,
+        n=n,
+        threshold=threshold,
+        hash_family=hash_family,
+        persist_intermediate=True,
+    )
+    comp = connected_components_star(pairs)
+    labeled = documents.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return train_val_test_split(labeled, key="cluster_id", weights=weights, salt=salt)

@@ -1769,6 +1769,50 @@ JOIN sh y ON y.doc_id = doc_id_b
 WHERE jaccard >= {threshold}"""
 
 
+def _leakage_safe_split_sql() -> str:
+    """Oracle for [[q_leakage_safe_split]]: reuse the md5-family
+    MinHash+LSH CTE chain verbatim (everything up to [[_minhash_lsh_sql]]'s
+    final SELECT becomes the ``pairs`` CTE), replay the star-CC
+    labeling as recursive reachability with min-label (the
+    dup_clusters_star oracle pattern), left-join singletons to their
+    own doc_id, and apply the exact md5 bucket thresholds of the
+    dataset_split oracle keyed on cluster_id."""
+    mh = _minhash_lsh_sql()
+    idx = mh.rindex("\nSELECT doc_id_a, doc_id_b,")
+    ctes, final_select = mh[:idx], mh[idx + 1 :]
+    ctes = ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{ctes},
+pairs AS (
+{final_select}
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+bkt AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substring(md5('split' || cluster_id::VARCHAR), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM labeled
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM bkt"""
+
+
 def _simhash_sql(max_hamming: int = 3, n_bits: int = 64) -> str:
     """DuckDB oracle for the md5-family SimHash: n_bits signed-bit sums
     over the first n_bits/4 hex chars of md5(shingle) (parsed as 32-bit
@@ -2705,6 +2749,38 @@ def q_repeated_spans_sliding(spark, sf_dir):
     counts, and the hash never reaches the output."""
     return dedup.repeated_spans_sliding(
         _documents(spark, sf_dir), span_words=8, min_count=2
+    )
+
+
+def q_remove_repeated_spans(spark, sf_dir):
+    """The CUTTER for the sliding-span sweep
+    (dedup.remove_repeated_spans, r9): the flagged maximal repeated
+    ranges are removed from every carrier and the survivors
+    reassembled into the cleaned document — the step that makes
+    exact-substring dedup (Lee et al. 2022) a TRANSFORM, not just a
+    report. One output row per INPUT doc (cleaning never drops a
+    doc): (doc_id, clean_text, n_words_kept, n_words_removed);
+    fully-repeated docs come out ''. The hash covers the range
+    detection, the positional anti-join cut, and the in-plan
+    position-ordered reassembly (collect_list of (pos, word) structs,
+    array_sort, transform — no Python)."""
+    return dedup.remove_repeated_spans(
+        _documents(spark, sf_dir), span_words=8, min_count=2
+    )
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-duplicate-aware train/val/test split
+    (sampling.leakage_safe_split, r9): every doc in a near-dup
+    CLUSTER (log-round star CC over the MinHash-LSH verified pair
+    graph) gets the SAME md5-bucket split, so an eval doc can never
+    have a near-copy in train — the contamination mode a doc_id-keyed
+    split cannot prevent. md5 hash family so the oracle replays the
+    pair graph bit-for-bit (the xxhash64 production family keeps its
+    recall pins in pytest); the oracle replays CC as recursive
+    reachability and the split as the same md5 threshold."""
+    return sampling.leakage_safe_split(
+        _documents(spark, sf_dir), hash_family="md5"
     )
 
 
@@ -3851,6 +3927,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans_sliding": q_repeated_spans_sliding,
     # ---- round 9 registrations ----
     "media_frames_gif2": q_media_frames_gif2,
+    "remove_repeated_spans": q_remove_repeated_spans,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 # ---- ROUND-9 DRIVER WINDOW (applied below; pinned by
@@ -3872,8 +3950,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (The r8 window list lives in git history at tag `round-8` /
 # CORRECTNESS_r08.json; PINNING.md tracks per-query evidence age.)
 _R9_WINDOW_FRONT = [
-    # (a) new or re-planned this round
+    # (a) new or re-planned this round (spread_stream_replay and
+    # exact_dedup — r6 rows, safe to age one more round — yielded
+    # their (d) slots to remove_repeated_spans / leakage_safe_split)
     "media_frames_gif2",
+    "remove_repeated_spans",
+    "leakage_safe_split",
     "fuzzy_match_blocked",
     # (b) the one never-driver-checked registration (mid-r8 append)
     "repeated_spans_sliding",
@@ -3909,8 +3991,9 @@ _R9_WINDOW_FRONT = [
     "active_coins_semi",
     "momentum_ranks",
     "knn_lsh_multiprobe",
-    # (d) 16 oldest r6-row entries (registry order, teaching forms
-    # skipped — their scale twins carry the plan-family evidence)
+    # (d) 14 oldest r6-row entries (registry order, teaching forms
+    # skipped — their scale twins carry the plan-family evidence;
+    # spread_stream_replay/exact_dedup yielded to the (a) additions)
     "simhash_pairs_wide",
     "knn_ivf_fixed",
     "media_decode_png",
@@ -3925,8 +4008,6 @@ _R9_WINDOW_FRONT = [
     "event_bigrams",
     "restfeed_ohlc",
     "orc_roundtrip",
-    "spread_stream_replay",
-    "exact_dedup",
 ]
 assert len(_R9_WINDOW_FRONT) == 50 and len(set(_R9_WINDOW_FRONT)) == 50
 assert set(_R9_WINDOW_FRONT) <= set(QUERIES), sorted(
@@ -4426,6 +4507,7 @@ SELECT d.doc_id, d.lang,
 FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "leakage_safe_split": _leakage_safe_split_sql(),
     "simhash_pairs": _simhash_sql(),
     # scale-safe width: 4x32-bit bands over md5's full 128 bits
     "simhash_pairs_wide": _simhash_sql(n_bits=128),
@@ -4851,6 +4933,50 @@ SELECT doc_id, min(start)::INT AS range_start,
        (max(start) - min(start) + 8)::INT AS range_len_words,
        count(*)::BIGINT AS n_windows
 FROM grouped GROUP BY doc_id, grp""",
+    # the cutter: same sliding-window range detection, then words
+    # whose 0-based position falls inside any flagged range are
+    # dropped and the survivors re-joined in position order (DuckDB
+    # string_agg ORDER BY pos == Spark array_sort(struct(pos, w)))
+    "remove_repeated_spans": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
+wins AS (
+  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
+  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
+),
+dups AS (SELECT span_text FROM wins GROUP BY span_text HAVING count(*) >= 2),
+hits AS (SELECT doc_id, start FROM wins JOIN dups USING (span_text)),
+grouped AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM hits
+),
+ranges AS (
+  SELECT doc_id, min(start) AS rs, max(start) - min(start) + 8 AS rl
+  FROM grouped GROUP BY doc_id, grp
+),
+wordpos AS (
+  SELECT doc_id, ws[i] AS w, i - 1 AS pos
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.w FROM wordpos wp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ranges r
+    WHERE r.doc_id = wp.doc_id AND wp.pos >= r.rs AND wp.pos < r.rs + r.rl)
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_words_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_words_kept, 0)::BIGINT AS n_words_kept,
+       (len(t.ws) - coalesce(a.n_words_kept, 0))::BIGINT AS n_words_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)""",
     # Engine groups spans by xxhash64(span_text) (8-byte shuffle key);
     # the oracle groups by the text itself — identical counts, and the
     # hash never reaches the output.

@@ -97,6 +97,8 @@ SHOWCASE = [
     "media_frames_gif2",     # disposal/transparency compositing, pure map
     "repeated_spans_sliding",  # 1-row-per-token sliding spans, dup-key join
     "semantic_dedup_capped",   # md5-priority top-K cap ahead of pair join
+    "remove_repeated_spans",   # positional anti-join cut + in-plan reassembly
+    "leakage_safe_split",      # pair graph -> star CC -> md5 split, pure map tail
 ]
 
 

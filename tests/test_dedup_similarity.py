@@ -2303,3 +2303,83 @@ def test_repeated_spans_sliding_no_false_ranges(spark):
         ["doc_id", "text"],
     )
     assert dedup.repeated_spans_sliding(docs, span_words=8).count() == 0
+
+
+def test_remove_repeated_spans_cuts_and_reassembles(spark):
+    """The cutter on the alignment-invariance fixture: the shared
+    10-word block is removed from BOTH carriers (offsets 0 and 3 — a
+    per-doc positional cut, never cross-doc), survivors rejoin in
+    position order, and every input doc keeps exactly one output row."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    filler1 = " ".join(f"pad{i}" for i in range(8))
+    filler2 = "uno dos tres"
+    tail = " ".join(f"tail{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{block} {filler1}"),
+            (2, f"{filler2} {block} {tail}"),
+            (3, "short doc"),                      # < span_words: untouched
+            (4, block),                            # fully repeated: emptied
+            (5, block),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # one row per INPUT doc
+    assert out[1].clean_text == filler1
+    assert (out[1].n_words_kept, out[1].n_words_removed) == (8, 10)
+    # doc 2's cut is positional WITHIN doc 2: filler2 (positions 0-2,
+    # outside its range) and the tail survive in order
+    assert out[2].clean_text == f"{filler2} {tail}"
+    assert (out[2].n_words_kept, out[2].n_words_removed) == (11, 10)
+    assert out[3].clean_text == "short doc" and out[3].n_words_removed == 0
+    for d in (4, 5):
+        assert out[d].clean_text == "" and out[d].n_words_kept == 0
+        assert out[d].n_words_removed == 10
+
+
+def test_leakage_safe_split_clusters_share_fate(spark):
+    """Near-dup docs land in the SAME split: planted 3-way near-dup
+    cluster + an exact pair + unique docs — every cluster maps to one
+    split, singletons follow their own doc_id bucket, and the split
+    matches the md5 threshold rule exactly."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sampling
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the band plays on through the night")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "prefix " + base),
+            (10, "totally different words " + " ".join(f"u{i}" for i in range(12))),
+            (11, "another unrelated doc " + " ".join(f"v{i}" for i in range(12))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in sampling.leakage_safe_split(docs).collect()}
+    assert set(out) == {1, 2, 3, 10, 11}
+    # the near-dup trio is one cluster (min-label = 1) with ONE split
+    assert {out[d].cluster_id for d in (1, 2, 3)} == {1}
+    assert len({out[d].split for d in (1, 2, 3)}) == 1
+    # singletons cluster on themselves and follow the dataset_split rule
+    for d in (10, 11):
+        assert out[d].cluster_id == d
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    want = {
+        r.cluster_id: r.b
+        for r in spark.createDataFrame(
+            [(out[d].cluster_id,) for d in out], ["cluster_id"]
+        ).select("cluster_id", hash_bucket(F.col("cluster_id"), salt="split").alias("b")).collect()
+    }
+    for d, r in out.items():
+        b = want[r.cluster_id]
+        expect = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert r.split == expect, f"doc {d}"

@@ -229,8 +229,11 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # evictions deliberate and reviewed instead of silent.
 EXPECTED_R9_WINDOW = [
     # (a) new or re-planned this round: GIF disposal-2/3 +
-    # transparency frames; the de-spilled fuzzy linkage re-plan
+    # transparency frames, the sliding-span cutter, the near-dup-aware
+    # split; the de-spilled fuzzy linkage re-plan
     "media_frames_gif2",
+    "remove_repeated_spans",
+    "leakage_safe_split",
     "fuzzy_match_blocked",
     # (b) the one never-driver-checked registration (mid-r8 append)
     "repeated_spans_sliding",
@@ -266,7 +269,8 @@ EXPECTED_R9_WINDOW = [
     "active_coins_semi",
     "momentum_ranks",
     "knn_lsh_multiprobe",
-    # (d) 16 oldest r6-row entries (teaching forms skipped)
+    # (d) 14 oldest r6-row entries (teaching forms skipped;
+    # spread_stream_replay/exact_dedup yielded to the (a) additions)
     "simhash_pairs_wide",
     "knn_ivf_fixed",
     "media_decode_png",
@@ -281,8 +285,6 @@ EXPECTED_R9_WINDOW = [
     "event_bigrams",
     "restfeed_ohlc",
     "orc_roundtrip",
-    "spread_stream_replay",
-    "exact_dedup",
 ]
 
 
