@@ -1127,6 +1127,13 @@ def fuzzy_match_blocked(
     boilerplate prefix otherwise makes a single block quadratic; pass
     None to opt out at oracle scale).
 
+    ``id_col`` must UNIQUELY identify rows (the entity-resolution
+    contract; doc_id in every fixture). The join-back-by-id plan
+    verifies each candidate (id_a, id_b) against the texts joined by
+    those ids — duplicate ids would fan each candidate out against
+    every duplicate's text, so they are a caller error, not a
+    supported input.
+
     Prefix blocking cannot see pairs that differ inside the prefix —
     the standard single-pass blocking tradeoff. Production runs
     multiple passes with different keys and unions the pairs; pass

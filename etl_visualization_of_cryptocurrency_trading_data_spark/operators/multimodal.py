@@ -1181,6 +1181,38 @@ def decode_gif(media: DataFrame, round_decimals: int = 6) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(decode, schema)
 
 
+def _gif_frame_block(
+    left: int, top: int, w: int, h: int, idx,
+    delay: int, disposal: int, transp: int | None,
+) -> bytes:
+    """Serialize ONE animated-GIF frame: graphics-control extension
+    (packed disposal/transparency bits, centisecond delay, transparent
+    index) + image descriptor + LZW-coded indices in 255-byte
+    sub-blocks. Single source of truth for the byte-level frame layout
+    — [[gif_table_animated]] and [[gif_table_disposal]] both call it
+    (the pytest helper `_handmade_gif` stays independent on purpose:
+    an independently hand-rolled serializer is what catches a bug
+    here)."""
+    import struct
+
+    lzw = _gif_lzw_encode(idx.astype(np.uint8).tobytes())
+    blocks = b"".join(
+        bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
+        for o in range(0, len(lzw), 255)
+    )
+    gpacked = (disposal << 2) | (1 if transp is not None else 0)
+    return (
+        b"\x21\xf9\x04"
+        + struct.pack("<BHB", gpacked, delay, transp or 0)
+        + b"\x00"
+        + b"\x2c"
+        + struct.pack("<HHHHB", left, top, w, h, 0)
+        + bytes([8])
+        + blocks
+        + b"\x00"
+    )
+
+
 def gif_table_animated(documents: DataFrame) -> DataFrame:
     """Deterministic ANIMATED GIF89a corpus — the VIDEO-modality
     payload this engine can decode frame-by-frame with its own LZW
@@ -1218,22 +1250,10 @@ def gif_table_animated(documents: DataFrame) -> DataFrame:
                 i = np.arange(w * h, dtype=np.int64)
                 body = bytearray()
                 for f in range(nf):
-                    indices = ((d + 17 * f + i) % 256).astype(np.uint8).tobytes()
-                    lzw = _gif_lzw_encode(indices)
-                    blocks = b"".join(
-                        bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
-                        for o in range(0, len(lzw), 255)
-                    )
-                    body += (
-                        b"\x21\xf9\x04"  # graphics control: size 4
-                        # packed=0 (disposal 0, no transparency)
-                        + struct.pack("<BHB", 0, delay, 0)
-                        + b"\x00"  # GCE terminator
-                        + b"\x2c"
-                        + struct.pack("<HHHHB", 0, 0, w, h, 0)
-                        + bytes([8])
-                        + blocks
-                        + b"\x00"
+                    # disposal 0, no transparency — byte-identical to
+                    # the pre-hoist inline serializer (driver-hash pin)
+                    body += _gif_frame_block(
+                        0, 0, w, h, (d + 17 * f + i) % 256, delay, 0, None
                     )
                 payload = (
                     b"GIF89a"
@@ -1288,27 +1308,6 @@ def gif_table_disposal(documents: DataFrame) -> DataFrame:
     )
     gct = palette.tobytes()
 
-    def _frame(
-        left: int, top: int, w: int, h: int, idx: np.ndarray,
-        delay: int, disposal: int, transp: int | None,
-    ) -> bytes:
-        lzw = _gif_lzw_encode(idx.astype(np.uint8).tobytes())
-        blocks = b"".join(
-            bytes([len(lzw[o : o + 255])]) + lzw[o : o + 255]
-            for o in range(0, len(lzw), 255)
-        )
-        gpacked = (disposal << 2) | (1 if transp is not None else 0)
-        return (
-            b"\x21\xf9\x04"
-            + struct.pack("<BHB", gpacked, delay, transp or 0)
-            + b"\x00"
-            + b"\x2c"
-            + struct.pack("<HHHHB", left, top, w, h, 0)
-            + bytes([8])
-            + blocks
-            + b"\x00"
-        )
-
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {
@@ -1323,12 +1322,14 @@ def gif_table_disposal(documents: DataFrame) -> DataFrame:
                 r = np.arange((w - 2) * (h - 2), dtype=np.int64)
                 x = np.arange(w - 1, dtype=np.int64)
                 body = (
-                    _frame(0, 0, w, h, (d + i) % 256, delay, 2, None)
-                    + _frame(
+                    _gif_frame_block(0, 0, w, h, (d + i) % 256, delay, 2, None)
+                    + _gif_frame_block(
                         1, 1, w - 2, h - 2, (d + 5 + r) % 256,
                         delay, 3, (d + 5) % 256,
                     )
-                    + _frame(0, 0, w - 1, 1, (d + 9 + x) % 256, delay, 0, None)
+                    + _gif_frame_block(
+                        0, 0, w - 1, 1, (d + 9 + x) % 256, delay, 0, None
+                    )
                 )
                 payload = (
                     b"GIF89a"

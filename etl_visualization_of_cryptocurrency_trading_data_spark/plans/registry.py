@@ -3935,18 +3935,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_sql_api.py::EXPECTED_R9_WINDOW) ----
 # The dict literal above preserves REGISTRATION history; the driver's
 # 50-slot correctness window is applied by reordering here, per the
-# r8 rotation note and the r8 verdict item #1: (a) the r9
-# registration (media_frames_gif2 — GIF disposal-2/3 + transparency)
-# and the re-planned fuzzy_match_blocked (de-spilled block self-join,
-# hash-unchanged — the fresh row re-verifies the re-plan); (b) the
-# mid-r8 repeated_spans_sliding — the ONLY registered query that has
-# never had a driver row; (c) ALL 31 remaining r5-row entries (the
-# oldest evidence left; includes the teaching-form coin_pagerank —
-# §7's no-front-load preference yields to the no-row-older-than-r6
-# done-criterion); (d) 16 oldest r6-row entries in registry order,
-# skipping TEACHING_FORMS members (semantic_dedup, incremental_dedup
-# — their twins are in or newer). After the r9 driver run: zero
-# never-checked registrations and no newest row older than r6.
+# r8 rotation note and the r8 verdict item #1: (a) the THREE r9
+# registrations (media_frames_gif2 — GIF disposal-2/3 + transparency;
+# remove_repeated_spans — the sliding-span cutter; leakage_safe_split
+# — the near-dup-aware split) and the re-planned fuzzy_match_blocked
+# (de-spilled block self-join, hash-unchanged — the fresh row
+# re-verifies the re-plan); (b) the mid-r8 repeated_spans_sliding —
+# the ONLY registered query that has never had a driver row; (c) ALL
+# 31 remaining r5-row entries (the oldest evidence left; includes the
+# teaching-form coin_pagerank — §7's no-front-load preference yields
+# to the no-row-older-than-r6 done-criterion); (d) 14 oldest r6-row
+# entries in registry order, skipping TEACHING_FORMS members
+# (semantic_dedup, incremental_dedup — their twins are in or newer);
+# spread_stream_replay and exact_dedup (r6 rows, safe to age one more
+# round) yielded their (d) slots to the two mid-round (a)
+# registrations. After the r9 driver run: zero never-checked
+# registrations and no newest row older than r6.
 # (The r8 window list lives in git history at tag `round-8` /
 # CORRECTNESS_r08.json; PINNING.md tracks per-query evidence age.)
 _R9_WINDOW_FRONT = [

@@ -149,18 +149,22 @@ def _drawdown_func(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
     pdf = pdf.sort_values(["timestamp", "event_id"])
     # Vectorized state update (r7 verdict item #7 — the per-key Python
-    # loop dominated wide-batch cost): np.fmax.accumulate performs the
-    # SAME comparisons as the sequential `if p > peak` carry — fmax
-    # IGNORES NaN (a NaN price leaves the running peak unchanged, as
-    # the comparison form did; np.maximum would propagate it, ADVICE
-    # r8) — and folding the carried peak in with one np.fmax equals
-    # carrying it forward row by row, so every output double is
-    # bit-identical to the loop form (pinned by the replay's driver
-    # hash and the exact 1-wave-vs-4-wave pytest equality).
+    # loop dominated wide-batch cost): np.maximum.accumulate + one
+    # np.maximum fold of the carried peak equals carrying it forward
+    # row by row, so every output double is bit-identical to the
+    # sequential form ON REAL PRICES (pinned by the replay's driver
+    # hash and the exact 1-wave-vs-4-wave pytest equality). NaN
+    # semantics are DELIBERATE (ADVICE r8 offered fmax; rejected): a
+    # NaN price PROPAGATES into every later running_peak — exactly
+    # what the registered window-max oracle (max(price) OVER w: NaN
+    # orders greatest in both Spark and DuckDB) and the batch
+    # derive.max_drawdown twin compute, so engine and oracle agree on
+    # ANY input. np.fmax would silently skip NaN and diverge from the
+    # oracle the first time a NaN entered the feed.
     prices = pdf["price"].to_numpy(dtype=np.float64)
-    peaks = np.fmax.accumulate(prices)
+    peaks = np.maximum.accumulate(prices)
     if peak is not None:
-        peaks = np.fmax(peaks, peak)
+        peaks = np.maximum(peaks, peak)
     ticks = n + np.arange(1, prices.size + 1, dtype=np.int64)
     state.update((float(peaks[-1]), int(ticks[-1])))
     yield pd.DataFrame(

@@ -895,11 +895,16 @@ def test_drawdown_stateful_cross_batch_peak_carry(spark):
     }
 
 
-def test_drawdown_state_func_ignores_nan_prices(spark):
-    """ADVICE r8 pin: the vectorized state update must keep the loop
-    form's NaN behavior — a NaN price never becomes the running peak
-    (np.fmax ignores NaN; np.maximum would propagate it into every
-    later row's peak). Direct call with a fake GroupState."""
+def test_drawdown_state_func_nan_matches_oracle_semantics(spark):
+    """NaN semantics pin (ADVICE r8 adjudicated): the vectorized state
+    update PROPAGATES a NaN price into every later running peak —
+    matching the registered window-max oracle (max(price) OVER w: NaN
+    orders greatest in Spark and DuckDB) and the batch max_drawdown
+    twin, so engine and oracle agree on ANY input. (np.fmax — ADVICE's
+    other option — would skip NaN and silently diverge from the oracle
+    hash the first time a NaN entered the feed.) Direct call with a
+    fake GroupState; cross-checked against the actual Spark window max
+    on the same frame."""
     import datetime as dt
 
     import numpy as np
@@ -927,10 +932,43 @@ def test_drawdown_state_func_ignores_nan_prices(spark):
     )
     state = FakeState()
     (out,) = list(_drawdown_func(("c1", "x"), iter([pdf]), state))
-    assert list(out["running_peak"]) == [100.0, 100.0, 100.0, 120.0]
-    assert np.isnan(out["drawdown"][1])
-    assert list(out["drawdown"][[0, 2, 3]]) == [0.0, 90.0 / 100.0 - 1.0, 0.0]
-    assert state.value == (120.0, 4)
+    assert out["running_peak"][0] == 100.0
+    assert np.isnan(np.asarray(out["running_peak"][1:], dtype=float)).all()
+    # the oracle's window max computes the SAME peaks on this input —
+    # planted as a TRUE double NaN via SQL literal (pandas->Spark
+    # createDataFrame silently converts NaN to NULL, which max()
+    # ignores; the real replay spool carries NaN through Arrow intact)
+    oracle_peaks = [
+        r.pk
+        for r in spark.sql(
+            """SELECT max(price) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+               FROM VALUES (0, cast(100.0 AS double)),
+                           (1, cast('NaN' AS double)),
+                           (2, cast(90.0 AS double)),
+                           (3, cast(120.0 AS double)) AS t(event_id, price)
+               ORDER BY event_id"""
+        ).collect()
+    ]
+    for got, want in zip(out["running_peak"], oracle_peaks):
+        assert (np.isnan(got) and np.isnan(want)) or got == want
+    # and DuckDB (the driver-side oracle engine) agrees: NaN orders
+    # greatest, so the window max propagates it identically
+    import duckdb
+
+    duck_peaks = [
+        r[0]
+        for r in duckdb.sql(
+            """SELECT max(price) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+               FROM (VALUES (0, 100.0::DOUBLE), (1, 'NaN'::DOUBLE),
+                            (2, 90.0::DOUBLE), (3, 120.0::DOUBLE))
+                    t(event_id, price)
+               ORDER BY event_id"""
+        ).fetchall()
+    ]
+    for got, want in zip(out["running_peak"], duck_peaks):
+        assert (np.isnan(got) and np.isnan(want)) or got == want
 
 
 def test_drawdown_replay_batch_boundary_independence(spark, price_df):
