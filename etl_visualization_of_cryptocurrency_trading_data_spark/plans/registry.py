@@ -3664,9 +3664,23 @@ def q_fuzzy_match_blocked(spark, sf_dir):
 # New registrations hit the ~12 cap exactly (12 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
 # older than r5 except the ten yielded entries (r4).
-# ROUND-8 ROTATION EXECUTED per the guidance below — see the
-# _R8_WINDOW_FRONT reorder after the QUERIES literal (and PINNING.md
-# for the per-query evidence map). Round-9 rotation guidance:
+# ROUND-9 ROTATION EXECUTED per the guidance below — see the
+# _R9_WINDOW_FRONT reorder after the QUERIES literal (and PINNING.md
+# for the per-query evidence map). Round-10 rotation guidance:
+# front-load (a) anything r10 adds or re-plans, (b)
+# spread_stream_replay and exact_dedup (r6 rows that yielded their r9
+# (d) slots to the mid-round registrations), (c) the ~33 remaining
+# r6-row entries not covered by the r9 window, oldest first in
+# registry order (simhash_pairs/semantic_dedup/incremental_dedup/
+# knn_lsh/knn_brute/knn_ivf/kmeans_centroids/dup_clusters/
+# embedding_dup_pairs are TEACHING forms — include them only if the
+# demotion trigger has NOT fired by then, else flip
+# DEMOTE_TEACHING_FORMS instead), then (d) the oldest r7-row entries
+# with any remaining slots. After the r9 driver run no row predates
+# r6, so r10's job is keeping the r6 cohort from aging past the
+# ~3-round window. Rename EXPECTED_R9_WINDOW to EXPECTED_R10_WINDOW
+# in the same commit.
+# The r8-written round-9 guidance (kept for history):
 # front-load (a) anything r9 adds or re-plans, (b) the remaining
 # ~30 r5-row entries not covered by the r8 window (dup_rate_by_source,
 # coin_volume_percentile, volume_grouping_sets, knn_recall, url_dedup,
@@ -3700,8 +3714,8 @@ def q_fuzzy_match_blocked(spark, sf_dir):
 # bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
 # active_coins_semi, momentum_ranks, knn_lsh_multiprobe...), oldest
 # first; the ~48 r6-row and ~45 r7-row entries can wait.
-# Update EXPECTED_R8_WINDOW in test_sql_api.py in the same commit as any
-# window change (rename it EXPECTED_R9_WINDOW next rotation).
+# Update the EXPECTED_R{N}_WINDOW list in test_sql_api.py in the same
+# commit as any window change.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- literal order = REGISTRATION history. Since r8 the driver
     # window is applied by the _R8_WINDOW_FRONT reorder after this
