@@ -1710,6 +1710,47 @@ def test_parse_gif_frames_disposal_and_transparency():
     assert frames[3][1][1, 2, 1] == (2 * 70) % 256
 
 
+def test_parse_gif_frames_disposal_truncation_contract():
+    """Malformed-input contract over the NEW code paths: every prefix
+    of a valid disposal/transparency payload either parses (a shorter
+    but valid frame list) or raises ValueError — never IndexError /
+    struct.error. Also: a background index outside a SMALL palette
+    raises the documented ValueError instead of indexing out of
+    bounds."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    payload = _handmade_gif(
+        [(0, 0, np.array([[1, 2], [3, 4]], dtype=np.uint8)),
+         (1, 1, np.array([[5]], dtype=np.uint8))],
+        2, 2, delays=[10, 20], disposals=[2, 3],
+        transparents=[None, 5], bg=7,
+    )
+    multimodal._parse_gif_frames(payload)  # sanity: full payload decodes
+    for cut in range(6, len(payload)):
+        try:
+            multimodal._parse_gif_frames(payload[:cut])
+        except ValueError:
+            pass  # the documented malformed-file contract
+        # any other exception type fails the test by propagating
+    # 4-entry palette (packed size bits 001 -> 2<<1), bg index 200: the
+    # background restore must raise, not index out of the palette
+    small_gct = bytes(range(12))
+    idx = np.zeros((1, 1), dtype=np.uint8)
+    lzw = multimodal._gif_lzw_encode(idx.tobytes())
+    bad_bg = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x81, 200, 0) + small_gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + bytes([8]) + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="background index"):
+        multimodal._parse_gif_frames(bad_bg)
+
+
 def test_gif_table_disposal_matches_oracle_formula(spark, docs):
     """gif_frames_real over the disposal/transparency corpus equals
     the registered oracle's CASE formula pixel-for-pixel (the same
