@@ -1109,6 +1109,7 @@ def fuzzy_match_blocked(
     max_dist: int = 2,
     max_block: int | None = 200,
     block_expr=None,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Blocked fuzzy record linkage: (id_a, id_b, edit_dist) for every
     pair whose normalized names are within ``max_dist`` Levenshtein
@@ -1132,7 +1133,12 @@ def fuzzy_match_blocked(
     verifies each candidate (id_a, id_b) against the texts joined by
     those ids — duplicate ids would fan each candidate out against
     every duplicate's text, so they are a caller error, not a
-    supported input.
+    supported input. Because that failure mode is SILENT wrong output
+    (inflated pairs, not an error), ``assert_unique_ids=True`` arms an
+    in-plan guard (ADVICE r9): a ``count(*) OVER (PARTITION BY rid)``
+    feeding ``raise_error`` fails the job at execution on the first
+    duplicate key. Debug posture — it costs one extra narrow-key
+    shuffle, so it defaults off; no driver-side collect either way.
 
     Prefix blocking cannot see pairs that differ inside the prefix —
     the standard single-pass blocking tradeoff. Production runs
@@ -1161,6 +1167,28 @@ def fuzzy_match_blocked(
         raise ValueError("block_prefix must be >= 1")
     norm = normalized_text(F.col(name_col))
     base = df.select(F.col(id_col).alias("rid"), norm.alias("norm"))
+    if assert_unique_ids:
+        base = (
+            base.withColumn(
+                "_idn", F.count("*").over(Window.partitionBy("rid"))
+            )
+            .withColumn(
+                "norm",
+                F.when(
+                    F.col("_idn") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "fuzzy_match_blocked: duplicate"
+                                f" {id_col} value "
+                            ),
+                            F.col("rid").cast("string"),
+                        )
+                    ),
+                ).otherwise(F.col("norm")),
+            )
+            .drop("_idn")
+        )
     blk = (
         block_expr
         if block_expr is not None

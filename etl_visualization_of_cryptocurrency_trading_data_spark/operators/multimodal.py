@@ -1462,6 +1462,8 @@ def _parse_gif_frames(buf: bytes) -> tuple[int, int, list[tuple[int, np.ndarray]
                     pt, pl, ph_, pw_ = prev_box
                     canvas[pt : pt + ph_, pl : pl + pw_] = prev_saved
             saved = canvas[top : top + h, left : left + w].copy()
+            if indices.size and int(indices.max()) >= palette.shape[0]:
+                raise ValueError("pixel index outside palette")
             rect = palette[indices].reshape(h, w, 3)
             if transp is not None:
                 mask = indices.reshape(h, w) != transp

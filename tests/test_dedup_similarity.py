@@ -1716,7 +1716,8 @@ def test_parse_gif_frames_disposal_truncation_contract():
     but valid frame list) or raises ValueError — never IndexError /
     struct.error. Also: a background index outside a SMALL palette
     raises the documented ValueError instead of indexing out of
-    bounds."""
+    bounds — for the BACKGROUND index and for decoded PIXEL indices
+    alike (ADVICE r9: palette[indices] was unguarded)."""
     import struct
 
     import numpy as np
@@ -1749,6 +1750,18 @@ def test_parse_gif_frames_disposal_truncation_contract():
     )
     with pytest.raises(ValueError, match="background index"):
         multimodal._parse_gif_frames(bad_bg)
+    # same small palette, VALID bg, but a decoded pixel index (200)
+    # outside the 4-entry palette: the compositing step must raise
+    # ValueError, never numpy IndexError
+    big_idx = np.full((1, 1), 200, dtype=np.uint8)
+    lzw2 = multimodal._gif_lzw_encode(big_idx.tobytes())
+    bad_px = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x81, 0, 0) + small_gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + bytes([8]) + bytes([len(lzw2)]) + lzw2 + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="pixel index"):
+        multimodal._parse_gif_frames(bad_px)
 
 
 def test_gif_table_disposal_matches_oracle_formula(spark, docs):
@@ -1942,6 +1955,33 @@ def test_fuzzy_match_blocked_cap_and_length_prefilter(spark):
     out = dedup.fuzzy_match_blocked(df, block_prefix=8, max_dist=2, max_block=5)
     got = {(r.id_a, r.id_b): r.edit_dist for r in out.collect()}
     assert got == {(100, 101): 1}, got
+
+
+def test_fuzzy_match_blocked_unique_id_guard(spark):
+    """assert_unique_ids=True fails the job at execution on a
+    duplicate id_col value (ADVICE r9: duplicate ids otherwise fan
+    candidates out against every duplicate's text — SILENT wrong
+    output) and is a no-op on unique ids (same pairs as the default
+    plan)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    rows = [(1, "coldpref one"), (2, "coldpref one!")]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    ok = dedup.fuzzy_match_blocked(
+        df, block_prefix=8, max_dist=2, assert_unique_ids=True
+    )
+    assert {(r.id_a, r.id_b): r.edit_dist for r in ok.collect()} == {(1, 2): 1}
+    dup = spark.createDataFrame(
+        rows + [(1, "coldpref oen")], "doc_id long, name string"
+    )
+    bad = dedup.fuzzy_match_blocked(
+        dup, block_prefix=8, max_dist=2, assert_unique_ids=True
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)) as ei:
+        bad.collect()
+    assert "duplicate doc_id value 1" in str(ei.value)
 
 
 def test_pca_top_component_rayleigh_contract(spark):
