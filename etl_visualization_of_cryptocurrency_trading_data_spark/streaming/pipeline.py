@@ -1073,13 +1073,29 @@ def drawdown_stream_replay(
     in ``timestamp`` stay within one wave (strict-inequality split)
     and are ordered by ``event_id`` inside the operator, mirroring the
     oracle's window ORDER BY. The streaming job runs at BUILD time; a
-    bench timing of the returned frame measures the memory-sink scan.
+    bench timing of the returned frame measures the materialized scan.
+
+    Sink (r9 verdict item #4): PARQUET, not memory — the r9
+    measurement proved the memory sink is incompatible with this
+    operator at scale BY CONSTRUCTION (sf10's 10M emitted rows exceed
+    ``spark.driver.maxResultSize`` in one batch) and priced the driver
+    collection at ~+70 s on top of the per-trigger machinery. The
+    parquet sink is the same fault-tolerant evidence mechanism
+    [[recovery_stream_replay]] uses: rows land executor-side, the
+    returned frame is localCheckpoint-materialized, and every tempdir
+    (spool, sink, checkpoint) is deleted before returning. The replay
+    wall is EVIDENCE MACHINERY pricing either way — the three
+    coalesce(1) waves drained one unsplittable file per trigger exist
+    to prove cross-batch state carry; the OPERATOR's own scale shape
+    is 18x at 100x data (NOTES_r09 §5, production availableNow
+    trigger). Rows are identical to the memory-sink form (append-mode
+    emission order doesn't affect the frame's SET of rows), so the
+    driver hash is unchanged.
     """
     import os
     import shutil
     import tempfile
     import time
-    import uuid
 
     from .stateful import stateful_drawdown
 
@@ -1096,7 +1112,9 @@ def drawdown_stream_replay(
     if bounds.lo is None:
         return spark.createDataFrame([], out_schema)
     span = (bounds.hi - bounds.lo) / n_waves
-    spool = tempfile.mkdtemp(prefix="drawdown_replay_")
+    root = tempfile.mkdtemp(prefix="drawdown_replay_")
+    spool = os.path.join(root, "spool")
+    os.makedirs(spool)
     base_mtime = time.time() - 3600
     n = 0
     for i in range(n_waves):
@@ -1121,17 +1139,25 @@ def drawdown_stream_replay(
         .option("maxFilesPerTrigger", 1)
         .parquet(spool)
     )
-    name = f"drawdown_replay_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
     query = (
         stateful_drawdown(stream)
         .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    _drain_spool(query, spool, "drawdown", timeout_s)
-    return spark.table(name)
+    ok = query.awaitTermination(timeout_s)
+    if not ok:
+        query.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(f"drawdown replay did not finish in {timeout_s}s")
+    result = spark.read.schema(out_schema).parquet(out).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return result
 
 
 def spread_outer_stream_replay(
