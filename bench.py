@@ -84,9 +84,21 @@ def main() -> None:
     # whole artifact (round 3's bench died on query 22 of 69 and
     # recorded nothing). Failures land as {"error": ...} entries; the
     # JSON line is always printed.
+    # SPARK_GRAFT_QUERIES=a,b,c restricts the run to a named subset
+    # under the IDENTICAL methodology (warmups, interleaved compile
+    # pre-pass, noop sink, per-query clearCache) — the A/A
+    # adjudication harness for suspected regressions (r9 verdict
+    # item #1). Default: the full registry.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    selected = (
+        {n.strip(): QUERIES[n.strip()] for n in only.split(",") if n.strip()}
+        if only
+        else QUERIES
+    )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, build in QUERIES.items():
+    for name, build in selected.items():
         if pre_sf is not None:
             t0 = time.perf_counter()
             try:
