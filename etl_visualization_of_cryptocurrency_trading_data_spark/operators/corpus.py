@@ -121,6 +121,67 @@ def pack_chunks(
     )
 
 
+def pack_chunks_bpe(
+    documents: DataFrame,
+    rounds: int = 3,
+    budget: int = 512,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget packing under the TRAINED BPE tokenizer — the
+    composition a pretraining pipeline actually ships (r9 verdict
+    item #5): [[pack_chunks]] budgets on the regex-token proxy;
+    this budgets on [[text.bpe_encode_counts]]' exact per-document
+    token counts under the ``rounds``-round trained merge table, so a
+    512-token context window means 512 TOKENIZER tokens, not 512
+    proxy tokens. Output: (doc_id, shard, n_tokens_bpe, first_chunk,
+    last_chunk, n_chunks) — the same manifest contract as
+    [[pack_chunks]] (disjoint windows; empty/wordless documents get
+    n_chunks = 0 with NULL bounds).
+
+    Plan shape (100 TB): training is vocabulary-bound and touched-once
+    (see [[text.bpe_train]]); encoding is one tokenize+explode pass +
+    one broadcast per-word lookup + a doc_id hash aggregate; the pack
+    itself is ONE 1:1 join on the uniform doc key + the shard-local
+    cumsum window of [[pack_chunks]]. No new scale terms beyond the
+    measured bpe_encode / pack_chunks shapes it composes.
+    """
+    from .text import bpe_encode_counts
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    enc = bpe_encode_counts(documents, rounds=rounds).select(
+        order_col, "n_tokens_bpe"
+    )
+    base = (
+        documents.select(order_col, shard_col)
+        .join(enc, order_col, "left")
+        .select(
+            order_col,
+            shard_col,
+            F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).alias("n_tokens_bpe"),
+        )
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = base.withColumn("end_tokens", F.sum("n_tokens_bpe").over(w))
+    start = F.col("end_tokens") - F.col("n_tokens_bpe")
+    first = F.floor(start / budget)
+    last = F.floor((F.col("end_tokens") - 1) / budget)
+    nonzero = F.col("n_tokens_bpe") > 0
+    return base.select(
+        order_col,
+        shard_col,
+        "n_tokens_bpe",
+        F.when(nonzero, first).cast("long").alias("first_chunk"),
+        F.when(nonzero, last).cast("long").alias("last_chunk"),
+        F.when(nonzero, last - first + 1).otherwise(0).cast("long").alias("n_chunks"),
+    )
+
+
 def top_terms(documents: DataFrame, k: int = 20) -> DataFrame:
     """Per-language top-k vocabulary terms by document-token frequency
     with deterministic ties (count desc, term asc) — the heavy-hitters

@@ -1230,6 +1230,49 @@ def fuzzy_match_blocked(
     )
 
 
+def fuzzy_match_multipass(
+    df: DataFrame,
+    name_col: str = "name",
+    id_col: str = "doc_id",
+    block_exprs=(None,),
+    max_dist: int = 2,
+    max_block: int | None = 200,
+) -> DataFrame:
+    """Multi-pass blocked fuzzy linkage (r9 verdict item #7) — the
+    production shape [[fuzzy_match_blocked]]'s docstring routes to:
+    one [[fuzzy_match_blocked]] pass per entry of ``block_exprs``
+    (each a Column over the normalized name available as ``norm``;
+    ``None`` = the default 8-char prefix), pairs unioned and
+    deduplicated. Single-pass prefix blocking is blind to edits
+    INSIDE the prefix; a second key that the edit leaves intact (a
+    SUFFIX key for edit-bounded variants — a sorted-token key only
+    helps word-reorder variants, which can't stay within a small edit
+    distance anyway) recovers exactly those pairs.
+
+    Scale: each pass is the measured de-spilled narrow-key plan
+    (38-48x at 100x data) and the passes are independent — P passes
+    cost P corpus normalize scans + P narrow-key self-joins, a linear
+    constant factor, never a new quadratic term. The final distinct
+    shuffles only (id_a, id_b, edit_dist) — pair-count-sized, and
+    pairs are bounded by P * sum-per-block |block|^2 under the same
+    max_block cap per pass.
+    """
+    out = None
+    for be in block_exprs:
+        p = fuzzy_match_blocked(
+            df,
+            name_col=name_col,
+            id_col=id_col,
+            max_dist=max_dist,
+            max_block=max_block,
+            block_expr=be,
+        )
+        out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("block_exprs must have at least one pass")
+    return out.distinct()
+
+
 def remove_repeated_spans(
     documents: DataFrame,
     span_words: int = 8,

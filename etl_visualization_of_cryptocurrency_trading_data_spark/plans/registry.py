@@ -1720,15 +1720,16 @@ pairs AS (
 )"""
 
 
-def _minhash_lsh_sql(
+def _minhash_lsh_parts(
     bands: int = 16, rows: int = 4, threshold: float = 0.5
-) -> str:
-    """DuckDB oracle replaying the md5-family MinHash+LSH bit-for-bit:
-    one md5 per shingle -> two 28-bit ints (h1, h2 via '0x' casts, the
-    same values Spark's conv parses) -> family member i = h1 + i*h2
-    (Kirsch-Mitzenmacher; bounded far below BIGINT overflow) -> K MIN
-    aggregates; band buckets are md5 over the comma-joined signature
-    slice; candidates verified with exact Jaccard."""
+) -> tuple[str, str]:
+    """Structured (ctes, final_select) pieces of the md5-family
+    MinHash+LSH oracle so dependent oracles ([[_leakage_safe_split_sql]])
+    compose SQL fragments instead of pattern-matching the rendered
+    string (ADVICE r9: the old rindex-on-a-literal-anchor surgery broke
+    on any cosmetic edit to the final SELECT). ``ctes`` is the full
+    ``WITH ...`` clause (no trailing comma); ``final_select`` is the
+    verify SELECT that consumes the ``cand``/``sh`` CTEs."""
     k = bands * rows
     sig_entries = ",\n    ".join(
         f"min(h1 + {i} * h2)" for i in range(k)
@@ -1739,8 +1740,7 @@ def _minhash_lsh_sql(
         " FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH {SHINGLES_CTE},
+    ctes = f"""WITH {SHINGLES_CTE},
 hv AS (
   SELECT doc_id,
          CAST('0x' || substr(m, 1, 7) AS BIGINT) AS h1,
@@ -1759,28 +1759,44 @@ bb AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-SELECT doc_id_a, doc_id_b,
+)"""
+    final_select = f"""SELECT doc_id_a, doc_id_b,
        len(list_intersect(x.shingles, y.shingles))::DOUBLE
        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
 FROM cand
 JOIN sh x ON x.doc_id = doc_id_a
 JOIN sh y ON y.doc_id = doc_id_b
 WHERE jaccard >= {threshold}"""
+    return ctes, final_select
+
+
+def _minhash_lsh_sql(
+    bands: int = 16, rows: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle replaying the md5-family MinHash+LSH bit-for-bit:
+    one md5 per shingle -> two 28-bit ints (h1, h2 via '0x' casts, the
+    same values Spark's conv parses) -> family member i = h1 + i*h2
+    (Kirsch-Mitzenmacher; bounded far below BIGINT overflow) -> K MIN
+    aggregates; band buckets are md5 over the comma-joined signature
+    slice; candidates verified with exact Jaccard. Rendered from
+    [[_minhash_lsh_parts]] so the leakage-split oracle composes the
+    same pieces structurally."""
+    ctes, final_select = _minhash_lsh_parts(bands, rows, threshold)
+    return f"\n{ctes}\n{final_select}"
 
 
 def _leakage_safe_split_sql() -> str:
     """Oracle for [[q_leakage_safe_split]]: reuse the md5-family
-    MinHash+LSH CTE chain verbatim (everything up to [[_minhash_lsh_sql]]'s
-    final SELECT becomes the ``pairs`` CTE), replay the star-CC
-    labeling as recursive reachability with min-label (the
-    dup_clusters_star oracle pattern), left-join singletons to their
-    own doc_id, and apply the exact md5 bucket thresholds of the
-    dataset_split oracle keyed on cluster_id."""
-    mh = _minhash_lsh_sql()
-    idx = mh.rindex("\nSELECT doc_id_a, doc_id_b,")
-    ctes, final_select = mh[:idx], mh[idx + 1 :]
-    ctes = ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+    MinHash+LSH oracle pieces verbatim via [[_minhash_lsh_parts]]
+    (the CTE chain keeps its structure; the verify SELECT becomes the
+    ``pairs`` CTE body), replay the star-CC labeling as recursive
+    reachability with min-label (the dup_clusters_star oracle
+    pattern), left-join singletons to their own doc_id, and apply the
+    exact md5 bucket thresholds of the dataset_split oracle keyed on
+    cluster_id."""
+    ctes, final_select = _minhash_lsh_parts()
+    assert ctes.startswith("WITH ")
+    ctes = "WITH RECURSIVE " + ctes[len("WITH ") :]
     return f"""{ctes},
 pairs AS (
 {final_select}
@@ -2191,15 +2207,18 @@ KNN_IVF_SQL = _knn_ivf_sql()
 # the IVF search in place of the deterministic sample. Centroid dims are
 # round(avg, 9) in BOTH engines, so the search sees bit-identical
 # centroids; cosine ties break by id as everywhere else.
-def _bpe_sql(rounds: int = 3, k: int = 40) -> str:
-    """Generated oracle for [[q_bpe_vocab_k]]: the K-round BPE training
-    loop unrolled as a CTE chain. Each round mirrors the engine's
-    window formulation verbatim — lead() pair build, grouped argmax
-    with (count DESC, p1, p2) tie-break, gaps-and-islands run grouping
-    (pos - row_number over match rows), even-offset merge_here,
-    lag() consumed drop, row_number position renumbering — so the two
+def _bpe_parts(rounds: int = 3) -> str:
+    """The K-round BPE training loop unrolled as a CTE chain (no
+    final SELECT) — the structured piece [[_bpe_sql]],
+    [[_bpe_encode_sql]], and [[_bpe_pack_sql]] compose instead of
+    pattern-matching each other's rendered SQL (the ADVICE r9
+    anti-pattern). Each round mirrors the engine's window formulation
+    verbatim — lead() pair build, grouped argmax with (count DESC,
+    p1, p2) tie-break, gaps-and-islands run grouping (pos -
+    row_number over match rows), even-offset merge_here, lag()
+    consumed drop, row_number position renumbering — so the two
     engines walk identical integer/string columns and the comparison
-    needs no tolerance."""
+    needs no tolerance. The final symbol table is CTE ``s{rounds}``."""
     parts = [
         r"""wf AS (
   SELECT w, count(*) AS n FROM (
@@ -2251,9 +2270,14 @@ s{r} AS (
   FROM cs{r} WHERE NOT consumed
 )"""
         )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_sql(rounds: int = 3, k: int = 40) -> str:
+    """Generated oracle for [[q_bpe_vocab_k]]: the [[_bpe_parts]]
+    training chain + the top-k post-training vocabulary SELECT."""
     return (
-        "WITH "
-        + ",\n".join(parts)
+        _bpe_parts(rounds)
         + f"""
 SELECT sym, n_occurrences, rank FROM (
   SELECT sym, n_occurrences,
@@ -2263,16 +2287,14 @@ SELECT sym, n_occurrences, rank FROM (
     )
 
 
-def _bpe_encode_sql(rounds: int = 3) -> str:
-    """Oracle for [[q_bpe_encode]]: reuse the K-round training CTE
-    chain (everything up to the final SELECT of [[_bpe_sql]]), then
-    encode = per-word post-merge symbol counts LEFT-joined onto the
-    corpus word stream (words below the length-2 training floor stay
-    single tokens)."""
-    train = _bpe_sql(rounds=rounds)
-    ctes = train[: train.rindex("\nSELECT sym, n_occurrences, rank")]
+def _bpe_encode_ctes(rounds: int = 3) -> str:
+    """Training chain + encode CTE ``enc`` (doc_id, n_words,
+    n_tokens_bpe): per-word post-merge symbol counts LEFT-joined onto
+    the corpus word stream (words below the length-2 training floor
+    stay single tokens). The structured piece [[_bpe_encode_sql]] and
+    [[_bpe_pack_sql]] compose — no rendered-SQL surgery."""
     return (
-        ctes
+        _bpe_parts(rounds)
         + f""",
 per_word AS (SELECT w, count(*) AS toks FROM s{rounds} GROUP BY w),
 docw AS (
@@ -2280,11 +2302,54 @@ docw AS (
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             x -> x <> '')) AS w
   FROM documents
+),
+enc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(coalesce(toks, 1))::BIGINT AS n_tokens_bpe
+  FROM docw LEFT JOIN per_word USING (w)
+  GROUP BY doc_id
+)"""
+    )
+
+
+def _bpe_encode_sql(rounds: int = 3) -> str:
+    """Oracle for [[q_bpe_encode]]: the K-round training chain +
+    encode CTE ([[_bpe_encode_ctes]]), projected."""
+    return (
+        _bpe_encode_ctes(rounds)
+        + "\nSELECT doc_id, n_words, n_tokens_bpe FROM enc"
+    )
+
+
+def _bpe_pack_sql(rounds: int = 3, budget: int = 512) -> str:
+    """Oracle for [[q_bpe_pack]]: the trained-tokenizer token counts
+    ([[_bpe_encode_ctes]]) fed through the pack_chunks cumsum — the
+    same shard-local window / chunk-range arithmetic as the
+    ``pack_chunks`` oracle with n_tokens_bpe as the budget unit.
+    Documents with no words are absent from ``enc`` (the word explode
+    drops them) and re-enter with 0 tokens via the LEFT join, exactly
+    like the engine's coalesce."""
+    return (
+        _bpe_encode_ctes(rounds)
+        + f""",
+t AS (
+  SELECT d.doc_id, d.source,
+         coalesce(e.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+),
+c AS (
+  SELECT *, sum(n_tokens_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM t
 )
-SELECT doc_id, count(*)::BIGINT AS n_words,
-       sum(coalesce(toks, 1))::BIGINT AS n_tokens_bpe
-FROM docw LEFT JOIN per_word USING (w)
-GROUP BY doc_id"""
+SELECT doc_id, source, n_tokens_bpe,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - n_tokens_bpe) // {budget} END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens_bpe > 0 THEN (end_tokens - 1) // {budget} END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - 1) // {budget} - (end_tokens - n_tokens_bpe) // {budget} + 1
+             ELSE 0 END)::BIGINT AS n_chunks
+FROM c"""
     )
 
 
@@ -2957,6 +3022,20 @@ def q_bpe_encode(spark, sf_dir):
     Oracle reuses the training CTE chain verbatim plus the same
     LEFT-join/coalesce encode step."""
     return text.bpe_encode_counts(_documents(spark, sf_dir), rounds=3)
+
+
+def q_bpe_pack(spark, sf_dir):
+    """Token-budget packing under the TRAINED tokenizer
+    (corpus.pack_chunks_bpe — r9 verdict item #5): [[q_pack_chunks]]'
+    manifest with [[q_bpe_encode]]'s exact per-document token counts
+    as the budget unit, closing the BPE family end-to-end — train →
+    encode → pack is the pipeline a pretraining run ships. Budget 512
+    trained-tokenizer tokens per context window, disjoint; the oracle
+    composes the training/encode CTE chain with the pack_chunks
+    cumsum structurally ([[_bpe_pack_sql]])."""
+    return corpus.pack_chunks_bpe(
+        _documents(spark, sf_dir), rounds=3, budget=PACK_BUDGET
+    )
 
 
 def q_price_anomalies(spark, sf_dir):
@@ -3633,6 +3712,50 @@ def q_fuzzy_match_blocked(spark, sf_dir):
     )
 
 
+def q_fuzzy_match_multipass(spark, sf_dir):
+    """Multi-pass blocked fuzzy linkage (dedup.fuzzy_match_multipass —
+    r9 verdict item #7): the [[q_fuzzy_match_blocked]] corpus PLUS a
+    second planted twin family per doc_id % 7 == 5 with the character
+    substitution INSIDE the 8-char blocking prefix (char 3) — the
+    documented single-pass miss. Two passes over the same corpus:
+    the default prefix key and a SUFFIX key (chars 17-24 of the
+    fixed-24-char names), which the in-prefix edit leaves intact, so
+    every cross-prefix twin is recovered in pass 2; pairs unioned and
+    deduplicated. The driver hash covers both passes' blocking, the
+    planted recoveries, and the distinct."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalized_text
+    from ..operators import dedup
+
+    norm = normalized_text(F.col("text"))
+    names = (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.substring(norm, 1, 24).alias("name"))
+        .filter(F.length(norm) >= 24)
+    )
+    twins_mid = names.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"),
+        F.concat(
+            F.substring("name", 1, 12), F.lit("#"), F.substring("name", 14, 11)
+        ).alias("name"),
+    )
+    twins_prefix = names.filter(F.col("doc_id") % 7 == 5).select(
+        (F.col("doc_id") + 2_000_002).alias("doc_id"),
+        F.concat(
+            F.substring("name", 1, 2), F.lit("#"), F.substring("name", 4, 21)
+        ).alias("name"),
+    )
+    return dedup.fuzzy_match_multipass(
+        names.unionByName(twins_mid).unionByName(twins_prefix),
+        name_col="name",
+        id_col="doc_id",
+        block_exprs=(None, F.substring(F.col("norm"), 17, 8)),
+        max_dist=2,
+        max_block=200,
+    )
+
+
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R8_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # ROUND-7 ROTATION EXECUTED (registry = 158 queries, window = first 50):
@@ -3664,9 +3787,28 @@ def q_fuzzy_match_blocked(spark, sf_dir):
 # New registrations hit the ~12 cap exactly (12 + 2 re-plans).
 # AFTER the r7 driver run: no registered query's newest driver row is
 # older than r5 except the ten yielded entries (r4).
-# ROUND-9 ROTATION EXECUTED per the guidance below — see the
-# _R9_WINDOW_FRONT reorder after the QUERIES literal (and PINNING.md
-# for the per-query evidence map). Round-10 rotation guidance:
+# ROUND-10 ROTATION EXECUTED per the r9 guidance (kept below) — see
+# the _R10_WINDOW_FRONT reorder after the QUERIES literal (and
+# PINNING.md for the per-query evidence map). The demotion trigger
+# FIRED this round (186 registrations pre-demotion, the ten teaching
+# forms = the r9 verdict's entire perf-weak list), so the nine
+# teaching-form r6 rows were demoted rather than rotated; their
+# verbatim oracles are exercised every run by
+# test_teaching_form_matches_oracle_after_demotion.
+# Round-11 rotation guidance: front-load (a) anything r11 adds or
+# re-plans, (b) the r7-row cohort not covered by the r10 window
+# (price_chart, indicator_chart, coin_display, quality_score,
+# token_counts, lang_id, doc_fingerprint, bigram_logprob,
+# doc_length_quantiles, top_terms, redact_pii, dataset_split,
+# deterministic_sample, stratified_sample, pack_chunks,
+# media_metadata, frame_schedule, coins_dim, price_data,
+# ohlc_candles, technical_indicators, coin_market_cap, coin_table,
+# envelope_price, envelope_coins, envelope_ohlc,
+# coin_indicators_left, volume_rollup, text_stats — 29 entries),
+# registry order, then (c) the oldest r8-row entries with any
+# remaining slots. Rename EXPECTED_R10_WINDOW to EXPECTED_R11_WINDOW
+# in the same commit.
+# The r9-written round-10 guidance (kept for history):
 # front-load (a) anything r10 adds or re-plans, (b)
 # spread_stream_replay and exact_dedup (r6 rows that yielded their r9
 # (d) slots to the mid-round registrations), (c) the ~33 remaining
@@ -3676,10 +3818,7 @@ def q_fuzzy_match_blocked(spark, sf_dir):
 # embedding_dup_pairs are TEACHING forms — include them only if the
 # demotion trigger has NOT fired by then, else flip
 # DEMOTE_TEACHING_FORMS instead), then (d) the oldest r7-row entries
-# with any remaining slots. After the r9 driver run no row predates
-# r6, so r10's job is keeping the r6 cohort from aging past the
-# ~3-round window. Rename EXPECTED_R9_WINDOW to EXPECTED_R10_WINDOW
-# in the same commit.
+# with any remaining slots.
 # The r8-written round-9 guidance (kept for history):
 # front-load (a) anything r9 adds or re-plans, (b) the remaining
 # ~30 r5-row entries not covered by the r8 window (dup_rate_by_source,
@@ -3921,6 +4060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames_real": q_media_frames_real,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "fuzzy_match_blocked": q_fuzzy_match_blocked,
+    "fuzzy_match_multipass": q_fuzzy_match_multipass,
     "pca_top_component": q_pca_top_component,
     "dup_clusters_star": q_dup_clusters_star,
     "drawdown_stream_replay": q_drawdown_stream_replay,
@@ -3937,6 +4077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_vocab_k": q_bpe_vocab_k,
     "plan_audit_skew": q_plan_audit_skew,
     "bpe_encode": q_bpe_encode,
+    "bpe_pack": q_bpe_pack,
     "semantic_dedup_capped": q_semantic_dedup_capped,
     "repeated_spans_sliding": q_repeated_spans_sliding,
     # ---- round 9 registrations ----
@@ -3945,8 +4086,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
 }
 
-# ---- ROUND-9 DRIVER WINDOW (applied below; pinned by
-# tests/test_sql_api.py::EXPECTED_R9_WINDOW) ----
+# ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
+# tests/test_sql_api.py::EXPECTED_R10_WINDOW) ----
+# The r9 window rationale (kept for history):
 # The dict literal above preserves REGISTRATION history; the driver's
 # 50-slot correctness window is applied by reordering here, per the
 # r8 rotation note and the r8 verdict item #1: (a) the THREE r9
@@ -3965,75 +4107,76 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # round) yielded their (d) slots to the two mid-round (a)
 # registrations. After the r9 driver run: zero never-checked
 # registrations and no newest row older than r6.
-# (The r8 window list lives in git history at tag `round-8` /
-# CORRECTNESS_r08.json; PINNING.md tracks per-query evidence age.)
-_R9_WINDOW_FRONT = [
-    # (a) new or re-planned this round (spread_stream_replay and
-    # exact_dedup — r6 rows, safe to age one more round — yielded
-    # their (d) slots to remove_repeated_spans / leakage_safe_split)
-    "media_frames_gif2",
-    "remove_repeated_spans",
-    "leakage_safe_split",
-    "fuzzy_match_blocked",
-    # (b) the one never-driver-checked registration (mid-r8 append)
-    "repeated_spans_sliding",
-    # (c) all 31 remaining r5-row entries, rotation-note order
-    "exchange_hll_rollup",
-    "ohlc_stream_replay",
-    "dup_rate_by_source",
-    "coin_volume_percentile",
-    "volume_grouping_sets",
-    "knn_recall",
-    "url_dedup",
-    "media_decode_ppm",
-    "vwap_stream_replay",
-    "span_dedup",
-    "gopher_rules",
-    "media_decode_wav",
-    "mixture_sample",
-    "knn_pq",
-    "curation_pipeline_v2",
-    "price_resample_1h",
-    "knn_pq_recall",
-    "session_stream_replay",
-    "coin_pagerank",
-    "price_anomalies",
-    "forecast_backtest",
-    "bpe_merges",
-    "jsonl_roundtrip",
-    "volume_profile",
-    "bollinger_bands",
-    "max_drawdown",
-    "obv",
-    "knn_brute_vectorized",
-    "active_coins_semi",
-    "momentum_ranks",
-    "knn_lsh_multiprobe",
-    # (d) 14 oldest r6-row entries (registry order, teaching forms
-    # skipped — their scale twins carry the plan-family evidence;
-    # spread_stream_replay/exact_dedup yielded to the (a) additions)
-    "simhash_pairs_wide",
-    "knn_ivf_fixed",
-    "media_decode_png",
-    "salted_join_skew",
-    "restfeed_stream_replay",
-    "plan_audit",
-    "embedding_dup_wide",
-    "dedup_stream_replay",
-    "coin_pagerank_capped",
-    "kmeans_centroids_fixed",
-    "ohlc_daily_rollup",
-    "event_bigrams",
-    "restfeed_ohlc",
-    "orc_roundtrip",
+# (The r8/r9 window lists live in git history / CORRECTNESS_r0{8,9}.json;
+# PINNING.md tracks per-query evidence age.)
+# ROUND-10 ROTATION (executed per the r9 guidance block above):
+_R10_WINDOW_FRONT = [
+    # (a) new or re-planned this round: the two r10 registrations and
+    # the drawdown replay's sink re-plan (memory -> parquet evidence
+    # mechanism; rows identical, the fresh row re-verifies it)
+    "bpe_pack",
+    "fuzzy_match_multipass",
+    "drawdown_stream_replay",
+    # (b) the two r6 rows that yielded their r9 (d) slots
+    "spread_stream_replay",
+    "exact_dedup",
+    # (c) all 24 remaining r6-row entries, registry order (the nine
+    # teaching-form r6 rows are DEMOTED this round, not rotated —
+    # their verbatim oracles move to the always-on parity twin test)
+    "dedup_survivors",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "pack_chunks_overlap",
+    "contamination",
+    "curation_pipeline",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "doc_length_quantiles_approx",
+    "exchange_cardinality",
+    "knn_quantized",
+    "embedding_normalize",
+    "embedding_quantize",
+    "media_frames",
+    "media_features",
+    "stale_coins_anti",
+    "top_coins_by_volume",
+    "union_price_feeds",
+    "asof_price_candle",
+    "top_suppliers",
+    "user_retention",
+    "price_correlation",
+    "event_props_stats",
+    "revenue_by_nation",
+    # (d) the 21 oldest r7-row entries, registry order
+    "semantic_dedup_trained",
+    "recovery_stream_replay",
+    "media_decode_bmp",
+    "media_decode_gif",
+    "media_decode_jpeg",
+    "media_resize",
+    "incremental_dedup_bloom",
+    "zorder_profile",
+    "cms_frequencies",
+    "enrich_stream_replay",
+    "late_drop_stream_replay",
+    "knn_ivf_full_fixed",
+    "knn_lsh_planes8",
+    "exchange_influencers",
+    "trading_sessions",
+    "session_range_join",
+    "market_cap_chart",
+    "knn_ivf_trained",
+    "volume_cube",
+    "exchange_cardinality_approx",
+    "atr_14",
 ]
-assert len(_R9_WINDOW_FRONT) == 50 and len(set(_R9_WINDOW_FRONT)) == 50
-assert set(_R9_WINDOW_FRONT) <= set(QUERIES), sorted(
-    set(_R9_WINDOW_FRONT) - set(QUERIES)
+assert len(_R10_WINDOW_FRONT) == 50 and len(set(_R10_WINDOW_FRONT)) == 50
+assert set(_R10_WINDOW_FRONT) <= set(QUERIES), sorted(
+    set(_R10_WINDOW_FRONT) - set(QUERIES)
 )
 QUERIES = {
     k: QUERIES[k]
-    for k in _R9_WINDOW_FRONT + [k for k in QUERIES if k not in _R9_WINDOW_FRONT]
+    for k in _R10_WINDOW_FRONT + [k for k in QUERIES if k not in _R10_WINDOW_FRONT]
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -6303,6 +6446,8 @@ FROM binned GROUP BY coin_id, exchange, bin""",
 
     "bpe_vocab_k": _bpe_sql(rounds=3, k=40),
     "bpe_encode": _bpe_encode_sql(rounds=3),
+    # trained-tokenizer packing: encode chain + pack cumsum, composed
+    "bpe_pack": _bpe_pack_sql(rounds=3, budget=PACK_BUDGET),
     "bpe_merges": r"""
 WITH wf AS (
   SELECT w, count(*) AS n FROM (
@@ -6655,6 +6800,57 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM keep a JOIN keep b
   ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
 WHERE levenshtein(a.name, b.name) <= 2""",
+    # multi-pass blocked fuzzy linkage: the single-pass corpus + a
+    # second twin family mutated INSIDE the prefix (char 3); prefix
+    # pass UNION suffix pass (chars 17-24), distinct — each pass
+    # replays the blocked CTE shape above under its own key
+    "fuzzy_match_multipass": f"""
+WITH norm AS (
+  SELECT doc_id, substr({NORM_TEXT_SQL}, 1, 24) AS name
+  FROM documents WHERE length({NORM_TEXT_SQL}) >= 24
+),
+corpus AS (
+  SELECT doc_id, name FROM norm
+  UNION ALL
+  SELECT doc_id + 1000001,
+         substr(name, 1, 12) || '#' || substr(name, 14)
+  FROM norm WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 2000002,
+         substr(name, 1, 2) || '#' || substr(name, 4)
+  FROM norm WHERE doc_id % 7 = 5
+),
+pre AS (
+  SELECT doc_id, name, substr(name, 1, 8) AS blk, length(name) AS ln
+  FROM corpus
+),
+suf AS (
+  SELECT doc_id, name, substr(name, 17, 8) AS blk, length(name) AS ln
+  FROM corpus
+),
+keep_pre AS (
+  SELECT b.* FROM pre b
+  JOIN (SELECT blk FROM pre GROUP BY blk HAVING count(*) <= 200) s
+    USING (blk)
+),
+keep_suf AS (
+  SELECT b.* FROM suf b
+  JOIN (SELECT blk FROM suf GROUP BY blk HAVING count(*) <= 200) s
+    USING (blk)
+)
+SELECT DISTINCT id_a, id_b, edit_dist FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.name, b.name)::INT AS edit_dist
+  FROM keep_pre a JOIN keep_pre b
+    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
+  WHERE levenshtein(a.name, b.name) <= 2
+  UNION ALL
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.name, b.name)::INT AS edit_dist
+  FROM keep_suf a JOIN keep_suf b
+    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
+  WHERE levenshtein(a.name, b.name) <= 2
+)""",
     # power-iteration PCA: generated, mirrored expression-for-expression
     "pca_top_component": _pca_sql(dim=16, iters=12),
     # ABTT residuals: same generated walk + rounded-pc1 subtraction
@@ -6847,8 +7043,15 @@ TEACHING_FORMS = [
 TEACHING: dict[str, tuple] = {
     k: (QUERIES[k], ORACLES[k]) for k in TEACHING_FORMS
 }
-DEMOTE_TEACHING_FORMS = False  # flip at the NOTES_r08 §7 trigger
-if DEMOTE_TEACHING_FORMS:  # pragma: no cover - armed by the trigger
+# FLIPPED r10 (r9 verdict item #3): the trigger is met — 186
+# registrations pre-demotion crosses the ~200 line during r10-r11,
+# and the ten forms were the r9 verdict's entire perf-weak list.
+# Their (query fn, oracle SQL) pairs survive VERBATIM in TEACHING and
+# are value-checked at the driver's sf on every pytest run by
+# test_teaching_form_matches_oracle_after_demotion (the previously
+# dormant twin).
+DEMOTE_TEACHING_FORMS = True
+if DEMOTE_TEACHING_FORMS:
     for _k in TEACHING_FORMS:
         QUERIES.pop(_k)
         ORACLES.pop(_k)

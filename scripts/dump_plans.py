@@ -23,7 +23,6 @@ SHOWCASE = [
     "technical_indicators",  # single repartition+sort + fused mapInPandas
     "minhash_lsh_pairs",     # codegen'd 64-min aggregate + bucket self-join
     "ngram_jaccard_pairs",   # inverted-index join, broadcast size sides
-    "knn_ivf",               # broadcast centroid assignment + list join
     "price_chart",           # pushdown: endswith + time range reach the scan
     "coin_indicators_left",  # broadcast LEFT join, preserved side unshuffled
     "doc_length_quantiles_approx",  # mergeable GK sketch, partial agg
@@ -40,7 +39,7 @@ SHOWCASE = [
     "pack_chunks",           # shard-local window cumsum, one shuffle
     "tfidf_top_terms",       # 1 tokenize scan; df via term window, top-k WGL
     "contamination",         # 2-scan posting self-join, window df cap
-    "kmeans_centroids",      # per-round broadcast crossJoin + argmin window
+    "kmeans_centroids_fixed",  # per-round broadcast crossJoin + argmin window
     "user_retention",        # distinct -> cohort min window, no cohort join
     "knn_quantized",         # int8 codes, integer dots, norms pre-join
     "bigram_logprob",        # 1 scan, shared exchange for both count windows
@@ -60,7 +59,6 @@ SHOWCASE = [
     "knn_ivf_pq",            # IVF routing over PQ byte-code ADC scoring
     "vocab_coverage",        # TakeOrdered partial top-k, no global sort
     "scd2_volume_tiers",     # day-keyed ntile + coin-keyed island windows
-    "semantic_dedup",        # broadcast centroid assign + cluster-key pairs
     "coin_pagerank_capped",  # binding per-bucket top-K before the pair join
     "heikin_ashi",           # fused mapInPandas recursion, one shuffle
     "keltner_channels",      # ATR window + EMA Arrow pass, one shuffle
@@ -77,15 +75,16 @@ SHOWCASE = [
     "knn_ivf_fixed",         # FIXED 32-centroid coarse index, N*C linear
     "media_decode_png",      # synth + real zlib decode, two map stages
     "salted_join_skew",      # hot key spread across 8 salted partitions
-    "incremental_dedup",     # fp groupBy + LEFT ANTI vs seen fingerprints
     "media_frames_gif",      # animated-GIF frame fan-out, pure map chain
     "bpe_vocab_k",           # 3 window-only merge rounds on the vocab table
     "bpe_encode",            # trained-tokenizer encode: broadcast vocab join
+    "bpe_pack",              # trained-token counts through the pack cumsum
     "bm25_scores",           # match-filter before shuffle, df term window
     "dsir_weights",          # bucket windows on one exchange, totals bcast
     "media_features_auto",   # sniff-dispatch mapInPandas, no shuffle
     "hybrid_retrieval_rrf",  # two TakeOrdered arms, bounded rank windows
     "fuzzy_match_blocked",   # prefix blocks + length band before levenshtein
+    "fuzzy_match_multipass", # prefix + suffix passes unioned, distinct pairs
     "pca_top_component",     # ONE single-row Gram agg + broadcast projection
     "pca_residual",          # ABTT: same Gram agg, residual map pass
     "dup_clusters_star",     # log-round star CC, checkpointed per round

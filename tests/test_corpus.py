@@ -99,6 +99,48 @@ def test_pack_chunks_conservation(spark):
 
 
 # ---------------------------------------------------------------------------
+# pack_chunks_bpe
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_bpe_tokenizer_true_and_conservation(spark):
+    """The trained-tokenizer pack (r9 verdict item #5): (a) budgets
+    are TOKENIZER-TRUE — each doc's n_tokens_bpe equals
+    bpe_encode_counts' value under the same rounds (0 for wordless
+    docs); (b) conservation — recomputing the shard cumsum / chunk
+    ranges in pandas from those counts reproduces the manifest
+    exactly, and the shard's chunk count is ceil(total/budget)."""
+    import math
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import text
+
+    budget = 64
+    docs = _docs(spark)
+    got = corpus.pack_chunks_bpe(docs, rounds=3, budget=budget).toPandas()
+    enc = {
+        r.doc_id: r.n_tokens_bpe
+        for r in text.bpe_encode_counts(docs, rounds=3).collect()
+    }
+    n_docs = docs.count()
+    assert len(got) == n_docs  # wordless docs stay in the manifest
+    for r in got.itertuples():
+        assert r.n_tokens_bpe == enc.get(r.doc_id, 0)
+    for _, shard in got.groupby("source"):
+        shard = shard.sort_values("doc_id")
+        end = 0
+        for r in shard.itertuples():
+            start, end = end, end + r.n_tokens_bpe
+            if r.n_tokens_bpe == 0:
+                assert r.n_chunks == 0
+                continue
+            assert r.first_chunk == start // budget
+            assert r.last_chunk == (end - 1) // budget
+            assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        if end > 0:
+            assert int(shard.last_chunk.max()) + 1 == math.ceil(end / budget)
+
+
+# ---------------------------------------------------------------------------
 # top_terms
 # ---------------------------------------------------------------------------
 

@@ -1984,6 +1984,36 @@ def test_fuzzy_match_blocked_unique_id_guard(spark):
     assert "duplicate doc_id value 1" in str(ei.value)
 
 
+def test_fuzzy_match_multipass_recovers_cross_prefix_pair(spark):
+    """Multi-pass blocking (r9 verdict item #7): a planted pair that
+    differs INSIDE the 8-char prefix is invisible to the single
+    prefix pass (the documented miss) and recovered by the suffix
+    pass; pairs caught by BOTH passes (edits between prefix and
+    suffix) appear exactly once after the distinct."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "satoshi nakamoto institute"),
+        (2, "sa#oshi nakamoto institute"),  # edit at char 3: cross-prefix
+        (3, "satoshi nakam#to institute"),  # edit at char 14: both passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    suffix_key = F.substring(F.col("norm"), 17, 8)
+    single = {
+        (r.id_a, r.id_b)
+        for r in dedup.fuzzy_match_blocked(
+            df, block_prefix=8, max_dist=2, max_block=None
+        ).collect()
+    }
+    assert (1, 2) not in single and (1, 3) in single
+    multi = dedup.fuzzy_match_multipass(
+        df, block_exprs=(None, suffix_key), max_dist=2, max_block=None
+    ).collect()
+    pairs = [(r.id_a, r.id_b, r.edit_dist) for r in multi]
+    assert sorted(pairs) == [(1, 2, 1), (1, 3, 1), (2, 3, 2)]
+    assert len(pairs) == len(set(pairs))  # distinct collapsed the overlap
+
+
 def test_pca_top_component_rayleigh_contract(spark):
     """The unrolled power iteration is a REPLAYABLE approximation —
     the driver hash pins the replay; this pins the quality CONTRACT:

@@ -224,67 +224,67 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 registry entries each
-# round. This list IS the round-7 window — any insertion/reorder of
+# round. This list IS the current round's window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R9_WINDOW = [
-    # (a) new or re-planned this round: GIF disposal-2/3 +
-    # transparency frames, the sliding-span cutter, the near-dup-aware
-    # split; the de-spilled fuzzy linkage re-plan
-    "media_frames_gif2",
-    "remove_repeated_spans",
-    "leakage_safe_split",
-    "fuzzy_match_blocked",
-    # (b) the one never-driver-checked registration (mid-r8 append)
-    "repeated_spans_sliding",
-    # (c) all 31 remaining r5-row entries
-    "exchange_hll_rollup",
-    "ohlc_stream_replay",
-    "dup_rate_by_source",
-    "coin_volume_percentile",
-    "volume_grouping_sets",
-    "knn_recall",
-    "url_dedup",
-    "media_decode_ppm",
-    "vwap_stream_replay",
-    "span_dedup",
-    "gopher_rules",
-    "media_decode_wav",
-    "mixture_sample",
-    "knn_pq",
-    "curation_pipeline_v2",
-    "price_resample_1h",
-    "knn_pq_recall",
-    "session_stream_replay",
-    "coin_pagerank",
-    "price_anomalies",
-    "forecast_backtest",
-    "bpe_merges",
-    "jsonl_roundtrip",
-    "volume_profile",
-    "bollinger_bands",
-    "max_drawdown",
-    "obv",
-    "knn_brute_vectorized",
-    "active_coins_semi",
-    "momentum_ranks",
-    "knn_lsh_multiprobe",
-    # (d) 14 oldest r6-row entries (teaching forms skipped;
-    # spread_stream_replay/exact_dedup yielded to the (a) additions)
-    "simhash_pairs_wide",
-    "knn_ivf_fixed",
-    "media_decode_png",
-    "salted_join_skew",
-    "restfeed_stream_replay",
-    "plan_audit",
-    "embedding_dup_wide",
-    "dedup_stream_replay",
-    "coin_pagerank_capped",
-    "kmeans_centroids_fixed",
-    "ohlc_daily_rollup",
-    "event_bigrams",
-    "restfeed_ohlc",
-    "orc_roundtrip",
+EXPECTED_R10_WINDOW = [
+    # (a) new or re-planned this round: trained-tokenizer packing,
+    # multi-pass fuzzy blocking; the drawdown replay's parquet-sink
+    # re-plan (rows identical)
+    "bpe_pack",
+    "fuzzy_match_multipass",
+    "drawdown_stream_replay",
+    # (b) the two r6 rows that yielded their r9 (d) slots
+    "spread_stream_replay",
+    "exact_dedup",
+    # (c) all 24 remaining r6-row entries (the nine teaching-form r6
+    # rows were DEMOTED this round, not rotated)
+    "dedup_survivors",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "pack_chunks_overlap",
+    "contamination",
+    "curation_pipeline",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "doc_length_quantiles_approx",
+    "exchange_cardinality",
+    "knn_quantized",
+    "embedding_normalize",
+    "embedding_quantize",
+    "media_frames",
+    "media_features",
+    "stale_coins_anti",
+    "top_coins_by_volume",
+    "union_price_feeds",
+    "asof_price_candle",
+    "top_suppliers",
+    "user_retention",
+    "price_correlation",
+    "event_props_stats",
+    "revenue_by_nation",
+    # (d) the 21 oldest r7-row entries, registry order
+    "semantic_dedup_trained",
+    "recovery_stream_replay",
+    "media_decode_bmp",
+    "media_decode_gif",
+    "media_decode_jpeg",
+    "media_resize",
+    "incremental_dedup_bloom",
+    "zorder_profile",
+    "cms_frequencies",
+    "enrich_stream_replay",
+    "late_drop_stream_replay",
+    "knn_ivf_full_fixed",
+    "knn_lsh_planes8",
+    "exchange_influencers",
+    "trading_sessions",
+    "session_range_join",
+    "market_cap_chart",
+    "knn_ivf_trained",
+    "volume_cube",
+    "exchange_cardinality_approx",
+    "atr_14",
 ]
 
 
@@ -313,8 +313,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R9_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R9_WINDOW
+    assert len(EXPECTED_R10_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R10_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
