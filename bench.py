@@ -161,7 +161,10 @@ def main() -> None:
     out["n_queries"] = len(timings)
     out["n_errors"] = len(errors)
     out["total_sec"] = total
-    with open(os.path.join(REPO, "bench_full.json"), "w") as f:
+    # Subset runs (the A/A harness) must not clobber the committed
+    # full-registry artifact — they land in bench_subset.json instead.
+    artifact = "bench_full.json" if only is None else "bench_subset.json"
+    with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(out, f, indent=1)
     chunk_size = 10
     for ci in range(0, len(names), chunk_size):
