@@ -865,11 +865,27 @@ def repeated_spans_sliding(
     reaches the output — so a 2^-64 collision inflates one count,
     never corrupts a range.
     """
+    wins = _sliding_windows(documents, span_words)
+    dup_keys = (
+        wins.groupBy("span_key")
+        .agg(F.count("*").alias("span_df"))
+        .filter(F.col("span_df") >= min_count)
+        .select("span_key")
+    )
+    hits = wins.join(dup_keys, "span_key").select("doc_id", "start")
+    return _collapse_starts(hits, span_words)
+
+
+def _sliding_windows(documents: DataFrame, span_words: int) -> DataFrame:
+    """(doc_id, start, span_key) — one row per overlapping
+    ``span_words``-word window, keyed by xxhash64 of the window text.
+    Shared by [[repeated_spans_sliding]] and the keep-first cutter so
+    the two can never disagree on window identity."""
     toks = documents.select("doc_id", words(F.col("text")).alias("ws")).filter(
         F.size("ws") >= span_words
     )
     n_starts = F.size("ws") - span_words + 1
-    wins = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("start"),
         "ws",
@@ -882,13 +898,11 @@ def repeated_spans_sliding(
             )
         ).alias("span_key"),
     )
-    dup_keys = (
-        wins.groupBy("span_key")
-        .agg(F.count("*").alias("span_df"))
-        .filter(F.col("span_df") >= min_count)
-        .select("span_key")
-    )
-    hits = wins.join(dup_keys, "span_key").select("doc_id", "start")
+
+
+def _collapse_starts(hits: DataFrame, span_words: int) -> DataFrame:
+    """Gaps-and-islands collapse of flagged window starts into maximal
+    word ranges: (doc_id, range_start, range_len_words, n_windows)."""
     run_w = Window.partitionBy("doc_id").orderBy("start")
     grouped = hits.withColumn(
         "grp", F.col("start") - F.row_number().over(run_w)
@@ -1302,11 +1316,21 @@ def remove_repeated_spans(
     plus one per-doc reassembly aggregate (collect_list of
     (pos, word) structs, sorted in-plan — no Python, no UDF).
     """
+    ranges = repeated_spans_sliding(documents, span_words, min_count)
+    return _cut_ranges(documents, ranges)
+
+
+def _cut_ranges(documents: DataFrame, ranges: DataFrame) -> DataFrame:
+    """Positional anti-join cut + in-plan reassembly shared by the two
+    cutters: drop every word whose 0-based position falls inside any
+    of the doc's flagged (range_start, range_len_words) ranges, then
+    rebuild (doc_id, clean_text, n_words_kept, n_words_removed) —
+    one row per INPUT document."""
     # ranges shares documents' lineage with toks — rename its columns
     # so the join condition cannot resolve both doc_id sides to the
     # same attribute (self-join ambiguity would make it trivially true
     # and cut words by OTHER docs' ranges)
-    ranges = repeated_spans_sliding(documents, span_words, min_count).select(
+    ranges = ranges.select(
         F.col("doc_id").alias("r_doc"),
         F.col("range_start").alias("r_start"),
         F.col("range_len_words").alias("r_len"),
@@ -1344,6 +1368,58 @@ def remove_repeated_spans(
             - F.coalesce(F.col("n_words_kept"), F.lit(0).cast("long"))
         ).alias("n_words_removed"),
     )
+
+
+def remove_repeated_spans_keep_first(
+    documents: DataFrame,
+    span_words: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ALL-BUT-ONE cutter (r9 verdict "missing" item #3) — the
+    survivorship-composed form [[remove_repeated_spans]]'s docstring
+    routes to: each corpus-repeated window keeps its CANONICAL
+    occurrence (the lexicographic minimum (doc_id, start) — a
+    deterministic first-carrier survivorship rule) and every OTHER
+    occurrence is cut. Right for repeated content that should survive
+    once in the corpus (a quoted passage, a shared abstract); the
+    every-occurrence form stays the default for boilerplate.
+
+    Same output contract as [[remove_repeated_spans]]: one row per
+    input document, (doc_id, clean_text, n_words_kept,
+    n_words_removed), position-ordered in-plan reassembly, no Python.
+
+    Degenerate-case semantics (documented, deliberate): in a
+    self-overlapping run (e.g. one word repeated 20 times with
+    span 8), only the window at the FIRST start is canonical — the
+    flagged later starts collapse into one range covering the run's
+    tail, so the run survives as a prefix. Keep-one is a WINDOW-level
+    rule; carriers of several distinct repeated blocks may keep one
+    block and lose another, each to its own canonical carrier.
+
+    Scale shape: identical to the sweep's except the per-key
+    aggregate also carries min(struct(doc_id, start)) — still ONE
+    map-side-combinable groupBy on the 8-byte window key (skew on a
+    hot boilerplate key is absorbed by partial aggregation; no
+    per-key row_number window, which would concentrate a hot key's
+    occurrences on one reducer), then the same join-back, collapse,
+    and positional cut.
+    """
+    wins = _sliding_windows(documents, span_words)
+    stats = wins.groupBy("span_key").agg(
+        F.count("*").alias("span_df"),
+        F.min(F.struct("doc_id", "start")).alias("canon"),
+    )
+    hits = (
+        wins.join(stats.filter(F.col("span_df") >= min_count), "span_key")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("start") == F.col("canon.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    return _cut_ranges(documents, _collapse_starts(hits, span_words))
 
 
 def connected_components_star(

@@ -2834,6 +2834,23 @@ def q_remove_repeated_spans(spark, sf_dir):
     )
 
 
+def q_remove_repeated_spans_keep_first(spark, sf_dir):
+    """The ALL-BUT-ONE cutter (dedup.remove_repeated_spans_keep_first,
+    r10 — the survivorship-composed form the r9 cutter's docstring
+    routes to): each corpus-repeated window keeps its canonical
+    occurrence (lexicographic-min (doc_id, start) — deterministic
+    first-carrier survivorship) and every other occurrence is cut.
+    The hash covers the per-key argmin survivorship, the non-canonical
+    flagging, the range collapse, and the positional cut/reassembly.
+    Engine correlates windows by xxhash64 and takes the argmin inside
+    ONE map-side-combinable aggregate; the oracle groups by the window
+    text with a row_number()=1 canonical — identical selections, the
+    hash never reaches the output."""
+    return dedup.remove_repeated_spans_keep_first(
+        _documents(spark, sf_dir), span_words=8, min_count=2
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Near-duplicate-aware train/val/test split
     (sampling.leakage_safe_split, r9): every doc in a near-dup
@@ -3804,7 +3821,8 @@ def q_fuzzy_match_multipass(spark, sf_dir):
 # media_metadata, frame_schedule, coins_dim, price_data,
 # ohlc_candles, technical_indicators, coin_market_cap, coin_table,
 # envelope_price, envelope_coins, envelope_ohlc,
-# coin_indicators_left, volume_rollup, text_stats — 29 entries),
+# coin_indicators_left, volume_rollup, text_stats, plus atr_14 which
+# yielded its r10 slot — 30 entries),
 # registry order, then (c) the oldest r8-row entries with any
 # remaining slots. Rename EXPECTED_R10_WINDOW to EXPECTED_R11_WINDOW
 # in the same commit.
@@ -4083,6 +4101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round 9 registrations ----
     "media_frames_gif2": q_media_frames_gif2,
     "remove_repeated_spans": q_remove_repeated_spans,
+    "remove_repeated_spans_keep_first": q_remove_repeated_spans_keep_first,
     "leakage_safe_split": q_leakage_safe_split,
 }
 
@@ -4111,11 +4130,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # PINNING.md tracks per-query evidence age.)
 # ROUND-10 ROTATION (executed per the r9 guidance block above):
 _R10_WINDOW_FRONT = [
-    # (a) new or re-planned this round: the two r10 registrations and
-    # the drawdown replay's sink re-plan (memory -> parquet evidence
-    # mechanism; rows identical, the fresh row re-verifies it)
+    # (a) new or re-planned this round: the three r10 registrations
+    # and the drawdown replay's sink re-plan (memory -> parquet
+    # evidence mechanism; rows identical, the fresh row re-verifies
+    # it). The keep-first cutter was registered mid-round; atr_14
+    # (the last (d) entry, an r7 row safe to age one round) yielded
+    # its slot, the r9 precedent.
     "bpe_pack",
     "fuzzy_match_multipass",
+    "remove_repeated_spans_keep_first",
     "drawdown_stream_replay",
     # (b) the two r6 rows that yielded their r9 (d) slots
     "spread_stream_replay",
@@ -4147,7 +4170,8 @@ _R10_WINDOW_FRONT = [
     "price_correlation",
     "event_props_stats",
     "revenue_by_nation",
-    # (d) the 21 oldest r7-row entries, registry order
+    # (d) the 20 oldest r7-row entries, registry order (atr_14
+    # yielded to the mid-round keep-first registration)
     "semantic_dedup_trained",
     "recovery_stream_replay",
     "media_decode_bmp",
@@ -4168,7 +4192,6 @@ _R10_WINDOW_FRONT = [
     "knn_ivf_trained",
     "volume_cube",
     "exchange_cardinality_approx",
-    "atr_14",
 ]
 assert len(_R10_WINDOW_FRONT) == 50 and len(set(_R10_WINDOW_FRONT)) == 50
 assert set(_R10_WINDOW_FRONT) <= set(QUERIES), sorted(
@@ -5110,6 +5133,57 @@ wins AS (
 ),
 dups AS (SELECT span_text FROM wins GROUP BY span_text HAVING count(*) >= 2),
 hits AS (SELECT doc_id, start FROM wins JOIN dups USING (span_text)),
+grouped AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM hits
+),
+ranges AS (
+  SELECT doc_id, min(start) AS rs, max(start) - min(start) + 8 AS rl
+  FROM grouped GROUP BY doc_id, grp
+),
+wordpos AS (
+  SELECT doc_id, ws[i] AS w, i - 1 AS pos
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.w FROM wordpos wp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ranges r
+    WHERE r.doc_id = wp.doc_id AND wp.pos >= r.rs AND wp.pos < r.rs + r.rl)
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_words_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_words_kept, 0)::BIGINT AS n_words_kept,
+       (len(t.ws) - coalesce(a.n_words_kept, 0))::BIGINT AS n_words_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)""",
+    # the ALL-BUT-ONE cutter: same sliding sweep, but each repeated
+    # window's canonical occurrence (row_number()=1 over (doc_id,
+    # start) per span text == the engine's min(struct) argmin) is NOT
+    # flagged; ranges collapse over the non-canonical starts only,
+    # then the identical positional cut / reassembly
+    "remove_repeated_spans_keep_first": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
+wins AS (
+  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
+  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
+),
+occ AS (
+  SELECT doc_id, start, span_text,
+         count(*) OVER (PARTITION BY span_text) AS span_df,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, start) AS rn
+  FROM wins
+),
+hits AS (SELECT doc_id, start FROM occ WHERE span_df >= 2 AND rn > 1),
 grouped AS (
   SELECT doc_id, start,
          start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp

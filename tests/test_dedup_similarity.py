@@ -2451,6 +2451,42 @@ def test_remove_repeated_spans_cuts_and_reassembles(spark):
         assert out[d].n_words_removed == 10
 
 
+def test_remove_repeated_spans_keep_first_canonical_survives(spark):
+    """The all-but-one cutter: the canonical occurrence (lexicographic
+    min (doc_id, start)) of each repeated block SURVIVES, every other
+    occurrence — cross-doc or within-doc — is cut; the aggressive
+    cutter removes all of them. Keep-one is corpus-level: a doc whose
+    copies are both non-canonical loses both."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    B = " ".join(f"b{i}" for i in range(8))
+    C = " ".join(f"c{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{B} x1 x2"),        # canonical carrier of B (start 0)
+            (2, f"y1 y2 {B}"),        # non-canonical: loses B
+            (3, f"{C} mid {C}"),      # first C canonical, second cut
+            (4, f"{B} z1"),           # non-canonical carrier: loses B
+        ],
+        ["doc_id", "text"],
+    )
+    keep = {
+        r.doc_id: r
+        for r in dedup.remove_repeated_spans_keep_first(docs).collect()
+    }
+    assert set(keep) == {1, 2, 3, 4}
+    assert keep[1].clean_text == f"{B} x1 x2" and keep[1].n_words_removed == 0
+    assert keep[2].clean_text == "y1 y2"
+    assert (keep[2].n_words_kept, keep[2].n_words_removed) == (2, 8)
+    assert keep[3].clean_text == f"{C} mid"
+    assert (keep[3].n_words_kept, keep[3].n_words_removed) == (9, 8)
+    assert keep[4].clean_text == "z1" and keep[4].n_words_removed == 8
+    # the aggressive form removes the canonical copies too
+    agg = {r.doc_id: r for r in dedup.remove_repeated_spans(docs).collect()}
+    assert agg[1].clean_text == "x1 x2"
+    assert agg[3].clean_text == "mid"
+
+
 def test_leakage_safe_split_clusters_share_fate(spark):
     """Near-dup docs land in the SAME split: planted 3-way near-dup
     cluster + an exact pair + unique docs — every cluster maps to one
