@@ -3735,10 +3735,11 @@ def q_fuzzy_match_multipass(spark, sf_dir):
     second planted twin family per doc_id % 7 == 5 with the character
     substitution INSIDE the 8-char blocking prefix (char 3) — the
     documented single-pass miss. Two passes over the same corpus:
-    the default prefix key and a SUFFIX key (chars 17-24 of the
-    fixed-24-char names), which the in-prefix edit leaves intact, so
-    every cross-prefix twin is recovered in pass 2; pairs unioned and
-    deduplicated. The driver hash covers both passes' blocking, the
+    the default prefix key and a SUFFIX key (chars 17+ of the 23/24-
+    char names — a 24-char slice of a collapsed string can end in a
+    space the operator's normalize trims), which the in-prefix edit
+    leaves intact, so every cross-prefix twin is recovered in pass 2;
+    pairs unioned and deduplicated. The driver hash covers both passes' blocking, the
     planted recoveries, and the distinct."""
     from pyspark.sql import functions as F
 
@@ -6850,7 +6851,7 @@ FROM f""",
     # as Spark's
     "fuzzy_match_blocked": f"""
 WITH norm AS (
-  SELECT doc_id, substr({NORM_TEXT_SQL}, 1, 24) AS name
+  SELECT doc_id, trim(substr({NORM_TEXT_SQL}, 1, 24)) AS name
   FROM documents WHERE length({NORM_TEXT_SQL}) >= 24
 ),
 corpus AS (
@@ -6880,7 +6881,7 @@ WHERE levenshtein(a.name, b.name) <= 2""",
     # replays the blocked CTE shape above under its own key
     "fuzzy_match_multipass": f"""
 WITH norm AS (
-  SELECT doc_id, substr({NORM_TEXT_SQL}, 1, 24) AS name
+  SELECT doc_id, trim(substr({NORM_TEXT_SQL}, 1, 24)) AS name
   FROM documents WHERE length({NORM_TEXT_SQL}) >= 24
 ),
 corpus AS (

@@ -54,7 +54,6 @@ SHOWCASE = [
     "knn_pq",                # byte-code ADC join vs broadcast dist tables
     "curation_pipeline_v2",  # gate->span->dedup->mixture composed chain
     "price_resample_1h",     # grid explode + union-and-carry asof fill
-    "coin_pagerank",         # bucketed pair join + 3 integer PR rounds
     "knn_pq_recall",         # PQ chain + brute-L2 truth + hit join
     "knn_ivf_pq",            # IVF routing over PQ byte-code ADC scoring
     "vocab_coverage",        # TakeOrdered partial top-k, no global sort
@@ -98,6 +97,7 @@ SHOWCASE = [
     "semantic_dedup_capped",   # md5-priority top-K cap ahead of pair join
     "remove_repeated_spans",   # positional anti-join cut + in-plan reassembly
     "leakage_safe_split",      # pair graph -> star CC -> md5 split, pure map tail
+    "remove_repeated_spans_keep_first",  # argmin-canonical survivorship cut
 ]
 
 
