@@ -150,15 +150,22 @@ def pack_chunks_bpe(
 
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    # bpe_encode_counts keys its output by documents' doc_id (the
+    # corpus contract), so the 1:1 join is always on doc_id;
+    # ``order_col`` only drives the within-shard packing order
+    # (code-review r10: selecting order_col FROM the encode output
+    # broke every non-default order_col)
     enc = bpe_encode_counts(documents, rounds=rounds).select(
-        order_col, "n_tokens_bpe"
+        "doc_id", "n_tokens_bpe"
     )
+    extra = [order_col] if order_col != "doc_id" else []
     base = (
-        documents.select(order_col, shard_col)
-        .join(enc, order_col, "left")
+        documents.select("doc_id", shard_col, *extra)
+        .join(enc, "doc_id", "left")
         .select(
-            order_col,
+            "doc_id",
             shard_col,
+            *extra,
             F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).alias("n_tokens_bpe"),
         )
     )
@@ -173,7 +180,7 @@ def pack_chunks_bpe(
     last = F.floor((F.col("end_tokens") - 1) / budget)
     nonzero = F.col("n_tokens_bpe") > 0
     return base.select(
-        order_col,
+        "doc_id",
         shard_col,
         "n_tokens_bpe",
         F.when(nonzero, first).cast("long").alias("first_chunk"),

@@ -1135,6 +1135,8 @@ def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
             )
             if indices.size != w * h:
                 raise ValueError("decoded index count != dimensions")
+            if indices.size and int(indices.max()) >= palette.shape[0]:
+                raise ValueError("pixel index outside palette")
             return w, h, palette[indices].reshape(h, w, 3)
         elif block == 0x3B:
             break

@@ -3694,6 +3694,41 @@ def q_drawdown_stream_replay(spark, sf_dir):
     return drawdown_stream_replay(spark, _price_base_tb(spark, sf_dir))
 
 
+def _fuzzy_names(spark, sf_dir):
+    """The shared fuzzy-linkage corpus base: each document's
+    normalized 24-char name slice (length >= 24 guard). Shared by
+    [[q_fuzzy_match_blocked]] and [[q_fuzzy_match_multipass]] so the
+    slice width / filter / twin recipes can never silently diverge
+    between the two registrations (code-review r10)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalized_text
+
+    norm = normalized_text(F.col("text"))
+    return (
+        _documents(spark, sf_dir)
+        .select("doc_id", F.substring(norm, 1, 24).alias("name"))
+        .filter(F.length(norm) >= 24)
+    )
+
+
+def _fuzzy_twins(names, mod_rem: int, sub_pos: int, id_offset: int):
+    """Planted edit-distance-1 twin family: for doc_id % 7 ==
+    ``mod_rem``, substitute '#' at 1-based char ``sub_pos`` of the
+    24-char name and shift the id by ``id_offset`` (the
+    knn_lsh_planes8 known-answer recipe)."""
+    from pyspark.sql import functions as F
+
+    return names.filter(F.col("doc_id") % 7 == mod_rem).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat(
+            F.substring("name", 1, sub_pos - 1),
+            F.lit("#"),
+            F.substring("name", sub_pos + 1, 24 - sub_pos),
+        ).alias("name"),
+    )
+
+
 def q_fuzzy_match_blocked(spark, sf_dir):
     """Blocked fuzzy record linkage (dedup.fuzzy_match_blocked):
     edit-distance entity resolution — the primitive behind metadata
@@ -3706,23 +3741,10 @@ def q_fuzzy_match_blocked(spark, sf_dir):
     covers blocking, the length prefilter, and levenshtein verify on
     non-empty output. Natural prefix-share pairs ride along
     identically in both engines."""
-    from pyspark.sql import functions as F
-
-    from ..functions.text import normalized_text
     from ..operators import dedup
 
-    norm = normalized_text(F.col("text"))
-    names = (
-        _documents(spark, sf_dir)
-        .select("doc_id", F.substring(norm, 1, 24).alias("name"))
-        .filter(F.length(norm) >= 24)
-    )
-    twins = names.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 1_000_001).alias("doc_id"),
-        F.concat(
-            F.substring("name", 1, 12), F.lit("#"), F.substring("name", 14, 11)
-        ).alias("name"),
-    )
+    names = _fuzzy_names(spark, sf_dir)
+    twins = _fuzzy_twins(names, mod_rem=3, sub_pos=13, id_offset=1_000_001)
     return dedup.fuzzy_match_blocked(
         names.unionByName(twins), name_col="name", id_col="doc_id",
         block_prefix=8, max_dist=2, max_block=200,
@@ -3743,26 +3765,12 @@ def q_fuzzy_match_multipass(spark, sf_dir):
     planted recoveries, and the distinct."""
     from pyspark.sql import functions as F
 
-    from ..functions.text import normalized_text
     from ..operators import dedup
 
-    norm = normalized_text(F.col("text"))
-    names = (
-        _documents(spark, sf_dir)
-        .select("doc_id", F.substring(norm, 1, 24).alias("name"))
-        .filter(F.length(norm) >= 24)
-    )
-    twins_mid = names.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 1_000_001).alias("doc_id"),
-        F.concat(
-            F.substring("name", 1, 12), F.lit("#"), F.substring("name", 14, 11)
-        ).alias("name"),
-    )
-    twins_prefix = names.filter(F.col("doc_id") % 7 == 5).select(
-        (F.col("doc_id") + 2_000_002).alias("doc_id"),
-        F.concat(
-            F.substring("name", 1, 2), F.lit("#"), F.substring("name", 4, 21)
-        ).alias("name"),
+    names = _fuzzy_names(spark, sf_dir)
+    twins_mid = _fuzzy_twins(names, mod_rem=3, sub_pos=13, id_offset=1_000_001)
+    twins_prefix = _fuzzy_twins(
+        names, mod_rem=5, sub_pos=3, id_offset=2_000_002
     )
     return dedup.fuzzy_match_multipass(
         names.unionByName(twins_mid).unionByName(twins_prefix),
@@ -4252,6 +4260,56 @@ SELECT doc_id, count(*)::BIGINT AS n_matched,
                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
 FROM wdf, stats
 GROUP BY doc_id"""
+
+# ---------------------------------------------------------------------------
+# Shared sliding-span oracle fragments (code-review r10): the sweep and
+# BOTH cutters compose these structurally — a fix to the window build,
+# the range collapse, or the positional cut/reassembly lands in exactly
+# one place (the _bpe_parts / _minhash_lsh_parts posture).
+# ---------------------------------------------------------------------------
+SLIDING_WINS_CTES = r"""toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
+wins AS (
+  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
+  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
+)"""
+
+# gaps-and-islands collapse of a `hits(doc_id, start)` CTE into maximal
+# ranges `ranges(doc_id, rs, rl)`
+SPAN_RANGES_CTES = r"""grouped AS (
+  SELECT doc_id, start,
+         start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+  FROM hits
+),
+ranges AS (
+  SELECT doc_id, min(start) AS rs, max(start) - min(start) + 8 AS rl
+  FROM grouped GROUP BY doc_id, grp
+)"""
+
+# positional cut of `ranges` out of `toks` + in-position reassembly
+# (DuckDB string_agg ORDER BY pos == Spark array_sort(struct(pos, w)))
+SPAN_CUT_TAIL_SQL = r"""wordpos AS (
+  SELECT doc_id, ws[i] AS w, i - 1 AS pos
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.w FROM wordpos wp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ranges r
+    WHERE r.doc_id = wp.doc_id AND wp.pos >= r.rs AND wp.pos < r.rs + r.rl)
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_words_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_words_kept, 0)::BIGINT AS n_words_kept,
+       (len(t.ws) - coalesce(a.n_words_kept, 0))::BIGINT AS n_words_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)"""
 
 ORACLES: dict[str, str] = {
     "coins_dim": _with(COINS_CTE, select="SELECT id, name, symbol, exchange FROM coins"),
@@ -5097,16 +5155,8 @@ FROM px GROUP BY doc_id""",
     # sliding windows: oracle groups by the window TEXT (the engine's
     # xxhash64 only correlates); ranges collapse via the same
     # gaps-and-islands walk
-    "repeated_spans_sliding": r"""
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-),
-full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
-wins AS (
-  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
-  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
-),
+    "repeated_spans_sliding": f"""
+WITH {SLIDING_WINS_CTES},
 dups AS (SELECT span_text FROM wins GROUP BY span_text HAVING count(*) >= 2),
 hits AS (SELECT doc_id, start FROM wins JOIN dups USING (span_text)),
 grouped AS (
@@ -5122,61 +5172,19 @@ FROM grouped GROUP BY doc_id, grp""",
     # whose 0-based position falls inside any flagged range are
     # dropped and the survivors re-joined in position order (DuckDB
     # string_agg ORDER BY pos == Spark array_sort(struct(pos, w)))
-    "remove_repeated_spans": r"""
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-),
-full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
-wins AS (
-  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
-  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
-),
+    "remove_repeated_spans": f"""
+WITH {SLIDING_WINS_CTES},
 dups AS (SELECT span_text FROM wins GROUP BY span_text HAVING count(*) >= 2),
 hits AS (SELECT doc_id, start FROM wins JOIN dups USING (span_text)),
-grouped AS (
-  SELECT doc_id, start,
-         start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
-  FROM hits
-),
-ranges AS (
-  SELECT doc_id, min(start) AS rs, max(start) - min(start) + 8 AS rl
-  FROM grouped GROUP BY doc_id, grp
-),
-wordpos AS (
-  SELECT doc_id, ws[i] AS w, i - 1 AS pos
-  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
-),
-kept AS (
-  SELECT wp.doc_id, wp.pos, wp.w FROM wordpos wp
-  WHERE NOT EXISTS (
-    SELECT 1 FROM ranges r
-    WHERE r.doc_id = wp.doc_id AND wp.pos >= r.rs AND wp.pos < r.rs + r.rl)
-),
-agg AS (
-  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-         count(*) AS n_words_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
-       coalesce(a.n_words_kept, 0)::BIGINT AS n_words_kept,
-       (len(t.ws) - coalesce(a.n_words_kept, 0))::BIGINT AS n_words_removed
-FROM toks t LEFT JOIN agg a USING (doc_id)""",
+{SPAN_RANGES_CTES},
+{SPAN_CUT_TAIL_SQL}""",
     # the ALL-BUT-ONE cutter: same sliding sweep, but each repeated
     # window's canonical occurrence (row_number()=1 over (doc_id,
     # start) per span text == the engine's min(struct) argmin) is NOT
     # flagged; ranges collapse over the non-canonical starts only,
     # then the identical positional cut / reassembly
-    "remove_repeated_spans_keep_first": r"""
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-),
-full_docs AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 8),
-wins AS (
-  SELECT doc_id, s AS start, array_to_string(ws[s+1 : s+8], ' ') AS span_text
-  FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n - 8)) AS s FROM full_docs)
-),
+    "remove_repeated_spans_keep_first": f"""
+WITH {SLIDING_WINS_CTES},
 occ AS (
   SELECT doc_id, start, span_text,
          count(*) OVER (PARTITION BY span_text) AS span_df,
@@ -5185,34 +5193,8 @@ occ AS (
   FROM wins
 ),
 hits AS (SELECT doc_id, start FROM occ WHERE span_df >= 2 AND rn > 1),
-grouped AS (
-  SELECT doc_id, start,
-         start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
-  FROM hits
-),
-ranges AS (
-  SELECT doc_id, min(start) AS rs, max(start) - min(start) + 8 AS rl
-  FROM grouped GROUP BY doc_id, grp
-),
-wordpos AS (
-  SELECT doc_id, ws[i] AS w, i - 1 AS pos
-  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
-),
-kept AS (
-  SELECT wp.doc_id, wp.pos, wp.w FROM wordpos wp
-  WHERE NOT EXISTS (
-    SELECT 1 FROM ranges r
-    WHERE r.doc_id = wp.doc_id AND wp.pos >= r.rs AND wp.pos < r.rs + r.rl)
-),
-agg AS (
-  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-         count(*) AS n_words_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
-       coalesce(a.n_words_kept, 0)::BIGINT AS n_words_kept,
-       (len(t.ws) - coalesce(a.n_words_kept, 0))::BIGINT AS n_words_removed
-FROM toks t LEFT JOIN agg a USING (doc_id)""",
+{SPAN_RANGES_CTES},
+{SPAN_CUT_TAIL_SQL}""",
     # Engine groups spans by xxhash64(span_text) (8-byte shuffle key);
     # the oracle groups by the text itself — identical counts, and the
     # hash never reaches the output.

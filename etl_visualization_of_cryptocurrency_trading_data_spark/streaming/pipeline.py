@@ -879,17 +879,22 @@ def recovery_stream_replay(
             shutil.rmtree(root, ignore_errors=True)
             raise TimeoutError(f"recovery replay did not finish in {timeout_s}s")
 
-    drain()  # run 1: wave 1 only — killed with the split hour open in state
-    for f in sorted(os.listdir(held)):
-        os.rename(os.path.join(held, f), os.path.join(spool, f))
-    drain()  # run 2: resumes from the checkpoint, drains wave 2 + sentinel
-    result = (
-        spark.read.schema(out_schema)
-        .parquet(out)
-        .filter(F.col("coin_id") != "__sentinel__")
-        .localCheckpoint()
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    # try/finally: a failed drain (StreamingQueryException) must not
+    # leak the spool/sink/checkpoint tree (same class as the drawdown
+    # replay's code-review-r10 fix; the timeout path already cleaned)
+    try:
+        drain()  # run 1: wave 1 only — killed with the split hour open in state
+        for f in sorted(os.listdir(held)):
+            os.rename(os.path.join(held, f), os.path.join(spool, f))
+        drain()  # run 2: resumes from the checkpoint, drains wave 2 + sentinel
+        result = (
+            spark.read.schema(out_schema)
+            .parquet(out)
+            .filter(F.col("coin_id") != "__sentinel__")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return result
 
 
@@ -1150,13 +1155,20 @@ def drawdown_stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    ok = query.awaitTermination(timeout_s)
-    if not ok:
-        query.stop()
+    # try/finally: a failed streaming query (StreamingQueryException
+    # from awaitTermination) must not leak the spool/sink/checkpoint
+    # tree either — the /tmp-growth mode the ADVICE-r6 _drain_spool
+    # cleanup exists to prevent (code-review r10)
+    try:
+        ok = query.awaitTermination(timeout_s)
+        if not ok:
+            query.stop()
+            raise TimeoutError(
+                f"drawdown replay did not finish in {timeout_s}s"
+            )
+        result = spark.read.schema(out_schema).parquet(out).localCheckpoint()
+    finally:
         shutil.rmtree(root, ignore_errors=True)
-        raise TimeoutError(f"drawdown replay did not finish in {timeout_s}s")
-    result = spark.read.schema(out_schema).parquet(out).localCheckpoint()
-    shutil.rmtree(root, ignore_errors=True)
     return result
 
 

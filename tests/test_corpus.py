@@ -140,6 +140,31 @@ def test_pack_chunks_bpe_tokenizer_true_and_conservation(spark):
             assert int(shard.last_chunk.max()) + 1 == math.ceil(end / budget)
 
 
+def test_pack_chunks_bpe_custom_order_col(spark):
+    """order_col drives the within-shard packing order only — the
+    encode join stays on doc_id (code-review r10: a non-default
+    order_col used to fail analysis). Reversing the order via a
+    priority column reverses the cumsum."""
+    rows = [
+        (1, "s", 2, "aa bb cc"),
+        (2, "s", 1, "dd ee"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, prio long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.pack_chunks_bpe(
+            df, rounds=1, budget=4, order_col="prio"
+        ).collect()
+    }
+    # prio orders doc 2 first: its tokens fill the first window slots
+    assert got[2].first_chunk == 0
+    assert got[1].first_chunk >= got[2].first_chunk
+    n1, n2 = got[1].n_tokens_bpe, got[2].n_tokens_bpe
+    assert got[1].last_chunk == (n1 + n2 - 1) // 4
+
+
 # ---------------------------------------------------------------------------
 # top_terms
 # ---------------------------------------------------------------------------

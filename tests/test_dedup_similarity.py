@@ -1762,6 +1762,10 @@ def test_parse_gif_frames_disposal_truncation_contract():
     )
     with pytest.raises(ValueError, match="pixel index"):
         multimodal._parse_gif_frames(bad_px)
+    # the SIBLING single-frame parser shares the contract (code-review
+    # r10: the guard was first added only to the animation path)
+    with pytest.raises(ValueError, match="pixel index"):
+        multimodal._parse_gif(bad_px)
 
 
 def test_gif_table_disposal_matches_oracle_formula(spark, docs):
