@@ -182,6 +182,53 @@ def dsir_weights(
     )
 
 
+def dsir_sample(
+    documents: DataFrame,
+    k: int = 200,
+    buckets: int = 256,
+    target_lang: str = "en",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance RESAMPLING — the step that makes [[dsir_weights]]
+    the full DSIR recipe (Xie et al. 2023, arXiv:2302.03169): select
+    ``k`` documents with probability proportional to their importance
+    weight, without replacement, via deterministic GUMBEL TOP-K —
+    key_i = log_weight_i + Gumbel(md5(doc_id)), take the k largest.
+    Gumbel top-k sampling is exactly sampling-without-replacement
+    proportional to exp(log_weight); deriving the Gumbel noise from
+    the md5 hash-bucket of doc_id makes the draw reproducible in any
+    engine with md5 (the [[hash_bucket]] idiom), so the oracle
+    replays the SAME sample bit-for-bit — no RNG state anywhere.
+
+    Output: the selected (doc_id, n_tokens, log_weight, gumbel_key),
+    ``k`` rows (fewer on a corpus smaller than k). gumbel_key is
+    rounded to the repo's 6-decimal grid (libm ln drift ~1e-13 sits
+    far under it — the dsir_weights posture).
+
+    Scale: the weights pass (one tokenize scan, bucket windows,
+    broadcast totals) dominates; the draw itself is a map-side key
+    expression + ``orderBy().limit(k)`` — TakeOrdered, each partition
+    keeps its own top-k and only those survivors reach the driver-side
+    merge; the corpus is NEVER globally sorted (the vocab_coverage
+    plan shape).
+    """
+    w = dsir_weights(
+        documents, buckets=buckets, target_lang=target_lang, salt=salt
+    )
+    # u in (0, 1): (bucket + 0.5) / BUCKETS from the salted md5 of the
+    # doc id; g = -ln(-ln(u)) is standard Gumbel via inverse CDF
+    u = (
+        hash_bucket(F.col("doc_id"), BUCKETS, salt="gumbel") + F.lit(0.5)
+    ) / BUCKETS
+    key = F.round(F.col("log_weight") + -F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_tokens", "log_weight", "gumbel_key")
+    )
+
+
 def leakage_safe_split(
     documents: DataFrame,
     weights: tuple[float, float, float] = (0.8, 0.1, 0.1),

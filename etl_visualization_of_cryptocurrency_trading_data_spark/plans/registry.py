@@ -3511,6 +3511,19 @@ def q_dsir_weights(spark, sf_dir):
     return sampling.dsir_weights(_documents(spark, sf_dir))
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance RESAMPLING (sampling.dsir_sample, r10 — the
+    step that completes arXiv:2302.03169's recipe): top-200 documents
+    by log_weight + deterministic Gumbel noise (md5 hash-bucket of
+    doc_id), i.e. an exact k-sample without replacement proportional
+    to exp(log_weight) that replays bit-for-bit in SQL. The draw is a
+    map-side key + TakeOrdered (orderBy().limit — per-partition
+    top-k, no global sort); the weights chain is [[q_dsir_weights]]'.
+    The driver hash covers the weights, the Gumbel arithmetic, and
+    the selection boundary."""
+    return sampling.dsir_sample(_documents(spark, sf_dir), k=200)
+
+
 def q_pca_top_component(spark, sf_dir):
     """Distributed PCA (similarity.pca_top_component): top principal
     component of the first 16 embedding dims via ONE single-row
@@ -3830,8 +3843,9 @@ def q_fuzzy_match_multipass(spark, sf_dir):
 # media_metadata, frame_schedule, coins_dim, price_data,
 # ohlc_candles, technical_indicators, coin_market_cap, coin_table,
 # envelope_price, envelope_coins, envelope_ohlc,
-# coin_indicators_left, volume_rollup, text_stats, plus atr_14 which
-# yielded its r10 slot — 30 entries),
+# coin_indicators_left, volume_rollup, text_stats, plus atr_14 and
+# exchange_cardinality_approx which yielded their r10 slots — 31
+# entries),
 # registry order, then (c) the oldest r8-row entries with any
 # remaining slots. Rename EXPECTED_R10_WINDOW to EXPECTED_R11_WINDOW
 # in the same commit.
@@ -4083,6 +4097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LEFT OUTER)) ----
     "bm25_scores": q_bm25_scores,
     "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
     "media_features_auto": q_media_features_auto,
     "media_frames_real": q_media_frames_real,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
@@ -4139,15 +4154,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # PINNING.md tracks per-query evidence age.)
 # ROUND-10 ROTATION (executed per the r9 guidance block above):
 _R10_WINDOW_FRONT = [
-    # (a) new or re-planned this round: the three r10 registrations
+    # (a) new or re-planned this round: the four r10 registrations
     # and the drawdown replay's sink re-plan (memory -> parquet
     # evidence mechanism; rows identical, the fresh row re-verifies
-    # it). The keep-first cutter was registered mid-round; atr_14
-    # (the last (d) entry, an r7 row safe to age one round) yielded
-    # its slot, the r9 precedent.
+    # it). The keep-first cutter and dsir_sample were registered
+    # mid-round; atr_14 and exchange_cardinality_approx (the last two
+    # (d) entries, r7 rows safe to age one round) yielded their
+    # slots, the r9 precedent.
     "bpe_pack",
     "fuzzy_match_multipass",
     "remove_repeated_spans_keep_first",
+    "dsir_sample",
     "drawdown_stream_replay",
     # (b) the two r6 rows that yielded their r9 (d) slots
     "spread_stream_replay",
@@ -4179,8 +4196,9 @@ _R10_WINDOW_FRONT = [
     "price_correlation",
     "event_props_stats",
     "revenue_by_nation",
-    # (d) the 20 oldest r7-row entries, registry order (atr_14
-    # yielded to the mid-round keep-first registration)
+    # (d) the 19 oldest r7-row entries, registry order (atr_14 and
+    # exchange_cardinality_approx yielded to the mid-round
+    # registrations)
     "semantic_dedup_trained",
     "recovery_stream_replay",
     "media_decode_bmp",
@@ -4200,7 +4218,6 @@ _R10_WINDOW_FRONT = [
     "market_cap_chart",
     "knn_ivf_trained",
     "volume_cube",
-    "exchange_cardinality_approx",
 ]
 assert len(_R10_WINDOW_FRONT) == 50 and len(set(_R10_WINDOW_FRONT)) == 50
 assert set(_R10_WINDOW_FRONT) <= set(QUERIES), sorted(
@@ -4310,6 +4327,37 @@ SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
        coalesce(a.n_words_kept, 0)::BIGINT AS n_words_kept,
        (len(t.ws) - coalesce(a.n_words_kept, 0))::BIGINT AS n_words_removed
 FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+# DSIR scored-weights CTE chain (shared by dsir_weights and the
+# Gumbel top-k resampler dsir_sample — the parts posture)
+DSIR_SCORED_CTES = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, tgt, ws FROM toks WHERE len(ws) > 0),
+occ AS (
+  SELECT doc_id, tgt,
+         (('0x' || substr(md5('dsir' || w), 1, 8))::UBIGINT % 256)::BIGINT AS b
+  FROM (SELECT doc_id, tgt, unnest(ws) AS w FROM d)
+),
+counted AS (
+  SELECT doc_id, b,
+         count(*) OVER (PARTITION BY b) AS n_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY b) AS n_tgt
+  FROM occ
+),
+totals AS (
+  SELECT count(*) AS t_raw, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tgt FROM occ
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(sum(ln((n_tgt + 1) / (t_tgt + 256))
+                   - ln((n_raw + 1) / (t_raw + 256))), 6) AS log_weight
+  FROM counted, totals
+  GROUP BY doc_id
+)"""
 
 ORACLES: dict[str, str] = {
     "coins_dim": _with(COINS_CTE, select="SELECT id, name, symbol, exchange FROM coins"),
@@ -6677,35 +6725,21 @@ LIMIT 10""",
     # DSIR hashed-unigram importance weights: bucket = first 32 bits of
     # md5('dsir' || token) mod 256 (sampling.hash_bucket idiom), add-1
     # smoothing over the 256 cells, target = lang='en' occurrences
-    "dsir_weights": r"""
-WITH toks AS (
-  SELECT doc_id, lang = 'en' AS tgt,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-),
-d AS (SELECT doc_id, tgt, ws FROM toks WHERE len(ws) > 0),
-occ AS (
-  SELECT doc_id, tgt,
-         (('0x' || substr(md5('dsir' || w), 1, 8))::UBIGINT % 256)::BIGINT AS b
-  FROM (SELECT doc_id, tgt, unnest(ws) AS w FROM d)
-),
-counted AS (
-  SELECT doc_id, b,
-         count(*) OVER (PARTITION BY b) AS n_raw,
-         sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY b) AS n_tgt
-  FROM occ
-),
-totals AS (
-  SELECT count(*) AS t_raw, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tgt FROM occ
-),
-scored AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         round(sum(ln((n_tgt + 1) / (t_tgt + 256))
-                   - ln((n_raw + 1) / (t_raw + 256))), 6) AS log_weight
-  FROM counted, totals
-  GROUP BY doc_id
-)
+    "dsir_weights": f"""{DSIR_SCORED_CTES}
 SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS target_like FROM scored""",
+    # importance RESAMPLING: the weights chain + deterministic Gumbel
+    # top-k (noise from the md5 bucket of doc_id, the hash_bucket
+    # idiom) — ORDER BY ... LIMIT replays the engine's TakeOrdered
+    "dsir_sample": f"""{DSIR_SCORED_CTES},
+g AS (
+  SELECT doc_id, n_tokens, log_weight,
+         round(log_weight
+               + -ln(-ln(((('0x' || substr(md5('gumbel' || doc_id::VARCHAR), 1, 8))::BIGINT
+                           % 10000) + 0.5) / 10000)), 6) AS gumbel_key
+  FROM scored
+)
+SELECT doc_id, n_tokens, log_weight, gumbel_key FROM g
+ORDER BY gumbel_key DESC, doc_id LIMIT 200""",
     # Six-format dispatch: each arm replays the single-format corpus
     # oracle (ppm/png/bmp share the (d + k*i) % 256 pattern; gif goes
     # through the palette index j; jpeg is DC-only block means; wav is

@@ -98,6 +98,7 @@ SHOWCASE = [
     "remove_repeated_spans",   # positional anti-join cut + in-plan reassembly
     "leakage_safe_split",      # pair graph -> star CC -> md5 split, pure map tail
     "remove_repeated_spans_keep_first",  # argmin-canonical survivorship cut
+    "dsir_sample",             # weights chain + Gumbel key, TakeOrdered top-k
 ]
 
 

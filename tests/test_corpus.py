@@ -470,6 +470,51 @@ def test_dsir_weights_hand_built(spark):
     assert out[1].log_weight > out[3].log_weight
 
 
+def test_dsir_sample_gumbel_topk(spark):
+    """The Gumbel top-k resampler (r10): the selection IS the top-k of
+    log_weight + the md5-derived Gumbel noise (independent hashlib
+    replay, exact); it is deterministic across invocations; k bounds
+    the output; and on a weight-skewed corpus the target-like docs
+    dominate the draw."""
+    import hashlib
+    import math
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import sampling
+
+    # 12 en docs sharing a distinctive vocabulary + 12 de docs
+    rows = [(i, "alpha beta gamma", "en") for i in range(12)] + [
+        (100 + i, "delta epsilon zeta", "de") for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    k = 8
+    got = sampling.dsir_sample(docs, k=k).collect()
+    assert len(got) == k
+    # independent replay: weights from the operator's own report,
+    # gumbel from hashlib — top-k must match exactly
+    w = {r.doc_id: r.log_weight for r in sampling.dsir_weights(docs).collect()}
+
+    def gumbel(doc_id):
+        b = int(
+            hashlib.md5(f"gumbel{doc_id}".encode()).hexdigest()[:8], 16
+        ) % 10_000
+        return -math.log(-math.log((b + 0.5) / 10_000))
+
+    keyed = sorted(
+        ((round(w[d] + gumbel(d), 6), -d) for d in w), reverse=True
+    )
+    expect = {-negd for _, negd in keyed[:k]}
+    assert {r.doc_id for r in got} == expect
+    for r in got:
+        assert abs(r.gumbel_key - round(w[r.doc_id] + gumbel(r.doc_id), 6)) <= 2e-6
+    # determinism
+    again = {r.doc_id for r in sampling.dsir_sample(docs, k=k).collect()}
+    assert again == expect
+    # proportional-to-weight behavior: the en slice holds every
+    # positive weight here, so it must take the majority of the draw
+    n_en = sum(1 for r in got if r.doc_id < 100)
+    assert n_en > k / 2
+
+
 def test_ranking_auc_hand_computed_with_ties(spark):
     """AUC via the distinct-score rank-sum must equal the
     pair-counting definition (wins + half-ties over pos*neg pairs) on

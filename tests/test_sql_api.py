@@ -229,12 +229,14 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # evictions deliberate and reviewed instead of silent.
 EXPECTED_R10_WINDOW = [
     # (a) new or re-planned this round: trained-tokenizer packing,
-    # multi-pass fuzzy blocking, the keep-first cutter (mid-round;
-    # atr_14 yielded its (d) slot); the drawdown replay's
-    # parquet-sink re-plan (rows identical)
+    # multi-pass fuzzy blocking, the keep-first cutter and the DSIR
+    # Gumbel top-k resampler (mid-round; atr_14 and
+    # exchange_cardinality_approx yielded their (d) slots); the
+    # drawdown replay's parquet-sink re-plan (rows identical)
     "bpe_pack",
     "fuzzy_match_multipass",
     "remove_repeated_spans_keep_first",
+    "dsir_sample",
     "drawdown_stream_replay",
     # (b) the two r6 rows that yielded their r9 (d) slots
     "spread_stream_replay",
@@ -265,7 +267,8 @@ EXPECTED_R10_WINDOW = [
     "price_correlation",
     "event_props_stats",
     "revenue_by_nation",
-    # (d) the 20 oldest r7-row entries (atr_14 yielded)
+    # (d) the 19 oldest r7-row entries (atr_14 and
+    # exchange_cardinality_approx yielded)
     "semantic_dedup_trained",
     "recovery_stream_replay",
     "media_decode_bmp",
@@ -285,7 +288,6 @@ EXPECTED_R10_WINDOW = [
     "market_cap_chart",
     "knn_ivf_trained",
     "volume_cube",
-    "exchange_cardinality_approx",
 ]
 
 
