@@ -2491,6 +2491,36 @@ def test_remove_repeated_spans_keep_first_canonical_survives(spark):
     assert agg[3].clean_text == "mid"
 
 
+def test_keep_first_cut_is_subset_of_aggressive_cut(spark, docs):
+    """Cross-operator invariant on the real fixture corpus: keep-first
+    flags the aggressive sweep's hits MINUS the canonical occurrences,
+    so per document its removed-word count never exceeds the
+    aggressive cutter's, and the aggressive survivors are a
+    subsequence of the keep-first survivors (every position the
+    aggressive form keeps, keep-first keeps too)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import dedup
+
+    agg = {
+        r.doc_id: r for r in dedup.remove_repeated_spans(docs).collect()
+    }
+    keep = {
+        r.doc_id: r
+        for r in dedup.remove_repeated_spans_keep_first(docs).collect()
+    }
+    assert set(agg) == set(keep)
+    stricter = 0
+    for d, a in agg.items():
+        k = keep[d]
+        assert k.n_words_removed <= a.n_words_removed
+        stricter += k.n_words_removed < a.n_words_removed
+        # subsequence check: aggressive survivors within keep-first's
+        aw, kw = a.clean_text.split(), iter(k.clean_text.split())
+        assert all(w in kw for w in aw), f"doc {d}: not a subsequence"
+    # the fixture has repeated spans, so keep-first must actually be
+    # strictly laxer somewhere (canonical copies survive)
+    assert stricter > 0
+
+
 def test_leakage_safe_split_clusters_share_fate(spark):
     """Near-dup docs land in the SAME split: planted 3-way near-dup
     cluster + an exact pair + unique docs — every cluster maps to one
