@@ -90,15 +90,23 @@ def pack_chunks(
     stride = budget if stride is None else stride
     if not 0 < stride <= budget:
         raise ValueError("stride must be in (0, budget]")
+    if order_col == shard_col:
+        raise ValueError("order_col and shard_col must differ")
     n_tokens = regex_token_count(F.col("text"))
+    # deterministic tie-break (ADVICE r10): a non-unique custom
+    # order_col would otherwise make the cumsum engine/run-dependent;
+    # doc_id (the corpus key) breaks ties. Skipped when either role is
+    # doc_id itself (unique, or a one-row-per-partition shard).
+    tie = ["doc_id"] if "doc_id" not in (order_col, shard_col) else []
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order_col)
+        .orderBy(order_col, *tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     base = documents.select(
         F.col(order_col),
         F.col(shard_col),
+        *[F.col(c) for c in tie],
         n_tokens.alias("n_tokens"),
     ).withColumn("end_tokens", F.sum("n_tokens").over(w))
     start = F.col("end_tokens") - F.col("n_tokens")
@@ -150,6 +158,15 @@ def pack_chunks_bpe(
 
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    # column-role validation (ADVICE r10): order_col == shard_col (or
+    # shard_col == doc_id) would project the same column twice below
+    # and surface as an opaque ambiguous-reference AnalysisException
+    if order_col == shard_col:
+        raise ValueError("order_col and shard_col must differ")
+    if shard_col == "doc_id":
+        raise ValueError(
+            "shard_col must not be doc_id (one doc per shard packs nothing)"
+        )
     # bpe_encode_counts keys its output by documents' doc_id (the
     # corpus contract), so the 1:1 join is always on doc_id;
     # ``order_col`` only drives the within-shard packing order
@@ -169,9 +186,12 @@ def pack_chunks_bpe(
             F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).alias("n_tokens_bpe"),
         )
     )
+    # deterministic tie-break on the corpus key (ADVICE r10): a
+    # non-unique custom order_col must not leave the cumsum order to
+    # the engine
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order_col)
+        .orderBy(order_col, "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     base = base.withColumn("end_tokens", F.sum("n_tokens_bpe").over(w))

@@ -27,6 +27,21 @@ def hash_bucket(key: Column, buckets: int = BUCKETS, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 
+def hash_unit(key: Column, salt: str = "") -> Column:
+    """Stable u in (0, 1): the UNQUANTIZED companion of [[hash_bucket]]
+    — (first-8-hex of md5(salt || key) + 0.5) / 2^32, i.e. 2^32
+    distinct levels instead of ``buckets``. Both the +0.5 shift and the
+    division by a power of two are exact in binary doubles, so the
+    value is bit-identical in any engine with md5 (ADVICE r10: the
+    10,000-level grid left O(n^2/10^4) tie mass on large corpora; at
+    2^32 levels tie mass is ~n^2/2^33, negligible below billions of
+    keys)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key: str,
@@ -193,12 +208,16 @@ def dsir_sample(
     the full DSIR recipe (Xie et al. 2023, arXiv:2302.03169): select
     ``k`` documents with probability proportional to their importance
     weight, without replacement, via deterministic GUMBEL TOP-K —
-    key_i = log_weight_i + Gumbel(md5(doc_id)), take the k largest.
-    Gumbel top-k sampling is exactly sampling-without-replacement
-    proportional to exp(log_weight); deriving the Gumbel noise from
-    the md5 hash-bucket of doc_id makes the draw reproducible in any
-    engine with md5 (the [[hash_bucket]] idiom), so the oracle
-    replays the SAME sample bit-for-bit — no RNG state anywhere.
+    key_i = log_weight_i + Gumbel(u_i), take the k largest. Gumbel
+    top-k sampling without replacement is proportional to
+    exp(log_weight) when u is uniform; here u_i is the DETERMINISTIC
+    [[hash_unit]] value of doc_id (2^32 quantization levels from the
+    md5 hash — ADVICE r10 widened this from hash_bucket's 10,000-level
+    grid, whose tie mass bit on corpora past ~10k docs), so the draw
+    is a fixed hash-quantized approximation of the Gumbel draw — no
+    RNG state anywhere, reproducible in any engine with md5, ties (~
+    n^2/2^33 expected) resolving doc_id-ascending. The oracle replays
+    the SAME sample bit-for-bit.
 
     Output: the selected (doc_id, n_tokens, log_weight, gumbel_key),
     ``k`` rows (fewer on a corpus smaller than k). gumbel_key is
@@ -215,11 +234,9 @@ def dsir_sample(
     w = dsir_weights(
         documents, buckets=buckets, target_lang=target_lang, salt=salt
     )
-    # u in (0, 1): (bucket + 0.5) / BUCKETS from the salted md5 of the
-    # doc id; g = -ln(-ln(u)) is standard Gumbel via inverse CDF
-    u = (
-        hash_bucket(F.col("doc_id"), BUCKETS, salt="gumbel") + F.lit(0.5)
-    ) / BUCKETS
+    # u in (0, 1) at 2^32 levels from the salted md5 of the doc id;
+    # g = -ln(-ln(u)) is standard Gumbel via inverse CDF
+    u = hash_unit(F.col("doc_id"), salt="gumbel")
     key = F.round(F.col("log_weight") + -F.log(-F.log(u)), 6)
     return (
         w.withColumn("gumbel_key", key)

@@ -3514,9 +3514,10 @@ def q_dsir_weights(spark, sf_dir):
 def q_dsir_sample(spark, sf_dir):
     """DSIR importance RESAMPLING (sampling.dsir_sample, r10 — the
     step that completes arXiv:2302.03169's recipe): top-200 documents
-    by log_weight + deterministic Gumbel noise (md5 hash-bucket of
-    doc_id), i.e. an exact k-sample without replacement proportional
-    to exp(log_weight) that replays bit-for-bit in SQL. The draw is a
+    by log_weight + deterministic Gumbel noise (hash_unit of doc_id —
+    2^32-level md5 noise since the ADVICE r10 widening), i.e. a
+    k-sample without replacement proportional to exp(log_weight)
+    (hash-quantized) that replays bit-for-bit in SQL. The draw is a
     map-side key + TakeOrdered (orderBy().limit — per-partition
     top-k, no global sort); the weights chain is [[q_dsir_weights]]'.
     The driver hash covers the weights, the Gumbel arithmetic, and
@@ -3764,18 +3765,52 @@ def q_fuzzy_match_blocked(spark, sf_dir):
     )
 
 
+def _fuzzy_reorder_twins(names, mod_rem: int):
+    """Planted token-REORDER twin family (r10 verdict item #5 — the
+    LAST-FIRST/FIRST-LAST convention clash): per doc_id % 7 ==
+    ``mod_rem``, TWO short planted rows — "t1 t2" (id + 3,000,003)
+    and "t2 t1" (id + 4,000,004) with t1/t2 the first two 2-char
+    slices of md5(doc_id) (hex, so normalize is the identity). The
+    reorder costs <= 4 Levenshtein edits (two 2-char substitutions),
+    changes BOTH the 8-char prefix and the 8-char suffix key, and
+    leaves the sorted-token key invariant — each pair is findable
+    ONLY by the sorted-token pass (pinned in pytest)."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = names.filter(F.col("doc_id") % 7 == mod_rem).select(
+        "doc_id",
+        F.substring(h, 1, 2).alias("t1"),
+        F.substring(h, 3, 2).alias("t2"),
+    )
+    fwd = base.select(
+        (F.col("doc_id") + 3_000_003).alias("doc_id"),
+        F.concat_ws(" ", "t1", "t2").alias("name"),
+    )
+    rev = base.select(
+        (F.col("doc_id") + 4_000_004).alias("doc_id"),
+        F.concat_ws(" ", "t2", "t1").alias("name"),
+    )
+    return fwd.unionByName(rev)
+
+
 def q_fuzzy_match_multipass(spark, sf_dir):
     """Multi-pass blocked fuzzy linkage (dedup.fuzzy_match_multipass —
-    r9 verdict item #7): the [[q_fuzzy_match_blocked]] corpus PLUS a
-    second planted twin family per doc_id % 7 == 5 with the character
-    substitution INSIDE the 8-char blocking prefix (char 3) — the
-    documented single-pass miss. Two passes over the same corpus:
-    the default prefix key and a SUFFIX key (chars 17+ of the 23/24-
-    char names — a 24-char slice of a collapsed string can end in a
-    space the operator's normalize trims), which the in-prefix edit
-    leaves intact, so every cross-prefix twin is recovered in pass 2;
-    pairs unioned and deduplicated. The driver hash covers both passes' blocking, the
-    planted recoveries, and the distinct."""
+    r9 verdict item #7, sorted-token pass r10 verdict item #5): the
+    [[q_fuzzy_match_blocked]] corpus PLUS (a) a second planted twin
+    family per doc_id % 7 == 5 with the character substitution INSIDE
+    the 8-char blocking prefix (char 3) — the documented single-pass
+    miss — and (b) a planted token-REORDER pair family per doc_id % 7
+    == 1 ([[_fuzzy_reorder_twins]]: "t1 t2" vs "t2 t1" short names,
+    <= 4 edits apart, both positional keys changed). THREE passes at
+    max_dist=4: the default prefix key (finds same-prefix edits), a
+    LAST-8-chars suffix key via right(norm, 8) (finds the in-prefix
+    family — right() rather than the old fixed substr(17, 8) so the
+    short reorder names keep per-row suffix keys instead of
+    degenerating into one '' block), and the permutation-invariant
+    sorted-token key (finds exactly the reorder family). Pairs
+    unioned and deduplicated; the driver hash covers all three
+    passes' blocking, the planted recoveries, and the distinct."""
     from pyspark.sql import functions as F
 
     from ..operators import dedup
@@ -3785,12 +3820,19 @@ def q_fuzzy_match_multipass(spark, sf_dir):
     twins_prefix = _fuzzy_twins(
         names, mod_rem=5, sub_pos=3, id_offset=2_000_002
     )
+    twins_reorder = _fuzzy_reorder_twins(names, mod_rem=1)
     return dedup.fuzzy_match_multipass(
-        names.unionByName(twins_mid).unionByName(twins_prefix),
+        names.unionByName(twins_mid)
+        .unionByName(twins_prefix)
+        .unionByName(twins_reorder),
         name_col="name",
         id_col="doc_id",
-        block_exprs=(None, F.substring(F.col("norm"), 17, 8)),
-        max_dist=2,
+        block_exprs=(
+            None,
+            F.expr("right(norm, 8)"),
+            F.array_join(F.array_sort(F.split(F.col("norm"), " ")), " "),
+        ),
+        max_dist=4,
         max_block=200,
     )
 
@@ -6734,8 +6776,8 @@ SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS target_like FROM scored""
 g AS (
   SELECT doc_id, n_tokens, log_weight,
          round(log_weight
-               + -ln(-ln(((('0x' || substr(md5('gumbel' || doc_id::VARCHAR), 1, 8))::BIGINT
-                           % 10000) + 0.5) / 10000)), 6) AS gumbel_key
+               + -ln(-ln((('0x' || substr(md5('gumbel' || doc_id::VARCHAR), 1, 8))::BIGINT
+                          + 0.5) / 4294967296)), 6) AS gumbel_key
   FROM scored
 )
 SELECT doc_id, n_tokens, log_weight, gumbel_key FROM g
@@ -6892,9 +6934,11 @@ FROM keep a JOIN keep b
   ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
 WHERE levenshtein(a.name, b.name) <= 2""",
     # multi-pass blocked fuzzy linkage: the single-pass corpus + a
-    # second twin family mutated INSIDE the prefix (char 3); prefix
-    # pass UNION suffix pass (chars 17-24), distinct — each pass
-    # replays the blocked CTE shape above under its own key
+    # second twin family mutated INSIDE the prefix (char 3) + a
+    # token-REORDER pair family ("t1 t2" / "t2 t1" from md5(doc_id),
+    # <= 4 edits apart); prefix pass UNION last-8 suffix pass UNION
+    # sorted-token pass, max_dist=4, distinct — each pass replays the
+    # blocked CTE shape above under its own key
     "fuzzy_match_multipass": f"""
 WITH norm AS (
   SELECT doc_id, trim(substr({NORM_TEXT_SQL}, 1, 24)) AS name
@@ -6910,13 +6954,27 @@ corpus AS (
   SELECT doc_id + 2000002,
          substr(name, 1, 2) || '#' || substr(name, 4)
   FROM norm WHERE doc_id % 7 = 5
+  UNION ALL
+  SELECT doc_id + 3000003,
+         substr(md5(doc_id::VARCHAR), 1, 2) || ' ' || substr(md5(doc_id::VARCHAR), 3, 2)
+  FROM norm WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 4000004,
+         substr(md5(doc_id::VARCHAR), 3, 2) || ' ' || substr(md5(doc_id::VARCHAR), 1, 2)
+  FROM norm WHERE doc_id % 7 = 1
 ),
 pre AS (
   SELECT doc_id, name, substr(name, 1, 8) AS blk, length(name) AS ln
   FROM corpus
 ),
 suf AS (
-  SELECT doc_id, name, substr(name, 17, 8) AS blk, length(name) AS ln
+  SELECT doc_id, name, right(name, 8) AS blk, length(name) AS ln
+  FROM corpus
+),
+tok AS (
+  SELECT doc_id, name,
+         array_to_string(list_sort(string_split(name, ' ')), ' ') AS blk,
+         length(name) AS ln
   FROM corpus
 ),
 keep_pre AS (
@@ -6928,19 +6986,30 @@ keep_suf AS (
   SELECT b.* FROM suf b
   JOIN (SELECT blk FROM suf GROUP BY blk HAVING count(*) <= 200) s
     USING (blk)
+),
+keep_tok AS (
+  SELECT b.* FROM tok b
+  JOIN (SELECT blk FROM tok GROUP BY blk HAVING count(*) <= 200) s
+    USING (blk)
 )
 SELECT DISTINCT id_a, id_b, edit_dist FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          levenshtein(a.name, b.name)::INT AS edit_dist
   FROM keep_pre a JOIN keep_pre b
-    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
-  WHERE levenshtein(a.name, b.name) <= 2
+    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+  WHERE levenshtein(a.name, b.name) <= 4
   UNION ALL
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          levenshtein(a.name, b.name)::INT AS edit_dist
   FROM keep_suf a JOIN keep_suf b
-    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 2
-  WHERE levenshtein(a.name, b.name) <= 2
+    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+  WHERE levenshtein(a.name, b.name) <= 4
+  UNION ALL
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.name, b.name)::INT AS edit_dist
+  FROM keep_tok a JOIN keep_tok b
+    ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 4
+  WHERE levenshtein(a.name, b.name) <= 4
 )""",
     # power-iteration PCA: generated, mirrored expression-for-expression
     "pca_top_component": _pca_sql(dim=16, iters=12),

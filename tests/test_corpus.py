@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
@@ -163,6 +164,58 @@ def test_pack_chunks_bpe_custom_order_col(spark):
     assert got[1].first_chunk >= got[2].first_chunk
     n1, n2 = got[1].n_tokens_bpe, got[2].n_tokens_bpe
     assert got[1].last_chunk == (n1 + n2 - 1) // 4
+
+
+def test_pack_order_col_ties_break_on_doc_id(spark):
+    """ADVICE r10: with a NON-UNIQUE custom order_col, the running sum
+    must tie-break on doc_id — the packing is then deterministic and
+    equals the (order_col, doc_id) lexicographic layout exactly."""
+    rows = [  # all four docs share prio=1 -> pure tie-break ordering
+        (4, "s", 1, "aa bb cc"),   # 3 tokens
+        (2, "s", 1, "dd ee"),      # 2 tokens
+        (9, "s", 1, "ff"),         # 1 token
+        (7, "s", 1, "gg hh"),      # 2 tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, prio long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.pack_chunks_bpe(
+            df, rounds=1, budget=3, order_col="prio"
+        ).collect()
+    }
+    # doc_id-ascending within the tie: the cumsum must walk 2, 4, 7, 9
+    end = 0
+    for d in [2, 4, 7, 9]:
+        n = got[d].n_tokens_bpe
+        end += n
+        assert got[d].first_chunk == (end - n) // 3, d
+        assert got[d].last_chunk == (end - 1) // 3, d
+    # same contract for the regex-token packer (its output keys by
+    # order_col, so with ties assert the multiset of chunk layouts
+    # matches the doc_id-ascending packing: 2,3,2,1 tokens in order)
+    rows2 = corpus.pack_chunks(
+        df.withColumnRenamed("prio", "p"), budget=3,
+        shard_col="source", order_col="p",
+    ).collect()
+    layout = sorted((r.n_tokens, r.first_chunk, r.last_chunk) for r in rows2)
+    assert layout == sorted([(2, 0, 0), (3, 0, 1), (2, 1, 2), (1, 2, 2)])
+
+
+def test_pack_column_role_guards(spark):
+    """ADVICE r10: order_col == shard_col (or shard_col == doc_id for
+    the BPE packer) raises a descriptive ValueError instead of an
+    ambiguous-reference AnalysisException."""
+    df = spark.createDataFrame(
+        [(1, "s", "aa bb")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        corpus.pack_chunks_bpe(df, order_col="source", shard_col="source")
+    with pytest.raises(ValueError, match="doc_id"):
+        corpus.pack_chunks_bpe(df, shard_col="doc_id", order_col="source")
+    with pytest.raises(ValueError, match="must differ"):
+        corpus.pack_chunks(df, order_col="source", shard_col="source")
 
 
 # ---------------------------------------------------------------------------
@@ -494,10 +547,9 @@ def test_dsir_sample_gumbel_topk(spark):
     w = {r.doc_id: r.log_weight for r in sampling.dsir_weights(docs).collect()}
 
     def gumbel(doc_id):
-        b = int(
-            hashlib.md5(f"gumbel{doc_id}".encode()).hexdigest()[:8], 16
-        ) % 10_000
-        return -math.log(-math.log((b + 0.5) / 10_000))
+        # the hash_unit formula: full 2^32-level noise (ADVICE r10)
+        b = int(hashlib.md5(f"gumbel{doc_id}".encode()).hexdigest()[:8], 16)
+        return -math.log(-math.log((b + 0.5) / 2**32))
 
     keyed = sorted(
         ((round(w[d] + gumbel(d), 6), -d) for d in w), reverse=True

@@ -2018,6 +2018,46 @@ def test_fuzzy_match_multipass_recovers_cross_prefix_pair(spark):
     assert len(pairs) == len(set(pairs))  # distinct collapsed the overlap
 
 
+def test_fuzzy_match_multipass_sorted_token_pass(spark):
+    """r10 verdict item #5 (the worked example): a short token-REORDER
+    pair ("ab cd" vs "cd ab", 4 edits) changes BOTH positional block
+    keys, so the prefix+suffix pass set misses it even at max_dist=4
+    — and the permutation-invariant sorted-token key recovers exactly
+    it. A LONG-token reorder (edit distance > max_dist) shares the
+    sorted-token block but fails the levenshtein verify: that regime
+    belongs to set-similarity, not edit-bounded linkage."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "ab cd"),                   # short reorder twin A
+        (2, "cd ab"),                   # short reorder twin B (4 edits)
+        (3, "jonathan smithfield"),     # long reorder twin A
+        (4, "smithfield jonathan"),     # long reorder twin B (>4 edits)
+        (5, "unrelated distractor row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    positional = (None, F.expr("right(norm, 8)"))
+    sorted_tok = F.array_join(F.array_sort(F.split(F.col("norm"), " ")), " ")
+    two = {
+        (r.id_a, r.id_b)
+        for r in dedup.fuzzy_match_multipass(
+            df, block_exprs=positional, max_dist=4, max_block=None
+        ).collect()
+    }
+    assert (1, 2) not in two  # both positional keys flipped: the miss
+    three = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in dedup.fuzzy_match_multipass(
+            df,
+            block_exprs=(*positional, sorted_tok),
+            max_dist=4,
+            max_block=None,
+        ).collect()
+    }
+    assert three.get((1, 2)) == 4  # recovered by the sorted-token pass
+    assert (3, 4) not in three  # blocked together but verify-rejected
+
+
 def test_pca_top_component_rayleigh_contract(spark):
     """The unrolled power iteration is a REPLAYABLE approximation —
     the driver hash pins the replay; this pins the quality CONTRACT:

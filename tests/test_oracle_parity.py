@@ -130,6 +130,62 @@ def test_teaching_form_matches_oracle_after_demotion(spark, duck, duck_driver_sf
         assert_frames_match(fn(spark, sf_dir).toPandas(), con.sql(sql).df(), name)
 
 
+# r10 verdict item #6: the demoted teaching pairs are no longer in the
+# driver window, so test_teaching_form_matches_oracle_after_demotion is
+# their ONLY evidence. This fixture pins sha256(fn source + oracle SQL)
+# per pair — any edit to a teaching form's function or oracle fails here
+# until the fixture is updated IN THE SAME COMMIT, which forces the
+# editor to re-run the parity twin consciously rather than silently
+# rotting un-driver-checked surface. Regenerate with:
+#   python -c "import hashlib, inspect;
+#     from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry;
+#     [print(n, hashlib.sha256((inspect.getsource(f) + chr(0) + s).encode()).hexdigest()[:16])
+#      for n, (f, s) in sorted(registry.TEACHING.items())]"
+TEACHING_FINGERPRINTS = {
+    "coin_pagerank": "d46ee475a635d9ca",
+    "dup_clusters": "1c1cfcd856bd89ba",
+    "embedding_dup_pairs": "4b8c0c775019e717",
+    "incremental_dedup": "452cf79b6972b5ca",
+    "kmeans_centroids": "cf058653ee40c1df",
+    "knn_brute": "a8f73cb0e1a73a10",
+    "knn_ivf": "5f904c00d87790bd",
+    "knn_lsh": "b99d85a0e978db81",
+    "semantic_dedup": "6ec195dcd386a746",
+    "simhash_pairs": "fc3005d8d3dce568",
+}
+
+
+def test_teaching_form_drift_tripwire():
+    """The demoted (query fn, oracle SQL) pairs must not drift without
+    the editor acknowledging it here (r10 verdict item #6): hash each
+    pair's function source + SQL and compare against the pinned
+    fingerprint fixture above."""
+    import hashlib
+    import inspect
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+
+    got = {
+        name: hashlib.sha256(
+            (inspect.getsource(fn) + "\x00" + sql).encode()
+        ).hexdigest()[:16]
+        for name, (fn, sql) in registry.TEACHING.items()
+    }
+    drifted = {
+        n: (TEACHING_FINGERPRINTS.get(n), h)
+        for n, h in got.items()
+        if TEACHING_FINGERPRINTS.get(n) != h
+    }
+    assert not drifted, (
+        "teaching form(s) changed without updating the fingerprint "
+        f"fixture (expected, got): {drifted} — re-run "
+        "test_teaching_form_matches_oracle_after_demotion (or force it "
+        "with SPARK_GRAFT_FORCE_TEACHING_PARITY=1) and update "
+        "TEACHING_FINGERPRINTS in the same commit"
+    )
+    assert set(got) == set(TEACHING_FINGERPRINTS)
+
+
 def test_all_queries_run_on_empty_tables(spark, tmp_path):
     """Robustness pin: every registered query plans and executes on
     EMPTY fixture tables (same schemas) without raising — no hidden
