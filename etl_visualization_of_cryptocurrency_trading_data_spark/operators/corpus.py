@@ -483,6 +483,102 @@ def curation_pipeline_v2(
     )
 
 
+def curation_pipeline_v3(
+    documents: DataFrame,
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    contamination_threshold: float = 0.5,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """The END-TO-END pretraining data pipeline (r10 verdict item #3)
+    — the composition a training run actually ships, chaining the
+    now-complete operator family in production order:
+
+    1. quality gate   — C4/Gopher heuristic ([[text.with_quality]]),
+       map-only, drops junk before anything shuffles;
+    2. near-dup dedup — MinHash-LSH verified pairs
+       ([[dedup.minhash_lsh_pairs]], md5 family so the oracle replays
+       the pair graph bit-for-bit) -> log-round star connected
+       components -> keep each cluster's min-doc_id canonical plus
+       all singletons;
+    3. split          — deterministic md5-bucket train/val/test
+       ([[sampling.train_val_test_split]]). Keyed on the survivor's
+       doc_id, which POST-DEDUP equals its cluster_id (the canonical
+       is the min label), so the assignment is exactly the
+       cluster-keyed [[sampling.leakage_safe_split]] rule: leakage
+       safety here comes from each near-dup cluster contributing ONE
+       document to ONE split;
+    4. decontaminate  — drop train docs whose capped-shingle overlap
+       with test docs reaches ``contamination_threshold``
+       ([[dedup.cross_split_contamination]]);
+    5. DSIR resample  — importance-resample the clean train corpus
+       down to ``k`` docs ([[sampling.dsir_sample]]: hashed-unigram
+       weights + deterministic Gumbel top-k, arXiv:2302.03169);
+    6. token-true pack — budget the selected docs into
+       ``budget``-token context windows under the ``rounds``-round
+       BPE tokenizer TRAINED ON THE SELECTED CORPUS itself
+       ([[pack_chunks_bpe]] — training on the data being packed is
+       the standard pretraining setup).
+
+    Output: the pack manifest (doc_id, source, n_tokens_bpe,
+    first_chunk, last_chunk, n_chunks), <= k rows — every number a
+    pure function of the input corpus, replayed exactly by the DuckDB
+    oracle.
+
+    Scale shape: stages 1-2 are the measured minhash-LSH plan (banded
+    buckets, never all-pairs) over the gated corpus; stage 3 is a pure
+    map; stage 4 one posting self-join bounded by max_df; stage 5 one
+    tokenize scan + TakeOrdered; stage 6 is vocabulary-bound training
+    + broadcast encode over k docs. ``persist_intermediate`` (default
+    True — unlike [[curation_pipeline]] this chain has FIVE consumers
+    of the survivor frame) caches the gated and deduped corpora across
+    consumers; it changes no results. At 100 TB replace the persists
+    with parquet materialization between stages 2/4/5 — the standard
+    checkpoint boundary (see [[curation_pipeline]]).
+    """
+    from .dedup import (
+        connected_components_star,
+        cross_split_contamination,
+        minhash_lsh_pairs,
+    )
+    from .sampling import dsir_sample, train_val_test_split
+    from .text import with_quality
+
+    cols = ["doc_id", "text", "lang", "source"]
+    quality = with_quality(documents).filter(F.col("is_quality")).select(*cols)
+    if persist_intermediate:
+        quality = quality.persist()
+    pairs = minhash_lsh_pairs(
+        quality, hash_family="md5", persist_intermediate=persist_intermediate
+    )
+    comp = connected_components_star(pairs)
+    # clusters hold only docs with a dup edge — broadcast the map
+    survivors = (
+        quality.join(F.broadcast(comp), "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(*cols)
+    )
+    if persist_intermediate:
+        survivors = survivors.persist()
+    split = train_val_test_split(survivors, "doc_id")
+    contaminated = cross_split_contamination(survivors).filter(
+        F.col("contamination_ratio") >= contamination_threshold
+    )
+    train_clean = (
+        split.filter(F.col("split") == "train")
+        .join(F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti")
+        .select(*cols)
+    )
+    if persist_intermediate:
+        train_clean = train_clean.persist()
+    picked = dsir_sample(train_clean, k=k)
+    selected = train_clean.join(F.broadcast(picked.select("doc_id")), "doc_id")
+    return pack_chunks_bpe(selected, rounds=rounds, budget=budget)
+
+
 def ranking_auc(
     scored: DataFrame,
     score_col: str = "score",

@@ -1691,14 +1691,23 @@ SELECT doc_id,
             THEN len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws) END AS stopword_ratio
 FROM w"""
 
-SHINGLES_CTE = f"""
-docs AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+def _shingles_cte(source: str = "documents") -> str:
+    """The distinct-3-gram shingle CTE pair (docs, sh), parameterized
+    on the corpus source so composed oracles
+    ([[_curation_v3_sql]]) can shingle an upstream CTE instead of the
+    raw table; ``SHINGLES_CTE`` below keeps the rendered default
+    byte-identical."""
+    return f"""
+docs AS (SELECT doc_id, {WORDS_SQL} AS ws FROM {source}),
 sh AS (
   SELECT doc_id,
          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                         for i in range(1, len(ws) - 1)]) AS shingles
   FROM docs WHERE len(ws) >= 3
 )"""
+
+
+SHINGLES_CTE = _shingles_cte()
 
 # df-capped pair generation (mirrors ngram_jaccard_pairs(max_df=...):
 # shingles above the document-frequency cap are removed from every doc
@@ -1721,15 +1730,20 @@ pairs AS (
 
 
 def _minhash_lsh_parts(
-    bands: int = 16, rows: int = 4, threshold: float = 0.5
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    source: str = "documents",
 ) -> tuple[str, str]:
     """Structured (ctes, final_select) pieces of the md5-family
-    MinHash+LSH oracle so dependent oracles ([[_leakage_safe_split_sql]])
-    compose SQL fragments instead of pattern-matching the rendered
-    string (ADVICE r9: the old rindex-on-a-literal-anchor surgery broke
-    on any cosmetic edit to the final SELECT). ``ctes`` is the full
-    ``WITH ...`` clause (no trailing comma); ``final_select`` is the
-    verify SELECT that consumes the ``cand``/``sh`` CTEs."""
+    MinHash+LSH oracle so dependent oracles ([[_leakage_safe_split_sql]],
+    [[_curation_v3_sql]]) compose SQL fragments instead of
+    pattern-matching the rendered string (ADVICE r9: the old
+    rindex-on-a-literal-anchor surgery broke on any cosmetic edit to
+    the final SELECT). ``ctes`` is the full ``WITH ...`` clause (no
+    trailing comma); ``final_select`` is the verify SELECT that
+    consumes the ``cand``/``sh`` CTEs. ``source`` re-points the
+    shingle scan at an upstream CTE."""
     k = bands * rows
     sig_entries = ",\n    ".join(
         f"min(h1 + {i} * h2)" for i in range(k)
@@ -1740,7 +1754,7 @@ def _minhash_lsh_parts(
         " FROM sig"
         for b in range(bands)
     )
-    ctes = f"""WITH {SHINGLES_CTE},
+    ctes = f"""WITH {_shingles_cte(source)},
 hv AS (
   SELECT doc_id,
          CAST('0x' || substr(m, 1, 7) AS BIGINT) AS h1,
@@ -2207,7 +2221,9 @@ KNN_IVF_SQL = _knn_ivf_sql()
 # the IVF search in place of the deterministic sample. Centroid dims are
 # round(avg, 9) in BOTH engines, so the search sees bit-identical
 # centroids; cosine ties break by id as everywhere else.
-def _bpe_parts(rounds: int = 3) -> str:
+def _bpe_parts(
+    rounds: int = 3, source: str = "documents", with_prefix: str = "WITH "
+) -> str:
     """The K-round BPE training loop unrolled as a CTE chain (no
     final SELECT) — the structured piece [[_bpe_sql]],
     [[_bpe_encode_sql]], and [[_bpe_pack_sql]] compose instead of
@@ -2218,12 +2234,15 @@ def _bpe_parts(rounds: int = 3) -> str:
     row_number over match rows), even-offset merge_here, lag()
     consumed drop, row_number position renumbering — so the two
     engines walk identical integer/string columns and the comparison
-    needs no tolerance. The final symbol table is CTE ``s{rounds}``."""
+    needs no tolerance. The final symbol table is CTE ``s{rounds}``.
+    ``source`` re-points the training corpus at an upstream CTE and
+    ``with_prefix=""`` drops the leading WITH for composed oracles
+    ([[_curation_v3_sql]])."""
     parts = [
-        r"""wf AS (
+        rf"""wf AS (
   SELECT w, count(*) AS n FROM (
     SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
-    FROM documents)
+    FROM {source})
   GROUP BY w HAVING length(w) >= 2
 ),
 s0 AS (
@@ -2270,7 +2289,7 @@ s{r} AS (
   FROM cs{r} WHERE NOT consumed
 )"""
         )
-    return "WITH " + ",\n".join(parts)
+    return with_prefix + ",\n".join(parts)
 
 
 def _bpe_sql(rounds: int = 3, k: int = 40) -> str:
@@ -2287,21 +2306,25 @@ SELECT sym, n_occurrences, rank FROM (
     )
 
 
-def _bpe_encode_ctes(rounds: int = 3) -> str:
+def _bpe_encode_ctes(
+    rounds: int = 3, source: str = "documents", with_prefix: str = "WITH "
+) -> str:
     """Training chain + encode CTE ``enc`` (doc_id, n_words,
     n_tokens_bpe): per-word post-merge symbol counts LEFT-joined onto
     the corpus word stream (words below the length-2 training floor
     stay single tokens). The structured piece [[_bpe_encode_sql]] and
-    [[_bpe_pack_sql]] compose — no rendered-SQL surgery."""
+    [[_bpe_pack_sql]] compose — no rendered-SQL surgery. ``source`` /
+    ``with_prefix`` as in [[_bpe_parts]] (train AND encode follow the
+    same corpus)."""
     return (
-        _bpe_parts(rounds)
+        _bpe_parts(rounds, source=source, with_prefix=with_prefix)
         + f""",
 per_word AS (SELECT w, count(*) AS toks FROM s{rounds} GROUP BY w),
 docw AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             x -> x <> '')) AS w
-  FROM documents
+  FROM {source}
 ),
 enc AS (
   SELECT doc_id, count(*)::BIGINT AS n_words,
@@ -3837,6 +3860,22 @@ def q_fuzzy_match_multipass(spark, sf_dir):
     )
 
 
+def q_curation_pipeline_v3(spark, sf_dir):
+    """The end-to-end pretraining pipeline (corpus.curation_pipeline_v3,
+    r10 verdict item #3): quality gate -> MinHash-LSH near-dup dedup
+    (md5 family) -> deterministic split (cluster-keyed via the
+    canonical survivor) -> shingle decontamination -> DSIR Gumbel
+    top-k resample (k=200) -> token-true BPE packing of the selected
+    train corpus (tokenizer trained on the selection itself). The
+    driver hash covers every stage boundary: a change in any gate,
+    pair, split, contamination verdict, importance weight, merge
+    table, or chunk edge moves the output. The oracle composes the
+    SAME generated parts as the per-stage oracles
+    ([[_minhash_lsh_parts]], [[_dsir_scored_parts]],
+    [[_bpe_encode_ctes]]) re-pointed at the upstream CTEs."""
+    return corpus.curation_pipeline_v3(_documents(spark, sf_dir))
+
+
 # tests/test_sql_api.py::test_driver_window_membership (EXPECTED_R8_WINDOW);
 # ORACLES == QUERIES by test_registry_invariants.
 # ROUND-7 ROTATION EXECUTED (registry = 158 queries, window = first 50):
@@ -3876,7 +3915,28 @@ def q_fuzzy_match_multipass(spark, sf_dir):
 # teaching-form r6 rows were demoted rather than rotated; their
 # verbatim oracles are exercised every run by
 # test_teaching_form_matches_oracle_after_demotion.
-# Round-11 rotation guidance: front-load (a) anything r11 adds or
+# ROUND-11 ROTATION EXECUTED per the r10 guidance (kept below) — see
+# _R11_WINDOW_FRONT after the QUERIES literal: (a) curation_pipeline_v3
+# (new) + the re-planned fuzzy_match_multipass and dsir_sample, (b)
+# the full 31-entry r7-row cohort, (c) the 16 oldest r8-row entries.
+# AFTER the r11 driver run: no registered query's newest row is older
+# than r8.
+# Round-12 rotation guidance: front-load (a) anything r12 adds or
+# re-plans, (b) the 32 remaining r8-row entries not covered by the r11
+# window (shipping_priority, knn_ivf_pq_recall, envelope_mcap,
+# ohlc_chart, vwap_hourly, close_pivot, documents_profile,
+# cross_exchange_spread, rolling_beta, stochastic, donchian, ichimoku,
+# bm25_scores, dsir_weights, media_features_auto, media_frames_real,
+# hybrid_retrieval_rrf, pca_top_component, dup_clusters_star,
+# spread_outer_stream_replay, pca_residual, knn_ivf_append,
+# media_decode_jpeg_color, large_volume_customers, quality_auc,
+# host_cap, quality_survivors, media_frames_gif, bpe_vocab_k,
+# plan_audit_skew, bpe_encode, semantic_dedup_capped), registry
+# order, then (c) the oldest r9-row entries with any remaining slots.
+# Rename EXPECTED_R11_WINDOW to EXPECTED_R12_WINDOW in the same
+# commit.
+# The r10-written round-11 guidance (kept for history):
+# front-load (a) anything r11 adds or
 # re-plans, (b) the r7-row cohort not covered by the r10 window
 # (price_chart, indicator_chart, coin_display, quality_score,
 # token_counts, lang_id, doc_fingerprint, bigram_logprob,
@@ -4169,6 +4229,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_repeated_spans": q_remove_repeated_spans,
     "remove_repeated_spans_keep_first": q_remove_repeated_spans_keep_first,
     "leakage_safe_split": q_leakage_safe_split,
+    # ---- round 11 registrations ----
+    "curation_pipeline_v3": q_curation_pipeline_v3,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -4194,80 +4256,82 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # registrations and no newest row older than r6.
 # (The r8/r9 window lists live in git history / CORRECTNESS_r0{8,9}.json;
 # PINNING.md tracks per-query evidence age.)
-# ROUND-10 ROTATION (executed per the r9 guidance block above):
-_R10_WINDOW_FRONT = [
-    # (a) new or re-planned this round: the four r10 registrations
-    # and the drawdown replay's sink re-plan (memory -> parquet
-    # evidence mechanism; rows identical, the fresh row re-verifies
-    # it). The keep-first cutter and dsir_sample were registered
-    # mid-round; atr_14 and exchange_cardinality_approx (the last two
-    # (d) entries, r7 rows safe to age one round) yielded their
-    # slots, the r9 precedent.
-    "bpe_pack",
+# ROUND-10 ROTATION (executed per the r9 guidance; list in git history
+# / CORRECTNESS_r10.json): (a) bpe_pack, fuzzy_match_multipass,
+# remove_repeated_spans_keep_first, dsir_sample, drawdown_stream_replay;
+# (b) spread_stream_replay, exact_dedup; (c) the 24 remaining r6 rows;
+# (d) the 19 oldest r7 rows (atr_14 / exchange_cardinality_approx
+# yielded to the mid-round registrations).
+# ROUND-11 ROTATION (executed per the r10 guidance block above):
+_R11_WINDOW_FRONT = [
+    # (a) new or re-planned this round: curation_pipeline_v3 (r11
+    # registration — the end-to-end pretraining composition, never
+    # driver-checked), fuzzy_match_multipass (re-planned: third
+    # sorted-token pass + reorder twin family + max_dist=4 + right()
+    # suffix key — output changed), dsir_sample (re-planned: 2^32-level
+    # Gumbel noise per ADVICE r10 — output changed)
+    "curation_pipeline_v3",
     "fuzzy_match_multipass",
-    "remove_repeated_spans_keep_first",
     "dsir_sample",
-    "drawdown_stream_replay",
-    # (b) the two r6 rows that yielded their r9 (d) slots
-    "spread_stream_replay",
-    "exact_dedup",
-    # (c) all 24 remaining r6-row entries, registry order (the nine
-    # teaching-form r6 rows are DEMOTED this round, not rotated —
-    # their verbatim oracles move to the always-on parity twin test)
-    "dedup_survivors",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "pack_chunks_overlap",
-    "contamination",
-    "curation_pipeline",
-    "repetition_stats",
-    "tfidf_top_terms",
-    "doc_length_quantiles_approx",
-    "exchange_cardinality",
-    "knn_quantized",
-    "embedding_normalize",
-    "embedding_quantize",
-    "media_frames",
-    "media_features",
-    "stale_coins_anti",
-    "top_coins_by_volume",
-    "union_price_feeds",
-    "asof_price_candle",
-    "top_suppliers",
-    "user_retention",
-    "price_correlation",
-    "event_props_stats",
-    "revenue_by_nation",
-    # (d) the 19 oldest r7-row entries, registry order (atr_14 and
-    # exchange_cardinality_approx yielded to the mid-round
-    # registrations)
-    "semantic_dedup_trained",
-    "recovery_stream_replay",
-    "media_decode_bmp",
-    "media_decode_gif",
-    "media_decode_jpeg",
-    "media_resize",
-    "incremental_dedup_bloom",
-    "zorder_profile",
-    "cms_frequencies",
-    "enrich_stream_replay",
-    "late_drop_stream_replay",
-    "knn_ivf_full_fixed",
-    "knn_lsh_planes8",
-    "exchange_influencers",
-    "trading_sessions",
-    "session_range_join",
-    "market_cap_chart",
-    "knn_ivf_trained",
-    "volume_cube",
+    # (b) the full r7-row cohort (31 entries, registry order — incl.
+    # atr_14 and exchange_cardinality_approx which yielded their r10
+    # slots)
+    "exchange_cardinality_approx",
+    "atr_14",
+    "price_chart",
+    "indicator_chart",
+    "coin_display",
+    "quality_score",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "bigram_logprob",
+    "doc_length_quantiles",
+    "top_terms",
+    "redact_pii",
+    "dataset_split",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_chunks",
+    "media_metadata",
+    "frame_schedule",
+    "coins_dim",
+    "price_data",
+    "ohlc_candles",
+    "technical_indicators",
+    "coin_market_cap",
+    "coin_table",
+    "envelope_price",
+    "envelope_coins",
+    "envelope_ohlc",
+    "coin_indicators_left",
+    "volume_rollup",
+    "text_stats",
+    # (c) the 16 oldest r8-row entries, registry order
+    "keltner_channels",
+    "candlestick_patterns",
+    "vocab_coverage",
+    "scd2_volume_tiers",
+    "knn_ivf_pq",
+    "csv_roundtrip",
+    "heikin_ashi",
+    "funnel_conversion",
+    "lead_lag_corr",
+    "rolling_sharpe",
+    "market_regime",
+    "corpus_quality_report",
+    "pricing_summary",
+    "rolling_active_coins",
+    "event_props_variant",
+    "activity_reconciliation",
 ]
-assert len(_R10_WINDOW_FRONT) == 50 and len(set(_R10_WINDOW_FRONT)) == 50
-assert set(_R10_WINDOW_FRONT) <= set(QUERIES), sorted(
-    set(_R10_WINDOW_FRONT) - set(QUERIES)
+assert len(_R11_WINDOW_FRONT) == 50 and len(set(_R11_WINDOW_FRONT)) == 50
+assert set(_R11_WINDOW_FRONT) <= set(QUERIES), sorted(
+    set(_R11_WINDOW_FRONT) - set(QUERIES)
 )
 QUERIES = {
     k: QUERIES[k]
-    for k in _R10_WINDOW_FRONT + [k for k in QUERIES if k not in _R10_WINDOW_FRONT]
+    for k in _R11_WINDOW_FRONT + [k for k in QUERIES if k not in _R11_WINDOW_FRONT]
 }
 
 # shared by incremental_dedup AND incremental_dedup_bloom: the bloom
@@ -4372,11 +4436,16 @@ FROM toks t LEFT JOIN agg a USING (doc_id)"""
 
 # DSIR scored-weights CTE chain (shared by dsir_weights and the
 # Gumbel top-k resampler dsir_sample — the parts posture)
-DSIR_SCORED_CTES = r"""
-WITH toks AS (
+def _dsir_scored_parts(source: str = "documents") -> str:
+    """The DSIR hashed-unigram scoring chain (toks..scored) WITHOUT the
+    WITH prefix, parameterized on the corpus source so composed oracles
+    ([[_curation_v3_sql]]) can score an upstream CTE; the module-level
+    ``DSIR_SCORED_CTES`` below keeps the rendered default
+    byte-identical."""
+    return rf"""toks AS (
   SELECT doc_id, lang = 'en' AS tgt,
          list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
+  FROM {source}
 ),
 d AS (SELECT doc_id, tgt, ws FROM toks WHERE len(ws) > 0),
 occ AS (
@@ -4400,6 +4469,163 @@ scored AS (
   FROM counted, totals
   GROUP BY doc_id
 )"""
+
+
+DSIR_SCORED_CTES = "\nWITH " + _dsir_scored_parts()
+
+
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark the named CTEs ``AS MATERIALIZED`` (DuckDB): a composed
+    oracle like [[_curation_v3_sql]] references its stage outputs many
+    times (sig 16x in the band union, sh 4x, the survivor corpus from
+    split + contamination + resample), and DuckDB 1.0 inlines CTE
+    bodies per reference — the COMPOSED tree then multiplies out to
+    thousands of leaf parquet scans and dies on file handles.
+    Materializing each stage boundary pins the oracle to the same
+    evaluate-once semantics the engine's persist() boundaries use.
+    Anchored on the unique '\\n<name> AS (' definition site; asserts
+    exactly one match so a parts edit cannot silently de-materialize a
+    stage."""
+    for n in names:
+        anchor = f"\n{n} AS ("
+        assert sql.count(anchor) == 1, f"CTE anchor not unique: {n}"
+        sql = sql.replace(anchor, f"\n{n} AS MATERIALIZED (", 1)
+    return sql
+
+
+def _curation_v3_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
+    """Oracle for [[q_curation_pipeline_v3]] — the end-to-end
+    pretraining pipeline composed from the SAME generated parts as the
+    per-stage oracles, each re-pointed at its upstream CTE: quality
+    gate (the curation_pipeline qw/q pair) -> [[_minhash_lsh_parts]]
+    over ``q`` -> recursive star-CC (the leakage_safe_split pattern)
+    -> canonical-survivor filter -> md5-bucket split -> capped-shingle
+    decontamination (reusing the minhash ``sh`` shingles, restricted
+    to survivors) -> [[_dsir_scored_parts]] over ``train_clean`` +
+    the wide-hash Gumbel top-{k} -> [[_bpe_encode_ctes]] trained and
+    encoded over ``selected`` -> the pack cumsum tail. Every stage is
+    bit-exact vs the engine (established per stage by the
+    leakage_safe_split / contamination / dsir_sample / bpe_pack
+    driver rows)."""
+    mh_ctes, mh_select = _minhash_lsh_parts(source="q")
+    assert mh_ctes.startswith("WITH ")
+    mh_ctes = mh_ctes[len("WITH ") :]
+    sql = f"""
+WITH RECURSIVE qw AS (
+  SELECT doc_id, text, lang, source, {WORDS_SQL} AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
+                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM qw
+  ) WHERE quality >= 0.7
+),
+{mh_ctes},
+pairs AS (
+{mh_select}
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+surv AS (
+  SELECT q.doc_id, q.text, q.lang, q.source
+  FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+  WHERE comp.cluster_id IS NULL OR comp.cluster_id = q.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM surv
+),
+cpost AS (SELECT sh.doc_id, unnest(sh.shingles) AS sg
+          FROM sh JOIN surv ON sh.doc_id = surv.doc_id),
+csp AS (SELECT cpost.doc_id, cpost.sg, spl.split
+        FROM cpost JOIN spl ON cpost.doc_id = spl.doc_id),
+ckept AS (SELECT sg FROM csp GROUP BY sg HAVING count(*) <= 100),
+cfp AS (SELECT csp.doc_id, csp.sg, csp.split FROM csp JOIN ckept USING (sg)),
+ctr AS (SELECT doc_id, sg FROM cfp WHERE split = 'train'),
+ctst AS (SELECT doc_id AS tdoc, sg FROM cfp WHERE split = 'test'),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM ctr GROUP BY doc_id),
+chits AS (
+  SELECT ctr.doc_id, count(DISTINCT ctr.sg) AS n_hit
+  FROM ctr JOIN ctst USING (sg) GROUP BY ctr.doc_id
+),
+contaminated AS (
+  SELECT chits.doc_id FROM chits JOIN csizes USING (doc_id)
+  WHERE n_hit::DOUBLE / n_sh >= 0.5
+),
+train_clean AS (
+  SELECT surv.* FROM surv JOIN spl ON surv.doc_id = spl.doc_id
+  WHERE spl.split = 'train'
+    AND surv.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+{_dsir_scored_parts("train_clean")},
+g AS (
+  SELECT doc_id,
+         round(log_weight
+               + -ln(-ln((('0x' || substr(md5('gumbel' || doc_id::VARCHAR), 1, 8))::BIGINT
+                          + 0.5) / 4294967296)), 6) AS gumbel_key
+  FROM scored
+),
+sel AS (SELECT doc_id FROM g ORDER BY gumbel_key DESC, doc_id LIMIT {k}),
+selected AS (
+  SELECT train_clean.doc_id, train_clean.text, train_clean.source
+  FROM train_clean JOIN sel ON train_clean.doc_id = sel.doc_id
+),
+{_bpe_encode_ctes(rounds, source="selected", with_prefix="")},
+pt AS (
+  SELECT sd.doc_id, sd.source,
+         coalesce(e.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+  FROM selected sd LEFT JOIN enc e ON sd.doc_id = e.doc_id
+),
+pc AS (
+  SELECT *, sum(n_tokens_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM pt
+)
+SELECT doc_id, source, n_tokens_bpe,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - n_tokens_bpe) // {budget} END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens_bpe > 0 THEN (end_tokens - 1) // {budget} END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - 1) // {budget} - (end_tokens - n_tokens_bpe) // {budget} + 1
+             ELSE 0 END)::BIGINT AS n_chunks
+FROM pc"""
+    return _materialize_ctes(
+        sql,
+        (
+            "q",
+            "sh",
+            "sig",
+            "cand",
+            "surv",
+            "spl",
+            "train_clean",
+            "scored",
+            "selected",
+            "enc",
+        ),
+    )
+
 
 ORACLES: dict[str, str] = {
     "coins_dim": _with(COINS_CTE, select="SELECT id, name, symbol, exchange FROM coins"),
@@ -4841,6 +5067,9 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""",
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "leakage_safe_split": _leakage_safe_split_sql(),
+    # end-to-end pretraining pipeline (r11): composed from the same
+    # generated stage parts, re-pointed at the upstream CTEs
+    "curation_pipeline_v3": _curation_v3_sql(),
     "simhash_pairs": _simhash_sql(),
     # scale-safe width: 4x32-bit bands over md5's full 128 bits
     "simhash_pairs_wide": _simhash_sql(n_bits=128),

@@ -203,6 +203,87 @@ def test_pack_order_col_ties_break_on_doc_id(spark):
     assert layout == sorted([(2, 0, 0), (3, 0, 1), (2, 1, 2), (1, 2, 2)])
 
 
+def test_curation_pipeline_v3_stage_counts(spark):
+    """r10 verdict item #3: the end-to-end pretraining composition's
+    per-stage drop accounting — recompute each stage standalone at
+    fixture scale and pin (a) the monotone funnel, (b) that the
+    pipeline's selected docs are exactly the DSIR top-k of the clean
+    train corpus, and (c) that the emitted manifest equals
+    pack_chunks_bpe over that selection."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
+        dedup,
+        sampling,
+        text,
+    )
+
+    docs = _docs(spark)
+    n0 = docs.count()
+    cols = ["doc_id", "text", "lang", "source"]
+    quality = (
+        text.with_quality(docs).filter(F.col("is_quality")).select(*cols).persist()
+    )
+    n1 = quality.count()
+    assert 0 < n1 <= n0
+    pairs = dedup.minhash_lsh_pairs(
+        quality, hash_family="md5", persist_intermediate=True
+    )
+    comp = dedup.connected_components_star(pairs)
+    survivors = (
+        quality.join(F.broadcast(comp), "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(*cols)
+        .persist()
+    )
+    n2 = survivors.count()
+    assert 0 < n2 <= n1
+    split = sampling.train_val_test_split(survivors, "doc_id")
+    n_train = split.filter(F.col("split") == "train").count()
+    assert 0 < n_train <= n2
+    contaminated = dedup.cross_split_contamination(survivors).filter(
+        F.col("contamination_ratio") >= 0.5
+    )
+    train_clean = (
+        split.filter(F.col("split") == "train")
+        .join(F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti")
+        .select(*cols)
+        .persist()
+    )
+    n3 = train_clean.count()
+    assert 0 < n3 <= n_train
+    picked = sampling.dsir_sample(train_clean, k=200)
+    picked_ids = {r.doc_id for r in picked.collect()}
+    train_ids = {r.doc_id for r in train_clean.select("doc_id").collect()}
+    assert 0 < len(picked_ids) <= 200
+    assert picked_ids <= train_ids
+    out = {
+        r.doc_id: r for r in corpus.curation_pipeline_v3(docs).collect()
+    }
+    # (b) selection identity
+    assert set(out) == picked_ids
+    # (c) manifest identity vs a standalone pack over the selection
+    selected = train_clean.join(
+        F.broadcast(picked.select("doc_id")), "doc_id"
+    )
+    ref = {
+        r.doc_id: r
+        for r in corpus.pack_chunks_bpe(selected, rounds=3, budget=512).collect()
+    }
+    assert len(ref) == len(out)
+    for d, r in ref.items():
+        o = out[d]
+        assert (
+            r.n_tokens_bpe,
+            r.first_chunk,
+            r.last_chunk,
+            r.n_chunks,
+            r.source,
+        ) == (o.n_tokens_bpe, o.first_chunk, o.last_chunk, o.n_chunks, o.source)
+    for df in (quality, survivors, train_clean):
+        df.unpersist()
+
+
 def test_pack_column_role_guards(spark):
     """ADVICE r10: order_col == shard_col (or shard_col == doc_id for
     the BPE packer) raises a descriptive ValueError instead of an

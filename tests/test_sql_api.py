@@ -227,67 +227,63 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # round. This list IS the current round's window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R10_WINDOW = [
-    # (a) new or re-planned this round: trained-tokenizer packing,
-    # multi-pass fuzzy blocking, the keep-first cutter and the DSIR
-    # Gumbel top-k resampler (mid-round; atr_14 and
-    # exchange_cardinality_approx yielded their (d) slots); the
-    # drawdown replay's parquet-sink re-plan (rows identical)
-    "bpe_pack",
+EXPECTED_R11_WINDOW = [
+    # (a) new or re-planned this round: the end-to-end pretraining
+    # composition (new), the three-pass sorted-token fuzzy linkage
+    # (re-plan, output changed), the wide-hash DSIR resampler
+    # (re-plan, output changed)
+    "curation_pipeline_v3",
     "fuzzy_match_multipass",
-    "remove_repeated_spans_keep_first",
     "dsir_sample",
-    "drawdown_stream_replay",
-    # (b) the two r6 rows that yielded their r9 (d) slots
-    "spread_stream_replay",
-    "exact_dedup",
-    # (c) all 24 remaining r6-row entries (the nine teaching-form r6
-    # rows were DEMOTED this round, not rotated)
-    "dedup_survivors",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "pack_chunks_overlap",
-    "contamination",
-    "curation_pipeline",
-    "repetition_stats",
-    "tfidf_top_terms",
-    "doc_length_quantiles_approx",
-    "exchange_cardinality",
-    "knn_quantized",
-    "embedding_normalize",
-    "embedding_quantize",
-    "media_frames",
-    "media_features",
-    "stale_coins_anti",
-    "top_coins_by_volume",
-    "union_price_feeds",
-    "asof_price_candle",
-    "top_suppliers",
-    "user_retention",
-    "price_correlation",
-    "event_props_stats",
-    "revenue_by_nation",
-    # (d) the 19 oldest r7-row entries (atr_14 and
-    # exchange_cardinality_approx yielded)
-    "semantic_dedup_trained",
-    "recovery_stream_replay",
-    "media_decode_bmp",
-    "media_decode_gif",
-    "media_decode_jpeg",
-    "media_resize",
-    "incremental_dedup_bloom",
-    "zorder_profile",
-    "cms_frequencies",
-    "enrich_stream_replay",
-    "late_drop_stream_replay",
-    "knn_ivf_full_fixed",
-    "knn_lsh_planes8",
-    "exchange_influencers",
-    "trading_sessions",
-    "session_range_join",
-    "market_cap_chart",
-    "knn_ivf_trained",
-    "volume_cube",
+    # (b) the full r7-row cohort (31 entries, registry order)
+    "exchange_cardinality_approx",
+    "atr_14",
+    "price_chart",
+    "indicator_chart",
+    "coin_display",
+    "quality_score",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "bigram_logprob",
+    "doc_length_quantiles",
+    "top_terms",
+    "redact_pii",
+    "dataset_split",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_chunks",
+    "media_metadata",
+    "frame_schedule",
+    "coins_dim",
+    "price_data",
+    "ohlc_candles",
+    "technical_indicators",
+    "coin_market_cap",
+    "coin_table",
+    "envelope_price",
+    "envelope_coins",
+    "envelope_ohlc",
+    "coin_indicators_left",
+    "volume_rollup",
+    "text_stats",
+    # (c) the 16 oldest r8-row entries, registry order
+    "keltner_channels",
+    "candlestick_patterns",
+    "vocab_coverage",
+    "scd2_volume_tiers",
+    "knn_ivf_pq",
+    "csv_roundtrip",
+    "heikin_ashi",
+    "funnel_conversion",
+    "lead_lag_corr",
+    "rolling_sharpe",
+    "market_regime",
+    "corpus_quality_report",
+    "pricing_summary",
+    "rolling_active_coins",
+    "event_props_variant",
+    "activity_reconciliation",
 ]
 
 
@@ -316,8 +312,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R10_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R10_WINDOW
+    assert len(EXPECTED_R11_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R11_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
