@@ -186,6 +186,45 @@ def test_teaching_form_drift_tripwire():
     assert set(got) == set(TEACHING_FINGERPRINTS)
 
 
+def test_registry_snapshot_is_byte_identical():
+    """r10 verdict item #2 guard: the plans/registry.py ->
+    plans/oracles/ package split must be a PURE refactor. The fixture
+    (tests/fixtures/registry_snapshot.json, generated by
+    scripts/snapshot_registry.py from the pre-refactor single-file
+    registry at commit eb932cc) pins the post-demotion QUERIES key
+    order + builder names, the ORACLES key order + sha256 of every
+    rendered SQL string, and the TEACHING pairs. Any rendering change
+    — reordered keys, a re-rendered f-string fragment, a renamed
+    builder — fails here. Legitimate registry changes (new/changed
+    queries in later rounds) regenerate the fixture in the same
+    commit via scripts/snapshot_registry.py."""
+    import hashlib
+    import json
+    import pathlib
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans import registry
+
+    snap = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "registry_snapshot.json")
+        .read_text()
+    )
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    assert list(registry.QUERIES) == snap["queries_order"]
+    assert {k: f.__name__ for k, f in registry.QUERIES.items()} == snap[
+        "builder_names"
+    ]
+    assert list(registry.ORACLES) == snap["oracles_order"]
+    mismatched = [
+        k
+        for k, v in registry.ORACLES.items()
+        if sha(v) != snap["oracle_sha256"][k]
+    ]
+    assert not mismatched, f"oracle SQL re-rendered differently: {mismatched}"
+    assert {
+        k: [fn.__name__, sha(sql)] for k, (fn, sql) in registry.TEACHING.items()
+    } == snap["teaching"]
+
+
 def test_all_queries_run_on_empty_tables(spark, tmp_path):
     """Robustness pin: every registered query plans and executes on
     EMPTY fixture tables (same schemas) without raising — no hidden
