@@ -1,0 +1,636 @@
+"""Corpus-curation compositions: splits, samplers (incl. DSIR
+Gumbel top-k), sequence/token packing, and the end-to-end curation
+pipelines (v1/v2/v3) whose oracles compose sibling-domain fragments.
+
+Split verbatim from plans/registry.py (r11 verdict item #2); the
+facade registry module re-exports every name and asserts the
+assembled surface is byte-identical to the pre-split snapshot.
+"""
+
+from __future__ import annotations
+
+from ...operators import corpus
+from ...operators import sampling
+from .common import _documents
+from .dedup import _leakage_safe_split_sql, _minhash_lsh_parts
+from .text import NORM_TEXT_SQL, STOPWORDS_SQL, WORDS_SQL, _bpe_encode_ctes
+
+def q_curation_pipeline(spark, sf_dir):
+    """The composed end-to-end corpus pipeline: quality gate -> exact
+    dedup -> deterministic split -> decontamination -> per-(split,
+    lang) manifest. One registered query proving the operators compose
+    as DataFrames. persist_intermediate caches the (dimension-sized)
+    deduped corpus across the pipeline's three consumers — the
+    in-session stand-in for the stage-materialization boundary the
+    operator docstring prescribes at 100 TB; results are identical
+    either way (pinned in pytest)."""
+    return corpus.curation_pipeline(
+        _documents(spark, sf_dir), persist_intermediate=True
+    )
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split by content hash: counts per
+    (split, lang) — the reproducible-split primitive for training
+    corpora (same key => same split across runs and engines)."""
+    from pyspark.sql import functions as F
+
+    return (
+        sampling.train_val_test_split(_documents(spark, sf_dir), "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-threshold 10% sample of documents — reproducible and
+    consistent (kept keys stay kept when the fraction grows)."""
+    return sampling.deterministic_sample(
+        _documents(spark, sf_dir), "doc_id", 0.1
+    ).select("doc_id", "lang", "n_chars")
+
+def _bpe_pack_sql(rounds: int = 3, budget: int = 512) -> str:
+    """Oracle for [[q_bpe_pack]]: the trained-tokenizer token counts
+    ([[_bpe_encode_ctes]]) fed through the pack_chunks cumsum — the
+    same shard-local window / chunk-range arithmetic as the
+    ``pack_chunks`` oracle with n_tokens_bpe as the budget unit.
+    Documents with no words are absent from ``enc`` (the word explode
+    drops them) and re-enter with 0 tokens via the LEFT join, exactly
+    like the engine's coalesce."""
+    return (
+        _bpe_encode_ctes(rounds)
+        + f""",
+t AS (
+  SELECT d.doc_id, d.source,
+         coalesce(e.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+),
+c AS (
+  SELECT *, sum(n_tokens_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens_bpe,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - n_tokens_bpe) // {budget} END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens_bpe > 0 THEN (end_tokens - 1) // {budget} END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - 1) // {budget} - (end_tokens - n_tokens_bpe) // {budget} + 1
+             ELSE 0 END)::BIGINT AS n_chunks
+FROM c"""
+    )
+
+# Per-language sampling rates for the registered stratified sample:
+# heavy downsample of the majority language, full keep of a minority
+# one, and implicit drop of strata not listed (zh).
+STRATA_FRACTIONS = {"en": 0.05, "de": 0.25, "es": 0.5, "fr": 1.0}
+
+PACK_STRIDE = 256
+
+PACK_BUDGET = 512
+
+def _strata_case_sql() -> str:
+    """Threshold when-chain for the stratified-sample oracle, derived
+    from STRATA_FRACTIONS so query and oracle can never drift."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {round(f * 10000)}"
+        for s, f in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: rebalance the corpus by
+    language with content-hash thresholds (map-only, reproducible)."""
+    return corpus.stratified_sample(
+        _documents(spark, sf_dir), "doc_id", "lang", STRATA_FRACTIONS
+    ).select("doc_id", "lang", "source")
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk token packing manifest per source shard
+    (budget 512 regex tokens per context window)."""
+    return corpus.pack_chunks(_documents(spark, sf_dir), budget=PACK_BUDGET)
+
+def q_pack_chunks_overlap(spark, sf_dir):
+    """Sliding-window (RAG-style) packing manifest: budget 512, stride
+    256 — each document lists every overlapping window it touches."""
+    return corpus.pack_chunks(
+        _documents(spark, sf_dir), budget=PACK_BUDGET, stride=PACK_BUDGET // 2
+    )
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-duplicate-aware train/val/test split
+    (sampling.leakage_safe_split, r9): every doc in a near-dup
+    CLUSTER (log-round star CC over the MinHash-LSH verified pair
+    graph) gets the SAME md5-bucket split, so an eval doc can never
+    have a near-copy in train — the contamination mode a doc_id-keyed
+    split cannot prevent. md5 hash family so the oracle replays the
+    pair graph bit-for-bit (the xxhash64 production family keeps its
+    recall pins in pytest); the oracle replays CC as recursive
+    reachability and the split as the same md5 threshold."""
+    return sampling.leakage_safe_split(
+        _documents(spark, sf_dir), hash_family="md5"
+    )
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-weighted source mixing (sampling.mixture_sample):
+    the fixture's sources are uniform, so the query derives a skewed
+    60/30/10 source split from doc_id first — small sources must come
+    out up-weighted (higher accept rate) vs proportional sampling."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("mix_source"),
+    )
+    return sampling.mixture_sample(
+        docs, group_col="mix_source", key="doc_id", budget_frac=0.5
+    )
+
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Composed round-5 curation (corpus.curation_pipeline_v2): Gopher
+    gate -> span dedup -> exact dedup on the post-span text ->
+    temperature mixture -> per-source manifest. The oracle replays
+    every stage in one SQL chain."""
+    return corpus.curation_pipeline_v2(_documents(spark, sf_dir))
+
+def q_bpe_pack(spark, sf_dir):
+    """Token-budget packing under the TRAINED tokenizer
+    (corpus.pack_chunks_bpe — r9 verdict item #5): [[q_pack_chunks]]'
+    manifest with [[q_bpe_encode]]'s exact per-document token counts
+    as the budget unit, closing the BPE family end-to-end — train →
+    encode → pack is the pipeline a pretraining run ships. Budget 512
+    trained-tokenizer tokens per context window, disjoint; the oracle
+    composes the training/encode CTE chain with the pack_chunks
+    cumsum structurally ([[_bpe_pack_sql]])."""
+    return corpus.pack_chunks_bpe(
+        _documents(spark, sf_dir), rounds=3, budget=PACK_BUDGET
+    )
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (sampling.dsir_weights, arXiv:2302.03169):
+    hashed-unigram bucket LM ratio of the corpus's own lang='en' slice
+    vs the raw corpus, add-1 smoothed over 256 md5 buckets — the
+    data-selection scorer that tilts a crawl toward a curated target
+    without training a classifier. Bucket counts are windows over the
+    exploded stream; the 1-row totals frame joins broadcast."""
+    return sampling.dsir_weights(_documents(spark, sf_dir))
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance RESAMPLING (sampling.dsir_sample, r10 — the
+    step that completes arXiv:2302.03169's recipe): top-200 documents
+    by log_weight + deterministic Gumbel noise (hash_unit of doc_id —
+    2^32-level md5 noise since the ADVICE r10 widening), i.e. a
+    k-sample without replacement proportional to exp(log_weight)
+    (hash-quantized) that replays bit-for-bit in SQL. The draw is a
+    map-side key + TakeOrdered (orderBy().limit — per-partition
+    top-k, no global sort); the weights chain is [[q_dsir_weights]]'.
+    The driver hash covers the weights, the Gumbel arithmetic, and
+    the selection boundary."""
+    return sampling.dsir_sample(_documents(spark, sf_dir), k=200)
+
+def q_curation_pipeline_v3(spark, sf_dir):
+    """The end-to-end pretraining pipeline (corpus.curation_pipeline_v3,
+    r10 verdict item #3): quality gate -> MinHash-LSH near-dup dedup
+    (md5 family) -> deterministic split (cluster-keyed via the
+    canonical survivor) -> shingle decontamination -> DSIR Gumbel
+    top-k resample (k=200) -> token-true BPE packing of the selected
+    train corpus (tokenizer trained on the selection itself). The
+    driver hash covers every stage boundary: a change in any gate,
+    pair, split, contamination verdict, importance weight, merge
+    table, or chunk edge moves the output. The oracle composes the
+    SAME generated parts as the per-stage oracles
+    ([[_minhash_lsh_parts]], [[_dsir_scored_parts]],
+    [[_bpe_encode_ctes]]) re-pointed at the upstream CTEs."""
+    return corpus.curation_pipeline_v3(_documents(spark, sf_dir))
+
+# DSIR scored-weights CTE chain (shared by dsir_weights and the
+# Gumbel top-k resampler dsir_sample — the parts posture)
+def _dsir_scored_parts(source: str = "documents") -> str:
+    """The DSIR hashed-unigram scoring chain (toks..scored) WITHOUT the
+    WITH prefix, parameterized on the corpus source so composed oracles
+    ([[_curation_v3_sql]]) can score an upstream CTE; the module-level
+    ``DSIR_SCORED_CTES`` below keeps the rendered default
+    byte-identical."""
+    return rf"""toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM {source}
+),
+d AS (SELECT doc_id, tgt, ws FROM toks WHERE len(ws) > 0),
+occ AS (
+  SELECT doc_id, tgt,
+         (('0x' || substr(md5('dsir' || w), 1, 8))::UBIGINT % 256)::BIGINT AS b
+  FROM (SELECT doc_id, tgt, unnest(ws) AS w FROM d)
+),
+counted AS (
+  SELECT doc_id, b,
+         count(*) OVER (PARTITION BY b) AS n_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY b) AS n_tgt
+  FROM occ
+),
+totals AS (
+  SELECT count(*) AS t_raw, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tgt FROM occ
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(sum(ln((n_tgt + 1) / (t_tgt + 256))
+                   - ln((n_raw + 1) / (t_raw + 256))), 6) AS log_weight
+  FROM counted, totals
+  GROUP BY doc_id
+)"""
+
+DSIR_SCORED_CTES = "\nWITH " + _dsir_scored_parts()
+
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark the named CTEs ``AS MATERIALIZED`` (DuckDB): a composed
+    oracle like [[_curation_v3_sql]] references its stage outputs many
+    times (sig 16x in the band union, sh 4x, the survivor corpus from
+    split + contamination + resample), and DuckDB 1.0 inlines CTE
+    bodies per reference — the COMPOSED tree then multiplies out to
+    thousands of leaf parquet scans and dies on file handles.
+    Materializing each stage boundary pins the oracle to the same
+    evaluate-once semantics the engine's persist() boundaries use.
+    Anchored on the unique '\\n<name> AS (' definition site; asserts
+    exactly one match so a parts edit cannot silently de-materialize a
+    stage."""
+    for n in names:
+        anchor = f"\n{n} AS ("
+        assert sql.count(anchor) == 1, f"CTE anchor not unique: {n}"
+        sql = sql.replace(anchor, f"\n{n} AS MATERIALIZED (", 1)
+    return sql
+
+def _curation_v3_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
+    """Oracle for [[q_curation_pipeline_v3]] — the end-to-end
+    pretraining pipeline composed from the SAME generated parts as the
+    per-stage oracles, each re-pointed at its upstream CTE: quality
+    gate (the curation_pipeline qw/q pair) -> [[_minhash_lsh_parts]]
+    over ``q`` -> recursive star-CC (the leakage_safe_split pattern)
+    -> canonical-survivor filter -> md5-bucket split -> capped-shingle
+    decontamination (reusing the minhash ``sh`` shingles, restricted
+    to survivors) -> [[_dsir_scored_parts]] over ``train_clean`` +
+    the wide-hash Gumbel top-{k} -> [[_bpe_encode_ctes]] trained and
+    encoded over ``selected`` -> the pack cumsum tail. Every stage is
+    bit-exact vs the engine (established per stage by the
+    leakage_safe_split / contamination / dsir_sample / bpe_pack
+    driver rows)."""
+    mh_ctes, mh_select = _minhash_lsh_parts(source="q")
+    assert mh_ctes.startswith("WITH ")
+    mh_ctes = mh_ctes[len("WITH ") :]
+    sql = f"""
+WITH RECURSIVE qw AS (
+  SELECT doc_id, text, lang, source, {WORDS_SQL} AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
+                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM qw
+  ) WHERE quality >= 0.7
+),
+{mh_ctes},
+pairs AS (
+{mh_select}
+),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+surv AS (
+  SELECT q.doc_id, q.text, q.lang, q.source
+  FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+  WHERE comp.cluster_id IS NULL OR comp.cluster_id = q.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM surv
+),
+cpost AS (SELECT sh.doc_id, unnest(sh.shingles) AS sg
+          FROM sh JOIN surv ON sh.doc_id = surv.doc_id),
+csp AS (SELECT cpost.doc_id, cpost.sg, spl.split
+        FROM cpost JOIN spl ON cpost.doc_id = spl.doc_id),
+ckept AS (SELECT sg FROM csp GROUP BY sg HAVING count(*) <= 100),
+cfp AS (SELECT csp.doc_id, csp.sg, csp.split FROM csp JOIN ckept USING (sg)),
+ctr AS (SELECT doc_id, sg FROM cfp WHERE split = 'train'),
+ctst AS (SELECT doc_id AS tdoc, sg FROM cfp WHERE split = 'test'),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM ctr GROUP BY doc_id),
+chits AS (
+  SELECT ctr.doc_id, count(DISTINCT ctr.sg) AS n_hit
+  FROM ctr JOIN ctst USING (sg) GROUP BY ctr.doc_id
+),
+contaminated AS (
+  SELECT chits.doc_id FROM chits JOIN csizes USING (doc_id)
+  WHERE n_hit::DOUBLE / n_sh >= 0.5
+),
+train_clean AS (
+  SELECT surv.* FROM surv JOIN spl ON surv.doc_id = spl.doc_id
+  WHERE spl.split = 'train'
+    AND surv.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+{_dsir_scored_parts("train_clean")},
+g AS (
+  SELECT doc_id,
+         round(log_weight
+               + -ln(-ln((('0x' || substr(md5('gumbel' || doc_id::VARCHAR), 1, 8))::BIGINT
+                          + 0.5) / 4294967296)), 6) AS gumbel_key
+  FROM scored
+),
+sel AS (SELECT doc_id FROM g ORDER BY gumbel_key DESC, doc_id LIMIT {k}),
+selected AS (
+  SELECT train_clean.doc_id, train_clean.text, train_clean.source
+  FROM train_clean JOIN sel ON train_clean.doc_id = sel.doc_id
+),
+{_bpe_encode_ctes(rounds, source="selected", with_prefix="")},
+pt AS (
+  SELECT sd.doc_id, sd.source,
+         coalesce(e.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+  FROM selected sd LEFT JOIN enc e ON sd.doc_id = e.doc_id
+),
+pc AS (
+  SELECT *, sum(n_tokens_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM pt
+)
+SELECT doc_id, source, n_tokens_bpe,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - n_tokens_bpe) // {budget} END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens_bpe > 0 THEN (end_tokens - 1) // {budget} END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens_bpe > 0
+             THEN (end_tokens - 1) // {budget} - (end_tokens - n_tokens_bpe) // {budget} + 1
+             ELSE 0 END)::BIGINT AS n_chunks
+FROM pc"""
+    return _materialize_ctes(
+        sql,
+        (
+            "q",
+            "sh",
+            "sig",
+            "cand",
+            "surv",
+            "spl",
+            "train_clean",
+            "scored",
+            "selected",
+            "enc",
+        ),
+    )
+
+# DuckDB oracle SQL for this domain's registered queries —
+# assembled (registration order restored) into plans.registry.ORACLES.
+ORACLE_SQL: dict[str, str] = {
+    "curation_pipeline": f"""
+WITH qw AS (
+  SELECT doc_id, text, lang, {WORDS_SQL} AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
+                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM qw
+  ) WHERE quality >= 0.7
+),
+d AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5({NORM_TEXT_SQL}) ORDER BY doc_id
+    ) AS rn FROM q
+  ) WHERE rn = 1
+),
+sp AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM d
+),
+dws AS (SELECT doc_id, {WORDS_SQL} AS ws FROM d),
+dsh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM dws WHERE len(ws) >= 3
+),
+post AS (SELECT doc_id, unnest(shingles) AS sg FROM dsh),
+spp AS (
+  SELECT post.doc_id, post.sg, sp.split
+  FROM post JOIN sp ON post.doc_id = sp.doc_id
+),
+kept AS (SELECT sg FROM spp GROUP BY sg HAVING count(*) <= 100),
+fpp AS (SELECT spp.doc_id, spp.sg, spp.split FROM spp JOIN kept USING (sg)),
+tr AS (SELECT doc_id, sg FROM fpp WHERE split = 'train'),
+te AS (SELECT doc_id AS tdoc, sg FROM fpp WHERE split = 'test'),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.sg) AS n_hit
+  FROM tr JOIN te USING (sg) GROUP BY tr.doc_id
+),
+contaminated AS (
+  SELECT hits.doc_id FROM hits JOIN sizes USING (doc_id)
+  WHERE n_hit::DOUBLE / n_sh >= 0.5
+),
+clean AS (
+  SELECT * FROM sp
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')))::BIGINT AS n_tokens
+FROM clean GROUP BY split, lang""",
+    "dataset_split": """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1, 2""",
+    "deterministic_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5('sample' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 10000 < 1000""",
+    "stratified_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substring(md5('strat' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 10000 < {_strata_case_sql()}""",
+    "pack_chunks": f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  -- ::BIGINT: DuckDB's sum() over BIGINT widens to HUGEINT, which
+  -- pandas would surface as float64 and break the int-dtype hash
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       (CASE WHEN n_tokens > 0 THEN (end_tokens - n_tokens) // {PACK_BUDGET} END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens > 0 THEN (end_tokens - 1) // {PACK_BUDGET} END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens > 0
+             THEN (end_tokens - 1) // {PACK_BUDGET} - (end_tokens - n_tokens) // {PACK_BUDGET} + 1
+             ELSE 0 END)::BIGINT AS n_chunks
+FROM c""",
+    "pack_chunks_overlap": f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tokens
+  FROM t),
+b AS (
+  -- floor() over DOUBLE division: the first-chunk numerator can go
+  -- negative, where integer // would have engine-specific semantics
+  SELECT doc_id, source, n_tokens, end_tokens,
+         greatest(0, CAST(floor((end_tokens - n_tokens - {PACK_BUDGET})::DOUBLE
+                                / {PACK_STRIDE}) AS BIGINT) + 1) AS first_c,
+         CAST(floor((end_tokens - 1)::DOUBLE / {PACK_STRIDE}) AS BIGINT) AS last_c
+  FROM c)
+SELECT doc_id, source, n_tokens,
+       (CASE WHEN n_tokens > 0 THEN first_c END)::BIGINT AS first_chunk,
+       (CASE WHEN n_tokens > 0 THEN last_c END)::BIGINT AS last_chunk,
+       (CASE WHEN n_tokens > 0 THEN last_c - first_c + 1 ELSE 0 END)::BIGINT AS n_chunks
+FROM b""",
+    "leakage_safe_split": _leakage_safe_split_sql(),
+    # end-to-end pretraining pipeline (r11): composed from the same
+    # generated stage parts, re-pointed at the upstream CTEs
+    "curation_pipeline_v3": _curation_v3_sql(),
+    # Stage chain replayed verbatim: gopher gate (paper thresholds as
+    # one WHERE), span dedup on the gated corpus, exact-dup window on
+    # the post-span fingerprint, mixture rates computed on the DEDUPED
+    # counts, per-source manifest.
+    "curation_pipeline_v2": r"""
+WITH ws0 AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, ws FROM ws0
+  WHERE len(ws) > 0
+    AND len(ws) >= 50 AND len(ws) <= 100000
+    AND (length(array_to_string(ws, '')) / len(ws)) >= 3.0
+    AND (length(array_to_string(ws, '')) / len(ws)) <= 10.0
+    AND ((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))) / len(ws)) < 0.1
+    AND (len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / len(lines)) < 0.90
+    AND (len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / len(lines)) < 0.30
+    AND (len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws)) >= 0.80
+    AND len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(ws, s))) >= 1
+),
+full_docs AS (SELECT doc_id, source, ws, len(ws) AS n FROM g WHERE len(ws) >= 8),
+idx AS (SELECT doc_id, source, ws, n, unnest(generate_series(0, n // 8 - 1)) AS j FROM full_docs),
+spans AS (
+  SELECT doc_id, source, j, array_to_string(ws[j*8+1 : j*8+8], ' ') AS span_text,
+         CASE WHEN n % 8 > 0 THEN array_to_string(ws[n - n % 8 + 1 : n], ' ') END AS remainder
+  FROM idx
+),
+cnts AS (SELECT span_text, count(*) AS span_df FROM spans GROUP BY span_text),
+k AS (SELECT s.*, c.span_df < 2 AS keep FROM spans s JOIN cnts c USING (span_text)),
+sd AS (
+  SELECT doc_id, any_value(source) AS source,
+         concat_ws(' ',
+           string_agg(span_text, ' ' ORDER BY j) FILTER (WHERE keep),
+           any_value(remainder)) AS text_kept
+  FROM k GROUP BY doc_id
+),
+sd2 AS (SELECT * FROM sd WHERE text_kept <> ''),
+dd AS (
+  SELECT doc_id, source, text_kept FROM (
+    SELECT sd2.*, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text_kept), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM sd2) WHERE rn = 1
+),
+counts AS (SELECT source, count(*) AS n FROM dd GROUP BY source),
+tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS z FROM counts),
+rates AS (
+  SELECT source, n AS n_source,
+         round(least(1.0, 0.8 * total * (sqrt(n) / z) / n), 9) AS rate
+  FROM counts, tot
+),
+mixed AS (
+  SELECT d.doc_id, d.source, d.text_kept, r.n_source, r.rate
+  FROM dd d JOIN rates r USING (source)
+  WHERE CAST(('0x' || substring(md5('mix' || d.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+        % 10000 < round(r.rate * 10000)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text_kept), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS n_tokens,
+       max(n_source)::BIGINT AS docs_before_mix,
+       max(rate) AS rate
+FROM mixed GROUP BY source""",
+    # tau=0.5 via sqrt (correctly-rounded IEEE in every engine — pow is
+    # not); the 9-decimal rate round happens BEFORE the value becomes a
+    # hash threshold, so both engines compare against the same cutoff.
+    "mixture_sample": """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS mix_source
+  FROM documents
+),
+counts AS (SELECT mix_source, count(*) AS n FROM src GROUP BY mix_source),
+tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS z FROM counts),
+rates AS (
+  SELECT mix_source, n AS n_source,
+         round(least(1.0, 0.5 * total * (sqrt(n) / z) / n), 9) AS rate
+  FROM counts, tot
+)
+SELECT s.doc_id, s.mix_source, r.n_source, r.rate
+FROM src s JOIN rates r USING (mix_source)
+WHERE CAST(('0x' || substring(md5('mix' || s.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+      % 10000 < round(r.rate * 10000)""",
+    # trained-tokenizer packing: encode chain + pack cumsum, composed
+    "bpe_pack": _bpe_pack_sql(rounds=3, budget=PACK_BUDGET),
+    # DSIR hashed-unigram importance weights: bucket = first 32 bits of
+    # md5('dsir' || token) mod 256 (sampling.hash_bucket idiom), add-1
+    # smoothing over the 256 cells, target = lang='en' occurrences
+    "dsir_weights": f"""{DSIR_SCORED_CTES}
+SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS target_like FROM scored""",
+    # importance RESAMPLING: the weights chain + deterministic Gumbel
+    # top-k (noise from the md5 bucket of doc_id, the hash_bucket
+    # idiom) — ORDER BY ... LIMIT replays the engine's TakeOrdered
+    "dsir_sample": f"""{DSIR_SCORED_CTES},
+g AS (
+  SELECT doc_id, n_tokens, log_weight,
+         round(log_weight
+               + -ln(-ln((('0x' || substr(md5('gumbel' || doc_id::VARCHAR), 1, 8))::BIGINT
+                          + 0.5) / 4294967296)), 6) AS gumbel_key
+  FROM scored
+)
+SELECT doc_id, n_tokens, log_weight, gumbel_key FROM g
+ORDER BY gumbel_key DESC, doc_id LIMIT 200""",
+}

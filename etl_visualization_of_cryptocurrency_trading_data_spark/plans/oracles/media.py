@@ -1,0 +1,577 @@
+"""Multimodal queries: the from-scratch PPM/WAV/PNG/BMP/GIF/
+JPEG decode rows, resize, frame extraction and feature stubs.
+
+Split verbatim from plans/registry.py (r11 verdict item #2); the
+facade registry module re-exports every name and asserts the
+assembled surface is byte-identical to the pre-split snapshot.
+"""
+
+from __future__ import annotations
+
+from ...operators import multimodal
+from .common import _documents
+
+def q_media_decode_ppm(spark, sf_dir):
+    """REAL bytes→pixels decode (multimodal.decode_ppm): spec-compliant
+    binary PPM payloads synthesized per doc, then header-parsed and
+    pixel-decoded with numpy — channel means come from actual decoded
+    pixels, closing the r4 'decode is a stub' gap for one format."""
+    return multimodal.decode_ppm(
+        multimodal.ppm_table(_documents(spark, sf_dir))
+    )
+
+def q_media_decode_bmp(spark, sf_dir):
+    """REAL bytes→pixels decode for BMP (multimodal.decode_bmp over
+    multimodal.bmp_table) — fifth real-codec format (PPM, WAV, PNG,
+    JPEG, now BMP), covering the format's three semantic hazards:
+    bottom-up row storage, BGR channel order, 4-byte row padding.
+    The (px01_*) image-space corner pixel makes each hazard
+    hash-visible (channel means alone are invariant under row and
+    channel reshuffles); same closed-form pixel pattern as
+    media_decode_ppm, so the oracle needs no decoder."""
+    return multimodal.decode_bmp(
+        multimodal.bmp_table(_documents(spark, sf_dir))
+    )
+
+def q_media_decode_gif(spark, sf_dir):
+    """REAL bytes→pixels decode for GIF89a (multimodal.decode_gif over
+    multimodal.gif_table) — sixth real-codec format, and the first
+    with a COMPRESSION codec written both directions from scratch
+    (variable-width LSB-first LZW with CLEAR/EOI, width bumps, dict
+    reset, and the KwKwK case — fuzz-roundtripped in pytest): header,
+    screen descriptor, 256-entry global color table, sub-block
+    reassembly, LZW decode, palette lookup. Pixel i's palette index
+    is (d+i)%256 and palette entry j is (j, 2j%256, 3j%256), so the
+    oracle replays the channel means without decoding."""
+    return multimodal.decode_gif(
+        multimodal.gif_table(_documents(spark, sf_dir))
+    )
+
+def q_media_frames_gif(spark, sf_dir):
+    """REAL video-frame extraction via animated GIF
+    (multimodal.gif_frames_real over multimodal.gif_table_animated) —
+    the r7-verdict item closing the last stubbed modality with the
+    engine's own LZW codec, no external library: each payload is
+    2 + d%3 full frames behind graphics-control extensions
+    (delay = 10 + d%5 cs), parsed by the multi-descriptor walk with
+    disposal-1 compositing ([[_parse_gif_frames]]; partial-frame
+    compositing pinned by handcrafted payloads in pytest). Frame f's
+    pixel i has palette index (d + 17f + i) % 256, so per-frame
+    channel means AND frame_ts = f*delay/100 replay closed-form in
+    SQL — the hash covers the GCE delay read, the per-frame LZW
+    decode, and the frame fan-out."""
+    return multimodal.gif_frames_real(
+        multimodal.gif_table_animated(_documents(spark, sf_dir))
+    )
+
+def q_media_frames_gif2(spark, sf_dir):
+    """GIF disposal-2/3 + transparency frame extraction
+    (multimodal.gif_frames_real over multimodal.gif_table_disposal) —
+    the r8-verdict item closing the most user-visible decode
+    restriction: real animations overwhelmingly use restore-to-
+    background, restore-to-previous, and transparent-pixel partial
+    updates. Each payload is 3 frames: a full disposal-2 frame, a
+    partial transparent disposal-3 rect, and a top-row overwrite; the
+    displayed canvas of every frame is a CASE expression over
+    (doc_id, pixel position), so the hash covers the GCE transparency
+    read, the background restore, the previous-canvas restore, and the
+    masked composite ([[_parse_gif_frames]])."""
+    return multimodal.gif_frames_real(
+        multimodal.gif_table_disposal(_documents(spark, sf_dir))
+    )
+
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL bytes→pixels decode for baseline grayscale JPEG
+    (multimodal.decode_jpeg over multimodal.jpeg_table) — the lossy
+    format made EXACTLY decodable: flat 8x8 blocks keep only the DC
+    coefficient and q[DC]=8 makes the DC-only IDCT exact in IEEE
+    doubles, so the closed-form block means replay in SQL with no
+    tolerance. The decoder is the real pipeline — marker walk,
+    canonical Huffman decode over the 0xFF00-unstuffed bitstream, DC
+    prediction, dequantization, separable float IDCT. Built in r6
+    with pytest-only evidence; registered r7 so the codec earns a
+    driver-hash row like the other five formats."""
+    return multimodal.decode_jpeg(
+        multimodal.jpeg_table(_documents(spark, sf_dir))
+    )
+
+def q_media_resize(spark, sf_dir):
+    """REAL pixel resample (multimodal.resize_pixels, closes the r6
+    resize stub — verdict r6 item #4): the PPM corpus decoded,
+    nearest-resampled to 6x5 with pure-integer index mapping
+    (src = (dst * src_size) // dst_size — upsamples width 4-5,
+    downsamples 7-8, identity at 6, so both directions are exercised),
+    re-encoded as spec-compliant P6, then channel-meaned through
+    decode_ppm. The oracle replays the exact index arithmetic in SQL:
+    output pixel (ro, co) reads source index
+    ((ro*h)//5)*w + (co*w)//6 whose channels are closed-form in
+    doc_id — integer-exact, tolerance-free."""
+    return multimodal.decode_ppm(
+        multimodal.resize_pixels(
+            multimodal.ppm_table(_documents(spark, sf_dir)),
+            target_w=6,
+            target_h=5,
+        )
+    )
+
+def q_media_metadata(spark, sf_dir):
+    return multimodal.media_metadata(_documents(spark, sf_dir))
+
+def q_media_features(spark, sf_dir):
+    # Flat (per-dim column) shape: hashable by the driver's canonicalizer
+    # and bit-reproducible in SQL; the array-returning decode_features
+    # stays the internal composition surface.
+    return multimodal.decode_features_flat(
+        multimodal.media_table(_documents(spark, sf_dir))
+    )
+
+def q_frame_schedule(spark, sf_dir):
+    return multimodal.frame_schedule(
+        multimodal.media_table(_documents(spark, sf_dir)), every_s=10.0
+    )
+
+def q_media_frames(spark, sf_dir):
+    return multimodal.extract_frames_flat(
+        multimodal.media_table(_documents(spark, sf_dir)), every_s=10.0
+    )
+
+# --- media stub-decode oracle -------------------------------------------
+# The stubbed media decode (multimodal._fake_decode) is exact integer
+# arithmetic: np.array_split the uint8 payload into 8 chunks (first
+# n % 8 chunks one byte longer) and take mean(chunk)/255. Integer sums
+# are exact in float64 regardless of summation order, so DuckDB's
+# list_avg reproduces every feature BIT-EXACTLY — validated at fixture
+# scale (0 mismatches over all docs/frames). Payload bytes are recovered
+# in SQL from hex(encode(text)).
+MEDIA_BYTES_CTE = """
+mraw AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+mbytes AS (
+  SELECT doc_id, media_type, n,
+         list_transform(range(1, n + 1),
+           i -> (strpos('0123456789ABCDEF', h[2*i-1]) - 1) * 16
+                + strpos('0123456789ABCDEF', h[2*i]) - 1) AS b
+  FROM mraw
+)"""
+
+def _chunk_mean_cols(lst: str, length: str, dim: int = 8) -> str:
+    """f0..f{dim-1} chunk-mean exprs replaying np.array_split semantics:
+    chunk j starts at j*(L//dim) + min(j, L%dim) and has L//dim (+1 for
+    the first L%dim chunks) elements; empty chunks (L < dim) yield 0."""
+    cols = []
+    for j in range(dim):
+        start = f"({j} * (({length}) // {dim}) + least({j}, ({length}) % {dim}))"
+        size = (
+            f"((({length}) // {dim})"
+            f" + CASE WHEN {j} < ({length}) % {dim} THEN 1 ELSE 0 END)"
+        )
+        cols.append(
+            f"CASE WHEN {size} = 0 THEN 0.0 ELSE "
+            f"list_avg(list_slice({lst}, {start} + 1, {start} + {size})) / 255.0 END"
+            f" AS f{j}"
+        )
+    return ",\n       ".join(cols)
+
+MEDIA_FEATURES_SQL = f"""
+WITH {MEDIA_BYTES_CTE}
+SELECT doc_id, media_type,
+       {_chunk_mean_cols('b', 'n')}
+FROM mbytes"""
+
+# Frame features: payload sliced from offset frame_idx % n (the stub's
+# per-frame "seek"), then the same chunk means over the n - offset tail.
+MEDIA_FRAMES_SQL = f"""
+WITH {MEDIA_BYTES_CTE},
+vid AS (
+  SELECT doc_id, n, b, ((doc_id % 120) + 1)::DOUBLE AS duration_s
+  FROM mbytes WHERE media_type = 'video'
+),
+fr AS (
+  SELECT doc_id, n, b,
+         unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1))::INT AS frame_idx
+  FROM vid
+),
+sliced AS (
+  SELECT doc_id, frame_idx, frame_idx * 10.0 AS frame_ts,
+         list_slice(b, (frame_idx % n) + 1, n) AS sb,
+         n - (frame_idx % n) AS m
+  FROM fr
+)
+SELECT doc_id, frame_idx, frame_ts,
+       {_chunk_mean_cols('sb', 'm')}
+FROM sliced"""
+
+def q_media_decode_wav(spark, sf_dir):
+    """REAL bytes→samples decode for RIFF/WAVE PCM16
+    (multimodal.decode_wav over multimodal.wav_table): spec-compliant
+    WAV payloads synthesized per doc (the stdlib ``wave`` module opens
+    them — pinned in pytest), then RIFF-chunk-walked and sample-decoded
+    with numpy; exact int64 sample sums make the oracle tolerance-free.
+    With decode_ppm this closes the real-decode gap for a second
+    modality (audio)."""
+    return multimodal.decode_wav(
+        multimodal.wav_table(_documents(spark, sf_dir))
+    )
+
+def q_media_decode_png(spark, sf_dir):
+    """REAL bytes→pixels decode for PNG (multimodal.decode_png over
+    multimodal.png_table) — the third real-decode modality and the
+    most common image format, with stdlib zlib only: CRC-verified
+    chunk walk, IDAT inflate, per-scanline unfilter covering ALL FIVE
+    filter types (the synthesized corpus cycles them per row), channel
+    means from the reconstructed pixels. Same closed-form pixel
+    pattern as media_decode_ppm, so the oracle needs no decoder."""
+    return multimodal.decode_png(
+        multimodal.png_table(_documents(spark, sf_dir))
+    )
+
+def q_media_features_auto(spark, sf_dir):
+    """GENERIC real decode (multimodal.media_features_auto): a MIXED
+    six-format media corpus — each document's payload synthesized as
+    real PPM/PNG/BMP/GIF/JPEG/WAV bytes by doc_id % 6, plus a slice of
+    raw-text payloads that must come back fmt='unknown' with NULL
+    features (the production quarantine path) — decoded through the
+    magic-byte dispatch into one uniform feature row per payload.
+    Closes the r6 'generic any-codec feature-extract' stub for every
+    format the engine really decodes; each arm's closed-form oracle is
+    the single-format corpus oracle, so the whole dispatch is
+    hash-verified end to end."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir)
+
+    def pick(k):
+        return docs.filter(F.col("doc_id") % 6 == k)
+
+    unknown = docs.filter(F.col("doc_id") % 97 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    corpus = (
+        multimodal.ppm_table(pick(0)).select("doc_id", "payload")
+        .unionByName(multimodal.png_table(pick(1)).select("doc_id", "payload"))
+        .unionByName(multimodal.bmp_table(pick(2)).select("doc_id", "payload"))
+        .unionByName(multimodal.gif_table(pick(3)).select("doc_id", "payload"))
+        .unionByName(multimodal.jpeg_table(pick(4)).select("doc_id", "payload"))
+        .unionByName(multimodal.wav_table(pick(5)).select("doc_id", "payload"))
+        .unionByName(unknown)
+    )
+    return multimodal.media_features_auto(corpus)
+
+def q_media_frames_real(spark, sf_dir):
+    """REAL frame extraction (multimodal.media_frames_real): the WAV
+    corpus sample-decoded and cut into 8 ms windows (64 frames at
+    8 kHz); each window row carries exact int64 amplitude sums plus
+    RMS, replayed closed-form from the wav_table sample formula —
+    frame sampling stops being schedule-only (frame_schedule) and
+    becomes decoded-samples-in, windowed-features-out."""
+    return multimodal.media_frames_real(
+        multimodal.wav_table(_documents(spark, sf_dir)), every_s=0.008
+    )
+
+def q_media_decode_jpeg_color(spark, sf_dir):
+    """REAL bytes→pixels decode for baseline COLOR JPEG
+    (multimodal.decode_jpeg_color over multimodal.jpeg_table_color) —
+    the seventh real-decode row closes the 'color JPEG remains
+    outside' boundary: YCbCr 4:2:0 with interleaved 2x2+1+1 MCUs,
+    per-component DC prediction, chroma upsample, JFIF YCbCr→RGB.
+    Exactness trick: flat DC-only blocks + q[DC]=8 + NEUTRAL chroma
+    (Cb=Cr=128 → the RGB conversion multiplies its float constants by
+    exactly 0.0), so the channel means equal the luma block average —
+    closed-form in SQL for a lossy color format. Non-neutral chroma is
+    pinned by a handcrafted pytest payload through the same path."""
+    return multimodal.decode_jpeg_color(
+        multimodal.jpeg_table_color(_documents(spark, sf_dir))
+    )
+
+# DuckDB oracle SQL for this domain's registered queries —
+# assembled (registration order restored) into plans.registry.ORACLES.
+ORACLE_SQL: dict[str, str] = {
+    # closed-form replay of ppm_table's pixel formula — checks the
+    # REAL decode end-to-end (a parser bug cannot reproduce these means)
+    # PNG decode reconstructs the same closed-form pixels as PPM (the
+    # filters are lossless), so the oracle is the identical replay
+    "media_decode_png": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h""",
+    "media_decode_ppm": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h""",
+    # BMP: same closed-form channel stats as the PPM/PNG corpora plus
+    # the image-space (row 0, col 1) pixel — i = 1, so channels are
+    # (d+1)%256, (d+2)%256, (d+3)%256; a decoder that misreads
+    # bottom-up/BGR/stride diverges here even when the means agree
+    "media_decode_bmp": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b,
+       ((doc_id + 1) % 256)::INT AS px01_r,
+       ((doc_id + 2) % 256)::INT AS px01_g,
+       ((doc_id + 3) % 256)::INT AS px01_b
+FROM px GROUP BY doc_id, w, h""",
+    # GIF: pixel i's palette index is j = (d+i)%256; palette entry j
+    # is (j, 2j%256, 3j%256) — so decoded channels are closed-form in
+    # the index and the oracle needs neither LZW nor the palette bytes
+    "media_decode_gif": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, (doc_id + unnest(generate_series(0, w * h - 1))) % 256 AS j
+  FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg(j), 6) AS mean_r,
+       round(avg((2 * j) % 256), 6) AS mean_g,
+       round(avg((3 * j) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h""",
+    # animated GIF: frame f's pixel i has palette index
+    # j = (d + 17f + i) % 256; per-doc constant delay makes the
+    # cumulative display time an exact f*delay/100 — frames, delays,
+    # and channel means all replay without the codec
+    "media_frames_gif": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                  2 + doc_id % 3 AS nf, 10 + doc_id % 5 AS delay
+           FROM documents),
+fr AS (SELECT doc_id, w, h, delay, unnest(generate_series(0, nf - 1)) AS f
+       FROM d),
+px AS (
+  SELECT doc_id, w, h, delay, f,
+         (doc_id + 17 * f + unnest(generate_series(0, w * h - 1))) % 256 AS j
+  FROM fr
+)
+SELECT doc_id, f::INT AS frame_idx, delay::INT AS delay_cs,
+       (f * delay) / 100.0 AS frame_ts,
+       w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg(j), 6) AS mean_r,
+       round(avg((2 * j) % 256), 6) AS mean_g,
+       round(avg((3 * j) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, f, delay, w, h""",
+    # disposal/transparency corpus: the displayed canvas of each frame
+    # is a CASE over pixel position p (y = p//w, x = p%w) — frame 0 is
+    # the full formula, frame 1 is bg (disposal-2 restore) + the
+    # transparent-masked rect (r=0 stays bg), frame 2 is bg
+    # (disposal-3 restore) + the top-row overwrite
+    "media_frames_gif2": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                  10 + doc_id % 5 AS delay, (7 * doc_id) % 256 AS bg
+           FROM documents),
+fr AS (SELECT doc_id, w, h, delay, bg, unnest([0, 1, 2]) AS f FROM d),
+px AS (
+  SELECT doc_id, w, h, delay, bg, f,
+         unnest(generate_series(0, w * h - 1)) AS p
+  FROM fr
+),
+v AS (
+  SELECT doc_id, w, h, delay, f,
+         CASE
+           WHEN f = 0 THEN (doc_id + p) % 256
+           WHEN f = 1 THEN CASE
+             WHEN (p // w) BETWEEN 1 AND h - 2
+                  AND (p % w) BETWEEN 1 AND w - 2
+                  AND ((p // w) - 1) * (w - 2) + ((p % w) - 1) <> 0
+             THEN (doc_id + 5 + ((p // w) - 1) * (w - 2) + ((p % w) - 1)) % 256
+             ELSE bg END
+           ELSE CASE
+             WHEN p // w = 0 AND p % w <= w - 2
+             THEN (doc_id + 9 + (p % w)) % 256
+             ELSE bg END
+         END AS j
+  FROM px
+)
+SELECT doc_id, f::INT AS frame_idx, delay::INT AS delay_cs,
+       (f * delay) / 100.0 AS frame_ts,
+       w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg(j), 6) AS mean_r,
+       round(avg((2 * j) % 256), 6) AS mean_g,
+       round(avg((3 * j) % 256), 6) AS mean_b
+FROM v GROUP BY doc_id, f, delay, w, h""",
+    # JPEG: block b of doc d holds the flat value (d + 7b) % 256 and
+    # the DC-only IDCT is exact, so mean_gray is the closed-form block
+    # mean — no tolerance despite the lossy format
+    "media_decode_jpeg": """
+WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+           FROM documents),
+blk AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+  FROM d
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       round(avg((doc_id + 7 * b) % 256), 6) AS mean_gray
+FROM blk GROUP BY doc_id, w, h""",
+    # nearest-neighbor resize replayed as pure index arithmetic:
+    # output pixel (ro, co) of the 6x5 target reads source index
+    # ((ro*h)//5)*w + (co*w)//6; channels are the ppm_table closed form
+    "media_resize": """
+WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+px AS (
+  SELECT doc_id,
+         ((ro * h) // 5) * w + ((co * w) // 6) AS i
+  FROM d, range(5) r(ro), range(6) c(co)
+)
+SELECT doc_id, 6 AS width, 5 AS height, 30::BIGINT AS n_pixels,
+       round(avg((doc_id + i) % 256), 6) AS mean_r,
+       round(avg((doc_id + 2 * i) % 256), 6) AS mean_g,
+       round(avg((doc_id + 3 * i) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id""",
+    # The decoded-sample statistics in closed form: sample (i, ch) of
+    # doc d is (d*31 + i*17 + ch*7919) % 65536 - 32768 (see
+    # multimodal.wav_table). sum_amp/sum_sq are exact int64 — the hash
+    # comparison needs no tolerance; rms derives with one IEEE
+    # divide+sqrt identical in both engines.
+    "media_decode_wav": """
+WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 129 AS n FROM documents),
+chs AS (SELECT doc_id, c, n, unnest(generate_series(0, c - 1)) AS ch FROM d),
+samp AS (SELECT doc_id, c, n, ch, unnest(generate_series(0, n - 1)) AS i FROM chs),
+vals AS (SELECT doc_id, c, n, (doc_id*31 + i*17 + ch*7919) % 65536 - 32768 AS s FROM samp)
+SELECT doc_id, c::INT AS n_channels, 8000::INT AS sample_rate, n::BIGINT AS n_frames,
+       n / 8000.0 AS duration_s,
+       sum(s)::BIGINT AS sum_amp, sum(s*s)::BIGINT AS sum_sq,
+       round(sqrt(sum(s*s) / (n * c * 1.0)), 6) AS rms
+FROM vals GROUP BY doc_id, c, n""",
+    "media_metadata": """
+SELECT doc_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha256,
+       (64 + doc_id % 448)::INT AS width,
+       (64 + (doc_id * 7) % 448)::INT AS height
+FROM documents""",
+    "frame_schedule": """
+SELECT doc_id, unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1))::INT AS frame_idx,
+       unnest(generate_series(0, ceil(duration_s / 10.0)::INT - 1)) * 10.0 AS frame_ts
+FROM (SELECT doc_id, ((doc_id % 120) + 1)::DOUBLE AS duration_s
+      FROM documents WHERE doc_id % 3 = 2)""",
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_frames": MEDIA_FRAMES_SQL,
+    # Six-format dispatch: each arm replays the single-format corpus
+    # oracle (ppm/png/bmp share the (d + k*i) % 256 pattern; gif goes
+    # through the palette index j; jpeg is DC-only block means; wav is
+    # the int16 sample formula), routed by doc_id % 6; the raw-text
+    # slice comes back 'unknown' with NULL features
+    "media_features_auto": """
+WITH base AS (SELECT doc_id FROM documents),
+imgd AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         FROM base WHERE doc_id % 6 IN (0, 1, 2)),
+rgbpx AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM imgd),
+rgb AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+         round(avg((doc_id + i) % 256), 6) AS mean_0,
+         round(avg((doc_id + 2 * i) % 256), 6) AS mean_1,
+         round(avg((doc_id + 3 * i) % 256), 6) AS mean_2
+  FROM rgbpx GROUP BY doc_id, w, h
+),
+gifd AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         FROM base WHERE doc_id % 6 = 3),
+gifpx AS (
+  SELECT doc_id, w, h, (doc_id + unnest(generate_series(0, w * h - 1))) % 256 AS j
+  FROM gifd
+),
+gif AS (
+  SELECT doc_id, 'gif' AS fmt, w::INT AS width, h::INT AS height,
+         (w * h)::BIGINT AS n_pixels,
+         round(avg(j), 6) AS mean_0,
+         round(avg((2 * j) % 256), 6) AS mean_1,
+         round(avg((3 * j) % 256), 6) AS mean_2
+  FROM gifpx GROUP BY doc_id, w, h
+),
+jpgd AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+         FROM base WHERE doc_id % 6 = 4),
+jpgb AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+  FROM jpgd
+),
+jpg AS (
+  SELECT doc_id, 'jpeg' AS fmt, w::INT AS width, h::INT AS height,
+         (w * h)::BIGINT AS n_pixels,
+         round(avg((doc_id + 7 * b) % 256), 6) AS mean_0,
+         round(avg((doc_id + 7 * b) % 256), 6) AS mean_1,
+         round(avg((doc_id + 7 * b) % 256), 6) AS mean_2
+  FROM jpgb GROUP BY doc_id, w, h
+),
+wavd AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 129 AS n
+         FROM base WHERE doc_id % 6 = 5),
+wi AS (SELECT doc_id, c, unnest(generate_series(0, n - 1)) AS i FROM wavd),
+ws AS (SELECT doc_id, i, unnest(generate_series(0, c - 1)) AS ch FROM wi),
+wv AS (SELECT doc_id, (doc_id * 31 + i * 17 + ch * 7919) % 65536 - 32768 AS v FROM ws),
+wav AS (
+  SELECT doc_id, 'wav' AS fmt, NULL::INT AS width, NULL::INT AS height,
+         count(*)::BIGINT AS n_pixels,
+         round(sum(v) / count(*), 6) AS mean_0,
+         round(sqrt(sum(v * v) / count(*)), 6) AS mean_1,
+         NULL::DOUBLE AS mean_2
+  FROM wv GROUP BY doc_id
+),
+unk AS (
+  SELECT doc_id + 1000000 AS doc_id, 'unknown' AS fmt, NULL::INT AS width,
+         NULL::INT AS height, NULL::BIGINT AS n_pixels, NULL::DOUBLE AS mean_0,
+         NULL::DOUBLE AS mean_1, NULL::DOUBLE AS mean_2
+  FROM base WHERE doc_id % 97 = 3
+)
+SELECT * FROM rgb UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM jpg
+UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM unk""",
+    # 8 ms windows over the closed-form int16 samples: 64 frames per
+    # window at 8 kHz, trailing partial window kept; sums are exact
+    # int64, rms derives with one IEEE divide+sqrt
+    "media_frames_real": """
+WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 129 AS n FROM documents),
+wi AS (SELECT doc_id, c, unnest(generate_series(0, n - 1)) AS i FROM d),
+ws AS (SELECT doc_id, i, unnest(generate_series(0, c - 1)) AS ch FROM wi),
+wv AS (
+  SELECT doc_id, i // 64 AS frame_idx,
+         (doc_id * 31 + i * 17 + ch * 7919) % 65536 - 32768 AS v
+  FROM ws
+),
+agg AS (
+  SELECT doc_id, frame_idx, count(*)::BIGINT AS n_samples,
+         sum(v)::BIGINT AS sum_amp, sum(v * v)::BIGINT AS sum_sq
+  FROM wv GROUP BY doc_id, frame_idx
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       frame_idx * CAST(0.008 AS DOUBLE) AS frame_ts,
+       n_samples, sum_amp, sum_sq,
+       round(sqrt(sum_sq / n_samples), 6) AS rms
+FROM agg""",
+    # color JPEG: neutral-chroma corpus makes the lossy color format
+    # exactly decodable — channel means = luma block average
+    "media_decode_jpeg_color": """
+WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h FROM documents),
+blk AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+  FROM d
+),
+m AS (
+  SELECT doc_id, w, h, round(avg((doc_id + 7 * b) % 256), 6) AS mg
+  FROM blk GROUP BY doc_id, w, h
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       mg AS mean_r, mg AS mean_g, mg AS mean_b
+FROM m""",
+}

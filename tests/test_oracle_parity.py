@@ -145,7 +145,11 @@ TEACHING_FINGERPRINTS = {
     "coin_pagerank": "d46ee475a635d9ca",
     "dup_clusters": "1c1cfcd856bd89ba",
     "embedding_dup_pairs": "4b8c0c775019e717",
-    "incremental_dedup": "452cf79b6972b5ca",
+    # updated r11: the plans/oracles split moved the builder one package
+    # level deeper, so its function-local import gained a dot
+    # (from ..functions -> from ...functions); semantics unchanged and
+    # test_teaching_form_matches_oracle_after_demotion re-verified.
+    "incremental_dedup": "9ae8f1b8ca829750",
     "kmeans_centroids": "cf058653ee40c1df",
     "knn_brute": "a8f73cb0e1a73a10",
     "knn_ivf": "5f904c00d87790bd",
