@@ -180,7 +180,17 @@ def main() -> None:
     out["total_sec"] = total
     # Subset runs (the A/A harness) must not clobber the committed
     # full-registry artifact — they land in bench_subset.json instead.
-    artifact = "bench_full.json" if only is None else "bench_subset.json"
+    # Likewise full runs at a NON-canonical sf (e.g. the verify drive
+    # at sf0.01): only the graded sf0.1 run owns bench_full.json.
+    canonical = os.path.realpath(sf_dir) == os.path.realpath(
+        "/root/testdata/sf0.1"
+    )
+    if only is not None:
+        artifact = "bench_subset.json"
+    elif canonical:
+        artifact = "bench_full.json"
+    else:
+        artifact = "bench_other_sf.json"
     with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(out, f, indent=1)
     chunk_size = 10
