@@ -495,6 +495,70 @@ def q_large_volume_customers(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
     )
 
+def q_bucketed_join_audit(spark, sf_dir):
+    """Bucketed co-located join as a DRIVER-HASH row (r11): the
+    storage-layout lever for 100 TB fact-to-fact joins, previously
+    pytest-only (test_bucketed_join_plan_has_no_exchange /
+    test_bucketed_tables_join_without_shuffle). Both sides are written
+    ``bucketBy(8, coin_id)`` via catalog.write_bucketed_table (per-sf
+    table names, overwrite-idempotent, under the gitignored
+    spark-warehouse dir), re-read from the catalog, and joined with a
+    MERGE hint (no broadcast/conf dependence). The row carries the
+    join's physical evidence IN-BAND, plan_audit-style:
+    ``plan_exchanges`` = Exchange-operator count in the join's executed
+    plan (0 — bucketing pre-applied the hash partitioning at write
+    time, so neither side shuffles) and ``sort_merge_join`` (True),
+    value-checked against oracle literals. The per-exchange aggregate
+    over the tick ⋈ per-coin-totals join is join-shape-sensitive, so a
+    wrong join flips the hash too. At scale this layout pays one
+    clustering shuffle at write and amortizes it over every subsequent
+    same-key join or aggregation."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from ...catalog import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    price = derive.price_data(load_table(spark, sf_dir, "events")).select(
+        "coin_id", "exchange", "timestamp", "price", "volume"
+    )
+    totals = price.groupBy("coin_id").agg(
+        F.sum("volume").alias("total_volume")
+    )
+    ticks_t = f"bucket_audit_ticks_{tag}"
+    totals_t = f"bucket_audit_totals_{tag}"
+    # a managed table's location can survive from ANOTHER session's
+    # catalog (LOCATION_ALREADY_EXISTS on create); drop the catalog
+    # entry and clear any orphaned warehouse dir before the overwrite
+    import os as _os
+    import shutil as _shutil
+
+    warehouse = _re.sub(
+        "^file:", "", spark.conf.get("spark.sql.warehouse.dir", "")
+    )
+    for t in (ticks_t, totals_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = _os.path.join(warehouse, t)
+        if warehouse and _os.path.isdir(loc):
+            _shutil.rmtree(loc)
+    write_bucketed_table(price, ticks_t, ["coin_id"], n_buckets=8)
+    write_bucketed_table(totals, totals_t, ["coin_id"], n_buckets=8)
+    joined = spark.table(ticks_t).join(
+        spark.table(totals_t).hint("merge"), "coin_id"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return (
+        joined.groupBy("exchange")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.round(F.sum("volume"), 4).alias("sum_volume"),
+            F.round(F.sum("total_volume"), 2).alias("sum_joined_totals"),
+        )
+        .withColumn("plan_exchanges", F.lit(plan.count("Exchange")))
+        .withColumn("sort_merge_join", F.lit("SortMergeJoin" in plan))
+    )
+
 # DuckDB oracle SQL for this domain's registered queries —
 # assembled (registration order restored) into plans.registry.ORACLES.
 ORACLE_SQL: dict[str, str] = {
@@ -934,4 +998,20 @@ SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
 FROM qty
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey""",
+    # r11: the co-located-join evidence row — the oracle is the PLAIN
+    # join (bucketing must be result-identical) plus the literal plan
+    # contract (0 exchanges, sort-merge), plan_audit-style
+    "bucketed_join_audit": f"""
+WITH price AS ({PRICE_BASE_SQL}),
+totals AS (
+  SELECT coin_id, sum(volume) AS total_volume FROM price GROUP BY coin_id
+)
+SELECT p.exchange,
+       count(*)::BIGINT AS n_ticks,
+       round(sum(p.volume), 4) AS sum_volume,
+       round(sum(t.total_volume), 2) AS sum_joined_totals,
+       0 AS plan_exchanges,
+       TRUE AS sort_merge_join
+FROM price p JOIN totals t USING (coin_id)
+GROUP BY p.exchange""",
 }

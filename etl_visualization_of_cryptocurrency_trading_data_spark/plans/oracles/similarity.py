@@ -10,7 +10,7 @@ assembled surface is byte-identical to the pre-split snapshot.
 from __future__ import annotations
 
 from ...catalog import load_table
-from ...operators import similarity
+from ...operators import dedup, similarity
 from .common import _documents
 from .text import _BM25_SQL
 
@@ -768,6 +768,47 @@ def q_embedding_dup_wide(spark, sf_dir):
         emb.unionByName(twins), n_planes=32, bands=4
     )
 
+def q_semantic_dup_components(spark, sf_dir):
+    """Transitive semantic-dup GROUPS (r11): semantic_dedup_capped's
+    dropped rows are (vec_id, dup_of) ATTRIBUTION EDGES — dup_of can
+    itself be a dropped vector (its pair partner was a smaller id), so
+    the actionable "keep one per duplicate group" set is the CONNECTED
+    COMPONENT of the attribution graph, not the raw edge list, and
+    nothing previously drove the detector and the CC together. This row
+    composes the capped detector (same trained-32-seed index, planted
+    +1M twins, max_cluster=12 — the form measured assignment-bound at
+    sf10 where BOTH uncapped SemDeDup routes were >20 min stragglers)
+    with the log-round star CC (dedup.connected_components_star), so
+    every stage keeps its measured sub-linear shape: pair space ≤
+    C·cap² regardless of skew, CC in O(log n) alternation rounds with
+    per-round localCheckpoint. (The naive alternative — CC over global
+    banded-LSH pairs — was measured this round to DIE at sf10: fixed
+    8-bit bands leave a N²/2⁸ candidate term that is 9.8e10 pairs at
+    5M vectors. Band width has to scale with N²; the capped
+    within-cluster detector bounds the pair space structurally
+    instead, which is why it is the registered composition.)
+    Output: (vec_id, component_id = component-minimum id) for every
+    vector touched by an attribution edge."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    cents = similarity.kmeans_centroids(emb, iters=2, centroid_limit=32)
+    dropped = similarity.semantic_dedup(
+        emb.unionByName(twins), threshold=0.9, centroids=cents, max_cluster=12
+    )
+    edges = dropped.select(
+        F.col("dup_of").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    return dedup.connected_components_star(
+        edges, id_a="id_a", id_b="id_b"
+    ).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("component_id"),
+    )
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (similarity.semantic_dedup,
     Abbas et al. 2023): assignment-only clustering onto the fixed
@@ -895,6 +936,54 @@ def q_pca_residual(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), dim=16, iters=12
     )
 
+# shared by the semantic_dedup_capped entry and the r11
+# semantic_dup_components composition (CC over the dropped edges)
+SEMANTIC_DEDUP_CAPPED_SQL = f"""
+WITH {_kmeans_ctes("vec_id < 32")},
+corpus_raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+corpus AS (
+  SELECT vec_id, emb FROM corpus_raw
+  WHERE sqrt(list_dot_product(emb, emb)) > 0
+),
+cents AS (SELECT cent_id, cent AS cent_emb FROM c2),
+sd_scored AS (
+  SELECT c.vec_id, c.emb, k.cent_id,
+         list_dot_product(c.emb, k.cent_emb)
+         / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(k.cent_emb, k.cent_emb))) AS cent_cos
+  FROM corpus c CROSS JOIN cents k
+),
+sd_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cent_cos DESC, cent_id) AS crank
+  FROM sd_scored
+),
+sd_assigned AS (SELECT vec_id, emb, cent_id FROM sd_ranked WHERE crank = 1),
+sd_capped AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cent_id
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+    FROM sd_assigned) WHERE crk <= 12
+),
+sd_pairs AS (
+  SELECT a.cent_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM sd_capped a JOIN sd_capped b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+sd_dups AS (SELECT * FROM sd_pairs WHERE cosine >= 0.9),
+sd_first AS (
+  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM sd_dups
+)
+SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
+FROM sd_first WHERE rn = 1"""
+
 # DuckDB oracle SQL for this domain's registered queries —
 # assembled (registration order restored) into plans.registry.ORACLES.
 ORACLE_SQL: dict[str, str] = {
@@ -997,51 +1086,28 @@ FROM sd_first WHERE rn = 1""",
     # member cap per cluster (the guard the r8 sf10 straggler
     # measurement motivated; 12 BINDS at sf0.01 where clusters
     # reach 25 — a non-binding cap would be vacuous, ADVICE r8)
-    "semantic_dedup_capped": f"""
-WITH {_kmeans_ctes("vec_id < 32")},
-corpus_raw AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    "semantic_dedup_capped": SEMANTIC_DEDUP_CAPPED_SQL,
+    # r11: dropped attribution edges -> log-round star CC -> transitive
+    # dup groups labeled by the component minimum; the recursive
+    # reachability mirrors the dup_clusters_star oracle structure over
+    # the SAME capped-detector SQL
+    "semantic_dup_components": (
+        "WITH RECURSIVE dropped AS ("
+        + SEMANTIC_DEDUP_CAPPED_SQL
+        + """
+),
+edges AS (
+  SELECT dup_of AS a, vec_id AS b FROM dropped
   UNION ALL
-  SELECT vec_id + 1000000, embedding::DOUBLE[]
-  FROM embeddings WHERE vec_id % 25 = 0
+  SELECT vec_id AS a, dup_of AS b FROM dropped
 ),
-corpus AS (
-  SELECT vec_id, emb FROM corpus_raw
-  WHERE sqrt(list_dot_product(emb, emb)) > 0
-),
-cents AS (SELECT cent_id, cent AS cent_emb FROM c2),
-sd_scored AS (
-  SELECT c.vec_id, c.emb, k.cent_id,
-         list_dot_product(c.emb, k.cent_emb)
-         / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(k.cent_emb, k.cent_emb))) AS cent_cos
-  FROM corpus c CROSS JOIN cents k
-),
-sd_ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cent_cos DESC, cent_id) AS crank
-  FROM sd_scored
-),
-sd_assigned AS (SELECT vec_id, emb, cent_id FROM sd_ranked WHERE crank = 1),
-sd_capped AS (
-  SELECT vec_id, emb, cent_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY cent_id
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-    FROM sd_assigned) WHERE crk <= 12
-),
-sd_pairs AS (
-  SELECT a.cent_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.emb, b.emb)
-         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
-  FROM sd_capped a JOIN sd_capped b
-    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-),
-sd_dups AS (SELECT * FROM sd_pairs WHERE cosine >= 0.9),
-sd_first AS (
-  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
-  FROM sd_dups
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
 )
-SELECT id_b AS vec_id, cluster_id, id_a AS dup_of, cosine
-FROM sd_first WHERE rn = 1""",
+SELECT node AS vec_id, min(r) AS component_id FROM reach GROUP BY node"""
+    ),
     "knn_brute": _knn_sql(bucketed=False),
     "kmeans_centroids": _kmeans_sql(),
     # scale-safe seed rule: fixed K=32 (the modulus rule makes

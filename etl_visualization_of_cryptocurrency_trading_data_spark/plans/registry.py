@@ -129,6 +129,7 @@ from .oracles.relational import (  # noqa: F401
     q_session_range_join,
     q_salted_join_skew,
     q_large_volume_customers,
+    q_bucketed_join_audit,
 )
 from .oracles.text import (  # noqa: F401
     q_text_stats,
@@ -199,6 +200,7 @@ from .oracles.similarity import (  # noqa: F401
     q_knn_lsh_planes8,
     q_knn_ivf_fixed,
     q_embedding_dup_wide,
+    q_semantic_dup_components,
     q_semantic_dedup,
     q_semantic_dedup_trained,
     q_semantic_dedup_capped,
@@ -430,8 +432,10 @@ def q_plan_audit_skew(spark, sf_dir):
 # AFTER the r11 driver run: no registered query's newest row is older
 # than r8.
 # Round-12 rotation guidance: front-load (a) anything r12 adds or
-# re-plans, (b) the 32 remaining r8-row entries not covered by the r11
-# window (shipping_priority, knn_ivf_pq_recall, envelope_mcap,
+# re-plans, (b) the 34 remaining r8-row entries not covered by the r11
+# window (keltner_channels and heikin_ashi, which yielded their r11
+# slots to the mid-round registrations, then shipping_priority,
+# knn_ivf_pq_recall, envelope_mcap,
 # ohlc_chart, vwap_hourly, close_pivot, documents_profile,
 # cross_exchange_spread, rolling_beta, stochastic, donchian, ichimoku,
 # bm25_scores, dsir_weights, media_features_auto, media_frames_real,
@@ -739,6 +743,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     # ---- round 11 registrations ----
     "curation_pipeline_v3": q_curation_pipeline_v3,
+    # mid-round additions (this session): the capped-SemDeDup -> CC
+    # transitive dup-group composition and the co-located-join
+    # evidence row
+    "semantic_dup_components": q_semantic_dup_components,
+    "bucketed_join_audit": q_bucketed_join_audit,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -781,6 +790,16 @@ _R11_WINDOW_FRONT = [
     "curation_pipeline_v3",
     "fuzzy_match_multipass",
     "dsir_sample",
+    # (a2) mid-round r11 registrations (this session): the
+    # capped-SemDeDup -> CC dup-group composition and the
+    # co-located-join evidence row; per
+    # precedent keltner_channels and heikin_ashi yield their (c) slots
+    # (keltner's ATR/EMA window family is pinned by in-window atr_14 +
+    # technical_indicators, heikin_ashi's OHLC derivation by in-window
+    # ohlc_candles + candlestick_patterns; both keep green r8 rows and
+    # front-load the r12 (b) cohort)
+    "semantic_dup_components",
+    "bucketed_join_audit",
     # (b) the full r7-row cohort (31 entries, registry order — incl.
     # atr_14 and exchange_cardinality_approx which yielded their r10
     # slots)
@@ -816,13 +835,11 @@ _R11_WINDOW_FRONT = [
     "volume_rollup",
     "text_stats",
     # (c) the 16 oldest r8-row entries, registry order
-    "keltner_channels",
     "candlestick_patterns",
     "vocab_coverage",
     "scd2_volume_tiers",
     "knn_ivf_pq",
     "csv_roundtrip",
-    "heikin_ashi",
     "funnel_conversion",
     "lead_lag_corr",
     "rolling_sharpe",
@@ -1071,6 +1088,9 @@ _ORACLE_REGISTRATION_ORDER = [
     "spread_outer_stream_replay",
     "drawdown_stream_replay",
     "dup_clusters_star",
+    # ---- r11 mid-round registrations ----
+    "semantic_dup_components",
+    "bucketed_join_audit",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -2604,3 +2604,55 @@ def test_leakage_safe_split_clusters_share_fate(spark):
         b = want[r.cluster_id]
         expect = "train" if b < 8000 else ("val" if b < 9000 else "test")
         assert r.split == expect, f"doc {d}"
+
+
+def test_semantic_dup_components_match_union_find(spark):
+    """The r11 detector->CC composition: the star-CC component labels
+    must equal an independent union-find (component-minimum labeling)
+    over the SAME attribution edges the capped SemDeDup emits — and
+    the planted exact twins that survive the cluster cap must land in
+    their original vector's component."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import similarity
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        q_semantic_dup_components,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.vec_id: r.component_id for r in q_semantic_dup_components(spark, sf).collect()}
+    assert got, "no attribution edges at fixture scale"
+
+    emb = load_table(spark, sf, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    cents = similarity.kmeans_centroids(emb, iters=2, centroid_limit=32)
+    edges = [
+        (r.dup_of, r.vec_id)
+        for r in similarity.semantic_dedup(
+            emb.unionByName(twins), threshold=0.9, centroids=cents, max_cluster=12
+        ).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    assert got == want
+    # at least one planted twin pair survives the cap and is grouped
+    planted = [(v, c) for v, c in got.items() if v >= 1_000_000]
+    assert planted
+    for v, c in planted:
+        assert got.get(v - 1_000_000, c) == c

@@ -235,6 +235,16 @@ EXPECTED_R11_WINDOW = [
     "curation_pipeline_v3",
     "fuzzy_match_multipass",
     "dsir_sample",
+    # (a2) mid-round r11 registrations (this session): the
+    # capped-SemDeDup -> CC dup-group composition and the
+    # co-located-join evidence row; per
+    # precedent keltner_channels and heikin_ashi yield their (c) slots
+    # (keltner's ATR/EMA window family is pinned by in-window atr_14 +
+    # technical_indicators, heikin_ashi's OHLC derivation by in-window
+    # ohlc_candles + candlestick_patterns; both keep green r8 rows and
+    # front-load the r12 (b) cohort)
+    "semantic_dup_components",
+    "bucketed_join_audit",
     # (b) the full r7-row cohort (31 entries, registry order)
     "exchange_cardinality_approx",
     "atr_14",
@@ -268,13 +278,11 @@ EXPECTED_R11_WINDOW = [
     "volume_rollup",
     "text_stats",
     # (c) the 16 oldest r8-row entries, registry order
-    "keltner_channels",
     "candlestick_patterns",
     "vocab_coverage",
     "scd2_volume_tiers",
     "knn_ivf_pq",
     "csv_roundtrip",
-    "heikin_ashi",
     "funnel_conversion",
     "lead_lag_corr",
     "rolling_sharpe",
@@ -552,4 +560,45 @@ def test_plan_audit_pins_flagship_join_strategy(spark):
         "n_broadcast_joins": 3,
         "n_sortmerge_joins": 0,
         "n_window_group_limits": 6,
+    }
+
+
+def test_bucketed_join_audit_row_contract(spark):
+    """The r11 driver-hash form of the co-located join: the in-band
+    plan evidence must be (plan_exchanges=0, sort_merge_join=True), the
+    aggregate must equal the plain unbucketed join, and re-running the
+    builder (overwrite mode) must be idempotent."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import (
+        q_bucketed_join_audit,
+    )
+
+    first = {r.exchange: r for r in q_bucketed_join_audit(spark, SF_SMOKE).collect()}
+    assert first
+    for r in first.values():
+        assert r.plan_exchanges == 0, r
+        assert r.sort_merge_join is True, r
+    # plain-join oracle twin, computed without any bucketed table
+    price = derive.price_data(load_table(spark, SF_SMOKE, "events")).select(
+        "coin_id", "exchange", "volume"
+    )
+    totals = price.groupBy("coin_id").agg(F.sum("volume").alias("total_volume"))
+    want = {
+        r.exchange: r
+        for r in price.join(totals, "coin_id")
+        .groupBy("exchange")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.round(F.sum("volume"), 4).alias("sum_volume"),
+            F.round(F.sum("total_volume"), 2).alias("sum_joined_totals"),
+        )
+        .collect()
+    }
+    assert set(first) == set(want)
+    for e in want:
+        assert first[e].n_ticks == want[e].n_ticks
+        assert abs(first[e].sum_volume - want[e].sum_volume) < 1e-6
+        assert abs(first[e].sum_joined_totals - want[e].sum_joined_totals) < 1e-6
+    second = {r.exchange: r for r in q_bucketed_join_audit(spark, SF_SMOKE).collect()}
+    assert {e: (r.n_ticks, r.sum_volume) for e, r in second.items()} == {
+        e: (r.n_ticks, r.sum_volume) for e, r in first.items()
     }
