@@ -99,6 +99,9 @@ SHOWCASE = [
     "leakage_safe_split",      # pair graph -> star CC -> md5 split, pure map tail
     "remove_repeated_spans_keep_first",  # argmin-canonical survivorship cut
     "dsir_sample",             # weights chain + Gumbel key, TakeOrdered top-k
+    "curation_pipeline_v3",    # gate->LSH dedup->split->decontam->DSIR->pack
+    "semantic_dup_components", # capped dup_of edges -> log-round star CC
+    "bucketed_join_audit",     # co-located bucketBy join: 0 Exchange in-band
 ]
 
 
