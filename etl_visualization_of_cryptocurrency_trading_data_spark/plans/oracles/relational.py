@@ -526,21 +526,25 @@ def q_bucketed_join_audit(spark, sf_dir):
     totals = price.groupBy("coin_id").agg(
         F.sum("volume").alias("total_volume")
     )
-    ticks_t = f"bucket_audit_ticks_{tag}"
-    totals_t = f"bucket_audit_totals_{tag}"
-    # a managed table's location can survive from ANOTHER session's
-    # catalog (LOCATION_ALREADY_EXISTS on create); drop the catalog
-    # entry and clear any orphaned warehouse dir before the overwrite
+    # anchor the scratch tables in a tempdir-located database rather
+    # than the session's cwd-dependent spark-warehouse (the driver's
+    # working directory is not ours to assume writable); a managed
+    # table's location can also survive from ANOTHER session's catalog
+    # (LOCATION_ALREADY_EXISTS on create), so drop the catalog entry
+    # and clear any orphaned location before the overwrite
     import os as _os
     import shutil as _shutil
+    import tempfile as _tempfile
 
-    warehouse = _re.sub(
-        "^file:", "", spark.conf.get("spark.sql.warehouse.dir", "")
-    )
+    db = "bucket_audit"
+    db_loc = _os.path.join(_tempfile.gettempdir(), "spark_bucket_audit")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
+    ticks_t = f"{db}.ticks_{tag}"
+    totals_t = f"{db}.totals_{tag}"
     for t in (ticks_t, totals_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        loc = _os.path.join(warehouse, t)
-        if warehouse and _os.path.isdir(loc):
+        loc = _os.path.join(db_loc, t.split(".", 1)[1])
+        if _os.path.isdir(loc):
             _shutil.rmtree(loc)
     write_bucketed_table(price, ticks_t, ["coin_id"], n_buckets=8)
     write_bucketed_table(totals, totals_t, ["coin_id"], n_buckets=8)
