@@ -95,9 +95,17 @@ def pack_chunks(
     n_tokens = regex_token_count(F.col("text"))
     # deterministic tie-break (ADVICE r10): a non-unique custom
     # order_col would otherwise make the cumsum engine/run-dependent;
-    # doc_id (the corpus key) breaks ties. Skipped when either role is
-    # doc_id itself (unique, or a one-row-per-partition shard).
-    tie = ["doc_id"] if "doc_id" not in (order_col, shard_col) else []
+    # doc_id (the corpus key) breaks ties when the frame HAS one.
+    # Skipped when either role is doc_id itself, and — so packing a
+    # non-corpus frame with custom roles keeps working — when the
+    # frame has no doc_id column at all (then the caller owns
+    # uniqueness of order_col, as before r10).
+    tie = (
+        ["doc_id"]
+        if "doc_id" not in (order_col, shard_col)
+        and "doc_id" in documents.columns
+        else []
+    )
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col, *tie)
@@ -188,10 +196,11 @@ def pack_chunks_bpe(
     )
     # deterministic tie-break on the corpus key (ADVICE r10): a
     # non-unique custom order_col must not leave the cumsum order to
-    # the engine
+    # the engine; redundant when order_col IS doc_id (already unique)
+    tie = ["doc_id"] if order_col != "doc_id" else []
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order_col, "doc_id")
+        .orderBy(order_col, *tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     base = base.withColumn("end_tokens", F.sum("n_tokens_bpe").over(w))
@@ -311,9 +320,9 @@ def curation_pipeline(
     contaminated = cross_split_contamination(deduped).filter(
         F.col("contamination_ratio") >= contamination_threshold
     )
-    clean = split.join(
-        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
-    )
+    # contaminated grows with the corpus — leave the anti-join strategy
+    # to the planner (broadcast only when stats say it fits)
+    clean = split.join(contaminated.select("doc_id"), "doc_id", "left_anti")
     n_tokens = regex_token_count(F.col("text"))
     return (
         clean.withColumn("_t", n_tokens)
@@ -339,12 +348,13 @@ def dedup_survivors(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     survivor per component — emitting the deduplicated corpus roster.
 
     Scale: clusters only contain documents that had at least one dup
-    edge (a small fraction of the corpus), so the join is a broadcast
-    of the cluster map against the full corpus scan; no shuffle of the
-    corpus itself.
+    edge, but at web near-dup rates (20-30%) that is still O(N) — the
+    join strategy stays the planner's choice (broadcast when the stats
+    say the map fits, shuffle equi-join when it doesn't), the same
+    posture as leakage_safe_split and curation_pipeline_v3.
     """
     marked = documents.join(
-        F.broadcast(clusters.withColumnRenamed("doc_id", "_cdoc")),
+        clusters.withColumnRenamed("doc_id", "_cdoc"),
         documents["doc_id"] == F.col("_cdoc"),
         "left",
     )
@@ -553,9 +563,16 @@ def curation_pipeline_v3(
         quality, hash_family="md5", persist_intermediate=persist_intermediate
     )
     comp = connected_components_star(pairs)
-    # clusters hold only docs with a dup edge — broadcast the map
+    # clusters hold only docs with a dup edge, but that set grows O(N)
+    # with the corpus (web near-dup rates run 20-30%), so the join
+    # strategy stays the PLANNER'S choice — broadcast when the stats
+    # say it fits, shuffle equi-join when it doesn't (the
+    # leakage_safe_split posture; forcing F.broadcast here would hit
+    # the broadcast size ceiling exactly at the scale this pipeline
+    # targets). Only picked below (<= k rows by construction) is
+    # force-broadcast.
     survivors = (
-        quality.join(F.broadcast(comp), "doc_id", "left")
+        quality.join(comp, "doc_id", "left")
         .filter(
             F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
         )
@@ -569,7 +586,7 @@ def curation_pipeline_v3(
     )
     train_clean = (
         split.filter(F.col("split") == "train")
-        .join(F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti")
+        .join(contaminated.select("doc_id"), "doc_id", "left_anti")
         .select(*cols)
     )
     if persist_intermediate:

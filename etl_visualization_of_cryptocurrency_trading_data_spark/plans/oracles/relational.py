@@ -536,14 +536,25 @@ def q_bucketed_join_audit(spark, sf_dir):
     import shutil as _shutil
     import tempfile as _tempfile
 
+    # per-process location: concurrent sessions (a driver run next to a
+    # pytest parity run) must not race on a shared scratch dir; orphans
+    # from dead processes are small parquet dirs under the tempdir
     db = "bucket_audit"
-    db_loc = _os.path.join(_tempfile.gettempdir(), "spark_bucket_audit")
+    db_loc = _os.path.join(
+        _tempfile.gettempdir(), f"spark_bucket_audit_{_os.getpid()}"
+    )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
+    # IF NOT EXISTS keeps an existing database's OLD location, so the
+    # cleanup path comes from the catalog's actual answer, not from the
+    # location we just asked for
+    actual_loc = _re.sub(
+        "^file:", "", spark.catalog.getDatabase(db).locationUri
+    )
     ticks_t = f"{db}.ticks_{tag}"
     totals_t = f"{db}.totals_{tag}"
     for t in (ticks_t, totals_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        loc = _os.path.join(db_loc, t.split(".", 1)[1])
+        loc = _os.path.join(actual_loc, t.split(".", 1)[1])
         if _os.path.isdir(loc):
             _shutil.rmtree(loc)
     write_bucketed_table(price, ticks_t, ["coin_id"], n_buckets=8)

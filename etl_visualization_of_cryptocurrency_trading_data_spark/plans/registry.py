@@ -432,7 +432,14 @@ def q_plan_audit_skew(spark, sf_dir):
 # AFTER the r11 driver run: no registered query's newest row is older
 # than r8.
 # Round-12 rotation guidance: front-load (a) anything r12 adds or
-# re-plans, (b) the 34 remaining r8-row entries not covered by the r11
+# re-plans — including the five hash-stable late-r11 re-plans
+# (curation_pipeline, dedup_survivors, pack_chunks,
+# pack_chunks_overlap, bpe_pack: forced O(N) broadcasts removed /
+# tie-break made conditional; values verified unchanged at sf0.01 but
+# a fresh driver row should re-verify each re-plan per protocol;
+# curation_pipeline_v3 and bucketed_join_audit got the same fixes but
+# are already in the r11 window), then (b) the 34 remaining r8-row
+# entries not covered by the r11
 # window (keltner_channels and heikin_ashi, which yielded their r11
 # slots to the mid-round registrations, then shipping_priority,
 # knn_ivf_pq_recall, envelope_mcap,
@@ -834,7 +841,9 @@ _R11_WINDOW_FRONT = [
     "coin_indicators_left",
     "volume_rollup",
     "text_stats",
-    # (c) the 16 oldest r8-row entries, registry order
+    # (c) the oldest r8-row entries, registry order (16 at the
+    # boundary commit; 14 after keltner_channels and heikin_ashi
+    # yielded to the (a2) mid-round registrations)
     "candlestick_patterns",
     "vocab_coverage",
     "scd2_volume_tiers",

@@ -9,9 +9,14 @@ plans/registry.py -> plans/oracles/ package refactor:
   oracle SQL string,
 - the TEACHING map (fn name + sql sha256 per demoted form).
 
-Run once BEFORE the refactor (fixture committed), never regenerated
-after; tests/test_oracle_parity.py::test_registry_snapshot_is_byte_identical
-asserts the live registry still renders to exactly this surface.
+First generated from the PRE-refactor single-file registry so the
+split could be proven byte-identical;
+tests/test_oracle_parity.py::test_registry_snapshot_is_byte_identical
+asserts the live registry still renders exactly this surface. On any
+LEGITIMATE registry change (a new registration, a re-planned oracle),
+re-run this script and commit the refreshed fixture IN THE SAME COMMIT
+— the guard exists to catch accidental rendering drift, not to freeze
+the registry (same policy as stated in plans/registry.py's docstring).
 """
 
 import hashlib

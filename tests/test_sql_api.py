@@ -277,7 +277,9 @@ EXPECTED_R11_WINDOW = [
     "coin_indicators_left",
     "volume_rollup",
     "text_stats",
-    # (c) the 16 oldest r8-row entries, registry order
+    # (c) the oldest r8-row entries, registry order (16 at the
+    # boundary commit; 14 after keltner_channels and heikin_ashi
+    # yielded to the (a2) mid-round registrations)
     "candlestick_patterns",
     "vocab_coverage",
     "scd2_volume_tiers",
