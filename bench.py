@@ -19,6 +19,14 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# The ONE definition of the graded scale factor (ADVICE r11: the
+# canonical-artifact guard used to hardcode the path at its use site,
+# so a moved fixture root would silently demote every full run to
+# bench_other_sf.json). Canonical = the configured sf_dir resolves to
+# this path OR is named sf0.1 under whatever root the fixtures live.
+CANONICAL_SF_DIR = "/root/testdata/sf0.1"
+CANONICAL_SF_BASENAME = "sf0.1"
+
 from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import QUERIES
 from etl_visualization_of_cryptocurrency_trading_data_spark.session import get_spark
 
@@ -182,15 +190,31 @@ def main() -> None:
     # full-registry artifact — they land in bench_subset.json instead.
     # Likewise full runs at a NON-canonical sf (e.g. the verify drive
     # at sf0.01): only the graded sf0.1 run owns bench_full.json.
+    # r11 verdict item #5: the driver's own post-round rebench kept
+    # overwriting the committed artifact with a content-equivalent but
+    # dirty working-tree copy, so bench_full.json is now BUILDER-ONLY:
+    # set SPARK_GRAFT_BENCH_CONTEXT=builder to claim it; any other
+    # full canonical run (the driver's per-round rebench) lands in the
+    # gitignored bench_driver.json. The invoking context is stamped
+    # into the JSON either way.
     canonical = os.path.realpath(sf_dir) == os.path.realpath(
-        "/root/testdata/sf0.1"
-    )
+        CANONICAL_SF_DIR
+    ) or os.path.basename(os.path.realpath(sf_dir)) == CANONICAL_SF_BASENAME
+    invoked_by = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "driver")
+    out["invoked_by"] = invoked_by
     if only is not None:
         artifact = "bench_subset.json"
-    elif canonical:
+    elif not canonical:
+        artifact = "bench_other_sf.json"
+    elif invoked_by == "builder":
         artifact = "bench_full.json"
     else:
-        artifact = "bench_other_sf.json"
+        artifact = "bench_driver.json"
+    print(
+        f"bench: artifact={artifact} (canonical={canonical}, "
+        f"invoked_by={invoked_by}, sf_dir={sf_dir})",
+        file=sys.stderr,
+    )
     with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(out, f, indent=1)
     chunk_size = 10

@@ -106,6 +106,18 @@ def pack_chunks(
         and "doc_id" in documents.columns
         else []
     )
+    if not tie and order_col != "doc_id":
+        # ADVICE r11: without the tie-break a non-unique custom
+        # order_col silently yields engine/run-dependent packing —
+        # make the caller own uniqueness EXPLICITLY
+        import warnings
+
+        warnings.warn(
+            f"pack_chunks: frame has no doc_id column to tie-break "
+            f"order_col={order_col!r}; the caller owns its uniqueness "
+            f"(duplicate order keys make the cumsum nondeterministic)",
+            stacklevel=2,
+        )
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col, *tie)

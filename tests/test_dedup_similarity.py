@@ -2654,5 +2654,10 @@ def test_semantic_dup_components_match_union_find(spark):
     # at least one planted twin pair survives the cap and is grouped
     planted = [(v, c) for v, c in got.items() if v >= 1_000_000]
     assert planted
+    # ADVICE r11: got.get(origin, c) == c is vacuously true when the
+    # origin vector is absent from the component map — require at
+    # least one planted twin's ORIGIN to appear in an edge, so the
+    # attribution check below has teeth for that pair
+    assert any(v - 1_000_000 in got for v, _ in planted)
     for v, c in planted:
         assert got.get(v - 1_000_000, c) == c

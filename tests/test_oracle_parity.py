@@ -194,10 +194,15 @@ def test_registry_snapshot_is_byte_identical():
     """r10 verdict item #2 guard: the plans/registry.py ->
     plans/oracles/ package split must be a PURE refactor. The fixture
     (tests/fixtures/registry_snapshot.json, generated by
-    scripts/snapshot_registry.py from the pre-refactor single-file
-    registry at commit eb932cc) pins the post-demotion QUERIES key
-    order + builder names, the ORACLES key order + sha256 of every
-    rendered SQL string, and the TEACHING pairs. Any rendering change
+    scripts/snapshot_registry.py) tracks the LIVE rendered registry
+    surface; it was initially generated from the pre-refactor
+    single-file registry at commit eb932cc (history: that arm proved
+    the split byte-identical) and is regenerated in the same commit as
+    any legitimate registry change, so the guard pins the CURRENT
+    surface against accidental rendering drift. It pins the
+    post-demotion QUERIES key order + builder names, the ORACLES key
+    order + sha256 of every rendered SQL string, and the TEACHING
+    pairs. Any rendering change
     — reordered keys, a re-rendered f-string fragment, a renamed
     builder — fails here. Legitimate registry changes (new/changed
     queries in later rounds) regenerate the fixture in the same
