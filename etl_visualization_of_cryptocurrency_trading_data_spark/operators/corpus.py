@@ -559,16 +559,42 @@ def curation_pipeline_v3(
     with parquet materialization between stages 2/4/5 — the standard
     checkpoint boundary (see [[curation_pipeline]]).
     """
+    from .text import with_quality
+
+    cols = ["doc_id", "text", "lang", "source"]
+    quality = with_quality(documents).filter(F.col("is_quality")).select(*cols)
+    return _curation_stages(
+        quality,
+        k=k,
+        rounds=rounds,
+        budget=budget,
+        contamination_threshold=contamination_threshold,
+        persist_intermediate=persist_intermediate,
+    )
+
+
+def _curation_stages(
+    quality: DataFrame,
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    contamination_threshold: float = 0.5,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """Stages 2-6 of the end-to-end pipeline (near-dup dedup -> split
+    -> decontaminate -> DSIR resample -> token-true pack), shared
+    VERBATIM by [[curation_pipeline_v3]] (heuristic gate) and
+    [[curation_pipeline_v4]] (trained-classifier gate) — the gate is
+    the only stage the two compositions differ in, so the tail lives
+    once. ``quality`` must carry (doc_id, text, lang, source)."""
     from .dedup import (
         connected_components_star,
         cross_split_contamination,
         minhash_lsh_pairs,
     )
     from .sampling import dsir_sample, train_val_test_split
-    from .text import with_quality
 
     cols = ["doc_id", "text", "lang", "source"]
-    quality = with_quality(documents).filter(F.col("is_quality")).select(*cols)
     if persist_intermediate:
         quality = quality.persist()
     pairs = minhash_lsh_pairs(
@@ -606,6 +632,59 @@ def curation_pipeline_v3(
     picked = dsir_sample(train_clean, k=k)
     selected = train_clean.join(F.broadcast(picked.select("doc_id")), "doc_id")
     return pack_chunks_bpe(selected, rounds=rounds, budget=budget)
+
+
+def curation_pipeline_v4(
+    documents: DataFrame,
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    contamination_threshold: float = 0.5,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """[[curation_pipeline_v3]] with the hand-weighted heuristic gate
+    replaced by the TRAINED quality filter (r11 verdict item #6): the
+    hashed-BoW balanced logistic regression
+    ([[classifier.train_quality_classifier]]) is trained on the full
+    corpus against the heuristic teacher, then its 0.5-threshold
+    verdict gates stage 1; every downstream stage
+    ([[_curation_stages]]: MinHash dedup -> cluster-keyed split ->
+    decontaminate -> DSIR resample -> token-true BPE pack) is the
+    IDENTICAL shared code path.
+
+    Why this is the production posture: a learned filter generalizes
+    past the rule battery (it scores from lexical evidence, not the
+    rules' exact thresholds), trains once per corpus snapshot at
+    vocabulary-bound cost (K * 2 keyed shuffles over the feature
+    stream, a (buckets + 2)-double model), and applies as a pure map —
+    so swapping gates changes NOTHING about the pipeline's scale
+    shape. The keep set differs from v3's where the student disagrees
+    with its teacher (measured at sf0.01: ~4% of docs, fpr 0 on the
+    teacher's negatives).
+
+    The scored keep set grows O(N) with the corpus, so the gate join
+    stays the planner's choice — same posture as the dup-component
+    map below it (NEVER force-broadcast a corpus-fraction frame)."""
+    from .classifier import score_quality, train_quality_classifier
+
+    cols = ["doc_id", "text", "lang", "source"]
+    wts = train_quality_classifier(
+        documents, persist_intermediate=persist_intermediate
+    )
+    keep = (
+        score_quality(documents, wts)
+        .filter(F.col("predicted"))
+        .select("doc_id")
+    )
+    quality = documents.join(keep, "doc_id").select(*cols)
+    return _curation_stages(
+        quality,
+        k=k,
+        rounds=rounds,
+        budget=budget,
+        contamination_threshold=contamination_threshold,
+        persist_intermediate=persist_intermediate,
+    )
 
 
 def ranking_auc(

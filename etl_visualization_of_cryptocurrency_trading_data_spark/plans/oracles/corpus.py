@@ -9,8 +9,15 @@ assembled surface is byte-identical to the pre-split snapshot.
 
 from __future__ import annotations
 
-from ...operators import corpus
+from ...operators import classifier, corpus
 from ...operators import sampling
+from ...operators.classifier import (
+    QCLF_BUCKETS,
+    QCLF_ITERS,
+    QCLF_LEN_SCALE,
+    QCLF_LR,
+    QCLF_SALT,
+)
 from .common import _documents
 from .dedup import _leakage_safe_split_sql, _minhash_lsh_parts
 from .text import NORM_TEXT_SQL, STOPWORDS_SQL, WORDS_SQL, _bpe_encode_ctes
@@ -260,41 +267,20 @@ def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
         sql = sql.replace(anchor, f"\n{n} AS MATERIALIZED (", 1)
     return sql
 
-def _curation_v3_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
-    """Oracle for [[q_curation_pipeline_v3]] — the end-to-end
-    pretraining pipeline composed from the SAME generated parts as the
-    per-stage oracles, each re-pointed at its upstream CTE: quality
-    gate (the curation_pipeline qw/q pair) -> [[_minhash_lsh_parts]]
-    over ``q`` -> recursive star-CC (the leakage_safe_split pattern)
-    -> canonical-survivor filter -> md5-bucket split -> capped-shingle
-    decontamination (reusing the minhash ``sh`` shingles, restricted
-    to survivors) -> [[_dsir_scored_parts]] over ``train_clean`` +
-    the wide-hash Gumbel top-{k} -> [[_bpe_encode_ctes]] trained and
-    encoded over ``selected`` -> the pack cumsum tail. Every stage is
-    bit-exact vs the engine (established per stage by the
-    leakage_safe_split / contamination / dsir_sample / bpe_pack
-    driver rows)."""
+def _curation_tail_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
+    """Stages 2-6 of the composed pipeline oracle (near-dup pair
+    graph -> recursive star-CC -> canonical survivors -> md5-bucket
+    split -> capped-shingle decontamination -> DSIR Gumbel top-k ->
+    BPE train/encode/pack) -- the tail [[_curation_v3_sql]] and
+    [[_curation_v4_sql]] share VERBATIM, mirroring the engine's
+    shared corpus._curation_stages. Expects an upstream CTE ``q``
+    with (doc_id, text, lang, source); the caller wraps the result
+    in WITH RECURSIVE and applies _materialize_ctes over
+    _CURATION_TAIL_MATERIALIZE (which includes the gate CTE q)."""
     mh_ctes, mh_select = _minhash_lsh_parts(source="q")
     assert mh_ctes.startswith("WITH ")
     mh_ctes = mh_ctes[len("WITH ") :]
-    sql = f"""
-WITH RECURSIVE qw AS (
-  SELECT doc_id, text, lang, source, {WORDS_SQL} AS ws FROM documents
-),
-q AS (
-  SELECT doc_id, text, lang, source FROM (
-    SELECT doc_id, text, lang, source,
-      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-       + CASE WHEN len(ws) > 0 AND
-                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
-                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-       + CASE WHEN len(ws) > 0 AND
-                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
-                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
-    FROM qw
-  ) WHERE quality >= 0.7
-),
-{mh_ctes},
+    return f"""{mh_ctes},
 pairs AS (
 {mh_select}
 ),
@@ -377,21 +363,287 @@ SELECT doc_id, source, n_tokens_bpe,
              THEN (end_tokens - 1) // {budget} - (end_tokens - n_tokens_bpe) // {budget} + 1
              ELSE 0 END)::BIGINT AS n_chunks
 FROM pc"""
-    return _materialize_ctes(
-        sql,
-        (
-            "q",
-            "sh",
-            "sig",
-            "cand",
-            "surv",
-            "spl",
-            "train_clean",
-            "scored",
-            "selected",
-            "enc",
-        ),
+
+# the stage CTEs every composed-pipeline oracle pins AS MATERIALIZED
+# (see _materialize_ctes); the gate CTE q is first
+_CURATION_TAIL_MATERIALIZE = (
+    "q",
+    "sh",
+    "sig",
+    "cand",
+    "surv",
+    "spl",
+    "train_clean",
+    "scored",
+    "selected",
+    "enc",
+)
+
+def _curation_v3_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
+    """Oracle for [[q_curation_pipeline_v3]] — the end-to-end
+    pretraining pipeline composed from the SAME generated parts as the
+    per-stage oracles, each re-pointed at its upstream CTE: quality
+    gate (the curation_pipeline qw/q pair) -> [[_minhash_lsh_parts]]
+    over ``q`` -> recursive star-CC (the leakage_safe_split pattern)
+    -> canonical-survivor filter -> md5-bucket split -> capped-shingle
+    decontamination (reusing the minhash ``sh`` shingles, restricted
+    to survivors) -> [[_dsir_scored_parts]] over ``train_clean`` +
+    the wide-hash Gumbel top-{k} -> [[_bpe_encode_ctes]] trained and
+    encoded over ``selected`` -> the pack cumsum tail. Every stage is
+    bit-exact vs the engine (established per stage by the
+    leakage_safe_split / contamination / dsir_sample / bpe_pack
+    driver rows)."""
+    sql = f"""
+WITH RECURSIVE qw AS (
+  SELECT doc_id, text, lang, source, {WORDS_SQL} AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN len(ws) > 0 AND
+                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
+                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM qw
+  ) WHERE quality >= 0.7
+),
+{_curation_tail_sql(k, rounds, budget)}"""
+    return _materialize_ctes(sql, _CURATION_TAIL_MATERIALIZE)
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (r11 verdict item #3): oracle CTE
+# generators replaying classifier.train_quality_classifier's K
+# full-batch balanced-logistic gradient rounds bit-exactly (margins /
+# probabilities / weights rounded to the 1e-9 grid each round, exact
+# IEEE feature arithmetic — see the operator module docstring).
+# ---------------------------------------------------------------------------
+
+# the md5-bucket train filter (sampling.train_val_test_split's 'train'
+# slice) applied INSIDE the lab source subquery
+QCLF_TRAIN_WHERE = (
+    "\n      WHERE CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))"
+    "\n                 AS BIGINT) % 10000 < 8000"
+)
+
+# the split CASE used by the scores/auc oracles (must stay the literal
+# twin of the spl CTEs elsewhere in this module)
+_QCLF_SPLIT_CASE = """CASE WHEN CAST(('0x' || substring(md5('split' || {id}::VARCHAR), 1, 8))
+                      AS BIGINT) % 10000 < 8000 THEN 'train'
+            WHEN CAST(('0x' || substring(md5('split' || {id}::VARCHAR), 1, 8))
+                      AS BIGINT) % 10000 < 9000 THEN 'val'
+            ELSE 'test' END"""
+
+
+def _qclf_bucket_sql(expr: str, buckets: int, salt: str) -> str:
+    """hash_bucket twin: first-8-hex md5 value mod buckets."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || {expr}), 1, 8))::UBIGINT"
+        f" % {buckets})::BIGINT"
     )
+
+
+def _qclf_lab_sql(source: str = "documents", where: str = "") -> str:
+    """(doc_id, n, ws, y): tokenized docs with >= 1 token and the
+    with_quality teacher label — the quality CASE chain is the same
+    battery the heuristic oracles use, composed >= 0.7. The len(ws)>0
+    guards of the standalone forms are superfluous here (the outer
+    WHERE already drops empty docs)."""
+    return f"""(
+  SELECT doc_id, len(ws) AS n, ws,
+         (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+                      BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
+                      >= 0.05 THEN 0.3 ELSE 0.0 END) >= 0.7 AS y
+  FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM {source}{where})
+  WHERE len(ws) > 0
+)"""
+
+
+def _qclf_feats_sql(
+    lab: str,
+    buckets: int = QCLF_BUCKETS,
+    salt: str = QCLF_SALT,
+    len_scale: int = QCLF_LEN_SCALE,
+) -> str:
+    """classifier.hashed_features twin: hashed-unigram TF cells + bias
+    (b = buckets, x = 1) + exact-rational length feature
+    (b = buckets + 1, x = n / (n + len_scale))."""
+    b = _qclf_bucket_sql("w", buckets, salt)
+    return f"""(
+  SELECT doc_id, {b} AS b,
+         count(*)::DOUBLE / n AS x
+  FROM (SELECT doc_id, n, unnest(ws) AS w FROM {lab})
+  GROUP BY doc_id, n, {b}
+  UNION ALL SELECT doc_id, {buckets}::BIGINT AS b, 1.0 AS x FROM {lab}
+  UNION ALL SELECT doc_id, {buckets + 1}::BIGINT AS b,
+                   n::DOUBLE / (n + {len_scale})::DOUBLE AS x FROM {lab}
+)"""
+
+
+def _qclf_parts(
+    source: str = "documents",
+    train_where: str = "",
+    iters: int = QCLF_ITERS,
+    lr: float = QCLF_LR,
+    buckets: int = QCLF_BUCKETS,
+) -> str:
+    """The training chain (qc_lab .. qc_w{iters}) WITHOUT the WITH
+    prefix: label + features + balanced class weights, then per round
+    the margin aggregate (qc_m), weighted error (qc_e), bucket-keyed
+    gradient (qc_g), and weight update (qc_w). qc_lab / qc_feats /
+    qc_wd / every qc_w are MATERIALIZED inline: each is referenced
+    more than once and DuckDB would otherwise inline the round
+    recursion into a 2^iters tree (the _materialize_ctes rationale,
+    applied at generation time because the names are generated)."""
+    parts = [f"""qc_lab AS MATERIALIZED {_qclf_lab_sql(source, train_where)},
+qc_feats AS MATERIALIZED {_qclf_feats_sql("qc_lab", buckets)},
+qc_tot AS (
+  SELECT count(*) AS n_all, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos FROM qc_lab
+),
+qc_wd AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN y THEN 1.0 ELSE 0.0 END AS y,
+         CASE WHEN n_pos = 0 OR n_pos = n_all THEN 1.0
+              WHEN y THEN n_all::DOUBLE / (2.0 * n_pos)
+              ELSE n_all::DOUBLE / (2.0 * (n_all - n_pos)) END AS cw,
+         n_all
+  FROM qc_lab, qc_tot
+),
+qc_w0 AS MATERIALIZED (
+  SELECT unnest(range({buckets + 2}))::BIGINT AS b, 0.0 AS w
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f"""qc_m{k} AS (
+  SELECT f.doc_id, round(sum(f.x * w.w), 9) AS m
+  FROM qc_feats f JOIN qc_w{k - 1} w USING (b) GROUP BY f.doc_id
+),
+qc_e{k} AS (
+  SELECT m.doc_id,
+         (round(1.0 / (1.0 + exp(-m.m)), 9) - d.y) * d.cw AS e, d.n_all
+  FROM qc_m{k} m JOIN qc_wd d USING (doc_id)
+),
+qc_g{k} AS (
+  SELECT f.b, sum(f.x * e.e) AS g, max(e.n_all) AS n_all
+  FROM qc_feats f JOIN qc_e{k} e USING (doc_id) GROUP BY f.b
+),
+qc_w{k} AS MATERIALIZED (
+  SELECT w.b, round(w.w - {lr} * coalesce(g.g / g.n_all, 0.0), 9) AS w
+  FROM qc_w{k - 1} w LEFT JOIN qc_g{k} g USING (b)
+)""")
+    return ",\n".join(parts)
+
+
+def _qclf_score_sql(feats: str, w_final: str) -> str:
+    """score_quality twin: margin aggregate against the trained
+    weights, then the rounded sigmoid."""
+    return f"""(
+  SELECT f.doc_id,
+         round(1.0 / (1.0 + exp(-round(sum(f.x * w.w), 9))), 9) AS score
+  FROM {feats} f JOIN {w_final} w USING (b) GROUP BY f.doc_id
+)"""
+
+
+def _qclf_scores_ctes() -> str:
+    """Shared CTE chain of the scores and auc oracles: train on the
+    'train' split, then score EVERY >= 1-token document (qc_all /
+    qc_feats_all are the full-corpus twins of the training frames,
+    exactly like the engine's score_quality re-derives features over
+    the full input)."""
+    return f"""{_qclf_parts(train_where=QCLF_TRAIN_WHERE)},
+qc_all AS MATERIALIZED {_qclf_lab_sql()},
+qc_feats_all AS MATERIALIZED {_qclf_feats_sql("qc_all")},
+qc_score AS {_qclf_score_sql("qc_feats_all", f"qc_w{QCLF_ITERS}")}"""
+
+
+def _curation_v4_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
+    """Oracle for [[q_curation_pipeline_v4]]: the classifier training
+    chain over the FULL corpus (the engine trains the v4 gate on the
+    whole input against the heuristic teacher), the 0.5-threshold
+    keep set as the gate CTE ``q``, then the VERBATIM
+    [[_curation_tail_sql]] the v3 oracle uses — oracle composition
+    mirrors engine composition (corpus._curation_stages)."""
+    sql = f"""
+WITH RECURSIVE {_qclf_parts()},
+qc_score AS {_qclf_score_sql("qc_feats", f"qc_w{QCLF_ITERS}")},
+q AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d JOIN qc_score s ON d.doc_id = s.doc_id
+  WHERE s.score >= 0.5
+),
+{_curation_tail_sql(k, rounds, budget)}"""
+    return _materialize_ctes(sql, _CURATION_TAIL_MATERIALIZE)
+
+
+def q_quality_classifier_weights(spark, sf_dir):
+    """The trained filter itself (classifier.train_quality_classifier):
+    hashed-BoW balanced logistic regression fit by 4 full-batch
+    gradient rounds on the md5-bucket 'train' split — every round two
+    keyed shuffles over the persisted feature stream plus a broadcast
+    of the 66-row weight vector, the whole run on a fixed-point grid
+    so the oracle replays training bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir)
+    train = (
+        sampling.train_val_test_split(docs, "doc_id")
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    return classifier.train_quality_classifier(train)
+
+
+def q_quality_classifier_scores(spark, sf_dir):
+    """The trained filter APPLIED (classifier.score_quality): score
+    every document with the train-split model — a pure map + one
+    broadcast weight join + one doc-keyed aggregate, the shape that
+    scores each new crawl shard without touching the training corpus.
+    Output carries the split and the teacher label so the held-out
+    disagreement is visible in the row itself."""
+    from pyspark.sql import functions as F
+
+    from ...operators.text import with_quality
+
+    docs = _documents(spark, sf_dir)
+    split = sampling.train_val_test_split(docs, "doc_id")
+    train = split.filter(F.col("split") == "train").drop("split")
+    wts = classifier.train_quality_classifier(train)
+    scored = classifier.score_quality(docs, wts)
+    lab = with_quality(docs).select(
+        "doc_id", F.col("is_quality").alias("label")
+    )
+    return (
+        scored.join(lab, "doc_id")
+        .join(split.select("doc_id", "split"), "doc_id")
+        .select("doc_id", "split", "score", "predicted", "label")
+    )
+
+
+def q_quality_classifier_auc(spark, sf_dir):
+    """Held-out eval of the trained filter: Mann-Whitney AUC
+    (corpus.ranking_auc, distinct-score form) of the classifier score
+    against the teacher label on the val+test splits the model never
+    saw — the leakage-aware composition (train on 'train', evaluate
+    on the rest). 0.998 at sf0.01; a model that memorized hash noise
+    instead of lexical evidence would collapse here."""
+    from pyspark.sql import functions as F
+
+    scores = q_quality_classifier_scores(spark, sf_dir)
+    held = scores.filter(F.col("split") != "train")
+    return corpus.ranking_auc(held, score_col="score", label_col="label")
+
+
+def q_curation_pipeline_v4(spark, sf_dir):
+    """The end-to-end pipeline with the TRAINED gate
+    (corpus.curation_pipeline_v4): classifier-gated stage 1, then the
+    identical shared stage chain (MinHash dedup -> cluster-keyed
+    split -> decontaminate -> DSIR resample -> token-true BPE pack).
+    The oracle composes the classifier CTE chain with the same
+    generated tail as v3."""
+    return corpus.curation_pipeline_v4(_documents(spark, sf_dir))
+
 
 # DuckDB oracle SQL for this domain's registered queries —
 # assembled (registration order restored) into plans.registry.ORACLES.
@@ -633,4 +885,47 @@ g AS (
 )
 SELECT doc_id, n_tokens, log_weight, gumbel_key FROM g
 ORDER BY gumbel_key DESC, doc_id LIMIT 200""",
+    # trained quality classifier (r12): the full K-round balanced
+    # logistic training chain on the md5-bucket 'train' split, replayed
+    # bit-exactly (fixed-point rounds; exact IEEE features)
+    "quality_classifier_weights": f"""
+WITH {_qclf_parts(train_where=QCLF_TRAIN_WHERE)}
+SELECT b AS bucket, w AS weight FROM qc_w{QCLF_ITERS}""",
+    # the trained filter applied to every document, with split +
+    # teacher label carried for the held-out comparison
+    "quality_classifier_scores": f"""
+WITH {_qclf_scores_ctes()}
+SELECT s.doc_id,
+       {_QCLF_SPLIT_CASE.format(id="s.doc_id")} AS split,
+       s.score, s.score >= 0.5 AS predicted, a.y AS label
+FROM qc_score s JOIN qc_all a USING (doc_id)""",
+    # held-out Mann-Whitney AUC of the trained filter vs the teacher
+    # label (the ranking_auc distinct-score form)
+    "quality_classifier_auc": f"""
+WITH {_qclf_scores_ctes()},
+ho AS (
+  SELECT s.score, a.y AS label
+  FROM qc_score s JOIN qc_all a USING (doc_id)
+  WHERE CAST(('0x' || substring(md5('split' || s.doc_id::VARCHAR), 1, 8))
+             AS BIGINT) % 10000 >= 8000
+),
+c AS (
+  SELECT score AS sv,
+         sum(CASE WHEN label THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN label THEN 0 ELSE 1 END) AS n
+  FROM ho GROUP BY score
+),
+b AS (
+  SELECT *, coalesce(sum(n) OVER (ORDER BY sv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM c
+)
+SELECT round(CASE WHEN sum(p) > 0 AND sum(n) > 0
+             THEN sum(p * neg_below + 0.5 * p * n) / (sum(p) * sum(n)) END, 6) AS auc,
+       round(sum(p * neg_below + 0.5 * p * n), 1) AS u_stat,
+       sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg
+FROM b""",
+    # the end-to-end pipeline behind the TRAINED gate: classifier CTEs
+    # -> 0.5-threshold keep set -> the verbatim v3 stage tail
+    "curation_pipeline_v4": _curation_v4_sql(),
 }

@@ -316,7 +316,21 @@ from .oracles.corpus import (  # noqa: F401
     _dsir_scored_parts,
     DSIR_SCORED_CTES,
     _materialize_ctes,
+    _curation_tail_sql,
+    _CURATION_TAIL_MATERIALIZE,
     _curation_v3_sql,
+    QCLF_TRAIN_WHERE,
+    _qclf_bucket_sql,
+    _qclf_lab_sql,
+    _qclf_feats_sql,
+    _qclf_parts,
+    _qclf_score_sql,
+    _qclf_scores_ctes,
+    _curation_v4_sql,
+    q_quality_classifier_weights,
+    q_quality_classifier_scores,
+    q_quality_classifier_auc,
+    q_curation_pipeline_v4,
 )
 from .oracles import (  # noqa: F401
     common as _oracles_common,
@@ -431,7 +445,29 @@ def q_plan_audit_skew(spark, sf_dir):
 # the full 31-entry r7-row cohort, (c) the 16 oldest r8-row entries.
 # AFTER the r11 driver run: no registered query's newest row is older
 # than r8.
-# Round-12 rotation guidance: front-load (a) anything r12 adds or
+# Round-13 rotation guidance: after the r12 driver run the oldest
+# evidence is the ~41-entry r9-row cohort (the r12 window covered only
+# its first 8). Front-load (a) anything r13 adds or re-plans, then
+# (b) the remaining r9-row entries, oldest first in registry order:
+# kmeans_centroids_fixed, coin_pagerank_capped, ohlc_daily_rollup,
+# event_bigrams, restfeed_ohlc, orc_roundtrip, exchange_hll_rollup,
+# ohlc_stream_replay, dup_rate_by_source, coin_volume_percentile,
+# volume_grouping_sets, knn_recall, url_dedup, media_decode_ppm,
+# vwap_stream_replay, span_dedup, gopher_rules, media_decode_wav,
+# mixture_sample, knn_pq, curation_pipeline_v2, price_resample_1h,
+# knn_pq_recall, session_stream_replay, price_anomalies,
+# forecast_backtest, bpe_merges, jsonl_roundtrip, volume_profile,
+# bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
+# active_coins_semi, momentum_ranks, knn_lsh_multiprobe,
+# fuzzy_match_blocked, repeated_spans_sliding, media_frames_gif2,
+# remove_repeated_spans, leakage_safe_split (41 entries — 9 over a
+# 50-slot window after typical (a) additions; the overflow ages one
+# more round safely, prefer yielding entries whose plan family is
+# pinned by an in-window sibling, per the r11 yield precedent), then
+# (c) the oldest r10-row entries with any remaining slots. Rename
+# EXPECTED_R12_WINDOW to EXPECTED_R13_WINDOW in the same commit.
+# The r11-written round-12 guidance (EXECUTED this round — see
+# _R12_WINDOW_FRONT; kept for history): front-load (a) anything r12 adds or
 # re-plans — including the five hash-stable late-r11 re-plans
 # (curation_pipeline, dedup_survivors, pack_chunks,
 # pack_chunks_overlap, bpe_pack: forced O(N) broadcasts removed /
@@ -755,6 +791,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # evidence row
     "semantic_dup_components": q_semantic_dup_components,
     "bucketed_join_audit": q_bucketed_join_audit,
+    # ---- round 12 registrations: the trained quality classifier
+    # family (hashed-BoW balanced logistic regression, fixed-point
+    # gradient rounds as keyed aggregates) and the end-to-end pipeline
+    # behind its gate ----
+    "quality_classifier_weights": q_quality_classifier_weights,
+    "quality_classifier_scores": q_quality_classifier_scores,
+    "quality_classifier_auc": q_quality_classifier_auc,
+    "curation_pipeline_v4": q_curation_pipeline_v4,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -786,86 +830,84 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (b) spread_stream_replay, exact_dedup; (c) the 24 remaining r6 rows;
 # (d) the 19 oldest r7 rows (atr_14 / exchange_cardinality_approx
 # yielded to the mid-round registrations).
-# ROUND-11 ROTATION (executed per the r10 guidance block above):
-_R11_WINDOW_FRONT = [
-    # (a) new or re-planned this round: curation_pipeline_v3 (r11
-    # registration — the end-to-end pretraining composition, never
-    # driver-checked), fuzzy_match_multipass (re-planned: third
-    # sorted-token pass + reorder twin family + max_dist=4 + right()
-    # suffix key — output changed), dsir_sample (re-planned: 2^32-level
-    # Gumbel noise per ADVICE r10 — output changed)
-    "curation_pipeline_v3",
-    "fuzzy_match_multipass",
-    "dsir_sample",
-    # (a2) mid-round r11 registrations (this session): the
-    # capped-SemDeDup -> CC dup-group composition and the
-    # co-located-join evidence row; per
-    # precedent keltner_channels and heikin_ashi yield their (c) slots
-    # (keltner's ATR/EMA window family is pinned by in-window atr_14 +
-    # technical_indicators, heikin_ashi's OHLC derivation by in-window
-    # ohlc_candles + candlestick_patterns; both keep green r8 rows and
-    # front-load the r12 (b) cohort)
-    "semantic_dup_components",
-    "bucketed_join_audit",
-    # (b) the full r7-row cohort (31 entries, registry order — incl.
-    # atr_14 and exchange_cardinality_approx which yielded their r10
-    # slots)
-    "exchange_cardinality_approx",
-    "atr_14",
-    "price_chart",
-    "indicator_chart",
-    "coin_display",
-    "quality_score",
-    "token_counts",
-    "lang_id",
-    "doc_fingerprint",
-    "bigram_logprob",
-    "doc_length_quantiles",
-    "top_terms",
-    "redact_pii",
-    "dataset_split",
-    "deterministic_sample",
-    "stratified_sample",
-    "pack_chunks",
-    "media_metadata",
-    "frame_schedule",
-    "coins_dim",
-    "price_data",
-    "ohlc_candles",
-    "technical_indicators",
-    "coin_market_cap",
-    "coin_table",
-    "envelope_price",
-    "envelope_coins",
-    "envelope_ohlc",
-    "coin_indicators_left",
-    "volume_rollup",
-    "text_stats",
-    # (c) the oldest r8-row entries, registry order (16 at the
-    # boundary commit; 14 after keltner_channels and heikin_ashi
-    # yielded to the (a2) mid-round registrations)
-    "candlestick_patterns",
-    "vocab_coverage",
-    "scd2_volume_tiers",
-    "knn_ivf_pq",
-    "csv_roundtrip",
-    "funnel_conversion",
-    "lead_lag_corr",
-    "rolling_sharpe",
-    "market_regime",
-    "corpus_quality_report",
-    "pricing_summary",
-    "rolling_active_coins",
-    "event_props_variant",
-    "activity_reconciliation",
+# ROUND-11 ROTATION (executed per the r10 guidance block above; list
+# in git history / CORRECTNESS_r11.json): (a) curation_pipeline_v3 +
+# the re-planned fuzzy_match_multipass / dsir_sample + the mid-round
+# semantic_dup_components / bucketed_join_audit; (b) the full
+# 31-entry r7-row cohort; (c) the 14 oldest r8 rows
+# (keltner_channels / heikin_ashi yielded to the mid-round
+# registrations).
+# ROUND-12 ROTATION (executed per the r11 guidance block above):
+_R12_WINDOW_FRONT = [
+    # (a) r12 registrations: the trained quality classifier family
+    # (hashed-BoW balanced logistic regression — weights / scores /
+    # held-out AUC) and the end-to-end pipeline behind its gate;
+    # never driver-checked
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+    "quality_classifier_auc",
+    "curation_pipeline_v4",
+    # (a2) the four late-r11 hash-stable re-plans WITHOUT a post-fix
+    # driver row (forced O(N) broadcasts removed / conditional
+    # tie-break; values verified unchanged at sf0.01, fresh rows
+    # re-verify per protocol)
+    "curation_pipeline",
+    "dedup_survivors",
+    "pack_chunks_overlap",
+    "bpe_pack",
+    # (b) the full 34-entry r8-row cohort (registry order, incl. the
+    # r11 yields keltner_channels / heikin_ashi)
+    "keltner_channels",
+    "heikin_ashi",
+    "shipping_priority",
+    "knn_ivf_pq_recall",
+    "envelope_mcap",
+    "ohlc_chart",
+    "vwap_hourly",
+    "close_pivot",
+    "documents_profile",
+    "cross_exchange_spread",
+    "rolling_beta",
+    "stochastic",
+    "donchian",
+    "ichimoku",
+    "bm25_scores",
+    "dsir_weights",
+    "media_features_auto",
+    "media_frames_real",
+    "hybrid_retrieval_rrf",
+    "pca_top_component",
+    "dup_clusters_star",
+    "spread_outer_stream_replay",
+    "pca_residual",
+    "knn_ivf_append",
+    "media_decode_jpeg_color",
+    "large_volume_customers",
+    "quality_auc",
+    "host_cap",
+    "quality_survivors",
+    "media_frames_gif",
+    "bpe_vocab_k",
+    "plan_audit_skew",
+    "bpe_encode",
+    "semantic_dedup_capped",
+    # (c) the 8 oldest r9-row entries, registry order
+    "simhash_pairs_wide",
+    "knn_ivf_fixed",
+    "media_decode_png",
+    "salted_join_skew",
+    "restfeed_stream_replay",
+    "plan_audit",
+    "embedding_dup_wide",
+    "dedup_stream_replay",
 ]
-assert len(_R11_WINDOW_FRONT) == 50 and len(set(_R11_WINDOW_FRONT)) == 50
-assert set(_R11_WINDOW_FRONT) <= set(QUERIES), sorted(
-    set(_R11_WINDOW_FRONT) - set(QUERIES)
+assert len(_R12_WINDOW_FRONT) == 50 and len(set(_R12_WINDOW_FRONT)) == 50
+assert set(_R12_WINDOW_FRONT) <= set(QUERIES), sorted(
+    set(_R12_WINDOW_FRONT) - set(QUERIES)
 )
 QUERIES = {
     k: QUERIES[k]
-    for k in _R11_WINDOW_FRONT + [k for k in QUERIES if k not in _R11_WINDOW_FRONT]
+    for k in _R12_WINDOW_FRONT + [k for k in QUERIES if k not in _R12_WINDOW_FRONT]
 }
 
 # ---------------------------------------------------------------------------
@@ -1100,6 +1142,11 @@ _ORACLE_REGISTRATION_ORDER = [
     # ---- r11 mid-round registrations ----
     "semantic_dup_components",
     "bucketed_join_audit",
+    # ---- r12 registrations ----
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+    "quality_classifier_auc",
+    "curation_pipeline_v4",
 ]
 
 _merged_oracles: dict[str, str] = {}

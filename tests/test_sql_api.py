@@ -227,73 +227,61 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # round. This list IS the current round's window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R11_WINDOW = [
-    # (a) new or re-planned this round: the end-to-end pretraining
-    # composition (new), the three-pass sorted-token fuzzy linkage
-    # (re-plan, output changed), the wide-hash DSIR resampler
-    # (re-plan, output changed)
-    "curation_pipeline_v3",
-    "fuzzy_match_multipass",
-    "dsir_sample",
-    # (a2) mid-round r11 registrations (this session): the
-    # capped-SemDeDup -> CC dup-group composition and the
-    # co-located-join evidence row; per
-    # precedent keltner_channels and heikin_ashi yield their (c) slots
-    # (keltner's ATR/EMA window family is pinned by in-window atr_14 +
-    # technical_indicators, heikin_ashi's OHLC derivation by in-window
-    # ohlc_candles + candlestick_patterns; both keep green r8 rows and
-    # front-load the r12 (b) cohort)
-    "semantic_dup_components",
-    "bucketed_join_audit",
-    # (b) the full r7-row cohort (31 entries, registry order)
-    "exchange_cardinality_approx",
-    "atr_14",
-    "price_chart",
-    "indicator_chart",
-    "coin_display",
-    "quality_score",
-    "token_counts",
-    "lang_id",
-    "doc_fingerprint",
-    "bigram_logprob",
-    "doc_length_quantiles",
-    "top_terms",
-    "redact_pii",
-    "dataset_split",
-    "deterministic_sample",
-    "stratified_sample",
-    "pack_chunks",
-    "media_metadata",
-    "frame_schedule",
-    "coins_dim",
-    "price_data",
-    "ohlc_candles",
-    "technical_indicators",
-    "coin_market_cap",
-    "coin_table",
-    "envelope_price",
-    "envelope_coins",
-    "envelope_ohlc",
-    "coin_indicators_left",
-    "volume_rollup",
-    "text_stats",
-    # (c) the oldest r8-row entries, registry order (16 at the
-    # boundary commit; 14 after keltner_channels and heikin_ashi
-    # yielded to the (a2) mid-round registrations)
-    "candlestick_patterns",
-    "vocab_coverage",
-    "scd2_volume_tiers",
-    "knn_ivf_pq",
-    "csv_roundtrip",
-    "funnel_conversion",
-    "lead_lag_corr",
-    "rolling_sharpe",
-    "market_regime",
-    "corpus_quality_report",
-    "pricing_summary",
-    "rolling_active_coins",
-    "event_props_variant",
-    "activity_reconciliation",
+EXPECTED_R12_WINDOW = [
+    # (a) r12 registrations (trained quality classifier family +
+    # the pipeline behind its gate), (a2) the four late-r11
+    # hash-stable re-plans without a post-fix driver row, (b) the
+    # full 34-entry r8-row cohort, (c) the 8 oldest r9-row entries
+    "quality_classifier_weights",
+    "quality_classifier_scores",
+    "quality_classifier_auc",
+    "curation_pipeline_v4",
+    "curation_pipeline",
+    "dedup_survivors",
+    "pack_chunks_overlap",
+    "bpe_pack",
+    "keltner_channels",
+    "heikin_ashi",
+    "shipping_priority",
+    "knn_ivf_pq_recall",
+    "envelope_mcap",
+    "ohlc_chart",
+    "vwap_hourly",
+    "close_pivot",
+    "documents_profile",
+    "cross_exchange_spread",
+    "rolling_beta",
+    "stochastic",
+    "donchian",
+    "ichimoku",
+    "bm25_scores",
+    "dsir_weights",
+    "media_features_auto",
+    "media_frames_real",
+    "hybrid_retrieval_rrf",
+    "pca_top_component",
+    "dup_clusters_star",
+    "spread_outer_stream_replay",
+    "pca_residual",
+    "knn_ivf_append",
+    "media_decode_jpeg_color",
+    "large_volume_customers",
+    "quality_auc",
+    "host_cap",
+    "quality_survivors",
+    "media_frames_gif",
+    "bpe_vocab_k",
+    "plan_audit_skew",
+    "bpe_encode",
+    "semantic_dedup_capped",
+    "simhash_pairs_wide",
+    "knn_ivf_fixed",
+    "media_decode_png",
+    "salted_join_skew",
+    "restfeed_stream_replay",
+    "plan_audit",
+    "embedding_dup_wide",
+    "dedup_stream_replay",
 ]
 
 
@@ -322,8 +310,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R11_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R11_WINDOW
+    assert len(EXPECTED_R12_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R12_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
