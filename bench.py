@@ -43,7 +43,33 @@ def main() -> None:
     # first in the registry — observed as a phantom 3x on the dict head).
     from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import TABLES, load_table
 
+    # Host-speed calibration (r12 A/A adjudication): time two FIXED
+    # workloads — a JVM codegen scalar loop and a pure-Python loop —
+    # and stamp them into the artifact. Cross-round bench levels have
+    # drifted 0.81 -> 0.92 -> ~1.04 s/query (r10..r12) while same-HEAD
+    # same-session arms stay within ~7%, and the r12 per-query
+    # comparison vs the r11 artifact shows a BROAD-BASED 1.17x median
+    # shift across unrelated plan families (codecs, windows, LSH) with
+    # 23 queries faster — the signature of host-level speed drift, not
+    # plan drift. These stamps let the next session separate the two
+    # directly: if calibration moves with the totals, the level shift
+    # is the machine.
+    import timeit as _timeit
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # same expression at 1/10 size first: the stamp must measure warm
+    # steady-state host speed, not the one-off JIT/codegen compile of
+    # its own plan (measured cold 3.7 s vs warm 0.6 s for identical
+    # work)
+    spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    _t0 = time.perf_counter()
+    spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    _jvm_sec = round(time.perf_counter() - _t0, 3)
+    _py_sec = round(_timeit.timeit("sum(i * i for i in range(200000))", number=50), 3)
+    print(
+        f"bench: calibration jvm_sec={_jvm_sec} py_sec={_py_sec}",
+        file=sys.stderr,
+    )
     for t in TABLES:
         try:
             load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
@@ -186,6 +212,7 @@ def main() -> None:
     out["n_queries"] = len(timings)
     out["n_errors"] = len(errors)
     out["total_sec"] = total
+    out["calibration"] = {"jvm_sec": _jvm_sec, "py_sec": _py_sec}
     # Subset runs (the A/A harness) must not clobber the committed
     # full-registry artifact — they land in bench_subset.json instead.
     # Likewise full runs at a NON-canonical sf (e.g. the verify drive
@@ -243,6 +270,7 @@ def main() -> None:
         "q_names_md5": hashlib.md5(",".join(names).encode()).hexdigest(),
         "q_sec": [timings[k] for k in names],
         "total_sec": total,
+        "calibration": {"jvm_sec": _jvm_sec, "py_sec": _py_sec},
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # never outgrow the capture window again:

@@ -102,7 +102,21 @@ SHOWCASE = [
     "curation_pipeline_v3",    # gate->LSH dedup->split->decontam->DSIR->pack
     "semantic_dup_components", # capped dup_of edges -> log-round star CC
     "bucketed_join_audit",     # co-located bucketBy join: 0 Exchange in-band
+    "quality_classifier_scores",  # broadcast 66-row model join + doc-keyed agg
+    "curation_pipeline_v4",    # trained gate -> the shared v3 stage tail
 ]
+
+# Serving-path queries additionally dump their Scan-node detail blocks
+# (PushedFilters / ReadSchema), so pushdown and column pruning are
+# auditable from the artifact itself (r11 verdict #8) — for the rest,
+# the operator tree alone keeps the file readable.
+SCAN_DETAIL = {
+    "coin_table",
+    "ohlc_candles",
+    "technical_indicators",
+    "price_chart",
+    "coin_indicators_left",
+}
 
 
 def main() -> None:
@@ -123,8 +137,19 @@ def main() -> None:
             )
         )
         # keep the operator tree, drop the verbose per-node detail dump
-        tree = plan.split("\n\n")[0]
+        # — except the Scan blocks for SCAN_DETAIL queries, where
+        # PushedFilters/ReadSchema are the evidence
+        paras = plan.split("\n\n")
+        tree = paras[0]
         out += [f"## {name}", "", "```", tree, "```", ""]
+        if name in SCAN_DETAIL:
+            scans = [
+                p
+                for p in paras[1:]
+                if "PushedFilters" in p or "ReadSchema" in p
+            ]
+            if scans:
+                out += ["Scan details:", "", "```", "\n\n".join(scans), "```", ""]
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote EXPLAIN.md ({len(SHOWCASE)} plans)")
