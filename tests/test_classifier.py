@@ -276,6 +276,37 @@ def test_curation_pipeline_v4_stage_counts(spark):
     assert set(out) <= keep_ids
 
 
+def test_disagreement_profile_reconciles_with_scores(spark):
+    """The rollout-review profile must be an exact re-aggregation of
+    the scores frame: cell counts reconcile, per-source fractions sum
+    to 1, and (at fixture scale, pinned while it holds) the trained
+    gate admits NOTHING the teacher rejects — the fpr-0 property the
+    balanced training run showed."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import QUERIES
+
+    prof = QUERIES["quality_classifier_disagreement"](spark, SF_ORACLE).collect()
+    scores = QUERIES["quality_classifier_scores"](spark, SF_ORACLE)
+    docs = _docs(spark).select("doc_id", "source")
+    want = {
+        (r.source, r.label, r.predicted): r.n
+        for r in scores.join(docs, "doc_id")
+        .groupBy("source", "label", "predicted")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r.source, r.teacher_keep, r.student_keep): r.n_docs for r in prof}
+    assert got == want
+    # fractions sum to 1 per source (rounding to 6dp leaves <= 2e-6 slack)
+    by_src: dict[str, float] = {}
+    for r in prof:
+        by_src[r.source] = by_src.get(r.source, 0.0) + r.source_frac
+    for s, tot in by_src.items():
+        assert tot == pytest.approx(1.0, abs=5e-6), s
+    # no (teacher=False, student=True) cell: the student never admits
+    # what the rules reject on this corpus
+    assert not [k for k in got if not k[1] and k[2]]
+
+
 def test_v3_and_v4_share_the_stage_tail(spark):
     """Guard on the shared-code claim: feeding v3's heuristic keep set
     through _curation_stages reproduces curation_pipeline_v3 exactly —

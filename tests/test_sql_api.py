@@ -228,14 +228,17 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
 EXPECTED_R12_WINDOW = [
-    # (a) r12 registrations (trained quality classifier family +
-    # the pipeline behind its gate), (a2) the four late-r11
-    # hash-stable re-plans without a post-fix driver row, (b) the
-    # full 34-entry r8-row cohort, (c) the 8 oldest r9-row entries
+    # (a) r12 registrations (trained quality classifier family incl.
+    # the mid-round disagreement profile + the pipeline behind its
+    # gate), (a2) the four late-r11 hash-stable re-plans without a
+    # post-fix driver row, (b) the full 34-entry r8-row cohort,
+    # (c) the 7 oldest r9-row entries (plan_audit yielded to the
+    # mid-round addition)
     "quality_classifier_weights",
     "quality_classifier_scores",
     "quality_classifier_auc",
     "curation_pipeline_v4",
+    "quality_classifier_disagreement",
     "curation_pipeline",
     "dedup_survivors",
     "pack_chunks_overlap",
@@ -279,7 +282,6 @@ EXPECTED_R12_WINDOW = [
     "media_decode_png",
     "salted_join_skew",
     "restfeed_stream_replay",
-    "plan_audit",
     "embedding_dup_wide",
     "dedup_stream_replay",
 ]
