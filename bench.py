@@ -224,9 +224,15 @@ def main() -> None:
     # full canonical run (the driver's per-round rebench) lands in the
     # gitignored bench_driver.json. The invoking context is stamped
     # into the JSON either way.
+    # the basename fallback exists for a MOVED fixture root (ADVICE
+    # r11) — it must not let a same-named scratch copy claim the graded
+    # artifact while the canonical path still exists (code-review r12)
     canonical = os.path.realpath(sf_dir) == os.path.realpath(
         CANONICAL_SF_DIR
-    ) or os.path.basename(os.path.realpath(sf_dir)) == CANONICAL_SF_BASENAME
+    ) or (
+        not os.path.isdir(CANONICAL_SF_DIR)
+        and os.path.basename(os.path.realpath(sf_dir)) == CANONICAL_SF_BASENAME
+    )
     invoked_by = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "driver")
     out["invoked_by"] = invoked_by
     if only is not None:

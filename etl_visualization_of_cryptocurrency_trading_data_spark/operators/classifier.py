@@ -69,17 +69,16 @@ QCLF_LEN_SCALE = 100
 
 
 def _labeled(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_words, y): the teacher label (the [[with_quality]]
-    heuristic gate) over every document with at least one token —
-    empty documents carry no lexical evidence and are excluded from
-    training and scoring, exactly like [[sampling.dsir_weights]]."""
+    """(doc_id, y): the teacher label (the [[with_quality]] heuristic
+    gate) over every document with at least one token — empty
+    documents carry no lexical evidence and are excluded from training
+    and scoring, exactly like [[sampling.dsir_weights]]."""
     from .text import with_quality
 
     return (
         with_quality(documents)
-        .withColumn("_n", F.size(words(F.col("text"))))
-        .filter(F.col("_n") > 0)
-        .select("doc_id", F.col("_n").alias("n_words"), F.col("is_quality").alias("y"))
+        .filter(F.size(words(F.col("text"))) > 0)
+        .select("doc_id", F.col("is_quality").alias("y"))
     )
 
 
@@ -137,10 +136,17 @@ def train_quality_classifier(
         m_d  = round(sum_b x_db * w_b, 9)
         p_d  = round(1 / (1 + exp(-m_d)), 9)
         e_d  = (p_d - y_d) * cw_d          cw = N/(2*n_pos) | N/(2*n_neg)
-        g_b  = sum_d e_d * x_db
+        g_b  = round(sum_d e_d * x_db, 6)
         w_b <- round(w_b - lr * g_b / N, 9)
-    Degenerate corpora (one class absent) fall back to cw = 1.0 —
-    unweighted descent — instead of dividing by zero."""
+    g_b is the one CORPUS-sized float sum in the loop, so it gets its
+    own rounding at a coarser 1e-6 grid: per-doc margins sum ~66 terms
+    (order drift ~1e-14, far under their 1e-9 grid), but g_b's
+    summation-order drift grows ~N*eps and would reach the 1e-9 grid
+    near N~1e7 docs — rounding the sum at 1e-6 keeps the cross-engine
+    replay bit-exact to N~1e10 (drift ~1e-7 << the half-cell 5e-7),
+    and costs nothing: the subsequent /N and lr multiply are exact on
+    identical bits. Degenerate corpora (one class absent) fall back to
+    cw = 1.0 — unweighted descent — instead of dividing by zero."""
     spark = documents.sparkSession
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -199,7 +205,7 @@ def train_quality_classifier(
             feats.join(err, "doc_id")
             .groupBy("b")
             .agg(
-                F.sum(F.col("x") * F.col("e")).alias("g"),
+                F.round(F.sum(F.col("x") * F.col("e")), 6).alias("g"),
                 F.max("n_all").alias("n_all"),
             )
         )
@@ -219,6 +225,14 @@ def train_quality_classifier(
             )
             .localCheckpoint(eager=True)
         )
+    # training ran EAGERLY (every round checkpointed above), so the
+    # cached label/feature frames are dead the moment the loop ends —
+    # release them here or a session registering all five classifier
+    # queries accumulates 2 corpus-sized cache entries per call
+    # (code-review r12)
+    if persist_intermediate:
+        lab.unpersist()
+        feats.unpersist()
     return w.select(F.col("b").alias("bucket"), F.col("w").alias("weight"))
 
 

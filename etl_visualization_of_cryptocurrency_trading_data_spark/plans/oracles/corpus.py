@@ -526,7 +526,7 @@ qc_e{k} AS (
   FROM qc_m{k} m JOIN qc_wd d USING (doc_id)
 ),
 qc_g{k} AS (
-  SELECT f.b, sum(f.x * e.e) AS g, max(e.n_all) AS n_all
+  SELECT f.b, round(sum(f.x * e.e), 6) AS g, max(e.n_all) AS n_all
   FROM qc_feats f JOIN qc_e{k} e USING (doc_id) GROUP BY f.b
 ),
 qc_w{k} AS MATERIALIZED (

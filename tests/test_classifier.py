@@ -94,8 +94,8 @@ def test_hashed_features_exact_values(spark):
 
 def test_first_gradient_round_hand_computed(spark):
     """At w = 0 every margin is 0 and every p is exactly 0.5, so the
-    first update has the closed form w1_b = -lr/N * sum_d cw_d *
-    (0.5 - y_d) * x_db — computed here from RAW token counts with
+    first update has the closed form w1_b = -lr/N * round(sum_d cw_d *
+    (0.5 - y_d) * x_db, 6) — computed here from RAW token counts with
     plain Python arithmetic (hashlib md5, no engine code) and compared
     exactly (both sides land on the 1e-9 grid)."""
     docs = _tiny_corpus(spark)
@@ -130,7 +130,7 @@ def test_first_gradient_round_hand_computed(spark):
             cells[b] = cells.get(b, 0.0) + 1.0 / len(ws)
         for b, x in cells.items():
             exp[b] += err * x
-    expected = {b: round(-QCLF_LR * v / n_all, 9) for b, v in exp.items()}
+    expected = {b: round(-QCLF_LR * (round(v, 6) / n_all), 9) for b, v in exp.items()}
     assert set(got) == set(expected)
     for b in expected:
         assert got[b] == pytest.approx(expected[b], abs=2e-9), b
@@ -164,8 +164,8 @@ def test_training_matches_independent_numpy_replay(spark):
     for _ in range(QCLF_ITERS):
         m = np.round(X @ w, 9)
         p = np.round(1.0 / (1.0 + np.exp(-m)), 9)
-        g = X.T @ (cw * (p - y)) / n_all
-        w = np.round(w - QCLF_LR * g, 9)
+        g = np.round(X.T @ (cw * (p - y)), 6)
+        w = np.round(w - QCLF_LR * (g / n_all), 9)
     got = {
         r.bucket: r.weight
         for r in classifier.train_quality_classifier(docs).collect()
