@@ -26,6 +26,41 @@ sys.path.insert(0, REPO)
 # this path OR is named sf0.1 under whatever root the fixtures live.
 CANONICAL_SF_DIR = "/root/testdata/sf0.1"
 CANONICAL_SF_BASENAME = "sf0.1"
+# scale fingerprint for the basename fallback (ADVICE r12: a scratch
+# dir NAMED sf0.1 but holding differently-scaled data must not claim
+# the graded artifact) — orders at sf0.1 is exactly 150k rows
+CANONICAL_ORDERS_ROWS = 150_000
+
+
+def is_canonical_sf(sf_dir: str) -> bool:
+    """True iff ``sf_dir`` is the graded sf0.1 fixture root.
+
+    Resolution order (ADVICE r12): an explicit
+    SPARK_GRAFT_CANONICAL_SF_DIR override wins; else the realpath match
+    against the baked-in root; else (moved-fixture fallback, only when
+    the baked-in root is ABSENT) a basename match that must ALSO pass a
+    scale sanity check — the parquet footer row count of a known table
+    — so a same-named scratch copy at a different SF can never claim
+    bench_full.json.
+    """
+    override = os.environ.get("SPARK_GRAFT_CANONICAL_SF_DIR")
+    if override:
+        return os.path.realpath(sf_dir) == os.path.realpath(override)
+    if os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR):
+        return True
+    if os.path.isdir(CANONICAL_SF_DIR):
+        return False
+    if os.path.basename(os.path.realpath(sf_dir)) != CANONICAL_SF_BASENAME:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "orders.parquet")
+        ).metadata.num_rows
+    except Exception:  # noqa: BLE001 — unreadable fixture = not canonical
+        return False
+    return n == CANONICAL_ORDERS_ROWS
 
 from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import QUERIES
 from etl_visualization_of_cryptocurrency_trading_data_spark.session import get_spark
@@ -34,6 +69,20 @@ from etl_visualization_of_cryptocurrency_trading_data_spark.session import get_s
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # resolve the run shape (subset? canonical sf?) BEFORE the session
+    # so the calibration gate below can see it (ADVICE r12)
+    raw = os.environ.get("SPARK_GRAFT_QUERIES")
+    requested = [n.strip() for n in raw.split(",") if n.strip()] if raw else []
+    only = requested or None
+    if only is not None:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            print(
+                f"bench: unknown queries skipped: {', '.join(unknown)}",
+                file=sys.stderr,
+            )
+        only = [n for n in only if n in QUERIES]
+    canonical = is_canonical_sf(sf_dir)
     spark = get_spark(app_name="bench")
 
     # Warm the JVM/codegen path and the parquet inputs once so the first
@@ -56,20 +105,34 @@ def main() -> None:
     # is the machine.
     import timeit as _timeit
 
+    # ADVICE r12: the stamp is only ever COMPARED on full canonical
+    # runs (cross-round adjudication vs the committed bench_full.json
+    # anchors), so don't pay its ~10 s on --only subset smokes or
+    # sf0.01 verify drives — those runs stamp calibration: null.
+    # SPARK_GRAFT_CALIBRATE=1 forces it on, =0 forces it off.
+    _cal_env = os.environ.get("SPARK_GRAFT_CALIBRATE")
+    if _cal_env is not None:
+        _calibrate = _cal_env == "1"
+    else:
+        _calibrate = only is None and canonical
+    _jvm_sec = _py_sec = None
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # same expression at 1/10 size first: the stamp must measure warm
-    # steady-state host speed, not the one-off JIT/codegen compile of
-    # its own plan (measured cold 3.7 s vs warm 0.6 s for identical
-    # work)
-    spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
-    _t0 = time.perf_counter()
-    spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
-    _jvm_sec = round(time.perf_counter() - _t0, 3)
-    _py_sec = round(_timeit.timeit("sum(i * i for i in range(200000))", number=50), 3)
-    print(
-        f"bench: calibration jvm_sec={_jvm_sec} py_sec={_py_sec}",
-        file=sys.stderr,
-    )
+    if _calibrate:
+        # same expression at 1/10 size first: the stamp must measure
+        # warm steady-state host speed, not the one-off JIT/codegen
+        # compile of its own plan (measured cold 3.7 s vs warm 0.6 s
+        # for identical work)
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        _t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        _jvm_sec = round(time.perf_counter() - _t0, 3)
+        _py_sec = round(
+            _timeit.timeit("sum(i * i for i in range(200000))", number=50), 3
+        )
+        print(
+            f"bench: calibration jvm_sec={_jvm_sec} py_sec={_py_sec}",
+            file=sys.stderr,
+        )
     for t in TABLES:
         try:
             load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
@@ -124,22 +187,13 @@ def main() -> None:
     # adjudication harness for suspected regressions (r9 verdict
     # item #1). Default (unset OR effectively empty): the full
     # registry. Unknown names (typos, demoted queries) are warned and
-    # skipped, never a post-warmup KeyError — the same
-    # isolation posture as the per-query error handling below.
-    raw = os.environ.get("SPARK_GRAFT_QUERIES")
-    requested = [n.strip() for n in raw.split(",") if n.strip()] if raw else []
-    only = requested or None
-    if only is not None:
-        unknown = [n for n in only if n not in QUERIES]
-        if unknown:
-            print(
-                f"bench: unknown queries skipped: {', '.join(unknown)}",
-                file=sys.stderr,
-            )
-        only = [n for n in only if n in QUERIES]
+    # skipped, never a post-warmup KeyError — the same isolation
+    # posture as the per-query error handling below. (Parsed up top,
+    # before the session, so the calibration gate can see it.)
     selected = {n: QUERIES[n] for n in only} if only is not None else QUERIES
 
     timings: dict[str, float] = {}
+    build_secs: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, build in selected.items():
         if pre_sf is not None:
@@ -152,10 +206,24 @@ def main() -> None:
                 spark.catalog.clearCache()
             precompile_sec += time.perf_counter() - t0
         try:
-            df = build(spark, sf_dir)
+            # r12 verdict #3: builder construction is INSIDE the timer.
+            # Most builders are lazy (construction = plan assembly,
+            # ~ms), but eager-build queries (classifier training's
+            # per-round localCheckpoints, IVF/k-means index builds, the
+            # brute probe collect) do their real sf-scale work here —
+            # timing only the sink write under-reported
+            # quality_classifier_weights as 0.023 s while ~4.8 s of
+            # training hid in precompile_sec. q_sec is now the honest
+            # end-to-end cost; build_sec is also stamped separately
+            # wherever it is non-trivial (>=50 ms) so eager work stays
+            # attributable.
             t0 = time.perf_counter()
+            df = build(spark, sf_dir)
+            b = time.perf_counter() - t0
             df.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            if b >= 0.05:
+                build_secs[name] = round(b, 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -212,7 +280,11 @@ def main() -> None:
     out["n_queries"] = len(timings)
     out["n_errors"] = len(errors)
     out["total_sec"] = total
-    out["calibration"] = {"jvm_sec": _jvm_sec, "py_sec": _py_sec}
+    out["calibration"] = (
+        {"jvm_sec": _jvm_sec, "py_sec": _py_sec} if _calibrate else None
+    )
+    if build_secs:
+        out["build_sec"] = build_secs
     # Subset runs (the A/A harness) must not clobber the committed
     # full-registry artifact — they land in bench_subset.json instead.
     # Likewise full runs at a NON-canonical sf (e.g. the verify drive
@@ -224,15 +296,9 @@ def main() -> None:
     # full canonical run (the driver's per-round rebench) lands in the
     # gitignored bench_driver.json. The invoking context is stamped
     # into the JSON either way.
-    # the basename fallback exists for a MOVED fixture root (ADVICE
-    # r11) — it must not let a same-named scratch copy claim the graded
-    # artifact while the canonical path still exists (code-review r12)
-    canonical = os.path.realpath(sf_dir) == os.path.realpath(
-        CANONICAL_SF_DIR
-    ) or (
-        not os.path.isdir(CANONICAL_SF_DIR)
-        and os.path.basename(os.path.realpath(sf_dir)) == CANONICAL_SF_BASENAME
-    )
+    # canonical was resolved up top via is_canonical_sf (realpath match,
+    # else basename fallback for a MOVED root gated on a parquet-footer
+    # scale fingerprint — ADVICE r11 + r12)
     invoked_by = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "driver")
     out["invoked_by"] = invoked_by
     if only is not None:
@@ -276,7 +342,9 @@ def main() -> None:
         "q_names_md5": hashlib.md5(",".join(names).encode()).hexdigest(),
         "q_sec": [timings[k] for k in names],
         "total_sec": total,
-        "calibration": {"jvm_sec": _jvm_sec, "py_sec": _py_sec},
+        "calibration": (
+            {"jvm_sec": _jvm_sec, "py_sec": _py_sec} if _calibrate else None
+        ),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # never outgrow the capture window again:

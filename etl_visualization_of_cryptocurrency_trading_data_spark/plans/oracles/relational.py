@@ -534,28 +534,13 @@ def q_bucketed_join_audit(spark, sf_dir):
     # and clear any orphaned location before the overwrite
     import os as _os
     import shutil as _shutil
-    import tempfile as _tempfile
 
-    # per-process location: concurrent sessions (a driver run next to a
-    # pytest parity run) must not race on a shared scratch dir.
-    # ADVICE r11: the per-PID dirs used to accumulate forever on a
-    # long-lived host — sweep orphans whose owning process is dead
-    # before creating ours (live PIDs are never touched, so the
-    # concurrency guarantee stands; sweep only where /proc exists).
+    # per-process location with dead-owner orphan sweep (ADVICE r11 +
+    # r12's uid/age scoping) — the shared sinks.scratch_dir discipline
     db = "bucket_audit"
-    tmp = _tempfile.gettempdir()
-    if _os.path.isdir("/proc"):
-        for d in _os.listdir(tmp):
-            if not d.startswith("spark_bucket_audit_"):
-                continue
-            pid = d.rsplit("_", 1)[-1]
-            if (
-                pid.isdigit()
-                and int(pid) != _os.getpid()
-                and not _os.path.exists(f"/proc/{pid}")
-            ):
-                _shutil.rmtree(_os.path.join(tmp, d), ignore_errors=True)
-    db_loc = _os.path.join(tmp, f"spark_bucket_audit_{_os.getpid()}")
+    from ...sinks import scratch_dir
+
+    db_loc = scratch_dir("spark_bucket_audit")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
     # IF NOT EXISTS keeps an existing database's OLD location, so the
     # cleanup path comes from the catalog's actual answer, not from the

@@ -264,6 +264,47 @@ def _rm_tree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def scratch_dir(prefix: str) -> str:
+    """Per-process scratch directory under the system tempdir:
+    ``/tmp/{prefix}_{pid}`` — concurrent sessions (a driver run next to
+    a pytest parity run) never race on a shared path. Before returning,
+    same-prefix orphans from DEAD processes are swept so long-lived
+    hosts don't accumulate one dir per past run (ADVICE r11), scoped to
+    dirs owned by THIS uid and older than an hour (ADVICE r12: a
+    multi-user host may hold another user's same-named dirs, and PID
+    reuse can make a just-forked process "own" a dead session's number
+    — a fresh dir is never an orphan, a true orphan is swept once it
+    ages past the threshold). Live PIDs are never touched; the sweep
+    runs only where /proc exists. The caller owns cleanup of the
+    returned dir (or leaves it for a later run's sweep)."""
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    if os.path.isdir("/proc"):
+        for d in os.listdir(tmp):
+            if not (d.startswith(prefix + "_")):
+                continue
+            pid = d.rsplit("_", 1)[-1]
+            path = os.path.join(tmp, d)
+            try:
+                st = os.stat(path)
+            except OSError:
+                continue
+            if (
+                pid.isdigit()
+                and int(pid) != os.getpid()
+                and not os.path.exists(f"/proc/{pid}")
+                and st.st_uid == os.getuid()
+                and time.time() - st.st_mtime > 3600
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+    out = os.path.join(tmp, f"{prefix}_{os.getpid()}")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
