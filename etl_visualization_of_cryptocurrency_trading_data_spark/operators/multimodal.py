@@ -2307,3 +2307,156 @@ def media_frames_real(
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(extract, schema)
+
+
+def dhash_ppm(
+    media: DataFrame, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """Fixed-point perceptual difference hash (dHash) over decoded PPM
+    payloads — the standard near-duplicate-image fingerprint (Krawetz's
+    dHash: downsample to a (grid_h, grid_w+1) grayscale grid, emit one
+    bit per horizontally adjacent pair, gray(x+1) > gray(x)), kept
+    ENTIRELY in integer arithmetic so a SQL oracle replays it
+    bit-exactly:
+
+    - nearest-neighbor sampling: src_x = (gx * w) // (grid_w + 1),
+      src_y = (gy * h) // grid_h — pure integer index math, no
+      float resize (area/bilinear resamples would need a float
+      rounding pin; NN keeps the whole hash exact end-to-end);
+    - integer luma: gray = 299*R + 587*G + 114*B (the ITU-R 601
+      weights scaled by 1000, division dropped — comparisons are
+      scale-invariant so the /1000 would be dead work);
+    - the 64 bits are emitted as FOUR 16-bit band columns
+      (band0..band3, bit j of band k = comparison at grid position
+      16k + j, row-major) — the SimHash band discipline
+      (dedup._simhash_bands_md5): no signed-64-bit packing issues,
+      and the bands double as the LSH bucketing keys for the pair
+      join in :func:`perceptual_dup_clusters`.
+
+    Input: (doc_id, payload) PPM rows (ppm_table / any P6 payload).
+    Output: (doc_id, band0..band3). Arrow-batched mapInPandas, pure
+    map — no shuffle; at 100 TB this is one linear decode pass.
+    Malformed payloads raise (caller bug, not data to quarantine),
+    same posture as the other codecs in this module.
+    """
+    n_bits = grid_w * grid_h
+    if n_bits != 64:
+        raise ValueError("dhash_ppm is pinned to 64-bit hashes (8x8 grid)")
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _parse_ppm(bytes(buf))
+                xs = (np.arange(grid_w + 1, dtype=np.int64) * w) // (grid_w + 1)
+                ys = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+                g = px[np.ix_(ys, xs)].astype(np.int64)
+                gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
+                rows["doc_id"].append(int(d))
+                for k in range(4):
+                    seg = bits[16 * k : 16 * k + 16]
+                    rows[f"band{k}"].append(int((seg << np.arange(16)).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(hash_batch, schema)
+
+
+def perceptual_dup_clusters(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual image dedup: dHash fingerprints -> Hamming-banded
+    candidate pairs -> star connected components -> per-image cluster
+    labels (doc_id, cluster_id = min doc_id in the cluster, n_members).
+
+    Scale architecture — the pair space is built over DISTINCT hashes,
+    never over images: a perceptual-hash corpus is heavily degenerate
+    (this fixture: ~336 distinct 64-bit hashes per 5000 images; real
+    crawls repeat logos/thumbnails the same way), so banding the raw
+    image table would put every copy of a popular image in one bucket
+    and the bucket join would go O(N^2). Instead:
+
+    1. one map pass computes the hash per image (:func:`dhash_ppm`);
+    2. ONE groupBy collapses images to distinct hashes, keeping
+       min(doc_id) as the representative and the member count —
+       the shuffle key is the hash, so the reduction is map-side
+       partial first (content-bounded output, not N rows);
+    3. the 4x16-bit bands bucket the REPRESENTATIVES (pigeonhole: two
+       hashes within Hamming 3 agree on >= 1 of 4 bands), the bucket
+       self-join emits candidate pairs, xor+bit_count verifies the
+       true distance — sum over buckets of |bucket|^2 where buckets
+       hold distinct hashes, the same discipline as
+       dedup._simhash_pairs_md5;
+    4. dedup.connected_components_star labels the representative
+       graph in O(log n) alternation rounds (localCheckpoint-bounded
+       lineage), and one hash-keyed join maps every image back to
+       its representative's cluster.
+
+    Every image therefore crosses the wire exactly twice (the hash
+    groupBy and the final label join); only distinct hashes enter the
+    quadratic-risk stage. 100x ratio measured in NOTES_r13.
+    """
+    from .dedup import connected_components_star
+
+    bands = [f"band{k}" for k in range(4)]
+    fps = dhash_ppm(media)
+    reps = fps.groupBy(*bands).agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs")
+    )
+    banded = reps.select(
+        "rep_id",
+        *bands,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"band{k}").alias("bucket")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rep_id", *bands, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}")).cast("long")
+        )
+        for k in range(4)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .select(
+            F.col("a.rep_id").alias("rep_id_a"),
+            F.col("b.rep_id").alias("rep_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    labels = connected_components_star(pairs, id_a="rep_id_a", id_b="rep_id_b")
+    rep_lab = reps.join(
+        labels, reps["rep_id"] == labels["doc_id"], "left"
+    ).select(
+        *[reps[c] for c in bands],
+        F.coalesce(labels["cluster_id"], reps["rep_id"]).alias("cluster_id"),
+    )
+    docs = fps.join(rep_lab, bands).select("doc_id", "cluster_id")
+    from pyspark.sql.window import Window
+
+    return docs.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )

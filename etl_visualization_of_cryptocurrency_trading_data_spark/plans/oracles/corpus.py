@@ -18,7 +18,15 @@ from ...operators.classifier import (
     QCLF_LR,
     QCLF_SALT,
 )
-from .common import _documents
+from .common import (
+    _documents,
+    quality_sum_ws_sql,
+    split_bucket_sql,
+    split_case_from_bucket_sql,
+    split_case_sql,
+    split_holdout_pred_sql,
+    split_train_pred_sql,
+)
 from .dedup import _leakage_safe_split_sql, _minhash_lsh_parts
 from .text import NORM_TEXT_SQL, STOPWORDS_SQL, WORDS_SQL, _bpe_encode_ctes
 
@@ -302,11 +310,7 @@ surv AS (
 ),
 spl AS (
   SELECT doc_id,
-         CASE WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
-                        AS BIGINT) % 10000 < 8000 THEN 'train'
-              WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
-                        AS BIGINT) % 10000 < 9000 THEN 'val'
-              ELSE 'test' END AS split
+         {split_case_sql("doc_id")} AS split
   FROM surv
 ),
 cpost AS (SELECT sh.doc_id, unnest(sh.shingles) AS sg
@@ -400,13 +404,7 @@ WITH RECURSIVE qw AS (
 q AS (
   SELECT doc_id, text, lang, source FROM (
     SELECT doc_id, text, lang, source,
-      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-       + CASE WHEN len(ws) > 0 AND
-                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
-                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-       + CASE WHEN len(ws) > 0 AND
-                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
-                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+      {quality_sum_ws_sql(STOPWORDS_SQL)} AS quality
     FROM qw
   ) WHERE quality >= 0.7
 ),
@@ -422,19 +420,9 @@ q AS (
 # ---------------------------------------------------------------------------
 
 # the md5-bucket train filter (sampling.train_val_test_split's 'train'
-# slice) applied INSIDE the lab source subquery
-QCLF_TRAIN_WHERE = (
-    "\n      WHERE CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))"
-    "\n                 AS BIGINT) % 10000 < 8000"
-)
-
-# the split CASE used by the scores/auc oracles (must stay the literal
-# twin of the spl CTEs elsewhere in this module)
-_QCLF_SPLIT_CASE = """CASE WHEN CAST(('0x' || substring(md5('split' || {id}::VARCHAR), 1, 8))
-                      AS BIGINT) % 10000 < 8000 THEN 'train'
-            WHEN CAST(('0x' || substring(md5('split' || {id}::VARCHAR), 1, 8))
-                      AS BIGINT) % 10000 < 9000 THEN 'val'
-            ELSE 'test' END"""
+# slice) applied INSIDE the lab source subquery — the shared
+# common.split_* constants (r12 verdict item #2)
+QCLF_TRAIN_WHERE = f"\n      WHERE {split_train_pred_sql('doc_id')}"
 
 
 def _qclf_bucket_sql(expr: str, buckets: int, salt: str) -> str:
@@ -453,11 +441,7 @@ def _qclf_lab_sql(source: str = "documents", where: str = "") -> str:
     WHERE already drops empty docs)."""
     return f"""(
   SELECT doc_id, len(ws) AS n, ws,
-         (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-          + CASE WHEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
-                      BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-          + CASE WHEN len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
-                      >= 0.05 THEN 0.3 ELSE 0.0 END) >= 0.7 AS y
+         {quality_sum_ws_sql(STOPWORDS_SQL, guarded=False)} >= 0.7 AS y
   FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM {source}{where})
   WHERE len(ws) > 0
 )"""
@@ -686,13 +670,7 @@ WITH qw AS (
 q AS (
   SELECT doc_id, text, lang FROM (
     SELECT doc_id, text, lang,
-      (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-       + CASE WHEN len(ws) > 0 AND
-                   list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
-                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-       + CASE WHEN len(ws) > 0 AND
-                   len(list_filter(ws, x -> x IN {STOPWORDS_SQL}))::DOUBLE / len(ws)
-                     >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+      {quality_sum_ws_sql(STOPWORDS_SQL)} AS quality
     FROM qw
   ) WHERE quality >= 0.7
 ),
@@ -705,11 +683,7 @@ d AS (
 ),
 sp AS (
   SELECT doc_id, text, lang,
-         CASE WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
-                        AS BIGINT) % 10000 < 8000 THEN 'train'
-              WHEN CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
-                        AS BIGINT) % 10000 < 9000 THEN 'val'
-              ELSE 'test' END AS split
+         {split_case_sql("doc_id")} AS split
   FROM d
 ),
 dws AS (SELECT doc_id, {WORDS_SQL} AS ws FROM d),
@@ -745,16 +719,13 @@ SELECT split, lang, count(*)::BIGINT AS n_docs,
        sum(len(regexp_extract_all(lower(text),
                '[a-z]+|[0-9]+|[^a-z0-9\\s]')))::BIGINT AS n_tokens
 FROM clean GROUP BY split, lang""",
-    "dataset_split": """
+    "dataset_split": f"""
 WITH b AS (
   SELECT lang,
-         CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
-           % 10000 AS bucket
+         {split_bucket_sql("doc_id")} AS bucket
   FROM documents
 )
-SELECT CASE WHEN bucket < 8000 THEN 'train'
-            WHEN bucket < 9000 THEN 'val'
-            ELSE 'test' END AS split,
+SELECT {split_case_from_bucket_sql("bucket")} AS split,
        lang, count(*)::BIGINT AS n_docs
 FROM b GROUP BY 1, 2""",
     "deterministic_sample": """
@@ -927,7 +898,7 @@ SELECT b AS bucket, w AS weight FROM qc_w{QCLF_ITERS}""",
     "quality_classifier_scores": f"""
 WITH {_qclf_scores_ctes()}
 SELECT s.doc_id,
-       {_QCLF_SPLIT_CASE.format(id="s.doc_id")} AS split,
+       {split_case_sql("s.doc_id")} AS split,
        s.score, s.score >= 0.5 AS predicted, a.y AS label
 FROM qc_score s JOIN qc_all a USING (doc_id)""",
     # held-out Mann-Whitney AUC of the trained filter vs the teacher
@@ -937,8 +908,7 @@ WITH {_qclf_scores_ctes()},
 ho AS (
   SELECT s.score, a.y AS label
   FROM qc_score s JOIN qc_all a USING (doc_id)
-  WHERE CAST(('0x' || substring(md5('split' || s.doc_id::VARCHAR), 1, 8))
-             AS BIGINT) % 10000 >= 8000
+  WHERE {split_holdout_pred_sql("s.doc_id")}
 ),
 c AS (
   SELECT score AS sv,

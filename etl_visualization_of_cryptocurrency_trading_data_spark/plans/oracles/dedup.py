@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from ...operators import corpus
 from ...operators import text
-from .common import _documents
+from .common import (
+    _documents,
+    quality_sum_stats_sql,
+    split_bucket_sql,
+    split_case_from_bucket_sql,
+)
 from .text import NORM_TEXT_SQL, TEXT_STATS_SQL, WORDS_SQL
 from ...operators import dedup
 
@@ -308,14 +313,11 @@ labeled AS (
 ),
 bkt AS (
   SELECT doc_id, cluster_id,
-         CAST(('0x' || substring(md5('split' || cluster_id::VARCHAR), 1, 8))
-              AS BIGINT) % 10000 AS bucket
+         {split_bucket_sql("cluster_id")} AS bucket
   FROM labeled
 )
 SELECT doc_id, cluster_id,
-       CASE WHEN bucket < 8000 THEN 'train'
-            WHEN bucket < 9000 THEN 'val'
-            ELSE 'test' END AS split
+       {split_case_from_bucket_sql("bucket")} AS split
 FROM bkt"""
 
 def _simhash_sql(max_hamming: int = 3, n_bits: int = 64) -> str:
@@ -714,13 +716,10 @@ WITH {SHINGLES_CTE},
 post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sp AS (
   SELECT doc_id, s,
-         CASE WHEN bucket < 8000 THEN 'train'
-              WHEN bucket < 9000 THEN 'val'
-              ELSE 'test' END AS split
+         {split_case_from_bucket_sql("bucket")} AS split
   FROM (
     SELECT doc_id, s,
-           CAST(('0x' || substring(md5('split' || doc_id::VARCHAR), 1, 8))
-                AS BIGINT) % 10000 AS bucket
+           {split_bucket_sql("doc_id")} AS bucket
     FROM post
   )
 ),
@@ -1015,9 +1014,7 @@ clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY nod
 stats AS ({TEXT_STATS_SQL}),
 q AS (
   SELECT doc_id,
-         (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-          + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-          + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+         {quality_sum_stats_sql()} AS quality
   FROM stats
 ),
 ranked AS (

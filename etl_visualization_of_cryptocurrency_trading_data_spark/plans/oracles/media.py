@@ -292,6 +292,71 @@ def q_media_decode_jpeg_color(spark, sf_dir):
 
 # DuckDB oracle SQL for this domain's registered queries —
 # assembled (registration order restored) into plans.registry.ORACLES.
+def q_media_dhash(spark, sf_dir):
+    """Fixed-point perceptual dHash per image (multimodal.dhash_ppm
+    over the real PPM decode): 64 bits as four 16-bit band columns,
+    integer NN-sample + integer luma so the oracle replays the hash
+    bit-exactly from ppm_table's closed-form pixels. One linear map
+    pass — the fingerprint stage of media dedup (r12 verdict item #4).
+    """
+    return multimodal.dhash_ppm(
+        multimodal.ppm_table(_documents(spark, sf_dir))
+    )
+
+def q_media_dup_clusters(spark, sf_dir):
+    """Perceptual image dedup end-to-end
+    (multimodal.perceptual_dup_clusters): dHash -> distinct-hash
+    representatives (min doc_id + member count via ONE content-bounded
+    groupBy) -> Hamming<=3 banded pair join over REPRESENTATIVES only
+    (pigeonhole over the 4x16-bit bands; the raw image table never
+    enters the quadratic stage — this fixture collapses 500 images to
+    ~40 distinct hashes, real crawls repeat logos/thumbnails the same
+    way) -> star connected components (O(log n) rounds,
+    localCheckpoint-bounded lineage) -> every image labeled with its
+    cluster minimum + cluster size. Oracle replays the same chain with
+    a recursive reach CC over the OR-banded candidate set (identical
+    pair set, deduped)."""
+    return multimodal.perceptual_dup_clusters(
+        multimodal.ppm_table(_documents(spark, sf_dir))
+    )
+
+# dHash replay from ppm_table's closed-form pixels: NN grid sample
+# src = (g * size) // grid, integer luma 299R+587G+114B, bit k =
+# gray(gx+1) > gray(gx) row-major, four 16-bit LSB-first bands —
+# the exact integer chain of multimodal.dhash_ppm
+_DHASH_CTES = """dims AS (
+  SELECT doc_id, (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h
+  FROM documents
+),
+grid AS (
+  SELECT d.doc_id, d.w, d.h, gy.g::BIGINT AS gy, gx.g::BIGINT AS gx
+  FROM dims d, range(8) gy(g), range(9) gx(g)
+),
+luma AS (
+  SELECT doc_id, gy, gx,
+         299 * ((doc_id + i) % 256) + 587 * ((doc_id + 2*i) % 256)
+         + 114 * ((doc_id + 3*i) % 256) AS v
+  FROM (SELECT doc_id, gy, gx,
+               ((gy * h) // 8) * w + ((gx * w) // 9) AS i
+        FROM grid)
+),
+bits AS (
+  SELECT doc_id, k, bit FROM (
+    SELECT doc_id, gy * 8 + gx AS k, gx,
+           CASE WHEN lead(v) OVER (PARTITION BY doc_id, gy ORDER BY gx) > v
+                THEN 1 ELSE 0 END AS bit
+    FROM luma
+  ) WHERE gx < 8
+),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k // 16 = 0 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band0,
+         sum(CASE WHEN k // 16 = 1 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band1,
+         sum(CASE WHEN k // 16 = 2 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band2,
+         sum(CASE WHEN k // 16 = 3 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band3
+  FROM bits GROUP BY doc_id
+)"""
+
 ORACLE_SQL: dict[str, str] = {
     # closed-form replay of ppm_table's pixel formula — checks the
     # REAL decode end-to-end (a parser bug cannot reproduce these means)
@@ -574,4 +639,45 @@ m AS (
 SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
        mg AS mean_r, mg AS mean_g, mg AS mean_b
 FROM m""",
+    "media_dhash": f"""
+WITH {_DHASH_CTES}
+SELECT doc_id, band0, band1, band2, band3 FROM hashes""",
+    # candidate set: OR over band equalities = the union of the four
+    # band-bucket joins the engine runs, deduped; recursive reach =
+    # min reachable id per node = the star-CC component minimum
+    "media_dup_clusters": f"""
+WITH RECURSIVE {_DHASH_CTES},
+reps AS (
+  SELECT band0, band1, band2, band3, min(doc_id) AS rep_id
+  FROM hashes GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT a.rep_id AS ra, b.rep_id AS rb,
+         bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS hamming
+  FROM reps a JOIN reps b
+    ON a.rep_id < b.rep_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+),
+pairs AS (SELECT ra, rb FROM cand WHERE hamming <= 3),
+edges AS (SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+replab AS (
+  SELECT r.band0, r.band1, r.band2, r.band3,
+         coalesce(c.cluster_id, r.rep_id) AS cluster_id
+  FROM reps r LEFT JOIN comp c ON r.rep_id = c.node
+),
+labeled AS (
+  SELECT h.doc_id, rl.cluster_id
+  FROM hashes h JOIN replab rl USING (band0, band1, band2, band3)
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+FROM labeled""",
 }

@@ -142,6 +142,40 @@ def q_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.price_chart(q_price_data(spark, sf_dir), "C7", "1w")
 
+def q_price_chart_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price_chart over the MATERIALIZED price_data table (r12 verdict
+    item #7): the other serving rows derive their tables in-plan from
+    events.parquet, so the chart predicates land on COMPUTED columns
+    and Catalyst has no scan to push them into — ReadSchema pruning is
+    visible in EXPLAIN.md but PushedFilters never shows more than
+    IsNotNull. Here price_data is written to parquet by the storage
+    sink first (sinks.write_table's exchange-partitioned layout into a
+    per-process scratch dir, wiped then rewritten so repeated builds
+    are idempotent) and the chart reads the STORED table — the
+    endswith('_C7') predicate now reaches the parquet reader as a
+    StringEndsWith pushed filter (EXPLAIN.md §stored-serving makes the
+    pushdown claim auditable). The anchored time-range half stays a
+    post-scan join filter by design: its bound is computed from the
+    data (max timestamp), not a literal. Values = price_chart exactly;
+    the storage write is an eager build step, stamped in bench
+    build_sec. At scale this IS the architecture: serving queries hit
+    stored tables, not re-derivations of the raw feed."""
+    import shutil
+
+    from ... import sinks
+
+    base = sinks.scratch_dir(f"spark_serving_store_{_sf_tag(sf_dir)}")
+    tdir = sinks.table_dir(base, "price_data")
+    shutil.rmtree(tdir, ignore_errors=True)
+    sinks.write_table(q_price_data(spark, sf_dir), base, "price_data")
+    stored = sinks.read_table(spark, base, "price_data")
+    return serving.price_chart(stored, "C7", "1w")
+
+def _sf_tag(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
 def q_ohlc_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.ohlc_chart(q_ohlc(spark, sf_dir), "C7", "1w")
 
@@ -286,6 +320,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM price_data GROUP BY 1)""",
     ),
     "price_chart": _with(
+        PRICE_DATA_CTE,
+        select="""
+  SELECT exchange, timestamp, price, volume
+  FROM price_data
+  WHERE ends_with(coin_id, '_C7')
+    AND timestamp > (SELECT max(timestamp) FROM price_data
+                     WHERE ends_with(coin_id, '_C7')) - INTERVAL 168 HOURS""",
+    ),
+    # the stored-table variant reads back exactly what price_data
+    # derives, so the oracle is the same SQL — only the ENGINE's scan
+    # (and its pushed filters) differs
+    "price_chart_stored": _with(
         PRICE_DATA_CTE,
         select="""
   SELECT exchange, timestamp, price, volume

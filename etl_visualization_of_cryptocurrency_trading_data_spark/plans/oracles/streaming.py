@@ -150,6 +150,45 @@ def q_spread_outer_stream_replay(spark, sf_dir):
 
     return spread_outer_stream_replay(spark, _price_base(spark, sf_dir))
 
+def q_quality_stream_replay(spark, sf_dir):
+    """Eleventh driver-checkable STREAMING path — the TRAINED quality
+    filter running in the production harness
+    (pipeline.quality_stream_replay): frozen train-split weights
+    broadcast per micro-batch inside foreachBatch, each document shard
+    scored by classifier.score_quality with NO retraining, emitted
+    through the epoch-partitioned parquet sink. Per-document scoring
+    with a fixed model is batching-invariant, so the emitted rows must
+    hash-match the one-shot batch scoring chain (the qc_score oracle
+    CTEs) exactly — batch === stream engine-to-engine, completing r12's
+    classifier family with the deployment-shaped row (r12 verdict
+    item #5)."""
+    from pyspark.sql import functions as F
+
+    from ...operators import classifier, sampling
+    from ...streaming.pipeline import quality_stream_replay
+    from .common import _documents
+
+    docs = _documents(spark, sf_dir)
+    train = (
+        sampling.train_val_test_split(docs, "doc_id")
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    wts = classifier.train_quality_classifier(train)
+    return quality_stream_replay(spark, docs, wts)
+
+def _quality_stream_replay_sql() -> str:
+    """Oracle: the shared qclf scores CTE chain (train on the 'train'
+    split, score every >= 1-token document) — the same SQL surface the
+    batch quality_classifier_scores row replays, projected to the
+    replay's emitted columns."""
+    from .corpus import _qclf_scores_ctes
+
+    return f"""
+WITH {_qclf_scores_ctes()}
+SELECT s.doc_id, s.score, s.score >= 0.5 AS predicted
+FROM qc_score s"""
+
 def q_drawdown_stream_replay(spark, sf_dir):
     """Custom-stateful streaming replay
     (streaming.pipeline.drawdown_stream_replay → stateful_drawdown):
@@ -320,4 +359,8 @@ SELECT coin_id, exchange, timestamp, event_id, price,
 FROM base
 WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    # trained-filter-in-the-stream replay: per-document scoring with a
+    # frozen model is batching-invariant, so the emitted union equals
+    # the batch qc_score chain exactly
+    "quality_stream_replay": _quality_stream_replay_sql(),
 }

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ...operators import corpus
 from ...operators import text
-from .common import _documents
+from .common import _documents, quality_sum_stats_sql
 
 def q_text_stats(spark, sf_dir):
     return text.text_stats(_documents(spark, sf_dir))
@@ -381,12 +381,8 @@ ORACLE_SQL: dict[str, str] = {
     "quality_score": f"""
 WITH s AS ({TEXT_STATS_SQL})
 SELECT doc_id, n_words,
-       (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-        + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-        + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) AS quality,
-       (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-        + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-        + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) >= 0.7 AS is_quality
+       {quality_sum_stats_sql()} AS quality,
+       {quality_sum_stats_sql()} >= 0.7 AS is_quality
 FROM s""",
     "token_counts": f"""
 SELECT doc_id,
@@ -684,9 +680,7 @@ WHERE keep_rank <= 40""",
 WITH s AS ({TEXT_STATS_SQL}),
 q AS (
   SELECT s.doc_id,
-         (CASE WHEN n_words BETWEEN 20 AND 2000 THEN 0.4 ELSE 0.0 END
-          + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-          + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END) AS score,
+         {quality_sum_stats_sql()} AS score,
          (d.lang = 'en') AS label
   FROM s JOIN documents d ON s.doc_id = d.doc_id
 ),

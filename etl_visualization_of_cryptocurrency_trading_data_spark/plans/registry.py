@@ -52,6 +52,7 @@ from .oracles.serving import (  # noqa: F401
     q_indicators,
     q_market_cap,
     q_price_chart,
+    q_price_chart_stored,
     q_ohlc_chart,
     q_indicator_chart,
     q_market_cap_chart,
@@ -230,6 +231,9 @@ from .oracles.media import (  # noqa: F401
     q_media_features_auto,
     q_media_frames_real,
     q_media_decode_jpeg_color,
+    q_media_dhash,
+    q_media_dup_clusters,
+    _DHASH_CTES,
 )
 from .oracles.streaming import (  # noqa: F401
     q_vwap_stream_replay,
@@ -243,6 +247,7 @@ from .oracles.streaming import (  # noqa: F401
     q_dedup_stream_replay,
     q_spread_outer_stream_replay,
     q_drawdown_stream_replay,
+    q_quality_stream_replay,
 )
 from .oracles.graph import (  # noqa: F401
     _pagerank_ctes,
@@ -446,25 +451,37 @@ def q_plan_audit_skew(spark, sf_dir):
 # the full 31-entry r7-row cohort, (c) the 16 oldest r8-row entries.
 # AFTER the r11 driver run: no registered query's newest row is older
 # than r8.
-# Round-13 rotation guidance: after the r12 driver run the oldest
-# evidence is the ~41-entry r9-row cohort (the r12 window covered only
-# its first 8). Front-load (a) anything r13 adds or re-plans, then
-# (b) the remaining r9-row entries, oldest first in registry order:
-# kmeans_centroids_fixed, coin_pagerank_capped, ohlc_daily_rollup,
-# event_bigrams, restfeed_ohlc, orc_roundtrip, exchange_hll_rollup,
-# ohlc_stream_replay, dup_rate_by_source, coin_volume_percentile,
-# volume_grouping_sets, knn_recall, url_dedup, media_decode_ppm,
-# vwap_stream_replay, span_dedup, gopher_rules, media_decode_wav,
-# mixture_sample, knn_pq, curation_pipeline_v2, price_resample_1h,
-# knn_pq_recall, session_stream_replay, price_anomalies,
-# forecast_backtest, bpe_merges, jsonl_roundtrip, volume_profile,
-# bollinger_bands, max_drawdown, obv, knn_brute_vectorized,
-# active_coins_semi, momentum_ranks, knn_lsh_multiprobe,
-# fuzzy_match_blocked, repeated_spans_sliding, media_frames_gif2,
-# remove_repeated_spans, leakage_safe_split (41 entries — 9 over a
-# 50-slot window after typical (a) additions; the overflow ages one
-# more round safely, prefer yielding entries whose plan family is
-# pinned by an in-window sibling, per the r11 yield precedent), then
+# ROUND-13 ROTATION EXECUTED per the r12 guidance (kept below) — see
+# _R13_WINDOW_FRONT after the QUERIES literal: (a) the four r13
+# registrations (media_dhash / media_dup_clusters /
+# quality_stream_replay / price_chart_stored), (b) the FULL 42-entry
+# r9-row cohort (plan_audit front-loaded per its r12 yield), (c) the
+# 3 oldest-evidence oracles re-rendered by the r13 literal
+# consolidation (contamination — itself an r10 row — dataset_split,
+# curation_pipeline_v3) + the oldest r10-row entry
+# (semantic_dedup_trained). AFTER the r13 driver run: no registered
+# query's newest row is older than r10.
+# Round-14 rotation guidance: after the r13 driver run the oldest
+# evidence is the remainder of the r10-row cohort (the r13 window
+# covered semantic_dedup_trained and contamination; ~42 r10 rows
+# remain). Front-load (a) anything r14 adds or re-plans, then (b) the
+# remaining r10-row entries, oldest first in registry order:
+# recovery_stream_replay, media_decode_bmp, media_decode_gif,
+# media_decode_jpeg, media_resize, incremental_dedup_bloom,
+# zorder_profile, cms_frequencies, enrich_stream_replay,
+# late_drop_stream_replay, knn_ivf_full_fixed, and the rest of the
+# r10 cohort in registry order (compute the list from
+# scripts/regenerate_pinning.py's newest map if in doubt), then (c)
+# with any remaining slots prefer the 8 oracles re-rendered by the
+# r13 literal consolidation that hold r12-fresh rows
+# (curation_pipeline, quality_survivors, quality_auc, the five
+# classifier-family rows) before plain r11 fillers; prefer yielding
+# entries whose plan family is pinned by an in-window sibling, per
+# the r11/r12 yield precedent. Rename EXPECTED_R13_WINDOW to
+# EXPECTED_R14_WINDOW in the same commit.
+# The r12-written round-13 guidance (EXECUTED this round; kept for
+# history): front-load (a) anything r13 adds or re-plans, then (b)
+# the remaining r9-row entries oldest first in registry order, then
 # (c) the oldest r10-row entries with any remaining slots. Rename
 # EXPECTED_R12_WINDOW to EXPECTED_R13_WINDOW in the same commit.
 # The r11-written round-12 guidance (EXECUTED this round — see
@@ -803,6 +820,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mid-round addition (this session): the rollout-review profile of
     # the trained filter vs its teacher
     "quality_classifier_disagreement": q_quality_classifier_disagreement,
+    # ---- round 13 registrations ----
+    # perceptual image dedup (r12 verdict item #4): fixed-point dHash
+    # over the real PPM decode, then Hamming-banded pairs over DISTINCT
+    # hashes -> star components -> per-image cluster labels
+    "media_dhash": q_media_dhash,
+    "media_dup_clusters": q_media_dup_clusters,
+    # the trained filter in the production streaming path (item #5):
+    # frozen weights scored per micro-batch inside foreachBatch
+    "quality_stream_replay": q_quality_stream_replay,
+    # serving pushdown made auditable (item #7): price_chart over the
+    # sink-materialized price_data table — StringEndsWith reaches the
+    # parquet scan (EXPLAIN.md §stored-serving)
+    "price_chart_stored": q_price_chart_stored,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -841,83 +871,87 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # 31-entry r7-row cohort; (c) the 14 oldest r8 rows
 # (keltner_channels / heikin_ashi yielded to the mid-round
 # registrations).
-# ROUND-12 ROTATION (executed per the r11 guidance block above):
-_R12_WINDOW_FRONT = [
-    # (a) r12 registrations: the trained quality classifier family
-    # (hashed-BoW balanced logistic regression — weights / scores /
-    # held-out AUC) and the end-to-end pipeline behind its gate;
-    # never driver-checked
-    "quality_classifier_weights",
-    "quality_classifier_scores",
-    "quality_classifier_auc",
-    "curation_pipeline_v4",
-    # (a, mid-round this session) the student-teacher rollout-review
-    # profile; per the yield precedent plan_audit gives up its (c)
-    # slot (its plan-audit family is pinned in-window by the (b)
-    # cohort's plan_audit_skew; its green r9 row stands and it
-    # front-loads the r13 (b) cohort)
-    "quality_classifier_disagreement",
-    # (a2) the four late-r11 hash-stable re-plans WITHOUT a post-fix
-    # driver row (forced O(N) broadcasts removed / conditional
-    # tie-break; values verified unchanged at sf0.01, fresh rows
-    # re-verify per protocol)
-    "curation_pipeline",
-    "dedup_survivors",
-    "pack_chunks_overlap",
-    "bpe_pack",
-    # (b) the full 34-entry r8-row cohort (registry order, incl. the
-    # r11 yields keltner_channels / heikin_ashi)
-    "keltner_channels",
-    "heikin_ashi",
-    "shipping_priority",
-    "knn_ivf_pq_recall",
-    "envelope_mcap",
-    "ohlc_chart",
-    "vwap_hourly",
-    "close_pivot",
-    "documents_profile",
-    "cross_exchange_spread",
-    "rolling_beta",
-    "stochastic",
-    "donchian",
-    "ichimoku",
-    "bm25_scores",
-    "dsir_weights",
-    "media_features_auto",
-    "media_frames_real",
-    "hybrid_retrieval_rrf",
-    "pca_top_component",
-    "dup_clusters_star",
-    "spread_outer_stream_replay",
-    "pca_residual",
-    "knn_ivf_append",
-    "media_decode_jpeg_color",
-    "large_volume_customers",
-    "quality_auc",
-    "host_cap",
-    "quality_survivors",
-    "media_frames_gif",
-    "bpe_vocab_k",
-    "plan_audit_skew",
-    "bpe_encode",
-    "semantic_dedup_capped",
-    # (c) the oldest r9-row entries, registry order (8 at the boundary
-    # commit; 7 after plan_audit yielded to the mid-round (a) addition)
-    "simhash_pairs_wide",
-    "knn_ivf_fixed",
-    "media_decode_png",
-    "salted_join_skew",
-    "restfeed_stream_replay",
-    "embedding_dup_wide",
-    "dedup_stream_replay",
+# ROUND-12 ROTATION (executed per the r11 guidance; list in git
+# history / CORRECTNESS_r12.json): (a) the five classifier-family
+# registrations, (a2) the four late-r11 hash-stable re-plans, (b) the
+# full 34-entry r8-row cohort, (c) the 7 oldest r9 rows (plan_audit
+# yielded to the mid-round disagreement registration).
+# ROUND-13 ROTATION (executed per the r12 guidance block above):
+_R13_WINDOW_FRONT = [
+    # (a) r13 registrations, never driver-checked: perceptual image
+    # dedup (fixed-point dHash + distinct-hash banded pairs + star
+    # components), the trained filter in the foreachBatch streaming
+    # path, and the stored-table serving scan with auditable pushdown
+    "media_dhash",
+    "media_dup_clusters",
+    "quality_stream_replay",
+    "price_chart_stored",
+    # (b) the FULL 42-entry r9-row cohort, registry order (incl.
+    # plan_audit, which yielded its r12 slot and front-loads here per
+    # the r12 PINNING note)
+    "plan_audit",
+    "coin_pagerank_capped",
+    "kmeans_centroids_fixed",
+    "ohlc_daily_rollup",
+    "event_bigrams",
+    "restfeed_ohlc",
+    "orc_roundtrip",
+    "exchange_hll_rollup",
+    "ohlc_stream_replay",
+    "dup_rate_by_source",
+    "coin_volume_percentile",
+    "volume_grouping_sets",
+    "knn_recall",
+    "url_dedup",
+    "media_decode_ppm",
+    "vwap_stream_replay",
+    "span_dedup",
+    "gopher_rules",
+    "media_decode_wav",
+    "mixture_sample",
+    "knn_pq",
+    "curation_pipeline_v2",
+    "price_resample_1h",
+    "knn_pq_recall",
+    "session_stream_replay",
+    "price_anomalies",
+    "forecast_backtest",
+    "bpe_merges",
+    "jsonl_roundtrip",
+    "volume_profile",
+    "bollinger_bands",
+    "max_drawdown",
+    "obv",
+    "knn_brute_vectorized",
+    "active_coins_semi",
+    "momentum_ranks",
+    "knn_lsh_multiprobe",
+    "fuzzy_match_blocked",
+    "repeated_spans_sliding",
+    "media_frames_gif2",
+    "remove_repeated_spans",
+    "leakage_safe_split",
+    # (c) 4 remaining slots: the r13 oracle-literal consolidation
+    # (r12 verdict item #2) re-rendered 11 oracle texts (values proven
+    # identical at sf0.001+sf0.01 before the rotation); the three with
+    # the OLDEST evidence take priority over plain r10 fillers —
+    # contamination is an r10 row itself — and semantic_dedup_trained
+    # (oldest r10 row) fills the last slot. The other 8 re-rendered
+    # oracles hold r12-fresh rows and are swept by natural rotation
+    # (deliberate: the 42-entry r9 cohort outranks re-checking
+    # r12-fresh rows whose values were just proven unchanged).
+    "contamination",
+    "dataset_split",
+    "curation_pipeline_v3",
+    "semantic_dedup_trained",
 ]
-assert len(_R12_WINDOW_FRONT) == 50 and len(set(_R12_WINDOW_FRONT)) == 50
-assert set(_R12_WINDOW_FRONT) <= set(QUERIES), sorted(
-    set(_R12_WINDOW_FRONT) - set(QUERIES)
+assert len(_R13_WINDOW_FRONT) == 50 and len(set(_R13_WINDOW_FRONT)) == 50
+assert set(_R13_WINDOW_FRONT) <= set(QUERIES), sorted(
+    set(_R13_WINDOW_FRONT) - set(QUERIES)
 )
 QUERIES = {
     k: QUERIES[k]
-    for k in _R12_WINDOW_FRONT + [k for k in QUERIES if k not in _R12_WINDOW_FRONT]
+    for k in _R13_WINDOW_FRONT + [k for k in QUERIES if k not in _R13_WINDOW_FRONT]
 }
 
 # ---------------------------------------------------------------------------
@@ -1158,6 +1192,11 @@ _ORACLE_REGISTRATION_ORDER = [
     "quality_classifier_auc",
     "curation_pipeline_v4",
     "quality_classifier_disagreement",
+    # ---- r13 registrations ----
+    "media_dhash",
+    "media_dup_clusters",
+    "quality_stream_replay",
+    "price_chart_stored",
 ]
 
 _merged_oracles: dict[str, str] = {}

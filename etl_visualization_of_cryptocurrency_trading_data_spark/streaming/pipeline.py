@@ -1256,3 +1256,88 @@ def spread_outer_stream_replay(
     )
     _drain_spool(query, spool, "spread_outer", timeout_s)
     return spark.table(name).filter(F.col("symbol") != "C999999")
+
+
+def quality_stream_replay(
+    spark: SparkSession,
+    documents: DataFrame,
+    weights: DataFrame,
+    timeout_s: int = 600,
+    n_files: int = 4,
+) -> DataFrame:
+    """The TRAINED quality filter running where production runs it
+    (r12 verdict item #5): frozen classifier weights applied per
+    micro-batch inside ``foreachBatch`` — the same harness shape as
+    [[run_ingest]] (T3/T4), scoring each arriving document shard with
+    ``classifier.score_quality`` (one broadcast join of the 66-row
+    model + a doc-keyed aggregate, NO retraining: the weights frame is
+    localCheckpoint-frozen before the stream starts, so every batch
+    broadcasts the same materialized leaf) and appending the scored
+    rows through the epoch-partitioned parquet sink
+    (sinks.write_table's overwrite-per-epoch layout = effectively-once
+    on top of the checkpointed source offsets, T7's discipline).
+
+    Determinism: scoring is a pure per-document function of a fixed
+    model, so the union of per-batch outputs equals one batch scoring
+    pass REGARDLESS of micro-batch boundaries — batch === stream by
+    construction, proven engine-to-engine by this replay's driver-hash
+    row (oracle = the qclf scores CTE chain) and pinned
+    boundary-independently by the pytest (1-file vs many-file spool).
+
+    The spool is written as multiple files and drained with
+    ``maxFilesPerTrigger=1`` so per-batch model application genuinely
+    crosses micro-batch boundaries. As with the other replays the
+    streaming job runs at BUILD time; the returned frame is
+    localCheckpoint-materialized and every tempdir is deleted before
+    returning.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import classifier
+    from .. import sinks
+
+    out_schema = "doc_id long, score double, predicted boolean"
+    docs = documents.select("doc_id", "text", "lang", "source")
+    if docs.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    wts = weights.localCheckpoint(eager=True)
+    spool = tempfile.mkdtemp(prefix="quality_replay_")
+    docs.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(spool, "feed")
+    )
+    out_dir = tempfile.mkdtemp(prefix="quality_replay_out_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        sinks.write_table(
+            classifier.score_quality(batch, wts),
+            out_dir,
+            "quality_scores",
+            epoch_id=epoch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(spool, "feed", "*.parquet"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_spool(query, spool, "quality", timeout_s)
+    try:
+        result = (
+            sinks.read_table(spark, out_dir, "quality_scores")
+            .select("doc_id", "score", "predicted")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result

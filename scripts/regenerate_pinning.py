@@ -38,49 +38,81 @@ WINDOW_SIZE = 50
 # A query IN the window renders "yes"; a query with a note but NOT in
 # the window renders "no" (the yield convention); everything else "".
 NOTES: dict[str, str] = {
-    "quality_classifier_weights": (
-        "registered r12 (trained hashed-BoW logistic regression: K full-batch "
-        "gradient rounds as keyed aggregates, fixed-point rounded so the oracle "
-        "replays bit-exactly); front-loaded"
-    ),
-    "quality_classifier_scores": (
-        "registered r12 (map-only scoring pass of the trained filter: broadcast "
-        "weight join + sigmoid gate); front-loaded"
-    ),
-    "quality_classifier_auc": (
-        "registered r12 (held-out AUC of the trained filter vs the teacher "
-        "label on the val/test split — the leakage-aware eval composition); "
+    "media_dhash": (
+        "registered r13 (fixed-point perceptual dHash over the real PPM "
+        "decode: integer NN-sample + integer luma, 4x16-bit bands, oracle "
+        "replays the hash bit-exactly from the closed-form pixels); "
         "front-loaded"
     ),
-    "curation_pipeline_v4": (
-        "registered r12 (curation_pipeline_v3 with the hand-weighted quality "
-        "gate replaced by the TRAINED classifier gate; every downstream stage "
-        "identical); front-loaded"
+    "media_dup_clusters": (
+        "registered r13 (perceptual image dedup: Hamming<=3 banded pairs "
+        "over DISTINCT hashes only, star components, per-image cluster "
+        "labels + sizes); front-loaded"
     ),
-    "quality_classifier_disagreement": (
-        "registered mid-r12 (per-(source, teacher, student) rollout-review "
-        "profile of the trained filter vs the heuristic teacher); front-loaded"
+    "quality_stream_replay": (
+        "registered r13 (the trained quality filter scored per micro-batch "
+        "inside foreachBatch with frozen weights — batch===stream vs the "
+        "qc_score oracle chain); front-loaded"
+    ),
+    "price_chart_stored": (
+        "registered r13 (price_chart over the sink-materialized price_data "
+        "table — StringEndsWith reaches the parquet scan as a pushed "
+        "filter, EXPLAIN.md stored-serving section); front-loaded"
     ),
     "plan_audit": (
-        "yielded its r12 (c) slot to the mid-round disagreement registration "
-        "(plan-audit family pinned in-window by plan_audit_skew); green r9 row "
-        "stands, front-loads r13"
+        "yielded its r12 (c) slot to the mid-round disagreement "
+        "registration; front-loads the r13 (b) cohort as planned"
+    ),
+    # r13 oracle-literal consolidation (r12 verdict item #2): the
+    # split-CASE / quality-battery literals moved to shared
+    # oracles/common.py constants; 11 oracle texts re-rendered, values
+    # proven IDENTICAL at sf0.001+sf0.01 before the rotation
+    # (NOTES_r13). The 3 with the oldest evidence are in-window for a
+    # fresh driver hash; the other 8 hold r12-fresh rows and are
+    # yielded to the r9 cohort (r14 guidance sweeps them next).
+    "contamination": (
+        "oracle re-rendered r13 (shared split literals; values identical "
+        "at sf0.001+sf0.01); in-window — fresh row re-verifies"
+    ),
+    "dataset_split": (
+        "oracle re-rendered r13 (shared split literals; values identical); "
+        "in-window — fresh row re-verifies"
+    ),
+    "curation_pipeline_v3": (
+        "oracle re-rendered r13 (shared quality/split literals; values "
+        "identical); in-window — fresh row re-verifies"
     ),
     "curation_pipeline": (
-        "re-planned late r11 (forced O(N) dup-map broadcast removed — planner's "
-        "choice join posture; hash-stable at sf0.01); fresh row re-verifies"
+        "oracle re-rendered r13 (values identical at sf0.001+sf0.01); "
+        "r12-fresh row stands, yielded to the r9 cohort, r14 sweeps"
     ),
-    "dedup_survivors": (
-        "re-planned late r11 (forced O(N) cluster-map broadcast removed; "
-        "hash-stable at sf0.01); fresh row re-verifies"
+    "quality_survivors": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
     ),
-    "pack_chunks_overlap": (
-        "re-planned late r11 (doc_id tie-break made conditional on the column "
-        "existing; hash-stable at sf0.01); fresh row re-verifies"
+    "quality_auc": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
     ),
-    "bpe_pack": (
-        "re-planned late r11 (duplicate sort key removed / conditional "
-        "tie-break; hash-stable at sf0.01); fresh row re-verifies"
+    "quality_classifier_weights": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
+    ),
+    "quality_classifier_scores": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
+    ),
+    "quality_classifier_auc": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
+    ),
+    "curation_pipeline_v4": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
+    ),
+    "quality_classifier_disagreement": (
+        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
+        "yielded to the r9 cohort, r14 sweeps"
     ),
 }
 
@@ -92,7 +124,13 @@ DEMOTED_FOOTER = (
 )
 
 
-def newest_rows() -> tuple[dict[str, int], int]:
+def newest_rows(max_round: int | None = None) -> tuple[dict[str, int], int]:
+    """Newest green driver row per query. ``max_round`` bounds the
+    artifacts considered (inclusive) so a round-N map is reproducible
+    after later rounds' artifacts land (ADVICE r12: a bare --check used
+    to drift the moment CORRECTNESS_r{N}.json appeared next to the
+    committed round-N PINNING.md, because the map silently absorbed the
+    new rows)."""
     newest: dict[str, int] = {}
     latest = 0
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -100,6 +138,8 @@ def newest_rows() -> tuple[dict[str, int], int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         latest = max(latest, rnd)
         with open(p) as f:
             rows = json.load(f)
@@ -109,10 +149,25 @@ def newest_rows() -> tuple[dict[str, int], int]:
     return newest, latest
 
 
+def committed_round() -> int | None:
+    """Parse the generation round from the committed PINNING.md header
+    so --check compares like-for-like mid-cycle (ADVICE r12)."""
+    path = os.path.join(REPO, "PINNING.md")
+    try:
+        with open(path) as f:
+            head = f.readline()
+    except OSError:
+        return None
+    m = re.search(r"\(round (\d+)\)", head)
+    return int(m.group(1)) if m else None
+
+
 def render(round_n: int) -> str:
     from etl_visualization_of_cryptocurrency_trading_data_spark.plans.registry import QUERIES
 
-    newest, _ = newest_rows()
+    # a round-N map is generated at the r{N} rotation, BEFORE the r{N}
+    # driver run — so it sees artifacts r01..r{N-1} only
+    newest, _ = newest_rows(max_round=round_n - 1)
     window = set(list(QUERIES)[:WINDOW_SIZE])
     prev = round_n - 1
     lines = [
@@ -164,7 +219,13 @@ def main() -> int:
     args = ap.parse_args()
     round_n = args.round
     if round_n is None:
-        round_n = newest_rows()[1] + 1
+        if args.check:
+            # compare against what the committed file claims to be, not
+            # newest-artifact+1 (which flips the moment the current
+            # round's CORRECTNESS artifact lands — ADVICE r12)
+            round_n = committed_round()
+        if round_n is None:
+            round_n = newest_rows()[1] + 1
     text = render(round_n)
     path = os.path.join(REPO, "PINNING.md")
     if args.check:

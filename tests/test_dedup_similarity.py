@@ -2661,3 +2661,83 @@ def test_semantic_dup_components_match_union_find(spark):
     assert any(v - 1_000_000 in got for v, _ in planted)
     for v, c in planted:
         assert got.get(v - 1_000_000, c) == c
+
+
+def test_dhash_ppm_matches_hand_computation(spark):
+    """The fixed-point dHash (multimodal.dhash_ppm) must reproduce a
+    from-first-principles hand computation on the decoded payload:
+    NN-sample a 9x8 grid (src = (g * size) // grid), integer luma
+    299R+587G+114B, bit k = gray(gx+1) > gray(gx) row-major, four
+    LSB-first 16-bit bands. Exercises the REAL payload parse, not the
+    closed-form shortcut the oracle uses."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = multimodal.ppm_table(docs)
+    got = {
+        int(r["doc_id"]): [r["band0"], r["band1"], r["band2"], r["band3"]]
+        for r in multimodal.dhash_ppm(media).collect()
+    }
+    payloads = {int(r["doc_id"]): bytes(r["payload"]) for r in media.collect()}
+    assert len(got) == len(payloads) > 0
+    for d, buf in payloads.items():
+        w, h, px = multimodal._parse_ppm(buf)
+        xs = (np.arange(9, dtype=np.int64) * w) // 9
+        ys = (np.arange(8, dtype=np.int64) * h) // 8
+        g = px[np.ix_(ys, xs)].astype(np.int64)
+        gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+        bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
+        want = [int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum()) for k in range(4)]
+        assert got[d] == want, d
+
+
+def test_perceptual_dup_clusters_match_bruteforce_components(spark):
+    """perceptual_dup_clusters' banded candidate generation + star CC
+    must produce EXACTLY the components of the full quadratic
+    Hamming<=3 graph over distinct hashes — the pigeonhole banding may
+    drop no pair (4 bands, 64 bits, radius 3), and the cluster label
+    must be the component-minimum doc_id with the right member count."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.ppm_table(docs)
+    fps = {
+        int(r["doc_id"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+        for r in multimodal.dhash_ppm(media).collect()
+    }
+    # ground truth: union-find over ALL distinct-hash pairs within
+    # Hamming 3 (no banding), docs inherit their hash's component
+    reps: dict[tuple, int] = {}
+    for d, hsh in sorted(fps.items()):
+        reps.setdefault(hsh, d)
+    ids = sorted(reps.values())
+    hs = {v: k for k, v in reps.items()}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(hs[a], hs[b]))
+            if ham <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want_label = {d: find(reps[hsh]) for d, hsh in fps.items()}
+    want_sizes: dict[int, int] = {}
+    for lbl in want_label.values():
+        want_sizes[lbl] = want_sizes.get(lbl, 0) + 1
+
+    got = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.perceptual_dup_clusters(media).collect()
+    }
+    assert len(got) == len(fps)
+    for d in fps:
+        assert got[d] == (want_label[d], want_sizes[want_label[d]]), d

@@ -904,3 +904,40 @@ def test_aqe_skew_probe_contract(spark):
     for c in ["n_rows", "pad_chars", "tag_sum"]:
         assert getattr(on, c) == getattr(off, c)
     assert on.n_rows == 100_000
+
+
+def test_price_chart_stored_pushes_endswith_into_scan(spark):
+    """r12 verdict item #7: when price_chart reads the SINK-MATERIALIZED
+    price_data table instead of deriving it in-plan from events, the
+    entity-suffix predicate must reach the parquet reader as a pushed
+    StringEndsWith filter (the in-plan derivation leaves it on a
+    computed column where no scan can accept it), and the values must
+    equal the in-plan price_chart exactly."""
+    from conftest import SF_SMOKE
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.plans.oracles.serving import (
+        q_price_chart,
+        q_price_chart_stored,
+    )
+
+    stored = q_price_chart_stored(spark, SF_SMOKE)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "StringEndsWith" in ln
+    ]
+    assert pushed, plan[:4000]
+    a = (
+        stored.toPandas()
+        .sort_values(["exchange", "timestamp"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_price_chart(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["exchange", "timestamp"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)

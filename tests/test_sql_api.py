@@ -227,63 +227,63 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # round. This list IS the current round's window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R12_WINDOW = [
-    # (a) r12 registrations (trained quality classifier family incl.
-    # the mid-round disagreement profile + the pipeline behind its
-    # gate), (a2) the four late-r11 hash-stable re-plans without a
-    # post-fix driver row, (b) the full 34-entry r8-row cohort,
-    # (c) the 7 oldest r9-row entries (plan_audit yielded to the
-    # mid-round addition)
-    "quality_classifier_weights",
-    "quality_classifier_scores",
-    "quality_classifier_auc",
-    "curation_pipeline_v4",
-    "quality_classifier_disagreement",
-    "curation_pipeline",
-    "dedup_survivors",
-    "pack_chunks_overlap",
-    "bpe_pack",
-    "keltner_channels",
-    "heikin_ashi",
-    "shipping_priority",
-    "knn_ivf_pq_recall",
-    "envelope_mcap",
-    "ohlc_chart",
-    "vwap_hourly",
-    "close_pivot",
-    "documents_profile",
-    "cross_exchange_spread",
-    "rolling_beta",
-    "stochastic",
-    "donchian",
-    "ichimoku",
-    "bm25_scores",
-    "dsir_weights",
-    "media_features_auto",
-    "media_frames_real",
-    "hybrid_retrieval_rrf",
-    "pca_top_component",
-    "dup_clusters_star",
-    "spread_outer_stream_replay",
-    "pca_residual",
-    "knn_ivf_append",
-    "media_decode_jpeg_color",
-    "large_volume_customers",
-    "quality_auc",
-    "host_cap",
-    "quality_survivors",
-    "media_frames_gif",
-    "bpe_vocab_k",
-    "plan_audit_skew",
-    "bpe_encode",
-    "semantic_dedup_capped",
-    "simhash_pairs_wide",
-    "knn_ivf_fixed",
-    "media_decode_png",
-    "salted_join_skew",
-    "restfeed_stream_replay",
-    "embedding_dup_wide",
-    "dedup_stream_replay",
+EXPECTED_R13_WINDOW = [
+    # (a) the four r13 registrations (perceptual image dedup pair:
+    # media_dhash + media_dup_clusters; the trained filter in the
+    # foreachBatch streaming path; the stored-table serving scan with
+    # auditable pushdown), (b) the FULL 42-entry r9-row cohort incl.
+    # plan_audit (front-loaded per its r12 yield), (c) the 3 oldest-evidence re-rendered oracles from the r13
+    # literal consolidation + the oldest r10-row entry
+    "media_dhash",
+    "media_dup_clusters",
+    "quality_stream_replay",
+    "price_chart_stored",
+    "plan_audit",
+    "coin_pagerank_capped",
+    "kmeans_centroids_fixed",
+    "ohlc_daily_rollup",
+    "event_bigrams",
+    "restfeed_ohlc",
+    "orc_roundtrip",
+    "exchange_hll_rollup",
+    "ohlc_stream_replay",
+    "dup_rate_by_source",
+    "coin_volume_percentile",
+    "volume_grouping_sets",
+    "knn_recall",
+    "url_dedup",
+    "media_decode_ppm",
+    "vwap_stream_replay",
+    "span_dedup",
+    "gopher_rules",
+    "media_decode_wav",
+    "mixture_sample",
+    "knn_pq",
+    "curation_pipeline_v2",
+    "price_resample_1h",
+    "knn_pq_recall",
+    "session_stream_replay",
+    "price_anomalies",
+    "forecast_backtest",
+    "bpe_merges",
+    "jsonl_roundtrip",
+    "volume_profile",
+    "bollinger_bands",
+    "max_drawdown",
+    "obv",
+    "knn_brute_vectorized",
+    "active_coins_semi",
+    "momentum_ranks",
+    "knn_lsh_multiprobe",
+    "fuzzy_match_blocked",
+    "repeated_spans_sliding",
+    "media_frames_gif2",
+    "remove_repeated_spans",
+    "leakage_safe_split",
+    "contamination",
+    "dataset_split",
+    "curation_pipeline_v3",
+    "semantic_dedup_trained",
 ]
 
 
@@ -312,8 +312,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R12_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R12_WINDOW
+    assert len(EXPECTED_R13_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R13_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):

@@ -1073,3 +1073,44 @@ def test_drawdown_replay_property_vs_pandas_cummax(spark):
         got["drawdown"].to_numpy()
         == pdf["price"].to_numpy() / peaks - 1.0
     ).all()
+
+
+def test_quality_replay_batch_boundary_independence(spark):
+    """The trained filter scored inside foreachBatch must be
+    batching-invariant: a 1-file spool (one micro-batch) and a 5-file
+    spool (five) produce EXACTLY the same scored frame, which equals
+    the one-shot batch scoring pass — frozen weights, no retraining,
+    per-document arithmetic only."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import classifier, sampling
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        quality_stream_replay,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    train = (
+        sampling.train_val_test_split(docs, "doc_id")
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    wts = classifier.train_quality_classifier(train)
+    one = (
+        quality_stream_replay(spark, docs, wts, n_files=1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    five = (
+        quality_stream_replay(spark, docs, wts, n_files=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        classifier.score_quality(docs, wts)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(one) > 0
+    pd.testing.assert_frame_equal(one, five)
+    pd.testing.assert_frame_equal(one, batch[one.columns.tolist()])
