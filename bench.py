@@ -109,10 +109,22 @@ def main() -> None:
     # runs (cross-round adjudication vs the committed bench_full.json
     # anchors), so don't pay its ~10 s on --only subset smokes or
     # sf0.01 verify drives — those runs stamp calibration: null.
-    # SPARK_GRAFT_CALIBRATE=1 forces it on, =0 forces it off.
+    # SPARK_GRAFT_CALIBRATE=1/true/on forces it on, 0/false/off forces
+    # it off; an unrecognized value is an error rather than a silent
+    # force-off that would strand a full run without the stamp the
+    # cross-round drift adjudication needs (code-review r13).
     _cal_env = os.environ.get("SPARK_GRAFT_CALIBRATE")
     if _cal_env is not None:
-        _calibrate = _cal_env == "1"
+        v = _cal_env.strip().lower()
+        if v in ("1", "true", "on", "yes"):
+            _calibrate = True
+        elif v in ("0", "false", "off", "no"):
+            _calibrate = False
+        else:
+            raise SystemExit(
+                f"bench: unrecognized SPARK_GRAFT_CALIBRATE={_cal_env!r} "
+                "(use 1/true/on or 0/false/off)"
+            )
     else:
         _calibrate = only is None and canonical
     _jvm_sec = _py_sec = None

@@ -2402,10 +2402,15 @@ def perceptual_dup_clusters(
     from .dedup import connected_components_star
 
     bands = [f"band{k}" for k in range(4)]
-    fps = dhash_ppm(media)
+    # persist both: fps is consumed by the reps groupBy AND the final
+    # label join, reps by the banded self-join (twice, inside the CC
+    # edge job) AND rep_lab — without the persists each consuming job
+    # re-runs the corpus-wide pandas-UDF decode (code-review r13; the
+    # bench's per-query clearCache releases these)
+    fps = dhash_ppm(media).persist()
     reps = fps.groupBy(*bands).agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs")
-    )
+    ).persist()
     banded = reps.select(
         "rep_id",
         *bands,

@@ -19,6 +19,7 @@ from ...operators.classifier import (
     QCLF_SALT,
 )
 from .common import (
+    QUALITY_GATE,
     _documents,
     quality_sum_ws_sql,
     split_bucket_sql,
@@ -406,7 +407,7 @@ q AS (
     SELECT doc_id, text, lang, source,
       {quality_sum_ws_sql(STOPWORDS_SQL)} AS quality
     FROM qw
-  ) WHERE quality >= 0.7
+  ) WHERE quality >= {QUALITY_GATE}
 ),
 {_curation_tail_sql(k, rounds, budget)}"""
     return _materialize_ctes(sql, _CURATION_TAIL_MATERIALIZE)
@@ -441,7 +442,7 @@ def _qclf_lab_sql(source: str = "documents", where: str = "") -> str:
     WHERE already drops empty docs)."""
     return f"""(
   SELECT doc_id, len(ws) AS n, ws,
-         {quality_sum_ws_sql(STOPWORDS_SQL, guarded=False)} >= 0.7 AS y
+         {quality_sum_ws_sql(STOPWORDS_SQL, guarded=False)} >= {QUALITY_GATE} AS y
   FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM {source}{where})
   WHERE len(ws) > 0
 )"""
@@ -672,7 +673,7 @@ q AS (
     SELECT doc_id, text, lang,
       {quality_sum_ws_sql(STOPWORDS_SQL)} AS quality
     FROM qw
-  ) WHERE quality >= 0.7
+  ) WHERE quality >= {QUALITY_GATE}
 ),
 d AS (
   SELECT doc_id, text, lang FROM (

@@ -167,8 +167,17 @@ def q_price_chart_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sinks.scratch_dir(f"spark_serving_store_{_sf_tag(sf_dir)}")
     tdir = sinks.table_dir(base, "price_data")
     shutil.rmtree(tdir, ignore_errors=True)
-    sinks.write_table(q_price_data(spark, sf_dir), base, "price_data")
-    stored = sinks.read_table(spark, base, "price_data")
+    derived = q_price_data(spark, sf_dir)
+    sinks.write_table(derived, base, "price_data")
+    # explicit schema: an EMPTY feed writes a partitioned dir with no
+    # data files, where schema inference fails (code-review r13 suite);
+    # the declared schema also pins the exchange partition column's
+    # type. Identical scan + pushed filters on non-empty input.
+    stored = (
+        spark.read.schema(derived.schema)
+        .option("basePath", tdir)
+        .parquet(tdir)
+    )
     return serving.price_chart(stored, "C7", "1w")
 
 def _sf_tag(sf_dir: str) -> str:

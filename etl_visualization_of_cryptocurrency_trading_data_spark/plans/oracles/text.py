@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ...operators import corpus
 from ...operators import text
-from .common import _documents, quality_sum_stats_sql
+from .common import QUALITY_GATE, _documents, quality_sum_stats_sql
 
 def q_text_stats(spark, sf_dir):
     return text.text_stats(_documents(spark, sf_dir))
@@ -382,7 +382,7 @@ ORACLE_SQL: dict[str, str] = {
 WITH s AS ({TEXT_STATS_SQL})
 SELECT doc_id, n_words,
        {quality_sum_stats_sql()} AS quality,
-       {quality_sum_stats_sql()} >= 0.7 AS is_quality
+       {quality_sum_stats_sql()} >= {QUALITY_GATE} AS is_quality
 FROM s""",
     "token_counts": f"""
 SELECT doc_id,

@@ -1304,7 +1304,11 @@ def quality_stream_replay(
         return spark.createDataFrame([], out_schema)
     wts = weights.localCheckpoint(eager=True)
     spool = tempfile.mkdtemp(prefix="quality_replay_")
-    docs.coalesce(n_files).write.mode("overwrite").parquet(
+    # repartition, not coalesce: the fixture tables read as ONE
+    # partition, and coalesce can only shrink — a coalesce(4) spool
+    # would be a single file = a single micro-batch, silently turning
+    # every "crosses batch boundaries" claim vacuous (code-review r13)
+    docs.repartition(n_files).write.mode("overwrite").parquet(
         os.path.join(spool, "feed")
     )
     out_dir = tempfile.mkdtemp(prefix="quality_replay_out_")
@@ -1318,26 +1322,31 @@ def quality_stream_replay(
             epoch_id=epoch_id,
         )
 
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(spool, "feed", "*.parquet"))
-    )
-    query = (
-        stream.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "quality", timeout_s)
+    # one try/finally owns BOTH tempdirs: a query that dies inside
+    # handle_batch raises out of _drain_spool's awaitTermination before
+    # its own spool rmtree, and bench/driver runs swallow per-query
+    # errors and keep going — without this every failed run strands a
+    # full corpus copy in /tmp (code-review r13)
     try:
-        result = (
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(spool, "feed", "*.parquet"))
+        )
+        query = (
+            stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_spool(query, spool, "quality", timeout_s)
+        return (
             sinks.read_table(spark, out_dir, "quality_scores")
             .select("doc_id", "score", "predicted")
             .localCheckpoint(eager=True)
         )
     finally:
+        shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
-    return result

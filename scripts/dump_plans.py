@@ -104,6 +104,9 @@ SHOWCASE = [
     "bucketed_join_audit",     # co-located bucketBy join: 0 Exchange in-band
     "quality_classifier_scores",  # broadcast 66-row model join + doc-keyed agg
     "curation_pipeline_v4",    # trained gate -> the shared v3 stage tail
+    "media_dhash",             # dHash decode: one mapInPandas, no shuffle
+    "media_dup_clusters",      # distinct-hash banded pairs -> star CC
+    "price_chart_stored",      # stored-table scan: StringEndsWith PUSHED
 ]
 
 # Serving-path queries additionally dump their Scan-node detail blocks
@@ -116,6 +119,11 @@ SCAN_DETAIL = {
     "technical_indicators",
     "price_chart",
     "coin_indicators_left",
+    # the stored-serving variant exists to make pushdown auditable:
+    # its Scan block must show StringEndsWith under PushedFilters,
+    # which the in-plan price_chart structurally cannot (r12 verdict
+    # item #7)
+    "price_chart_stored",
 }
 
 
