@@ -2465,3 +2465,73 @@ def perceptual_dup_clusters(
         .cast("long")
         .alias("n_members"),
     )
+
+
+def ahash_ppm(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Fixed-point perceptual average hash (aHash) over decoded PPM
+    payloads — dHash's sibling fingerprint (same downsample, but each
+    bit compares a cell against the GRID MEAN instead of its right
+    neighbor: robust to different distortions, so production pipelines
+    run both and near-dup candidates union). Integer-exact end-to-end:
+    the mean comparison ``gray > mean(grays)`` is evaluated as
+    ``64 * gray > sum(grays)`` — no division, no float, so the SQL
+    oracle replays every bit. Grid is 8x8 NN-sampled
+    (src = (g * size) // 8), luma and band layout identical to
+    :func:`dhash_ppm` (four LSB-first 16-bit bands, bit k = cell
+    gy*8+gx row-major). One Arrow-batched mapInPandas, no shuffle.
+    """
+    if grid != 8:
+        raise ValueError("ahash_ppm is pinned to 64-bit hashes (8x8 grid)")
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _parse_ppm(bytes(buf))
+                xs = (np.arange(grid, dtype=np.int64) * w) // grid
+                ys = (np.arange(grid, dtype=np.int64) * h) // grid
+                g = px[np.ix_(ys, xs)].astype(np.int64)
+                gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+                bits = (64 * gray > gray.sum()).astype(np.int64).ravel()
+                rows["doc_id"].append(int(d))
+                for k in range(4):
+                    seg = bits[16 * k : 16 * k + 16]
+                    rows[f"band{k}"].append(int((seg << np.arange(16)).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(hash_batch, schema)
+
+
+def perceptual_dup_survivors(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Survivorship over the perceptual clusters — the decision a real
+    media pipeline ships: per dHash cluster keep the HIGHEST-RESOLUTION
+    copy (width*height from the decoded header), min doc_id on ties.
+    Output: (cluster_id, survivor_id, width, height, n_members), one
+    row per cluster. Composition of :func:`perceptual_dup_clusters`
+    with the images' own dimensions — the media twin of the text
+    family's dedup_survivors (corpus.survivorship discipline: rank
+    inside the cluster, rn=1). The rank window shuffles on cluster_id;
+    everything upstream keeps the distinct-hash bounds.
+    """
+    from pyspark.sql.window import Window
+
+    clusters = perceptual_dup_clusters(media, max_hamming=max_hamming)
+    dims = media.select("doc_id", "width", "height")
+    ranked = clusters.join(dims, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                (F.col("width") * F.col("height")).desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        "width",
+        "height",
+        "n_members",
+    )

@@ -357,6 +357,61 @@ hashes AS (
   FROM bits GROUP BY doc_id
 )"""
 
+def q_media_ahash(spark, sf_dir):
+    """dHash's sibling fingerprint (multimodal.ahash_ppm): each bit
+    compares a grid cell against the GRID MEAN — integer-exact as
+    64*gray > sum(grays), so the oracle replays every bit. Production
+    media dedup runs both hash families and unions candidates; this
+    registers the second family with the same band discipline
+    (mid-r13)."""
+    return multimodal.ahash_ppm(
+        multimodal.ppm_table(_documents(spark, sf_dir))
+    )
+
+def q_media_dup_survivors(spark, sf_dir):
+    """Survivorship over the perceptual clusters
+    (multimodal.perceptual_dup_survivors): per cluster keep the
+    highest-resolution copy (width*height from the decoded header),
+    min doc_id on ties — the media twin of dedup_survivors, one row
+    per cluster (mid-r13)."""
+    return multimodal.perceptual_dup_survivors(
+        multimodal.ppm_table(_documents(spark, sf_dir))
+    )
+
+# reps -> banded candidates -> recursive reach CC -> per-image labels:
+# the shared cluster chain of the media_dup_clusters and
+# media_dup_survivors oracles (appended after _DHASH_CTES)
+_DUP_CLUSTER_CTES = """reps AS (
+  SELECT band0, band1, band2, band3, min(doc_id) AS rep_id
+  FROM hashes GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT a.rep_id AS ra, b.rep_id AS rb,
+         bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS hamming
+  FROM reps a JOIN reps b
+    ON a.rep_id < b.rep_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+),
+pairs AS (SELECT ra, rb FROM cand WHERE hamming <= 3),
+edges AS (SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+replab AS (
+  SELECT r.band0, r.band1, r.band2, r.band3,
+         coalesce(c.cluster_id, r.rep_id) AS cluster_id
+  FROM reps r LEFT JOIN comp c ON r.rep_id = c.node
+),
+labeled AS (
+  SELECT h.doc_id, rl.cluster_id
+  FROM hashes h JOIN replab rl USING (band0, band1, band2, band3)
+)"""
+
 ORACLE_SQL: dict[str, str] = {
     # closed-form replay of ppm_table's pixel formula — checks the
     # REAL decode end-to-end (a parser bug cannot reproduce these means)
@@ -647,37 +702,56 @@ SELECT doc_id, band0, band1, band2, band3 FROM hashes""",
     # min reachable id per node = the star-CC component minimum
     "media_dup_clusters": f"""
 WITH RECURSIVE {_DHASH_CTES},
-reps AS (
-  SELECT band0, band1, band2, band3, min(doc_id) AS rep_id
-  FROM hashes GROUP BY 1, 2, 3, 4
-),
-cand AS (
-  SELECT a.rep_id AS ra, b.rep_id AS rb,
-         bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
-         + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS hamming
-  FROM reps a JOIN reps b
-    ON a.rep_id < b.rep_id
-   AND (a.band0 = b.band0 OR a.band1 = b.band1
-        OR a.band2 = b.band2 OR a.band3 = b.band3)
-),
-pairs AS (SELECT ra, rb FROM cand WHERE hamming <= 3),
-edges AS (SELECT ra AS a, rb AS b FROM pairs UNION SELECT rb, ra FROM pairs),
-reach(node, r) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
-  UNION
-  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
-),
-comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
-replab AS (
-  SELECT r.band0, r.band1, r.band2, r.band3,
-         coalesce(c.cluster_id, r.rep_id) AS cluster_id
-  FROM reps r LEFT JOIN comp c ON r.rep_id = c.node
-),
-labeled AS (
-  SELECT h.doc_id, rl.cluster_id
-  FROM hashes h JOIN replab rl USING (band0, band1, band2, band3)
-)
+{_DUP_CLUSTER_CTES}
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
 FROM labeled""",
+    # aHash: same grid/luma/band layout as dHash, but bit = cell vs
+    # grid mean, integer-exact as 64*v > sum(v)
+    "media_ahash": f"""
+WITH dims AS (
+  SELECT doc_id, (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h
+  FROM documents
+),
+grid AS (
+  SELECT d.doc_id, d.w, d.h, gy.g::BIGINT AS gy, gx.g::BIGINT AS gx
+  FROM dims d, range(8) gy(g), range(8) gx(g)
+),
+luma AS (
+  SELECT doc_id, gy, gx,
+         299 * ((doc_id + i) % 256) + 587 * ((doc_id + 2*i) % 256)
+         + 114 * ((doc_id + 3*i) % 256) AS v
+  FROM (SELECT doc_id, gy, gx,
+               ((gy * h) // 8) * w + ((gx * w) // 8) AS i
+        FROM grid)
+),
+tot AS (SELECT doc_id, sum(v) AS s FROM luma GROUP BY doc_id),
+bits AS (
+  SELECT l.doc_id, l.gy * 8 + l.gx AS k,
+         CASE WHEN 64 * l.v > t.s THEN 1 ELSE 0 END AS bit
+  FROM luma l JOIN tot t USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k // 16 = 0 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band0,
+         sum(CASE WHEN k // 16 = 1 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band1,
+         sum(CASE WHEN k // 16 = 2 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band2,
+         sum(CASE WHEN k // 16 = 3 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band3
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, band0, band1, band2, band3 FROM hashes""",
+    # survivorship: highest-resolution copy per cluster, min id on ties
+    "media_dup_survivors": f"""
+WITH RECURSIVE {_DHASH_CTES},
+{_DUP_CLUSTER_CTES},
+sized AS (
+  SELECT l.doc_id, l.cluster_id, d.w, d.h,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.w * d.h DESC, l.doc_id) AS rn
+  FROM labeled l JOIN dims d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id, w::INT AS width, h::INT AS height,
+       n_members::BIGINT AS n_members
+FROM sized WHERE rn = 1""",
 }

@@ -233,6 +233,8 @@ from .oracles.media import (  # noqa: F401
     q_media_decode_jpeg_color,
     q_media_dhash,
     q_media_dup_clusters,
+    q_media_ahash,
+    q_media_dup_survivors,
     _DHASH_CTES,
 )
 from .oracles.streaming import (  # noqa: F401
@@ -833,6 +835,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sink-materialized price_data table — StringEndsWith reaches the
     # parquet scan (EXPLAIN.md §stored-serving)
     "price_chart_stored": q_price_chart_stored,
+    # mid-round additions (this session): the second perceptual hash
+    # family (bit = cell vs grid mean, integer-exact) and
+    # survivorship over the perceptual clusters
+    "media_ahash": q_media_ahash,
+    "media_dup_survivors": q_media_dup_survivors,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -886,6 +893,14 @@ _R13_WINDOW_FRONT = [
     "media_dup_clusters",
     "quality_stream_replay",
     "price_chart_stored",
+    # (a, mid-round this session) the aHash sibling fingerprint and
+    # perceptual survivorship; per the yield precedent
+    # semantic_dedup_trained (r10 row — the no-row-older-than-r10
+    # criterion is unaffected by one more round at r10) and
+    # dataset_split (r11 row; its re-render is value-proven locally
+    # and r14 sweeps it) give up their (c) slots
+    "media_ahash",
+    "media_dup_survivors",
     # (b) the FULL 42-entry r9-row cohort, registry order (incl.
     # plan_audit, which yielded its r12 slot and front-loads here per
     # the r12 PINNING note)
@@ -941,9 +956,7 @@ _R13_WINDOW_FRONT = [
     # (deliberate: the 42-entry r9 cohort outranks re-checking
     # r12-fresh rows whose values were just proven unchanged).
     "contamination",
-    "dataset_split",
     "curation_pipeline_v3",
-    "semantic_dedup_trained",
 ]
 assert len(_R13_WINDOW_FRONT) == 50 and len(set(_R13_WINDOW_FRONT)) == 50
 assert set(_R13_WINDOW_FRONT) <= set(QUERIES), sorted(
@@ -1197,6 +1210,8 @@ _ORACLE_REGISTRATION_ORDER = [
     "media_dup_clusters",
     "quality_stream_replay",
     "price_chart_stored",
+    "media_ahash",
+    "media_dup_survivors",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -107,6 +107,8 @@ SHOWCASE = [
     "media_dhash",             # dHash decode: one mapInPandas, no shuffle
     "media_dup_clusters",      # distinct-hash banded pairs -> star CC
     "price_chart_stored",      # stored-table scan: StringEndsWith PUSHED
+    "media_ahash",             # grid-mean aHash: one mapInPandas, no shuffle
+    "media_dup_survivors",     # cluster chain + one rank window
 ]
 
 # Serving-path queries additionally dump their Scan-node detail blocks

@@ -59,6 +59,20 @@ NOTES: dict[str, str] = {
         "table — StringEndsWith reaches the parquet scan as a pushed "
         "filter, EXPLAIN.md stored-serving section); front-loaded"
     ),
+    "media_ahash": (
+        "registered mid-r13 (the aHash sibling fingerprint: bit = cell vs "
+        "grid mean, integer-exact as 64*v > sum(v)); front-loaded"
+    ),
+    "media_dup_survivors": (
+        "registered mid-r13 (highest-resolution survivor per perceptual "
+        "cluster, min id on ties — the media dedup_survivors twin); "
+        "front-loaded"
+    ),
+    "semantic_dedup_trained": (
+        "yielded its r13 (c) slot to the mid-round media_ahash "
+        "registration (r10 row — the no-row-older-than-r10 criterion is "
+        "unaffected); r14 (b) cohort front-loads it"
+    ),
     "plan_audit": (
         "yielded its r12 (c) slot to the mid-round disagreement "
         "registration; front-loads the r13 (b) cohort as planned"
@@ -75,8 +89,9 @@ NOTES: dict[str, str] = {
         "at sf0.001+sf0.01); in-window — fresh row re-verifies"
     ),
     "dataset_split": (
-        "oracle re-rendered r13 (shared split literals; values identical); "
-        "in-window — fresh row re-verifies"
+        "oracle re-rendered r13 (values identical at sf0.001+sf0.01); "
+        "yielded its r13 (c) slot to the mid-round media_dup_survivors "
+        "registration (r11 row stands), r14 sweeps"
     ),
     "curation_pipeline_v3": (
         "oracle re-rendered r13 (shared quality/split literals; values "

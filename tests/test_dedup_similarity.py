@@ -2741,3 +2741,69 @@ def test_perceptual_dup_clusters_match_bruteforce_components(spark):
     assert len(got) == len(fps)
     for d in fps:
         assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
+
+
+def test_ahash_ppm_matches_hand_computation(spark):
+    """aHash (multimodal.ahash_ppm): bit = cell luma vs GRID MEAN,
+    integer-exact as 64*gray > sum(grays). Hand computation from the
+    decoded payloads, independent of operator and oracle — and at
+    least one image must have a non-trivial hash (not all-zeros/ones),
+    or the mean comparison would be vacuous."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = multimodal.ppm_table(docs)
+    got = {
+        int(r["doc_id"]): [r["band0"], r["band1"], r["band2"], r["band3"]]
+        for r in multimodal.ahash_ppm(media).collect()
+    }
+    payloads = {int(r["doc_id"]): bytes(r["payload"]) for r in media.collect()}
+    assert len(got) == len(payloads) > 0
+    nontrivial = 0
+    for d, buf in payloads.items():
+        w, h, px = multimodal._parse_ppm(buf)
+        xs = (np.arange(8, dtype=np.int64) * w) // 8
+        ys = (np.arange(8, dtype=np.int64) * h) // 8
+        g = px[np.ix_(ys, xs)].astype(np.int64)
+        gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+        bits = (64 * gray > gray.sum()).astype(np.int64).ravel()
+        want = [int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum()) for k in range(4)]
+        assert got[d] == want, d
+        if 0 < bits.sum() < 64:
+            nontrivial += 1
+    assert nontrivial > 0
+
+
+def test_perceptual_dup_survivors_keep_highest_resolution(spark):
+    """Survivorship over perceptual clusters: one row per cluster, the
+    survivor is the cluster member with max width*height (min doc_id on
+    ties), n_members matches the cluster size."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.ppm_table(docs)
+    clusters = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.perceptual_dup_clusters(media).collect()
+    }
+    dims = {
+        int(r["doc_id"]): (int(r["width"]), int(r["height"]))
+        for r in media.select("doc_id", "width", "height").collect()
+    }
+    want = {}
+    for d, (c, n) in clusters.items():
+        w, h = dims[d]
+        key = (-w * h, d)
+        if c not in want or key < want[c][0]:
+            want[c] = (key, d, w, h, n)
+    got = {
+        int(r["cluster_id"]): (
+            int(r["survivor_id"]), int(r["width"]), int(r["height"]), int(r["n_members"])
+        )
+        for r in multimodal.perceptual_dup_survivors(media).collect()
+    }
+    assert set(got) == set(want)
+    for c, (_, d, w, h, n) in want.items():
+        assert got[c] == (d, w, h, n), c

@@ -238,6 +238,8 @@ EXPECTED_R13_WINDOW = [
     "media_dup_clusters",
     "quality_stream_replay",
     "price_chart_stored",
+    "media_ahash",
+    "media_dup_survivors",
     "plan_audit",
     "coin_pagerank_capped",
     "kmeans_centroids_fixed",
@@ -281,9 +283,7 @@ EXPECTED_R13_WINDOW = [
     "remove_repeated_spans",
     "leakage_safe_split",
     "contamination",
-    "dataset_split",
     "curation_pipeline_v3",
-    "semantic_dedup_trained",
 ]
 
 
