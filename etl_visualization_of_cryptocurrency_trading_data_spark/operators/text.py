@@ -777,3 +777,93 @@ def bm25_scores(
         F.count("*").alias("n_matched"),
         F.round(F.sum(contrib), 6).alias("bm25"),
     )
+
+
+def lm_perplexity_buckets(
+    documents: DataFrame,
+    q_low: float = 0.33,
+    q_high: float = 0.66,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality bucketing: label every scoreable
+    document head / middle / tail by its [[bigram_logprob]] score
+    against its OWN LANGUAGE's score quantiles — the Wenzek et al.
+    (CCNet) discipline that curation pipelines use to keep the fluent
+    third, review the middle, and drop the garbled tail. Per-language
+    cuts matter: raw LM scores are not comparable across languages
+    (different bigram entropy), so a global threshold would silently
+    drop whole languages.
+
+    Determinism (the [[market_regime]] idiom): scores are already on
+    bigram_logprob's 1e-7 grid; the exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) compute over
+    those rounded values and round to 1e-9, so bucket labels compare
+    rounded-to-rounded and cannot flip on ulp drift. head = highest
+    log-probability (most fluent). Documents under 2 tokens have no
+    score and are absent, as in bigram_logprob.
+
+    Plan: the bigram_logprob chain (one tokenize scan, three keyed
+    exchanges), a |langs|-row quantile aggregate, one broadcast join
+    back — the corpus crosses the wire exactly as often as the score
+    itself."""
+    scored = bigram_logprob(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("avg_logprob", q_low), round_decimals).alias("c_low"),
+        F.round(F.percentile("avg_logprob", q_high), round_decimals).alias("c_high"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") <= F.col("c_low"), "tail")
+        .when(F.col("avg_logprob") <= F.col("c_high"), "middle")
+        .otherwise("head")
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "n_bigrams", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def bpe_fertility(
+    documents: DataFrame, rounds: int = 3, round_decimals: int = 9
+) -> DataFrame:
+    """Per-language tokenizer-fit report under the trained BPE — the
+    two numbers a tokenizer review reads before shipping a vocabulary:
+    FERTILITY (BPE tokens per whitespace word; 1.0 = every word is one
+    token, higher = the vocab fragments that language) and
+    CHARS-PER-TOKEN (compression; higher = each token carries more
+    text). Multilingual pipelines watch fertility skew across
+    languages — a vocab trained on the mixture can still fragment a
+    minority language badly.
+
+    Exact integer sums (token/word/char counts) with ONE rounded
+    division each at the end, so the oracle replays bit-exactly.
+    Plan: the [[bpe_encode_counts]] chain (vocabulary-bound training +
+    one broadcast word-table join), one extra map pass for word-char
+    totals, one |langs|-row aggregate."""
+    enc = bpe_encode_counts(documents, rounds=rounds)
+    toks = documents.select(
+        "doc_id", "lang", words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
+    wchars = toks.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "aggregate(transform(ws, x -> length(x)), 0L, (a, x) -> a + bigint(x))"
+        ).alias("n_word_chars"),
+    )
+    return (
+        enc.join(wchars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens_bpe").alias("n_tokens_bpe"),
+            F.sum("n_word_chars").alias("n_word_chars"),
+            F.round(F.sum("n_tokens_bpe") / F.sum("n_words"), round_decimals).alias(
+                "fertility"
+            ),
+            F.round(
+                F.sum("n_word_chars") / F.sum("n_tokens_bpe"), round_decimals
+            ).alias("chars_per_token"),
+        )
+    )

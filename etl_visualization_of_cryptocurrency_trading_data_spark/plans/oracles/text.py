@@ -82,6 +82,25 @@ def q_doc_length_quantiles_approx(spark, sf_dir):
         )
     )
 
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style LM-quality bucketing (text.lm_perplexity_buckets,
+    mid-r13): head/middle/tail per document by its corpus-bigram-LM
+    score against ITS OWN LANGUAGE's rounded tercile cuts — the
+    keep/review/drop triage curation pipelines run on a KenLM score.
+    Per-language cuts because raw LM scores are not cross-language
+    comparable. Determinism per the market_regime idiom (rounded
+    scores -> exact percentile -> rounded cuts -> rounded-to-rounded
+    compare)."""
+    return text.lm_perplexity_buckets(_documents(spark, sf_dir))
+
+def q_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer-fit report (text.bpe_fertility,
+    mid-r13): fertility (trained-BPE tokens per word) and
+    chars-per-token under the 3-round trained vocabulary — the skew
+    check a multilingual tokenizer review reads before shipping.
+    Exact integer sums, one rounded division each."""
+    return text.bpe_fertility(_documents(spark, sf_dir))
+
 def q_corpus_quality_report(spark, sf_dir):
     """Per-(source, lang) curation dashboard
     (text.corpus_quality_report): Gopher per-rule pass counts and the
@@ -374,6 +393,32 @@ SELECT doc_id, count(*)::BIGINT AS n_matched,
 FROM wdf, stats
 GROUP BY doc_id"""
 
+# Shared bigram-LM fragments: the corpus bigram model + per-doc mean
+# log-probability, used verbatim by the bigram_logprob oracle and
+# composed (as CTE ``sc``) by lm_perplexity_buckets — one definition,
+# no literal twins (the r12 verdict item #2 discipline).
+_BIGRAM_CTES = f"""docs AS (
+  SELECT doc_id, ws FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents)
+  WHERE len(ws) >= 2
+),
+bi AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest([{{'w1': ws[i], 'w2': ws[i+1]}}
+                   for i in range(1, len(ws))]) AS bg
+    FROM docs)
+),
+c AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY w1, w2) AS n2,
+         count(*) OVER (PARTITION BY w1) AS n1
+  FROM bi
+)"""
+
+_BIGRAM_SCORE_SELECT = """SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(n2::DOUBLE / n1)), 7) AS avg_logprob
+FROM c GROUP BY doc_id"""
+
 # DuckDB oracle SQL for this domain's registered queries —
 # assembled (registration order restored) into plans.registry.ORACLES.
 ORACLE_SQL: dict[str, str] = {
@@ -415,26 +460,49 @@ SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint,
        length(text)::BIGINT AS n_chars
 FROM documents""",
     "bigram_logprob": f"""
-WITH docs AS (
-  SELECT doc_id, ws FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents)
-  WHERE len(ws) >= 2
+WITH {_BIGRAM_CTES}
+{_BIGRAM_SCORE_SELECT}""",
+    # CCNet-style LM bucketing: the SAME score chain, per-language
+    # rounded tercile cuts (quantile_cont == Spark percentile), labels
+    # compared rounded-to-rounded (the market_regime idiom)
+    "lm_perplexity_buckets": f"""
+WITH {_BIGRAM_CTES},
+sc AS (
+  {_BIGRAM_SCORE_SELECT}
 ),
-bi AS (
-  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
-    SELECT doc_id,
-           unnest([{{'w1': ws[i], 'w2': ws[i+1]}}
-                   for i in range(1, len(ws))]) AS bg
-    FROM docs)
+sl AS (
+  SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.avg_logprob
+  FROM sc JOIN documents d USING (doc_id)
 ),
-c AS (
-  SELECT doc_id,
-         count(*) OVER (PARTITION BY w1, w2) AS n2,
-         count(*) OVER (PARTITION BY w1) AS n1
-  FROM bi
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(avg_logprob, 0.33), 9) AS c_low,
+         round(quantile_cont(avg_logprob, 0.66), 9) AS c_high
+  FROM sl GROUP BY lang
 )
-SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       round(avg(ln(n2::DOUBLE / n1)), 7) AS avg_logprob
-FROM c GROUP BY doc_id""",
+SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.avg_logprob,
+       CASE WHEN sl.avg_logprob <= c.c_low THEN 'tail'
+            WHEN sl.avg_logprob <= c.c_high THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sl JOIN cuts c USING (lang)""",
+    # tokenizer-fit report: exact integer sums, one rounded division
+    # each — fertility (BPE tokens per word) and chars-per-token
+    "bpe_fertility": f"""
+{_bpe_encode_ctes()},
+wchars AS (
+  SELECT doc_id,
+         list_sum(list_transform(ws, x -> length(x)))::BIGINT AS n_word_chars
+  FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents)
+  WHERE len(ws) > 0
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(e.n_words)::BIGINT AS n_words,
+       sum(e.n_tokens_bpe)::BIGINT AS n_tokens_bpe,
+       sum(w.n_word_chars)::BIGINT AS n_word_chars,
+       round(sum(e.n_tokens_bpe)::DOUBLE / sum(e.n_words), 9) AS fertility,
+       round(sum(w.n_word_chars)::DOUBLE / sum(e.n_tokens_bpe), 9) AS chars_per_token
+FROM enc e JOIN documents d USING (doc_id) JOIN wchars w USING (doc_id)
+GROUP BY d.lang""",
     "repetition_stats": f"""
 WITH base AS (
   SELECT doc_id,

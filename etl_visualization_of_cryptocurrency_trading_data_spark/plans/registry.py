@@ -166,6 +166,8 @@ from .oracles.text import (  # noqa: F401
     q_bm25_scores,
     q_host_cap,
     q_quality_auc,
+    q_lm_perplexity_buckets,
+    q_bpe_fertility,
     _BM25_SQL,
 )
 from .oracles.similarity import (  # noqa: F401
@@ -465,8 +467,11 @@ def q_plan_audit_skew(spark, sf_dir):
 # query's newest row is older than r10.
 # Round-14 rotation guidance: after the r13 driver run the oldest
 # evidence is the remainder of the r10-row cohort (the r13 window
-# covered semantic_dedup_trained and contamination; ~42 r10 rows
-# remain). Front-load (a) anything r14 adds or re-plans, then (b) the
+# covered contamination; ~43 r10 rows remain). Front-load (a)
+# anything r14 adds or re-plans PLUS the two never-checked late-r13
+# registrations (lm_perplexity_buckets, bpe_fertility — registered
+# after the r13 window was sealed, full local evidence in PINNING),
+# then (b) the
 # remaining r10-row entries, oldest first in registry order:
 # recovery_stream_replay, media_decode_bmp, media_decode_gif,
 # media_decode_jpeg, media_resize, incremental_dedup_bloom,
@@ -840,6 +845,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # survivorship over the perceptual clusters
     "media_ahash": q_media_ahash,
     "media_dup_survivors": q_media_dup_survivors,
+    # late-r13 additions, registered AFTER the 50-slot window was
+    # sealed (every slot is spoken for by a verdict done-criterion);
+    # both carry full local driver-gate evidence (sf0.001+sf0.01 value
+    # rows, pytest) and the r14 guidance front-loads them
+    "lm_perplexity_buckets": q_lm_perplexity_buckets,
+    "bpe_fertility": q_bpe_fertility,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1212,6 +1223,8 @@ _ORACLE_REGISTRATION_ORDER = [
     "price_chart_stored",
     "media_ahash",
     "media_dup_survivors",
+    "lm_perplexity_buckets",
+    "bpe_fertility",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -59,6 +59,16 @@ NOTES: dict[str, str] = {
         "table — StringEndsWith reaches the parquet scan as a pushed "
         "filter, EXPLAIN.md stored-serving section); front-loaded"
     ),
+    "lm_perplexity_buckets": (
+        "registered late-r13 AFTER the window sealed (CCNet-style per-lang "
+        "head/middle/tail by corpus-LM score, rounded tercile cuts); value "
+        "rows green at sf0.001+sf0.01 locally; r14 front-loads"
+    ),
+    "bpe_fertility": (
+        "registered late-r13 AFTER the window sealed (per-lang tokenizer "
+        "fertility + chars-per-token under the trained BPE, exact integer "
+        "sums); value rows green at sf0.001+sf0.01 locally; r14 front-loads"
+    ),
     "media_ahash": (
         "registered mid-r13 (the aHash sibling fingerprint: bit = cell vs "
         "grid mean, integer-exact as 64*v > sum(v)); front-loaded"

@@ -551,3 +551,78 @@ def test_bpe_encode_counts_progress_contract(spark):
     out1 = {r.doc_id: r for r in text.bpe_encode_counts(docs, rounds=1).collect()}
     for d in (1, 2):
         assert out1[d].n_tokens_bpe >= out3[d].n_tokens_bpe
+
+
+def test_lm_perplexity_buckets_terciles_and_labels(spark):
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from conftest import SF_SMOKE
+
+    """Per-language bucketing: every scoreable doc is labeled, labels
+    are consistent with the doc's own language's rounded tercile cuts
+    (recomputed here from the scores), and each language with >= 3
+    scoreable docs has all three buckets non-empty."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import text
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    scored = {
+        int(r["doc_id"]): (r["lang"], float(r["avg_logprob"]), r["bucket"])
+        for r in text.lm_perplexity_buckets(docs).collect()
+    }
+    base = {
+        int(r["doc_id"]): float(r["avg_logprob"])
+        for r in text.bigram_logprob(docs).collect()
+    }
+    assert set(scored) == set(base)
+    import numpy as np
+
+    by_lang: dict[str, list[float]] = {}
+    for d, (lang, lp, _b) in scored.items():
+        assert abs(lp - base[d]) < 1e-12
+        by_lang.setdefault(lang, []).append(lp)
+    for lang, vals in by_lang.items():
+        lo = round(float(np.percentile(vals, 33, method="linear")), 9)
+        hi = round(float(np.percentile(vals, 66, method="linear")), 9)
+        for d, (lg, lp, b) in scored.items():
+            if lg != lang:
+                continue
+            want = "tail" if lp <= lo else ("middle" if lp <= hi else "head")
+            assert b == want, (d, lang, lp, lo, hi, b, want)
+        if len(vals) >= 3:
+            got_buckets = {b for _, (lg, _lp, b) in scored.items() if lg == lang}
+            assert got_buckets == {"head", "middle", "tail"}, (lang, got_buckets)
+
+
+def test_bpe_fertility_invariants_and_reconciliation(spark):
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from conftest import SF_SMOKE
+
+    """Fertility >= 1 (every word is at least one token) and
+    chars_per_token >= 1 (a token is at least one char); the per-lang
+    sums reconcile exactly against bpe_encode_counts + a hand word-char
+    total."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import text
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rep = {r["lang"]: r.asDict() for r in text.bpe_fertility(docs).collect()}
+    assert rep
+    enc = {
+        int(r["doc_id"]): (int(r["n_words"]), int(r["n_tokens_bpe"]))
+        for r in text.bpe_encode_counts(docs).collect()
+    }
+    langs = {int(r["doc_id"]): r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    texts = {int(r["doc_id"]): r["text"] for r in docs.select("doc_id", "text").collect()}
+    want: dict[str, list[int]] = {}
+    for d, (nw, nt) in enc.items():
+        wc = sum(len(w) for w in texts[d].lower().split())
+        acc = want.setdefault(langs[d], [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += nw
+        acc[2] += nt
+        acc[3] += wc
+    assert set(rep) == set(want)
+    for lang, (nd, nw, nt, wc) in want.items():
+        r = rep[lang]
+        assert (r["n_docs"], r["n_words"], r["n_tokens_bpe"], r["n_word_chars"]) == (nd, nw, nt, wc), lang
+        assert r["fertility"] >= 1.0 and r["chars_per_token"] >= 1.0
+        assert abs(r["fertility"] - round(nt / nw, 9)) < 1e-12
+        assert abs(r["chars_per_token"] - round(wc / nt, 9)) < 1e-12
