@@ -2398,6 +2398,16 @@ def perceptual_dup_clusters(
     Every image therefore crosses the wire exactly twice (the hash
     groupBy and the final label join); only distinct hashes enter the
     quadratic-risk stage. 100x ratio measured in NOTES_r13.
+
+    Cache contract (caller-owned): the fingerprint and representative
+    frames are ``persist()``-ed here because three downstream jobs
+    consume each — without the persists every consumer re-runs the
+    corpus-wide pandas-UDF decode. The returned DataFrame is lazy, so
+    this function cannot unpersist them itself; the CALLER owns the
+    release (``spark.catalog.clearCache()`` or an unpersist sweep)
+    once the result is materialized. The bench's per-query clearCache
+    honors this; repeated invocations without a release accumulate
+    two cached frames per call.
     """
     from .dedup import connected_components_star
 
@@ -2535,3 +2545,210 @@ def perceptual_dup_survivors(media: DataFrame, max_hamming: int = 3) -> DataFram
         "height",
         "n_members",
     )
+
+
+def ppm_table_seeded(documents: DataFrame, seed_col: str = "seed") -> DataFrame:
+    """:func:`ppm_table` with the pixel/dimension formula keyed on a
+    caller-supplied SEED column instead of doc_id — docs sharing a
+    seed get byte-identical payloads while keeping their own doc_id.
+    The planted-duplicate fixture for image+text dedup compositions
+    (LAION-style caption corpora repeat the same thumbnail under many
+    captions; ``seed = doc_id % H`` reproduces that shape
+    deterministically, so the SQL oracle replays every pixel from the
+    seed). Same closed form as :func:`ppm_table`: width = 4 + s % 5,
+    height = 3 + s % 4, channels of pixel i = (s + c*i) % 256.
+    Arrow-batched mapInPandas, pure map (no shuffle).
+    """
+    schema = "doc_id long, width int, height int, payload binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for d, s in zip(pdf["doc_id"], pdf[seed_col]):
+                d, s = int(d), int(s)
+                w, h = 4 + s % 5, 3 + s % 4
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.empty((w * h, 3), dtype=np.uint8)
+                px[:, 0] = (s + i) % 256
+                px[:, 1] = (s + 2 * i) % 256
+                px[:, 2] = (s + 3 * i) % 256
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(
+                    f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", seed_col).mapInPandas(synth, schema)
+
+
+def _phash_rep_pairs(
+    fps: DataFrame, max_hamming: int
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, verified rep pairs) for one perceptual-hash family —
+    the distinct-hash collapse + Hamming-banded self-join of
+    :func:`perceptual_dup_clusters`, factored for compositions that
+    run MORE than one hash family over the same corpus. ``fps`` is a
+    fingerprint frame (doc_id, band0..band3); ``reps`` is the
+    content-bounded distinct-hash table (bands, rep_id = min doc_id,
+    n_docs); ``pairs`` is (rep_id_a, rep_id_b) verified at
+    xor+bit_count distance <= max_hamming over the 4x16-bit-band
+    pigeonhole candidates. The caller owns persisting ``reps`` (both
+    self-join sides and any downstream label join consume it).
+    """
+    bands = [f"band{k}" for k in range(4)]
+    reps = fps.groupBy(*bands).agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs")
+    )
+    banded = reps.select(
+        "rep_id",
+        *bands,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"band{k}").alias("bucket")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rep_id", *bands, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}")).cast("long")
+        )
+        for k in range(4)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .select(
+            F.col("a.rep_id").alias("rep_id_a"),
+            F.col("b.rep_id").alias("rep_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select("rep_id_a", "rep_id_b")
+    )
+    return reps, pairs
+
+
+def perceptual_dup_clusters_union(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Dual-family perceptual image dedup: a pair of images is a
+    near-dup if dHash OR aHash says so — the candidate-union posture
+    production media dedup ships (each family is robust to different
+    distortions: dHash to global brightness shifts, aHash to local
+    pixel noise; running both and unioning candidates is the standard
+    recall move). Output: (doc_id, cluster_id, n_members), one label
+    set over the UNION graph — same schema as
+    :func:`perceptual_dup_clusters`.
+
+    Scale architecture — the union never leaves rep space:
+
+    1. one map pass per family computes the fingerprints
+       (:func:`dhash_ppm`, :func:`ahash_ppm`);
+    2. each family collapses to its OWN distinct-hash representative
+       table (content-bounded, min doc_id as rep) and runs its own
+       Hamming-banded rep self-join — the per-family quadratic-risk
+       stage keeps the per-family distinct-hash bound;
+    3. the two rep-pair sets union with BRIDGE edges — one edge
+       (dhash_rep(doc), ahash_rep(doc)) per distinct (d-rep, a-rep)
+       combination, O(distinct hash combos) <= O(N) and linear to
+       build (one join of the two fingerprint frames on doc_id) —
+       which glue the families: two docs identical under aHash but
+       far under dHash reach each other through their shared a-rep;
+    4. ONE star-CC labels the union graph
+       ([[dedup.connected_components_star]]), and every image joins
+       its cluster through its d-rep (its a-rep lands in the same
+       component by the bridge edge, so either family's label join
+       gives the identical answer).
+
+    cluster_id remains the min doc_id of the doc-level cluster: every
+    rep id IS a member doc's id, and the cluster's minimal doc is the
+    min of its own d-hash group, hence a rep, hence a CC node.
+
+    Cache contract (caller-owned): the two fingerprint frames and the
+    two rep tables are persisted here (each feeds 2-3 downstream
+    jobs, incl. the iterative CC); the returned frame is lazy, so the
+    CALLER releases the cache once materialized — same contract as
+    :func:`perceptual_dup_clusters`.
+    """
+    from .dedup import connected_components_star
+
+    bands = [f"band{k}" for k in range(4)]
+    fps_d = dhash_ppm(media).persist()
+    fps_a = ahash_ppm(media).persist()
+    reps_d, pairs_d = _phash_rep_pairs(fps_d, max_hamming)
+    reps_a, pairs_a = _phash_rep_pairs(fps_a, max_hamming)
+    reps_d, reps_a = reps_d.persist(), reps_a.persist()
+    a_named = fps_a.select(
+        "doc_id", *[F.col(b).alias(f"a_{b}") for b in bands]
+    )
+    bridges = (
+        fps_d.join(a_named, "doc_id")
+        .join(reps_d.select(*bands, F.col("rep_id").alias("rep_d")), bands)
+        .join(
+            reps_a.select(
+                *[F.col(b).alias(f"a_{b}") for b in bands],
+                F.col("rep_id").alias("rep_a"),
+            ),
+            [f"a_{b}" for b in bands],
+        )
+        .filter(F.col("rep_d") != F.col("rep_a"))
+        .select(
+            F.col("rep_d").alias("rep_id_a"), F.col("rep_a").alias("rep_id_b")
+        )
+        .distinct()
+    )
+    edges = pairs_d.unionByName(pairs_a).unionByName(bridges)
+    labels = connected_components_star(edges, id_a="rep_id_a", id_b="rep_id_b")
+    rep_lab = reps_d.join(
+        labels, reps_d["rep_id"] == labels["doc_id"], "left"
+    ).select(
+        *[reps_d[c] for c in bands],
+        F.coalesce(labels["cluster_id"], reps_d["rep_id"]).alias("cluster_id"),
+    )
+    docs = fps_d.join(rep_lab, bands).select("doc_id", "cluster_id")
+    from pyspark.sql.window import Window
+
+    return docs.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )
+
+
+def perceptual_dup_drops(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The DROP side of perceptual survivorship: every image that is
+    NOT its cluster's highest-resolution copy (min doc_id on ties) —
+    the complement of :func:`perceptual_dup_survivors`, as a
+    (doc_id) frame ready for an anti-join gate in a curation
+    pipeline. Same rank window (cluster_id partition), same upstream
+    distinct-hash bounds; singleton clusters drop nothing.
+    """
+    from pyspark.sql.window import Window
+
+    clusters = perceptual_dup_clusters(media, max_hamming=max_hamming)
+    dims = media.select("doc_id", "width", "height")
+    ranked = clusters.join(dims, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                (F.col("width") * F.col("height")).desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") > 1).select("doc_id")

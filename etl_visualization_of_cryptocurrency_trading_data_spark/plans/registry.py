@@ -237,6 +237,8 @@ from .oracles.media import (  # noqa: F401
     q_media_dup_clusters,
     q_media_ahash,
     q_media_dup_survivors,
+    q_media_dup_clusters_union,
+    q_image_text_dup_agreement,
     _DHASH_CTES,
 )
 from .oracles.streaming import (  # noqa: F401
@@ -341,6 +343,7 @@ from .oracles.corpus import (  # noqa: F401
     q_quality_classifier_auc,
     q_quality_classifier_disagreement,
     q_curation_pipeline_v4,
+    q_curation_pipeline_v5,
 )
 from .oracles import (  # noqa: F401
     common as _oracles_common,
@@ -456,14 +459,17 @@ def q_plan_audit_skew(spark, sf_dir):
 # AFTER the r11 driver run: no registered query's newest row is older
 # than r8.
 # ROUND-13 ROTATION EXECUTED per the r12 guidance (kept below) — see
-# _R13_WINDOW_FRONT after the QUERIES literal: (a) the four r13
+# _R13_WINDOW_FRONT after the QUERIES literal: (a) the SIX r13
 # registrations (media_dhash / media_dup_clusters /
-# quality_stream_replay / price_chart_stored), (b) the FULL 42-entry
-# r9-row cohort (plan_audit front-loaded per its r12 yield), (c) the
-# 3 oldest-evidence oracles re-rendered by the r13 literal
-# consolidation (contamination — itself an r10 row — dataset_split,
-# curation_pipeline_v3) + the oldest r10-row entry
-# (semantic_dedup_trained). AFTER the r13 driver run: no registered
+# quality_stream_replay / price_chart_stored, plus the mid-round
+# media_ahash / media_dup_survivors, which claimed the (c) slots of
+# dataset_split and semantic_dedup_trained via the yield convention),
+# (b) the FULL 42-entry r9-row cohort (plan_audit front-loaded per
+# its r12 yield), (c) the 2 oldest-evidence oracles re-rendered by
+# the r13 literal consolidation that kept their slots (contamination
+# — itself an r10 row — and curation_pipeline_v3). The inline (a)/(c)
+# comments inside _R13_WINDOW_FRONT are authoritative for the
+# executed window. AFTER the r13 driver run: no registered
 # query's newest row is older than r10.
 # Round-14 rotation guidance: after the r13 driver run the oldest
 # evidence is the remainder of the r10-row cohort (the r13 window
@@ -851,6 +857,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows, pytest) and the r14 guidance front-loads them
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "bpe_fertility": q_bpe_fertility,
+    # ---- r14 registrations ----
+    # dual-family perceptual dedup: dHash + aHash pairs + bridge
+    # edges -> one star-CC label set (r13 verdict item #3)
+    "media_dup_clusters_union": q_media_dup_clusters_union,
+    # paired text+image dedup over a planted caption-image corpus:
+    # MinHash text pairs annotated with perceptual-cluster agreement
+    # + the three modality counts (r13 verdict item #4)
+    "image_text_dup_agreement": q_image_text_dup_agreement,
+    # the end-to-end pipeline with a media survivorship stage
+    # composed into the trained gate (r13 verdict item #5)
+    "curation_pipeline_v5": q_curation_pipeline_v5,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1225,6 +1242,10 @@ _ORACLE_REGISTRATION_ORDER = [
     "media_dup_survivors",
     "lm_perplexity_buckets",
     "bpe_fertility",
+    # ---- r14 registrations ----
+    "media_dup_clusters_union",
+    "image_text_dup_agreement",
+    "curation_pipeline_v5",
 ]
 
 _merged_oracles: dict[str, str] = {}
