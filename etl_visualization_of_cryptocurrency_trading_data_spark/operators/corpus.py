@@ -810,3 +810,156 @@ def quality_survivors(
             "n_members",
         )
     )
+
+
+def image_text_dup_agreement(
+    documents: DataFrame,
+    media: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Paired text+image dedup for caption-image corpora (the
+    LAION-style curation decision): compose the TEXT near-dup
+    relation (MinHash-LSH verified pairs,
+    [[dedup.minhash_lsh_pairs]], md5 family) with the IMAGE
+    perceptual cluster labels ([[multimodal.perceptual_dup_clusters]])
+    and emit every text pair annotated with image agreement — the
+    pairs duplicated in BOTH modalities are the high-precision drop
+    set — plus the three modality counts as audit columns:
+
+    - ``n_both``       — text pairs whose two docs share an image
+      cluster (drop with confidence);
+    - ``n_text_only``  — text pairs whose images differ (same caption
+      re-used on different images: keep, captions repeat legitimately);
+    - ``n_image_only`` — image-dup pairs with no text-dup edge (same
+      image under different captions). Computed WITHOUT materializing
+      intra-cluster pairs: the doc-level image pair count is
+      sum over clusters of C(n_members, 2) — pure label arithmetic —
+      minus n_both; a 1M-copy logo cluster contributes a number, not
+      5*10^11 rows (the same no-all-pairs discipline as everywhere
+      else in this engine).
+
+    Output: (doc_id_a, doc_id_b, image_agree, n_both, n_text_only,
+    n_image_only) — one row per verified text pair; the counts are
+    constant columns attached via a broadcast single-row cross join
+    (the share-of-total posture, SURVEY A6). Both pair tables are
+    already bounded (banded LSH buckets / distinct-hash reps), so the
+    composition adds two label joins and one count aggregate — no new
+    quadratic stage. Docs without an image row count as non-agreeing
+    (left joins + coalesce false).
+    """
+    from .dedup import minhash_lsh_pairs
+    from .multimodal import perceptual_dup_clusters
+
+    pairs = minhash_lsh_pairs(
+        documents,
+        n=n,
+        threshold=threshold,
+        hash_family="md5",
+        persist_intermediate=True,
+    ).select("doc_id_a", "doc_id_b")
+    labels = perceptual_dup_clusters(media, max_hamming=max_hamming).persist()
+    la = labels.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    annotated = (
+        pairs.join(la, "doc_id_a", "left")
+        .join(lb, "doc_id_b", "left")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.coalesce(F.col("cl_a") == F.col("cl_b"), F.lit(False)).alias(
+                "image_agree"
+            ),
+        )
+        .persist()
+    )
+    text_counts = annotated.agg(
+        F.sum(F.when(F.col("image_agree"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("image_agree"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_text_only"),
+    )
+    image_pairs = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2)
+            .cast("long")
+            .alias("n_image_pairs")
+        )
+    )
+    counts = text_counts.crossJoin(image_pairs).select(
+        "n_both",
+        "n_text_only",
+        (F.col("n_image_pairs") - F.col("n_both")).alias("n_image_only"),
+    )
+    return annotated.crossJoin(F.broadcast(counts))
+
+
+def curation_pipeline_v5(
+    documents: DataFrame,
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    contamination_threshold: float = 0.5,
+    payload_mod: int = 3,
+    max_hamming: int = 3,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """[[curation_pipeline_v4]] with a MEDIA stage (r13 verdict item
+    #5): documents carrying an image payload additionally pass the
+    perceptual-dup survivorship gate — per dHash cluster only the
+    highest-resolution copy survives
+    ([[multimodal.perceptual_dup_drops]], the drop complement of
+    perceptual_dup_survivors); docs without a payload are untouched.
+    The gate composes as ONE anti-join on the trained-classifier keep
+    set, and every downstream stage is the VERBATIM
+    [[_curation_stages]] tail v3/v4 share — the multimodal twin of
+    swapping the quality gate: the pipeline's scale shape is
+    unchanged (the media chain adds the measured distinct-hash
+    perceptual plan, linear in images, and one anti-join whose right
+    side is the drop set).
+
+    ``payload_mod`` selects which docs carry payloads in the fixture
+    (doc_id % payload_mod == 0 — deterministic, oracle-replayable);
+    survivorship is computed over ALL payload docs, independent of
+    the text-quality verdict (an image dups an image regardless of
+    its caption's quality — and the survivor choice must not change
+    when the classifier retrains).
+    """
+    from .classifier import score_quality, train_quality_classifier
+    from .multimodal import perceptual_dup_drops, ppm_table
+
+    cols = ["doc_id", "text", "lang", "source"]
+    wts = train_quality_classifier(
+        documents, persist_intermediate=persist_intermediate
+    )
+    keep = (
+        score_quality(documents, wts)
+        .filter(F.col("predicted"))
+        .select("doc_id")
+    )
+    media = ppm_table(
+        documents.filter(F.col("doc_id") % payload_mod == 0)
+    )
+    drops = perceptual_dup_drops(media, max_hamming=max_hamming)
+    quality = (
+        documents.join(keep, "doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .select(*cols)
+    )
+    return _curation_stages(
+        quality,
+        k=k,
+        rounds=rounds,
+        budget=budget,
+        contamination_threshold=contamination_threshold,
+        persist_intermediate=persist_intermediate,
+    )

@@ -651,6 +651,49 @@ def q_quality_classifier_disagreement(spark, sf_dir):
     )
 
 
+def _curation_v5_sql(
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    payload_mod: int = 3,
+    max_hamming: int = 3,
+) -> str:
+    """Oracle for [[q_curation_pipeline_v5]]: the v4 classifier chain
+    plus the perceptual-drop CTE set (the prefixed dHash replay from
+    oracles.media over the payload slice, clustered by recursive
+    reach, rn>1 per cluster by resolution-then-id — the exact
+    complement of the media_dup_survivors oracle's rn=1), anti-joined
+    inside the gate CTE ``q``; the tail is the VERBATIM
+    [[_curation_tail_sql]] all pipeline versions share."""
+    from .media import _phash_hash_ctes, _phash_label_ctes, _phash_pair_ctes
+
+    payload_src = (
+        f"(SELECT doc_id FROM documents WHERE doc_id % {payload_mod} = 0)"
+    )
+    sql = f"""
+WITH RECURSIVE {_qclf_parts()},
+qc_score AS {_qclf_score_sql("qc_feats", f"qc_w{QCLF_ITERS}")},
+{_phash_hash_ctes("pd_", "dhash", source=payload_src)},
+{_phash_pair_ctes("pd_", max_hamming)},
+{_phash_label_ctes("pd_")},
+pd_drops AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.w * d.h DESC, l.doc_id) AS rn
+    FROM pd_labeled l JOIN pd_dims d USING (doc_id)
+  ) WHERE rn > 1
+),
+q AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d JOIN qc_score s ON d.doc_id = s.doc_id
+  WHERE s.score >= 0.5
+    AND d.doc_id NOT IN (SELECT doc_id FROM pd_drops)
+),
+{_curation_tail_sql(k, rounds, budget)}"""
+    return _materialize_ctes(sql, _CURATION_TAIL_MATERIALIZE)
+
+
 def q_curation_pipeline_v4(spark, sf_dir):
     """The end-to-end pipeline with the TRAINED gate
     (corpus.curation_pipeline_v4): classifier-gated stage 1, then the
@@ -659,6 +702,17 @@ def q_curation_pipeline_v4(spark, sf_dir):
     The oracle composes the classifier CTE chain with the same
     generated tail as v3."""
     return corpus.curation_pipeline_v4(_documents(spark, sf_dir))
+
+
+def q_curation_pipeline_v5(spark, sf_dir):
+    """The end-to-end pipeline with the MEDIA stage
+    (corpus.curation_pipeline_v5, r13 verdict item #5): trained
+    classifier gate AND perceptual-dup survivorship over the payload
+    slice (doc_id % 3 == 0 carries a PPM payload; per dHash cluster
+    only the highest-resolution copy survives), then the identical
+    shared stage chain. The v4 tail is byte-shared
+    (corpus._curation_stages); the gate differs by ONE anti-join."""
+    return corpus.curation_pipeline_v5(_documents(spark, sf_dir))
 
 
 # DuckDB oracle SQL for this domain's registered queries —
@@ -930,6 +984,7 @@ FROM b""",
     # the end-to-end pipeline behind the TRAINED gate: classifier CTEs
     # -> 0.5-threshold keep set -> the verbatim v3 stage tail
     "curation_pipeline_v4": _curation_v4_sql(),
+    "curation_pipeline_v5": _curation_v5_sql(),
     # per-(source, teacher, student) rollout-review profile over the
     # trained filter's verdicts
     "quality_classifier_disagreement": f"""

@@ -412,6 +412,261 @@ labeled AS (
   FROM hashes h JOIN replab rl USING (band0, band1, band2, band3)
 )"""
 
+
+# ---------------------------------------------------------------------------
+# Prefixed perceptual-hash CTE generators: the dHash/aHash replay chains
+# of _DHASH_CTES / the media_ahash literal, parameterized on a CTE-name
+# prefix (so two families compose in ONE query without collisions), the
+# corpus source, and the pixel SEED expression (ppm_table_seeded's
+# planted-duplicate fixture keys pixels on doc_id % H). The r13 literals
+# above stay byte-identical — these generators serve only the composed
+# oracles registered from r14 on (media_dup_clusters_union,
+# image_text_dup_agreement, curation_pipeline_v5).
+# ---------------------------------------------------------------------------
+
+def _phash_hash_ctes(
+    p: str, kind: str, source: str = "documents", seed: str = "doc_id"
+) -> str:
+    """dims -> grid -> luma -> bits -> hashes for one hash family,
+    every CTE name prefixed with ``p``. ``kind`` is 'dhash' (9-wide
+    grid, right-neighbor compare) or 'ahash' (8x8 grid, grid-mean
+    compare as 64*v > sum(v)); ``seed`` is the integer expression the
+    closed-form pixels are keyed on (doc_id for ppm_table, doc_id % H
+    for ppm_table_seeded)."""
+    gx_n = 9 if kind == "dhash" else 8
+    base = f"""{p}dims AS (
+  SELECT doc_id, (4 + ({seed}) % 5)::BIGINT AS w, (3 + ({seed}) % 4)::BIGINT AS h,
+         ({seed})::BIGINT AS sd
+  FROM {source}
+),
+{p}grid AS (
+  SELECT d.doc_id, d.w, d.h, d.sd, gy.g::BIGINT AS gy, gx.g::BIGINT AS gx
+  FROM {p}dims d, range(8) gy(g), range({gx_n}) gx(g)
+),
+{p}luma AS (
+  SELECT doc_id, gy, gx,
+         299 * ((sd + i) % 256) + 587 * ((sd + 2*i) % 256)
+         + 114 * ((sd + 3*i) % 256) AS v
+  FROM (SELECT doc_id, sd, gy, gx,
+               ((gy * h) // 8) * w + ((gx * w) // {gx_n}) AS i
+        FROM {p}grid)
+),"""
+    if kind == "dhash":
+        bits = f"""
+{p}bits AS (
+  SELECT doc_id, k, bit FROM (
+    SELECT doc_id, gy * 8 + gx AS k, gx,
+           CASE WHEN lead(v) OVER (PARTITION BY doc_id, gy ORDER BY gx) > v
+                THEN 1 ELSE 0 END AS bit
+    FROM {p}luma
+  ) WHERE gx < 8
+),"""
+    else:
+        bits = f"""
+{p}tot AS (SELECT doc_id, sum(v) AS s FROM {p}luma GROUP BY doc_id),
+{p}bits AS (
+  SELECT l.doc_id, l.gy * 8 + l.gx AS k,
+         CASE WHEN 64 * l.v > t.s THEN 1 ELSE 0 END AS bit
+  FROM {p}luma l JOIN {p}tot t USING (doc_id)
+),"""
+    return base + bits + f"""
+{p}hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k // 16 = 0 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band0,
+         sum(CASE WHEN k // 16 = 1 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band1,
+         sum(CASE WHEN k // 16 = 2 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band2,
+         sum(CASE WHEN k // 16 = 3 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band3
+  FROM {p}bits GROUP BY doc_id
+)"""
+
+
+def _phash_pair_ctes(p: str, max_hamming: int = 3) -> str:
+    """reps -> cand -> pairs for one family (distinct-hash collapse,
+    band-pigeonhole candidates, xor+bit_count verify) — the
+    _DUP_CLUSTER_CTES head, prefixed."""
+    return f"""{p}reps AS (
+  SELECT band0, band1, band2, band3, min(doc_id) AS rep_id
+  FROM {p}hashes GROUP BY 1, 2, 3, 4
+),
+{p}cand AS (
+  SELECT a.rep_id AS ra, b.rep_id AS rb,
+         bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS hamming
+  FROM {p}reps a JOIN {p}reps b
+    ON a.rep_id < b.rep_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+),
+{p}pairs AS (SELECT ra, rb FROM {p}cand WHERE hamming <= {max_hamming})"""
+
+
+def _phash_label_ctes(
+    p: str,
+    edges_from: str | None = None,
+    reps: str | None = None,
+    hashes: str | None = None,
+) -> str:
+    """edges -> recursive reach -> comp -> replab -> labeled for one
+    label pass — the _DUP_CLUSTER_CTES tail, prefixed.
+    ``edges_from`` overrides the (ra, rb) pair CTE the edges read
+    (default ``{p}pairs``); ``reps``/``hashes`` re-point the label
+    joins (the union oracle labels through the d-family while its
+    edges come from the union pair set)."""
+    pairs = edges_from or f"{p}pairs"
+    reps = reps or f"{p}reps"
+    hashes = hashes or f"{p}hashes"
+    return f"""{p}edges AS (SELECT ra AS a, rb AS b FROM {pairs} UNION SELECT rb, ra FROM {pairs}),
+{p}reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM {p}edges) n
+  UNION
+  SELECT {p}reach.node, e.b FROM {p}reach JOIN {p}edges e ON e.a = {p}reach.r
+),
+{p}comp AS (SELECT node, min(r) AS cluster_id FROM {p}reach GROUP BY node),
+{p}replab AS (
+  SELECT r.band0, r.band1, r.band2, r.band3,
+         coalesce(c.cluster_id, r.rep_id) AS cluster_id
+  FROM {reps} r LEFT JOIN {p}comp c ON r.rep_id = c.node
+),
+{p}labeled AS (
+  SELECT h.doc_id, rl.cluster_id
+  FROM {hashes} h JOIN {p}replab rl USING (band0, band1, band2, band3)
+)"""
+
+
+
+def q_media_dup_clusters_union(spark, sf_dir):
+    """Dual-family perceptual dedup
+    (multimodal.perceptual_dup_clusters_union): dHash pairs UNION
+    aHash pairs UNION (d-rep, a-rep) bridge edges -> ONE star-CC label
+    set — the candidate-union posture NOTES_r13 documents as the
+    production recall move (each family is robust to different
+    distortions). max_hamming=1, tighter than the single-family
+    queries' 3: unioning families raises candidate recall, so the
+    per-family verify distance tightens to keep precision (at 3 this
+    fixture chains into one near-global component; at 1 it keeps 42
+    clusters at sf0.001). Per-family quadratic stages keep their
+    per-family distinct-hash bounds; the bridges are linear. Oracle replays both
+    band chains from the closed-form pixels and runs one recursive
+    reach over the union edge set (r14, r13 verdict item #3)."""
+    return multimodal.perceptual_dup_clusters_union(
+        multimodal.ppm_table(_documents(spark, sf_dir)), max_hamming=1
+    )
+
+def q_image_text_dup_agreement(spark, sf_dir):
+    """Paired text+image dedup over a PLANTED caption-image corpus
+    (corpus.image_text_dup_agreement, r13 verdict item #4): captions
+    'photo of item <doc_id%23> in bright style <doc_id%3>' make the
+    text near-dup relation exactly same-caption-group (6 3-shingles,
+    5 shared across style variants -> jaccard 5/7 >= 0.5; distinct
+    groups share 2 of 6 -> 0.2, rejected); images are keyed
+    doc_id % 17 through multimodal.ppm_table_seeded, so same-image
+    groups interleave caption groups — BOTH disagreement families are
+    planted (same caption/different image and same image/different
+    caption) plus mod-391 agreement classes. The REAL MinHash-LSH and
+    perceptual-cluster pipelines run end-to-end; output = every
+    verified text pair with its image-agreement verdict + the three
+    modality counts (image-only counted by label arithmetic, never by
+    materializing intra-cluster pairs)."""
+    from ...operators import corpus as corpus_ops
+    from pyspark.sql import functions as F
+
+    docs = _documents(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("photo of item "),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(" in bright style "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    media = multimodal.ppm_table_seeded(
+        docs.withColumn("seed", F.col("doc_id") % 17), "seed"
+    )
+    return corpus_ops.image_text_dup_agreement(planted, media)
+
+
+def _union_cluster_sql(max_hamming: int = 1) -> str:
+    """Oracle for [[q_media_dup_clusters_union]]: both hash chains
+    rendered from [[_phash_hash_ctes]]/[[_phash_pair_ctes]] with d_/a_
+    prefixes, bridge edges joining each doc's two reps, one recursive
+    reach over the union, labels through the d-family (either family
+    gives the identical answer — the bridges put a doc's two reps in
+    the same component)."""
+    return f"""
+WITH RECURSIVE {_phash_hash_ctes("d_", "dhash")},
+{_phash_pair_ctes("d_", max_hamming)},
+{_phash_hash_ctes("a_", "ahash")},
+{_phash_pair_ctes("a_", max_hamming)},
+u_bridge AS (
+  SELECT DISTINCT dr.rep_id AS ra, ar.rep_id AS rb
+  FROM d_hashes dh
+  JOIN a_hashes ah USING (doc_id)
+  JOIN d_reps dr ON dh.band0 = dr.band0 AND dh.band1 = dr.band1
+                AND dh.band2 = dr.band2 AND dh.band3 = dr.band3
+  JOIN a_reps ar ON ah.band0 = ar.band0 AND ah.band1 = ar.band1
+                AND ah.band2 = ar.band2 AND ah.band3 = ar.band3
+  WHERE dr.rep_id <> ar.rep_id
+),
+u_pairs AS (
+  SELECT ra, rb FROM d_pairs
+  UNION SELECT ra, rb FROM a_pairs
+  UNION SELECT ra, rb FROM u_bridge
+),
+{_phash_label_ctes("u_", edges_from="u_pairs", reps="d_reps", hashes="d_hashes")}
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+FROM u_labeled"""
+
+
+def _image_text_agreement_sql() -> str:
+    """Oracle for [[q_image_text_dup_agreement]]: the planted caption
+    CTE feeds the md5-family MinHash parts ([[_minhash_lsh_parts]]
+    re-pointed at it), the seeded dHash chain labels the images
+    (seed = doc_id % 17 replays ppm_table_seeded's pixels), and the
+    final select attaches the three modality counts — n_image_only
+    from per-cluster C(m,2) label arithmetic minus n_both."""
+    from .dedup import _minhash_lsh_parts
+
+    mh_ctes, mh_select = _minhash_lsh_parts(source="pl")
+    assert mh_ctes.startswith("WITH ")
+    mh_ctes = mh_ctes[len("WITH ") :]
+    return f"""
+WITH RECURSIVE pl AS (
+  SELECT doc_id,
+         'photo of item ' || (doc_id % 23)::VARCHAR ||
+         ' in bright style ' || (doc_id % 3)::VARCHAR AS text
+  FROM documents
+),
+{mh_ctes},
+tp AS (
+{mh_select}
+),
+{_phash_hash_ctes("pi_", "dhash", seed="doc_id % 17")},
+{_phash_pair_ctes("pi_")},
+{_phash_label_ctes("pi_")},
+ann AS (
+  SELECT t.doc_id_a, t.doc_id_b,
+         coalesce(la.cluster_id = lb.cluster_id, false) AS image_agree
+  FROM tp t
+  LEFT JOIN pi_labeled la ON la.doc_id = t.doc_id_a
+  LEFT JOIN pi_labeled lb ON lb.doc_id = t.doc_id_b
+),
+tc AS (
+  SELECT sum(CASE WHEN image_agree THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         sum(CASE WHEN image_agree THEN 0 ELSE 1 END)::BIGINT AS n_text_only
+  FROM ann
+),
+ip AS (
+  SELECT sum(m * (m - 1) // 2)::BIGINT AS n_image_pairs
+  FROM (SELECT cluster_id, count(*) AS m FROM pi_labeled GROUP BY cluster_id)
+)
+SELECT a.doc_id_a, a.doc_id_b, a.image_agree,
+       c.n_both, c.n_text_only,
+       (i.n_image_pairs - c.n_both)::BIGINT AS n_image_only
+FROM ann a, tc c, ip i"""
+
+
 ORACLE_SQL: dict[str, str] = {
     # closed-form replay of ppm_table's pixel formula — checks the
     # REAL decode end-to-end (a parser bug cannot reproduce these means)
@@ -754,4 +1009,6 @@ sized AS (
 SELECT cluster_id, doc_id AS survivor_id, w::INT AS width, h::INT AS height,
        n_members::BIGINT AS n_members
 FROM sized WHERE rn = 1""",
+    "media_dup_clusters_union": _union_cluster_sql(),
+    "image_text_dup_agreement": _image_text_agreement_sql(),
 }

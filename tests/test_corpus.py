@@ -723,3 +723,115 @@ def test_quality_survivors_picks_best_member(spark):
         for r in quality_survivors(clusters, scored).collect()
     }
     assert got == {1: (2, 0.9, 3), 7: (7, 0.5, 2)}
+
+
+# ---------------------------------------------------------------------------
+# image_text_dup_agreement (paired text+image dedup, r14)
+# ---------------------------------------------------------------------------
+
+
+def test_image_text_dup_agreement_planted_families(spark):
+    """The paired-modality composition over the PLANTED caption-image
+    fixture (captions keyed doc_id % 23 with a style variant, images
+    keyed doc_id % 17 via ppm_table_seeded): every emitted text pair
+    must be same-caption-group (jaccard >= 0.5 is exactly the planted
+    relation), the image_agree flag must equal cluster-label equality
+    recomputed standalone, the three counts must reconcile (n_both +
+    n_text_only = rows; n_image_only = sum-over-clusters C(m,2) -
+    n_both), and BOTH planted disagreement families must be present:
+    same caption / different image (a False row) and same image /
+    different caption (n_image_only > 0)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("photo of item "),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(" in bright style "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    media = multimodal.ppm_table_seeded(
+        docs.withColumn("seed", F.col("doc_id") % 17), "seed"
+    )
+    rows = corpus.image_text_dup_agreement(planted, media).collect()
+    assert len(rows) > 100
+    labels = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in multimodal.perceptual_dup_clusters(media).collect()
+    }
+    # seeded payloads: same seed => identical image => same cluster
+    seed_cl = {}
+    for d, c in labels.items():
+        assert seed_cl.setdefault(d % 17, c) == c, d
+    n_both = n_text_only = 0
+    for r in rows:
+        a, b = int(r["doc_id_a"]), int(r["doc_id_b"])
+        assert a % 23 == b % 23, (a, b)  # planted text relation
+        agree = labels[a] == labels[b]
+        assert bool(r["image_agree"]) == agree, (a, b)
+        n_both += agree
+        n_text_only += not agree
+    sizes: dict[int, int] = {}
+    for c in labels.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    n_image_pairs = sum(m * (m - 1) // 2 for m in sizes.values())
+    first = rows[0]
+    assert int(first["n_both"]) == n_both > 0
+    assert int(first["n_text_only"]) == n_text_only > 0  # same caption, diff image
+    assert int(first["n_image_only"]) == n_image_pairs - n_both > 0  # same image, diff caption
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v5 (media survivorship stage, r14)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_v5_media_gate_and_shared_tail(spark):
+    """v5 = v4 + ONE perceptual-survivorship anti-join on the payload
+    slice: (a) with no payload docs carrying a duplicate (payload_mod
+    so large only doc 0 qualifies) v5 must equal v4 ROW FOR ROW — the
+    shared _curation_stages tail is provably unchanged; (b) at the
+    registered payload_mod=3 the perceptual drop set recomputed
+    standalone must be disjoint from v5's manifest, and v5 must equal
+    _curation_stages over (v4's trained keep set minus the drops) —
+    the gate composes exactly where the docstring says it does."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import classifier, multimodal
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cols = ["doc_id", "text", "lang", "source"]
+
+    key = lambda r: (r.doc_id, r.source, r.n_tokens_bpe, r.first_chunk, r.last_chunk, r.n_chunks)
+    v4 = sorted(corpus.curation_pipeline_v4(docs).collect(), key=lambda r: r.doc_id)
+    # (a) payload slice of one image => no cluster partner => no drops
+    v5_empty = sorted(
+        corpus.curation_pipeline_v5(docs, payload_mod=10**9).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [key(r) for r in v4] == [key(r) for r in v5_empty]
+
+    # (b) registered config: drops bind and compose as one anti-join
+    media = multimodal.ppm_table(docs.filter(F.col("doc_id") % 3 == 0))
+    drops = {int(r["doc_id"]) for r in multimodal.perceptual_dup_drops(media).collect()}
+    assert drops  # the gate binds at fixture scale
+    v5 = sorted(corpus.curation_pipeline_v5(docs).collect(), key=lambda r: r.doc_id)
+    assert drops.isdisjoint({r.doc_id for r in v5})
+    wts = classifier.train_quality_classifier(docs)
+    keep = (
+        classifier.score_quality(docs, wts)
+        .filter(F.col("predicted"))
+        .select("doc_id")
+    )
+    gated = (
+        docs.join(keep, "doc_id")
+        .filter(~F.col("doc_id").isin(list(drops)))
+        .select(*cols)
+    )
+    ref = sorted(corpus._curation_stages(gated).collect(), key=lambda r: r.doc_id)
+    assert [key(r) for r in v5] == [key(r) for r in ref]
+    spark.catalog.clearCache()

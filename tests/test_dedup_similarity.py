@@ -2807,3 +2807,69 @@ def test_perceptual_dup_survivors_keep_highest_resolution(spark):
     assert set(got) == set(want)
     for c, (_, d, w, h, n) in want.items():
         assert got[c] == (d, w, h, n), c
+
+
+def test_perceptual_dup_clusters_union_matches_bruteforce(spark):
+    """The dual-family union (multimodal.perceptual_dup_clusters_union)
+    must produce EXACTLY the components of the doc-level graph where
+    i ~ j iff dHash-distance <= H OR aHash-distance <= H — i.e. the
+    banded per-family pair joins plus the (d-rep, a-rep) bridge edges
+    lose no pair and invent none. Ground truth: quadratic union-find
+    over the full doc-level OR relation. Also pins the union's reason
+    to exist: the fixture must contain at least one same-cluster pair
+    caught by EXACTLY ONE family (a dHash-only and an aHash-only
+    pair), else the composition would be vacuous here."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    H = 1  # the registered max_hamming (precision-tightened for union)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.ppm_table(docs)
+    d_fp = {
+        int(r["doc_id"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+        for r in multimodal.dhash_ppm(media).collect()
+    }
+    a_fp = {
+        int(r["doc_id"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+        for r in multimodal.ahash_ppm(media).collect()
+    }
+    assert set(d_fp) == set(a_fp) and len(d_fp) > 100
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    ids = sorted(d_fp)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    d_only = a_only = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = ham(d_fp[a], d_fp[b])
+            ha = ham(a_fp[a], a_fp[b])
+            if hd <= H or ha <= H:
+                if hd <= H and ha > H:
+                    d_only += 1
+                if ha <= H and hd > H:
+                    a_only += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert d_only > 0 and a_only > 0  # each family contributes pairs the other misses
+    want_label = {d: find(d) for d in ids}
+    want_sizes: dict[int, int] = {}
+    for lbl in want_label.values():
+        want_sizes[lbl] = want_sizes.get(lbl, 0) + 1
+
+    got = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.perceptual_dup_clusters_union(media, max_hamming=H).collect()
+    }
+    assert len(got) == len(ids)
+    for d in ids:
+        assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
+    spark.catalog.clearCache()
