@@ -555,18 +555,24 @@ def q_media_dup_clusters_union(spark, sf_dir):
 def q_image_text_dup_agreement(spark, sf_dir):
     """Paired text+image dedup over a PLANTED caption-image corpus
     (corpus.image_text_dup_agreement, r13 verdict item #4): captions
-    'photo of item <doc_id%23> in bright style <doc_id%3>' make the
-    text near-dup relation exactly same-caption-group (6 3-shingles,
-    5 shared across style variants -> jaccard 5/7 >= 0.5; distinct
-    groups share 2 of 6 -> 0.2, rejected); images are keyed
-    doc_id % 17 through multimodal.ppm_table_seeded, so same-image
-    groups interleave caption groups — BOTH disagreement families are
-    planted (same caption/different image and same image/different
-    caption) plus mod-391 agreement classes. The REAL MinHash-LSH and
-    perceptual-cluster pipelines run end-to-end; output = every
-    verified text pair with its image-agreement verdict + the three
-    modality counts (image-only counted by label arithmetic, never by
-    materializing intra-cluster pairs)."""
+    'photo of item <doc_id//5> in bright style <doc_id%3>' make the
+    text near-dup relation exactly same-5-block (6 3-shingles, 5
+    shared across style variants -> jaccard 5/7 >= 0.5; distinct
+    blocks share 2 of 6 -> 0.2, rejected); images are keyed
+    (doc_id//7)*97 through multimodal.ppm_table_seeded (the *97
+    scatter keeps adjacent blocks' pixel patterns apart), so
+    same-image 7-blocks interleave the 5-block caption groups — BOTH
+    disagreement families are planted (same caption/different image,
+    same image/different caption) plus the lcm-35 overlap classes
+    that agree in both. BLOCK keying is the scale-honest shape: dup
+    GROUPS grow with the corpus while group size stays constant, so
+    the pair relation is linear in N (fixed mod-K groups would grow
+    it quadratically — the fixture itself would be the scale bug).
+    The REAL MinHash-LSH and perceptual-cluster pipelines run
+    end-to-end; output = every verified text pair with its
+    image-agreement verdict + the three modality counts (image-only
+    counted by label arithmetic, never by materializing intra-cluster
+    pairs)."""
     from ...operators import corpus as corpus_ops
     from pyspark.sql import functions as F
 
@@ -575,13 +581,13 @@ def q_image_text_dup_agreement(spark, sf_dir):
         "doc_id",
         F.concat(
             F.lit("photo of item "),
-            (F.col("doc_id") % 23).cast("string"),
+            (F.col("doc_id") / 5).cast("long").cast("string"),
             F.lit(" in bright style "),
             (F.col("doc_id") % 3).cast("string"),
         ).alias("text"),
     )
     media = multimodal.ppm_table_seeded(
-        docs.withColumn("seed", F.col("doc_id") % 17), "seed"
+        docs.withColumn("seed", (F.col("doc_id") / 7).cast("long") * 97), "seed"
     )
     return corpus_ops.image_text_dup_agreement(planted, media)
 
@@ -634,7 +640,7 @@ def _image_text_agreement_sql() -> str:
     return f"""
 WITH RECURSIVE pl AS (
   SELECT doc_id,
-         'photo of item ' || (doc_id % 23)::VARCHAR ||
+         'photo of item ' || (doc_id // 5)::VARCHAR ||
          ' in bright style ' || (doc_id % 3)::VARCHAR AS text
   FROM documents
 ),
@@ -642,7 +648,7 @@ WITH RECURSIVE pl AS (
 tp AS (
 {mh_select}
 ),
-{_phash_hash_ctes("pi_", "dhash", seed="doc_id % 17")},
+{_phash_hash_ctes("pi_", "dhash", seed="(doc_id // 7) * 97")},
 {_phash_pair_ctes("pi_")},
 {_phash_label_ctes("pi_")},
 ann AS (

@@ -732,8 +732,9 @@ def test_quality_survivors_picks_best_member(spark):
 
 def test_image_text_dup_agreement_planted_families(spark):
     """The paired-modality composition over the PLANTED caption-image
-    fixture (captions keyed doc_id % 23 with a style variant, images
-    keyed doc_id % 17 via ppm_table_seeded): every emitted text pair
+    fixture (captions keyed by 5-block with a style variant, images
+    keyed by scattered 7-block via ppm_table_seeded — block keying
+    keeps the planted pair relation LINEAR in corpus size): every emitted text pair
     must be same-caption-group (jaccard >= 0.5 is exactly the planted
     relation), the image_agree flag must equal cluster-label equality
     recomputed standalone, the three counts must reconcile (n_both +
@@ -749,13 +750,13 @@ def test_image_text_dup_agreement_planted_families(spark):
         "doc_id",
         F.concat(
             F.lit("photo of item "),
-            (F.col("doc_id") % 23).cast("string"),
+            (F.col("doc_id") / 5).cast("long").cast("string"),
             F.lit(" in bright style "),
             (F.col("doc_id") % 3).cast("string"),
         ).alias("text"),
     )
     media = multimodal.ppm_table_seeded(
-        docs.withColumn("seed", F.col("doc_id") % 17), "seed"
+        docs.withColumn("seed", (F.col("doc_id") / 7).cast("long") * 97), "seed"
     )
     rows = corpus.image_text_dup_agreement(planted, media).collect()
     assert len(rows) > 100
@@ -766,11 +767,11 @@ def test_image_text_dup_agreement_planted_families(spark):
     # seeded payloads: same seed => identical image => same cluster
     seed_cl = {}
     for d, c in labels.items():
-        assert seed_cl.setdefault(d % 17, c) == c, d
+        assert seed_cl.setdefault(d // 7, c) == c, d
     n_both = n_text_only = 0
     for r in rows:
         a, b = int(r["doc_id_a"]), int(r["doc_id_b"])
-        assert a % 23 == b % 23, (a, b)  # planted text relation
+        assert a // 5 == b // 5, (a, b)  # planted text relation (5-blocks)
         agree = labels[a] == labels[b]
         assert bool(r["image_agree"]) == agree, (a, b)
         n_both += agree
