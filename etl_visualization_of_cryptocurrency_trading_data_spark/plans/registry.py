@@ -458,20 +458,50 @@ def q_plan_audit_skew(spark, sf_dir):
 # the full 31-entry r7-row cohort, (c) the 16 oldest r8-row entries.
 # AFTER the r11 driver run: no registered query's newest row is older
 # than r8.
-# ROUND-13 ROTATION EXECUTED per the r12 guidance (kept below) — see
-# _R13_WINDOW_FRONT after the QUERIES literal: (a) the SIX r13
-# registrations (media_dhash / media_dup_clusters /
+# ROUND-13 ROTATION EXECUTED per the r12 guidance (kept below):
+# (a) the SIX r13 registrations (media_dhash / media_dup_clusters /
 # quality_stream_replay / price_chart_stored, plus the mid-round
 # media_ahash / media_dup_survivors, which claimed the (c) slots of
 # dataset_split and semantic_dedup_trained via the yield convention),
 # (b) the FULL 42-entry r9-row cohort (plan_audit front-loaded per
 # its r12 yield), (c) the 2 oldest-evidence oracles re-rendered by
 # the r13 literal consolidation that kept their slots (contamination
-# — itself an r10 row — and curation_pipeline_v3). The inline (a)/(c)
-# comments inside _R13_WINDOW_FRONT are authoritative for the
-# executed window. AFTER the r13 driver run: no registered
-# query's newest row is older than r10.
-# Round-14 rotation guidance: after the r13 driver run the oldest
+# — itself an r10 row — and curation_pipeline_v3). AFTER the r13
+# driver run: no registered query's newest row is older than r10.
+# ROUND-14 ROTATION EXECUTED per the r13 guidance (kept below) — see
+# _R14_WINDOW_FRONT after the QUERIES literal: (a) the three r14
+# registrations (media_dup_clusters_union / image_text_dup_agreement
+# / curation_pipeline_v5) + the two never-checked late-r13
+# registrations (lm_perplexity_buckets, bpe_fertility), (b) the FULL
+# 43-entry r10-row cohort, (c) dataset_split (r11, re-rendered,
+# yielded its r13 slot) + quality_classifier_auc (the re-rendered
+# text rendering the widest consolidated-constant surface: the _qclf
+# chain's split-train predicate + quality battery PLUS split_case_sql
+# and split_holdout_pred_sql). The other 6 re-rendered oracles hold
+# r12-fresh rows and sweep by natural rotation — with every r10 row
+# in-window and five registrations carrying done-criteria, 50 slots
+# cannot also hold them (the same deliberate triage as r13's NOTES
+# §2). AFTER the r14 driver run: no registered query's newest row is
+# older than r11.
+# Round-15 rotation guidance: after the r14 driver run the oldest
+# evidence is the 48-entry r11-row cohort (49 minus dataset_split,
+# which r14 re-checked). Front-load (a) anything r15 adds or
+# re-plans, then (b) the r11-row entries oldest first in registry
+# order (exchange_cardinality_approx, atr_14, price_chart,
+# indicator_chart, coin_display, quality_score, token_counts,
+# lang_id, doc_fingerprint, bigram_logprob, doc_length_quantiles,
+# top_terms, redact_pii, deterministic_sample, stratified_sample,
+# pack_chunks, media_metadata, frame_schedule, coins_dim, and the
+# rest — compute from scripts/regenerate_pinning.py's newest map),
+# then (c) with any remaining slots prefer the re-rendered oracles
+# still on pre-consolidation r12 rows (curation_pipeline,
+# quality_survivors, quality_auc, quality_classifier_weights,
+# quality_classifier_scores, quality_classifier_disagreement) before
+# plain r12 fillers; prefer yielding entries whose plan family is
+# pinned by an in-window sibling, per precedent. Rename
+# EXPECTED_R14_WINDOW to EXPECTED_R15_WINDOW in the same commit.
+# The r13-written round-14 guidance (EXECUTED this round; kept for
+# history): after the r13 driver run the oldest
 # evidence is the remainder of the r10-row cohort (the r13 window
 # covered contamination; ~43 r10 rows remain). Front-load (a)
 # anything r14 adds or re-plans PLUS the two never-checked late-r13
@@ -912,87 +942,81 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # full 34-entry r8-row cohort, (c) the 7 oldest r9 rows (plan_audit
 # yielded to the mid-round disagreement registration).
 # ROUND-13 ROTATION (executed per the r12 guidance block above):
-_R13_WINDOW_FRONT = [
-    # (a) r13 registrations, never driver-checked: perceptual image
-    # dedup (fixed-point dHash + distinct-hash banded pairs + star
-    # components), the trained filter in the foreachBatch streaming
-    # path, and the stored-table serving scan with auditable pushdown
-    "media_dhash",
-    "media_dup_clusters",
-    "quality_stream_replay",
-    "price_chart_stored",
-    # (a, mid-round this session) the aHash sibling fingerprint and
-    # perceptual survivorship; per the yield precedent
-    # semantic_dedup_trained (r10 row — the no-row-older-than-r10
-    # criterion is unaffected by one more round at r10) and
-    # dataset_split (r11 row; its re-render is value-proven locally
-    # and r14 sweeps it) give up their (c) slots
-    "media_ahash",
-    "media_dup_survivors",
-    # (b) the FULL 42-entry r9-row cohort, registry order (incl.
-    # plan_audit, which yielded its r12 slot and front-loads here per
-    # the r12 PINNING note)
-    "plan_audit",
-    "coin_pagerank_capped",
-    "kmeans_centroids_fixed",
-    "ohlc_daily_rollup",
-    "event_bigrams",
-    "restfeed_ohlc",
-    "orc_roundtrip",
-    "exchange_hll_rollup",
-    "ohlc_stream_replay",
-    "dup_rate_by_source",
-    "coin_volume_percentile",
-    "volume_grouping_sets",
-    "knn_recall",
-    "url_dedup",
-    "media_decode_ppm",
-    "vwap_stream_replay",
-    "span_dedup",
-    "gopher_rules",
-    "media_decode_wav",
-    "mixture_sample",
-    "knn_pq",
-    "curation_pipeline_v2",
-    "price_resample_1h",
-    "knn_pq_recall",
-    "session_stream_replay",
-    "price_anomalies",
-    "forecast_backtest",
-    "bpe_merges",
-    "jsonl_roundtrip",
-    "volume_profile",
-    "bollinger_bands",
-    "max_drawdown",
-    "obv",
-    "knn_brute_vectorized",
-    "active_coins_semi",
-    "momentum_ranks",
-    "knn_lsh_multiprobe",
-    "fuzzy_match_blocked",
-    "repeated_spans_sliding",
-    "media_frames_gif2",
-    "remove_repeated_spans",
-    "leakage_safe_split",
-    # (c) 4 remaining slots: the r13 oracle-literal consolidation
-    # (r12 verdict item #2) re-rendered 11 oracle texts (values proven
-    # identical at sf0.001+sf0.01 before the rotation); the three with
-    # the OLDEST evidence take priority over plain r10 fillers —
-    # contamination is an r10 row itself — and semantic_dedup_trained
-    # (oldest r10 row) fills the last slot. The other 8 re-rendered
-    # oracles hold r12-fresh rows and are swept by natural rotation
-    # (deliberate: the 42-entry r9 cohort outranks re-checking
-    # r12-fresh rows whose values were just proven unchanged).
-    "contamination",
-    "curation_pipeline_v3",
+_R14_WINDOW_FRONT = [
+    # (a) the three r14 registrations (r13 verdict items #3-#5) plus
+    # the two late-r13 registrations that sealed-window precedent left
+    # with 'never' driver rows (full local evidence in PINNING r13;
+    # the r13 verdict front-loads them as next-round #1)
+    "media_dup_clusters_union",
+    "image_text_dup_agreement",
+    "curation_pipeline_v5",
+    "lm_perplexity_buckets",
+    "bpe_fertility",
+    # (b) the FULL 43-entry r10-row cohort, registry order — after
+    # the r14 driver run no newest row is older than r11
+    "semantic_dedup_trained",
+    "recovery_stream_replay",
+    "media_decode_bmp",
+    "media_decode_gif",
+    "media_decode_jpeg",
+    "media_resize",
+    "incremental_dedup_bloom",
+    "zorder_profile",
+    "cms_frequencies",
+    "enrich_stream_replay",
+    "late_drop_stream_replay",
+    "knn_ivf_full_fixed",
+    "knn_lsh_planes8",
+    "exchange_influencers",
+    "trading_sessions",
+    "session_range_join",
+    "market_cap_chart",
+    "knn_ivf_trained",
+    "volume_cube",
+    "spread_stream_replay",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "doc_length_quantiles_approx",
+    "exchange_cardinality",
+    "knn_quantized",
+    "embedding_normalize",
+    "embedding_quantize",
+    "media_frames",
+    "media_features",
+    "stale_coins_anti",
+    "top_coins_by_volume",
+    "union_price_feeds",
+    "asof_price_candle",
+    "top_suppliers",
+    "user_retention",
+    "price_correlation",
+    "event_props_stats",
+    "revenue_by_nation",
+    "drawdown_stream_replay",
+    "remove_repeated_spans_keep_first",
+    # (c) 2 remaining slots for the r13 oracle-literal consolidation's
+    # re-rendered texts still on pre-render driver rows: dataset_split
+    # (r11; yielded its r13 slot to media_ahash) and
+    # quality_classifier_auc — of the r12-fresh re-rendered family the
+    # text that renders the MOST consolidated constants (the _qclf
+    # chain's split-train predicate + quality battery PLUS
+    # split_case_sql and split_holdout_pred_sql), so one slot
+    # re-hashes the widest consolidated surface. The remaining 6
+    # re-rendered texts hold r12-fresh rows (values proven identical
+    # in DuckDB before the r13 swap) and sweep by natural rotation.
+    "dataset_split",
+    "quality_classifier_auc",
 ]
-assert len(_R13_WINDOW_FRONT) == 50 and len(set(_R13_WINDOW_FRONT)) == 50
-assert set(_R13_WINDOW_FRONT) <= set(QUERIES), sorted(
-    set(_R13_WINDOW_FRONT) - set(QUERIES)
+assert len(_R14_WINDOW_FRONT) == 50 and len(set(_R14_WINDOW_FRONT)) == 50
+assert set(_R14_WINDOW_FRONT) <= set(QUERIES), sorted(
+    set(_R14_WINDOW_FRONT) - set(QUERIES)
 )
 QUERIES = {
     k: QUERIES[k]
-    for k in _R13_WINDOW_FRONT + [k for k in QUERIES if k not in _R13_WINDOW_FRONT]
+    for k in _R14_WINDOW_FRONT + [k for k in QUERIES if k not in _R14_WINDOW_FRONT]
 }
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,25 @@ WINDOW_SIZE = 50
 # A query IN the window renders "yes"; a query with a note but NOT in
 # the window renders "no" (the yield convention); everything else "".
 NOTES: dict[str, str] = {
+    "media_dup_clusters_union": (
+        "registered r14 (dual-family perceptual dedup: dHash+aHash rep "
+        "pairs + (d-rep, a-rep) bridge edges -> one star-CC label set, "
+        "max_hamming=1 — union raises candidate recall so the verify "
+        "distance tightens); bruteforce union-find pytest incl. "
+        "one-family-only pairs; front-loaded"
+    ),
+    "image_text_dup_agreement": (
+        "registered r14 (MinHash text pairs annotated with perceptual "
+        "cluster agreement over a PLANTED block-keyed caption-image "
+        "corpus — linear pair relation by construction; modality counts "
+        "via label arithmetic); front-loaded"
+    ),
+    "curation_pipeline_v5": (
+        "registered r14 (v4's trained gate + perceptual survivorship "
+        "anti-join over the payload slice; _curation_stages tail "
+        "byte-shared and pytest-proven unchanged when the media gate is "
+        "empty); front-loaded"
+    ),
     "media_dhash": (
         "registered r13 (fixed-point perceptual dHash over the real PPM "
         "decode: integer NN-sample + integer luma, 4x16-bit bands, oracle "
@@ -62,12 +81,14 @@ NOTES: dict[str, str] = {
     "lm_perplexity_buckets": (
         "registered late-r13 AFTER the window sealed (CCNet-style per-lang "
         "head/middle/tail by corpus-LM score, rounded tercile cuts); value "
-        "rows green at sf0.001+sf0.01 locally; r14 front-loads"
+        "rows green at sf0.001+sf0.01 locally; in the r14 window per the "
+        "front-load commitment"
     ),
     "bpe_fertility": (
         "registered late-r13 AFTER the window sealed (per-lang tokenizer "
         "fertility + chars-per-token under the trained BPE, exact integer "
-        "sums); value rows green at sf0.001+sf0.01 locally; r14 front-loads"
+        "sums); value rows green at sf0.001+sf0.01 locally; in the r14 "
+        "window per the front-load commitment"
     ),
     "media_ahash": (
         "registered mid-r13 (the aHash sibling fingerprint: bit = cell vs "
@@ -101,7 +122,8 @@ NOTES: dict[str, str] = {
     "dataset_split": (
         "oracle re-rendered r13 (values identical at sf0.001+sf0.01); "
         "yielded its r13 (c) slot to the mid-round media_dup_survivors "
-        "registration (r11 row stands), r14 sweeps"
+        "registration; in the r14 (c) window — fresh row re-verifies the "
+        "re-rendered text"
     ),
     "curation_pipeline_v3": (
         "oracle re-rendered r13 (shared quality/split literals; values "
@@ -113,31 +135,33 @@ NOTES: dict[str, str] = {
     ),
     "quality_survivors": (
         "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "yielded to the r10 cohort in r14 (window full: every r10 row + five done-criteria registrations), r15 (c) sweeps"
     ),
     "quality_auc": (
         "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "yielded to the r10 cohort in r14 (window full: every r10 row + five done-criteria registrations), r15 (c) sweeps"
     ),
     "quality_classifier_weights": (
         "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "yielded to the r10 cohort in r14 (window full: every r10 row + five done-criteria registrations), r15 (c) sweeps"
     ),
     "quality_classifier_scores": (
         "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "yielded to the r10 cohort in r14 (window full: every r10 row + five done-criteria registrations), r15 (c) sweeps"
     ),
     "quality_classifier_auc": (
-        "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "oracle re-rendered r13 (values identical); in the r14 (c) window "
+        "— of the re-rendered family it renders the WIDEST consolidated "
+        "surface (_qclf train predicate + quality battery + split_case + "
+        "holdout predicate), so its fresh row pins the shared constants"
     ),
     "curation_pipeline_v4": (
         "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "yielded to the r10 cohort in r14 (window full: every r10 row + five done-criteria registrations), r15 (c) sweeps"
     ),
     "quality_classifier_disagreement": (
         "oracle re-rendered r13 (values identical); r12-fresh row stands, "
-        "yielded to the r9 cohort, r14 sweeps"
+        "yielded to the r10 cohort in r14 (window full: every r10 row + five done-criteria registrations), r15 (c) sweeps"
     ),
 }
 

@@ -227,63 +227,64 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
 # round. This list IS the current round's window — any insertion/reorder of
 # QUERIES that changes window membership must edit this list too, making
 # evictions deliberate and reviewed instead of silent.
-EXPECTED_R13_WINDOW = [
-    # (a) the four r13 registrations (perceptual image dedup pair:
-    # media_dhash + media_dup_clusters; the trained filter in the
-    # foreachBatch streaming path; the stored-table serving scan with
-    # auditable pushdown), (b) the FULL 42-entry r9-row cohort incl.
-    # plan_audit (front-loaded per its r12 yield), (c) the 3 oldest-evidence re-rendered oracles from the r13
-    # literal consolidation + the oldest r10-row entry
-    "media_dhash",
-    "media_dup_clusters",
-    "quality_stream_replay",
-    "price_chart_stored",
-    "media_ahash",
-    "media_dup_survivors",
-    "plan_audit",
-    "coin_pagerank_capped",
-    "kmeans_centroids_fixed",
-    "ohlc_daily_rollup",
-    "event_bigrams",
-    "restfeed_ohlc",
-    "orc_roundtrip",
-    "exchange_hll_rollup",
-    "ohlc_stream_replay",
-    "dup_rate_by_source",
-    "coin_volume_percentile",
-    "volume_grouping_sets",
-    "knn_recall",
-    "url_dedup",
-    "media_decode_ppm",
-    "vwap_stream_replay",
-    "span_dedup",
-    "gopher_rules",
-    "media_decode_wav",
-    "mixture_sample",
-    "knn_pq",
-    "curation_pipeline_v2",
-    "price_resample_1h",
-    "knn_pq_recall",
-    "session_stream_replay",
-    "price_anomalies",
-    "forecast_backtest",
-    "bpe_merges",
-    "jsonl_roundtrip",
-    "volume_profile",
-    "bollinger_bands",
-    "max_drawdown",
-    "obv",
-    "knn_brute_vectorized",
-    "active_coins_semi",
-    "momentum_ranks",
-    "knn_lsh_multiprobe",
-    "fuzzy_match_blocked",
-    "repeated_spans_sliding",
-    "media_frames_gif2",
-    "remove_repeated_spans",
-    "leakage_safe_split",
-    "contamination",
-    "curation_pipeline_v3",
+EXPECTED_R14_WINDOW = [
+    # (a) the three r14 registrations (dual-family perceptual union;
+    # paired text+image dedup over the planted caption corpus; the
+    # pipeline with the media survivorship stage) + the two
+    # never-checked late-r13 registrations, (b) the FULL 43-entry
+    # r10-row cohort, (c) dataset_split (re-rendered, r11 row) +
+    # quality_classifier_auc (re-rendered, widest consolidated-constant
+    # coverage). See the rotation header in plans/registry.py.
+    "media_dup_clusters_union",
+    "image_text_dup_agreement",
+    "curation_pipeline_v5",
+    "lm_perplexity_buckets",
+    "bpe_fertility",
+    "semantic_dedup_trained",
+    "recovery_stream_replay",
+    "media_decode_bmp",
+    "media_decode_gif",
+    "media_decode_jpeg",
+    "media_resize",
+    "incremental_dedup_bloom",
+    "zorder_profile",
+    "cms_frequencies",
+    "enrich_stream_replay",
+    "late_drop_stream_replay",
+    "knn_ivf_full_fixed",
+    "knn_lsh_planes8",
+    "exchange_influencers",
+    "trading_sessions",
+    "session_range_join",
+    "market_cap_chart",
+    "knn_ivf_trained",
+    "volume_cube",
+    "spread_stream_replay",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "doc_length_quantiles_approx",
+    "exchange_cardinality",
+    "knn_quantized",
+    "embedding_normalize",
+    "embedding_quantize",
+    "media_frames",
+    "media_features",
+    "stale_coins_anti",
+    "top_coins_by_volume",
+    "union_price_feeds",
+    "asof_price_candle",
+    "top_suppliers",
+    "user_retention",
+    "price_correlation",
+    "event_props_stats",
+    "revenue_by_nation",
+    "drawdown_stream_replay",
+    "remove_repeated_spans_keep_first",
+    "dataset_split",
+    "quality_classifier_auc",
 ]
 
 
@@ -312,8 +313,8 @@ def test_driver_window_membership():
         QUERIES,
     )
 
-    assert len(EXPECTED_R13_WINDOW) == 50
-    assert list(QUERIES)[:50] == EXPECTED_R13_WINDOW
+    assert len(EXPECTED_R14_WINDOW) == 50
+    assert list(QUERIES)[:50] == EXPECTED_R14_WINDOW
 
 
 def test_fixture_timestamp_dtypes(spark):
