@@ -555,10 +555,15 @@ def q_media_dup_clusters_union(spark, sf_dir):
 def q_image_text_dup_agreement(spark, sf_dir):
     """Paired text+image dedup over a PLANTED caption-image corpus
     (corpus.image_text_dup_agreement, r13 verdict item #4): captions
-    'photo of item <doc_id//5> in bright style <doc_id%3>' make the
-    text near-dup relation exactly same-5-block (6 3-shingles, 5
-    shared across style variants -> jaccard 5/7 >= 0.5; distinct
-    blocks share 2 of 6 -> 0.2, rejected); images are keyed
+    'photo <g> of <g> item <g> style <v>' (g = doc_id//5,
+    v = doc_id%3) make the text near-dup relation exactly same-5-block
+    (6 3-shingles, 5 shared across style variants -> jaccard
+    5/7 >= 0.5; distinct blocks share ZERO shingles — the block token
+    sits in EVERY shingle, deliberately: a shingle shared corpus-wide
+    would dominate many minhash positions and hash O(N) docs into the
+    same LSH band buckets, turning the candidate join quadratic — the
+    scale bug this fixture's first draft had at sf10); images are
+    keyed
     (doc_id//7)*97 through multimodal.ppm_table_seeded (the *97
     scatter keeps adjacent blocks' pixel patterns apart), so
     same-image 7-blocks interleave the 5-block caption groups — BOTH
@@ -577,13 +582,12 @@ def q_image_text_dup_agreement(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _documents(spark, sf_dir)
+    g = (F.col("doc_id") / 5).cast("long").cast("string")
     planted = docs.select(
         "doc_id",
         F.concat(
-            F.lit("photo of item "),
-            (F.col("doc_id") / 5).cast("long").cast("string"),
-            F.lit(" in bright style "),
-            (F.col("doc_id") % 3).cast("string"),
+            F.lit("photo "), g, F.lit(" of "), g, F.lit(" item "), g,
+            F.lit(" style "), (F.col("doc_id") % 3).cast("string"),
         ).alias("text"),
     )
     media = multimodal.ppm_table_seeded(
@@ -640,8 +644,9 @@ def _image_text_agreement_sql() -> str:
     return f"""
 WITH RECURSIVE pl AS (
   SELECT doc_id,
-         'photo of item ' || (doc_id // 5)::VARCHAR ||
-         ' in bright style ' || (doc_id % 3)::VARCHAR AS text
+         'photo ' || (doc_id // 5)::VARCHAR || ' of ' ||
+         (doc_id // 5)::VARCHAR || ' item ' || (doc_id // 5)::VARCHAR ||
+         ' style ' || (doc_id % 3)::VARCHAR AS text
   FROM documents
 ),
 {mh_ctes},

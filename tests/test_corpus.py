@@ -746,13 +746,12 @@ def test_image_text_dup_agreement_planted_families(spark):
     from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    g = (F.col("doc_id") / 5).cast("long").cast("string")
     planted = docs.select(
         "doc_id",
         F.concat(
-            F.lit("photo of item "),
-            (F.col("doc_id") / 5).cast("long").cast("string"),
-            F.lit(" in bright style "),
-            (F.col("doc_id") % 3).cast("string"),
+            F.lit("photo "), g, F.lit(" of "), g, F.lit(" item "), g,
+            F.lit(" style "), (F.col("doc_id") % 3).cast("string"),
         ).alias("text"),
     )
     media = multimodal.ppm_table_seeded(
