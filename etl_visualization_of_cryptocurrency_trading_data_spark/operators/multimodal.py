@@ -2752,3 +2752,99 @@ def perceptual_dup_drops(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rn") > 1).select("doc_id")
+
+
+def afp_wav(media: DataFrame, windows: int = 65) -> DataFrame:
+    """Fixed-point perceptual AUDIO fingerprint over the real RIFF/WAVE
+    PCM16 decode — the audio member of the perceptual-hash family
+    (dHash/aHash for images, this for waveforms; the
+    Chromaprint/AcoustID posture re-expressed exactly computable):
+
+    1. channels mix to mono by EXACT int64 frame sum (no /c divide —
+       sign comparisons are scale-invariant, the same trick as the
+       luma x1000 in :func:`dhash_ppm`);
+    2. the waveform splits into 65 contiguous windows by the integer
+       assignment w = (i * 65) // n_frames (empty tail windows at
+       n_frames < 65 count as energy 0);
+    3. per-window ENERGY e_w = sum of squared mono samples — exact
+       int64 (|mono| <= 2*32768 -> e_w <= ~3.4e12 at fixture frame
+       counts, far below 2^63);
+    4. 64 bits: bit_k = e_{k+1} > e_k — the temporal energy-envelope
+       CONTOUR, robust to global gain exactly like dHash's gradient
+       signs are to brightness;
+    5. four LSB-first 16-bit bands (the shared band discipline, so the
+       hashes feed the same rep/pair/CC machinery and the SQL oracle
+       replays every bit from wav_table's closed-form samples).
+
+    One Arrow-batched mapInPandas, no shuffle. Output:
+    (doc_id, band0..band3).
+    """
+    if windows != 65:
+        raise ValueError("afp_wav is pinned to 64-bit fingerprints (65 windows)")
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                c, _sr, _bits, data = _parse_wav(bytes(buf))
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = samples.size // c
+                mono = samples.reshape(n, c).sum(axis=1)
+                w = (np.arange(n, dtype=np.int64) * 65) // n
+                # np.add.at (not bincount, whose weights pass through
+                # float64): the energy sums must stay exact int64 for
+                # the bit-exact oracle contract
+                e = np.zeros(65, dtype=np.int64)
+                np.add.at(e, w, mono * mono)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                rows["doc_id"].append(int(d))
+                for k in range(4):
+                    seg = bits[16 * k : 16 * k + 16]
+                    rows[f"band{k}"].append(int((seg << np.arange(16)).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(fp_batch, schema)
+
+
+def audio_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Perceptual AUDIO dedup end-to-end: :func:`afp_wav` fingerprints
+    -> distinct-hash representative collapse + Hamming-banded rep
+    pair join (:func:`_phash_rep_pairs` — the identical
+    quadratic-stage bound the image family uses: only distinct
+    fingerprints enter the band join) -> star connected components ->
+    (doc_id, cluster_id, n_members). The audio twin of
+    :func:`perceptual_dup_clusters`; a multimodal training corpus
+    dedups each modality with the same discipline, differing only in
+    the fingerprint map pass.
+
+    Cache contract (caller-owned): fingerprint + rep frames are
+    persisted here (each feeds the band join, the CC edge job and the
+    final label join); the returned frame is lazy — the caller
+    releases the cache once materialized, same as the image family.
+    """
+    from .dedup import connected_components_star
+    from pyspark.sql.window import Window
+
+    bands = [f"band{k}" for k in range(4)]
+    fps = afp_wav(media).persist()
+    reps, pairs = _phash_rep_pairs(fps, max_hamming)
+    reps = reps.persist()
+    labels = connected_components_star(pairs, id_a="rep_id_a", id_b="rep_id_b")
+    rep_lab = reps.join(
+        labels, reps["rep_id"] == labels["doc_id"], "left"
+    ).select(
+        *[reps[c] for c in bands],
+        F.coalesce(labels["cluster_id"], reps["rep_id"]).alias("cluster_id"),
+    )
+    docs = fps.join(rep_lab, bands).select("doc_id", "cluster_id")
+    return docs.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )

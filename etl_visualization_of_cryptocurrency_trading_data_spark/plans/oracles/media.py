@@ -480,6 +480,54 @@ def _phash_hash_ctes(
 )"""
 
 
+def _afp_hash_ctes(p: str, source: str = "documents") -> str:
+    """{p}hashes for the AUDIO fingerprint family (afp_wav): the
+    closed-form wav_table samples (int16 at (frame i, channel ch) =
+    (d*31 + i*17 + ch*7919) % 65536 - 32768, n = 64 + d%129 frames,
+    c = 1 + d%2 channels) mixed to an exact mono sum, squared-energy
+    per 65 integer-assigned windows (empty tail windows count 0), 64
+    contour bits e_{k+1} > e_k packed into the shared 4x16-bit band
+    layout — so :func:`_phash_pair_ctes`/:func:`_phash_label_ctes`
+    compose unchanged."""
+    return f"""{p}adims AS (
+  SELECT doc_id, (64 + doc_id % 129)::BIGINT AS n, (1 + doc_id % 2)::BIGINT AS c
+  FROM {source}
+),
+{p}mono AS (
+  SELECT d.doc_id, (i.g * 65) // d.n AS w,
+         ((d.doc_id * 31 + i.g * 17) % 65536 - 32768)
+         + CASE WHEN d.c = 2
+                THEN (d.doc_id * 31 + i.g * 17 + 7919) % 65536 - 32768
+                ELSE 0 END AS m
+  FROM {p}adims d, range(192) i(g)
+  WHERE i.g < d.n
+),
+{p}esum AS (
+  SELECT doc_id, w, sum(m * m)::BIGINT AS e FROM {p}mono GROUP BY doc_id, w
+),
+{p}energy AS (
+  SELECT d.doc_id, wg.g::BIGINT AS w, coalesce(s.e, 0)::BIGINT AS e
+  FROM {p}adims d CROSS JOIN range(65) wg(g)
+  LEFT JOIN {p}esum s ON s.doc_id = d.doc_id AND s.w = wg.g
+),
+{p}bits AS (
+  SELECT doc_id, w AS k, bit FROM (
+    SELECT doc_id, w,
+           CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY w) > e
+                THEN 1 ELSE 0 END AS bit
+    FROM {p}energy
+  ) WHERE w < 64
+),
+{p}hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k // 16 = 0 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band0,
+         sum(CASE WHEN k // 16 = 1 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band1,
+         sum(CASE WHEN k // 16 = 2 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band2,
+         sum(CASE WHEN k // 16 = 3 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band3
+  FROM {p}bits GROUP BY doc_id
+)"""
+
+
 def _phash_pair_ctes(p: str, max_hamming: int = 3) -> str:
     """reps -> cand -> pairs for one family (distinct-hash collapse,
     band-pigeonhole candidates, xor+bit_count verify) — the
@@ -676,6 +724,49 @@ SELECT a.doc_id_a, a.doc_id_b, a.image_agree,
        c.n_both, c.n_text_only,
        (i.n_image_pairs - c.n_both)::BIGINT AS n_image_only
 FROM ann a, tc c, ip i"""
+
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Fixed-point perceptual AUDIO fingerprint (multimodal.afp_wav
+    over the real RIFF/WAVE PCM16 decode): exact int64 mono mix ->
+    squared-energy over 65 integer-assigned windows -> 64
+    energy-contour sign bits in the shared 4x16-bit band layout —
+    the audio member of the perceptual-hash family (Chromaprint
+    posture made exactly computable). One mapInPandas, no shuffle;
+    oracle replays every bit from wav_table's closed-form samples
+    (late-r14)."""
+    return multimodal.afp_wav(
+        multimodal.wav_table(_documents(spark, sf_dir))
+    )
+
+def q_audio_dup_clusters(spark, sf_dir):
+    """Perceptual AUDIO dedup end-to-end
+    (multimodal.audio_dup_clusters): afp_wav fingerprints ->
+    distinct-hash rep collapse + Hamming<=2 banded rep pairs (the
+    image family's quadratic-stage bound, reused verbatim via
+    _phash_rep_pairs) -> star CC -> per-clip cluster labels + sizes.
+    The fixture collapses 500 clips to ~61 distinct fingerprints;
+    max_hamming=2 keeps discriminating structure (7 rep pairs at
+    sf0.001). Completes the modality set: text (MinHash/SimHash),
+    image (dHash/aHash), audio (this) — one dedup discipline
+    (late-r14)."""
+    return multimodal.audio_dup_clusters(
+        multimodal.wav_table(_documents(spark, sf_dir))
+    )
+
+
+def _audio_cluster_sql(max_hamming: int = 2) -> str:
+    """Oracle for [[q_audio_dup_clusters]]: the afp hash chain
+    ([[_afp_hash_ctes]]) composed with the SAME pair/label generators
+    the image oracles use — the band layout is the shared contract."""
+    return f"""
+WITH RECURSIVE {_afp_hash_ctes("af_")},
+{_phash_pair_ctes("af_", max_hamming)},
+{_phash_label_ctes("af_")}
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+FROM af_labeled"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -1022,4 +1113,8 @@ SELECT cluster_id, doc_id AS survivor_id, w::INT AS width, h::INT AS height,
 FROM sized WHERE rn = 1""",
     "media_dup_clusters_union": _union_cluster_sql(),
     "image_text_dup_agreement": _image_text_agreement_sql(),
+    "audio_fingerprint": f"""
+WITH {_afp_hash_ctes("af_")}
+SELECT doc_id, band0, band1, band2, band3 FROM af_hashes""",
+    "audio_dup_clusters": _audio_cluster_sql(),
 }

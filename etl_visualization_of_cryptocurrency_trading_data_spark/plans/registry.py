@@ -239,6 +239,8 @@ from .oracles.media import (  # noqa: F401
     q_media_dup_survivors,
     q_media_dup_clusters_union,
     q_image_text_dup_agreement,
+    q_audio_fingerprint,
+    q_audio_dup_clusters,
     _DHASH_CTES,
 )
 from .oracles.streaming import (  # noqa: F401
@@ -486,7 +488,11 @@ def q_plan_audit_skew(spark, sf_dir):
 # Round-15 rotation guidance: after the r14 driver run the oldest
 # evidence is the 48-entry r11-row cohort (49 minus dataset_split,
 # which r14 re-checked). Front-load (a) anything r15 adds or
-# re-plans, then (b) the r11-row entries oldest first in registry
+# re-plans PLUS the two never-checked late-r14 registrations
+# (audio_fingerprint, audio_dup_clusters — registered after the r14
+# window was sealed, full local evidence in PINNING, the r13
+# lm_perplexity_buckets precedent), then (b) the r11-row entries
+# oldest first in registry
 # order (exchange_cardinality_approx, atr_14, price_chart,
 # indicator_chart, coin_display, quality_score, token_counts,
 # lang_id, doc_fingerprint, bigram_logprob, doc_length_quantiles,
@@ -898,6 +904,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the end-to-end pipeline with a media survivorship stage
     # composed into the trained gate (r13 verdict item #5)
     "curation_pipeline_v5": q_curation_pipeline_v5,
+    # late-r14 additions, registered AFTER the 50-slot window was
+    # sealed (every slot is spoken for by the r13 verdict's
+    # done-criteria); both carry full local driver-gate evidence
+    # (sf0.001+sf0.01 value rows, pytest) and the r15 guidance
+    # front-loads them — the r13 lm_perplexity_buckets precedent
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_dup_clusters": q_audio_dup_clusters,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1270,6 +1283,8 @@ _ORACLE_REGISTRATION_ORDER = [
     "media_dup_clusters_union",
     "image_text_dup_agreement",
     "curation_pipeline_v5",
+    "audio_fingerprint",
+    "audio_dup_clusters",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -109,6 +109,9 @@ SHOWCASE = [
     "price_chart_stored",      # stored-table scan: StringEndsWith PUSHED
     "media_ahash",             # grid-mean aHash: one mapInPandas, no shuffle
     "media_dup_survivors",     # cluster chain + one rank window
+    "media_dup_clusters_union",   # 2-family rep pairs + bridges -> one CC
+    "image_text_dup_agreement",   # LSH pairs x cluster labels, count bcast
+    "curation_pipeline_v5",       # trained gate + media drop anti-join
 ]
 
 # Serving-path queries additionally dump their Scan-node detail blocks

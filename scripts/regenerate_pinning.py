@@ -38,6 +38,20 @@ WINDOW_SIZE = 50
 # A query IN the window renders "yes"; a query with a note but NOT in
 # the window renders "no" (the yield convention); everything else "".
 NOTES: dict[str, str] = {
+    "audio_fingerprint": (
+        "registered late-r14 AFTER the window sealed (fixed-point "
+        "perceptual audio fingerprint over the real RIFF/WAVE decode: "
+        "exact int64 mono mix, 65-window squared-energy contour, 64 sign "
+        "bits in the shared band layout); value rows green at "
+        "sf0.001+sf0.01 locally + hand-computation pytest; r15 front-loads"
+    ),
+    "audio_dup_clusters": (
+        "registered late-r14 AFTER the window sealed (afp_wav -> "
+        "distinct-fingerprint rep collapse -> Hamming<=2 banded pairs -> "
+        "star CC — the image family's machinery reused verbatim); value "
+        "rows green at sf0.001+sf0.01 locally + banded-vs-bruteforce "
+        "pytest; r15 front-loads"
+    ),
     "media_dup_clusters_union": (
         "registered r14 (dual-family perceptual dedup: dHash+aHash rep "
         "pairs + (d-rep, a-rep) bridge edges -> one star-CC label set, "

@@ -2873,3 +2873,92 @@ def test_perceptual_dup_clusters_union_matches_bruteforce(spark):
     for d in ids:
         assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
     spark.catalog.clearCache()
+
+
+def test_afp_wav_matches_hand_computation(spark):
+    """The audio fingerprint (multimodal.afp_wav) must reproduce a
+    from-first-principles hand computation on the decoded RIFF/WAVE
+    payload: exact int64 mono mix, squared energy per 65
+    integer-assigned windows (w = i*65//n, empty tail windows = 0),
+    bit k = e_{k+1} > e_k, four LSB-first 16-bit bands. Exercises the
+    REAL RIFF chunk walk, not the closed-form shortcut the oracle
+    uses — and at least one clip must have a mixed-bit fingerprint."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = multimodal.wav_table(docs)
+    got = {
+        int(r["doc_id"]): [r["band0"], r["band1"], r["band2"], r["band3"]]
+        for r in multimodal.afp_wav(media).collect()
+    }
+    payloads = {int(r["doc_id"]): bytes(r["payload"]) for r in media.collect()}
+    assert len(got) == len(payloads) > 0
+    nontrivial = 0
+    for d, buf in payloads.items():
+        c, _sr, _bits, data = multimodal._parse_wav(buf)
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        n = samples.size // c
+        mono = samples.reshape(n, c).sum(axis=1)
+        w = (np.arange(n, dtype=np.int64) * 65) // n
+        e = np.zeros(65, dtype=np.int64)
+        np.add.at(e, w, mono * mono)
+        bits = (e[1:] > e[:-1]).astype(np.int64)
+        want = [int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum()) for k in range(4)]
+        assert got[d] == want, d
+        if 0 < bits.sum() < 64:
+            nontrivial += 1
+    assert nontrivial > 0
+
+
+def test_audio_dup_clusters_match_bruteforce_components(spark):
+    """audio_dup_clusters' banded candidates + star CC must equal the
+    components of the full quadratic Hamming<=2 graph over distinct
+    fingerprints (pigeonhole: 4 bands, 64 bits, radius 2 loses no
+    pair), labels = component-minimum doc_id with the right member
+    count — the image-family contract, re-proven for the audio hash."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.wav_table(docs)
+    fps = {
+        int(r["doc_id"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+        for r in multimodal.afp_wav(media).collect()
+    }
+    reps: dict[tuple, int] = {}
+    for d, hsh in sorted(fps.items()):
+        reps.setdefault(hsh, d)
+    ids = sorted(reps.values())
+    hs = {v: k for k, v in reps.items()}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(hs[a], hs[b]))
+            if ham <= 2:
+                n_edges += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert n_edges > 0  # the radius binds at fixture scale
+    want_label = {d: find(reps[hsh]) for d, hsh in fps.items()}
+    want_sizes: dict[int, int] = {}
+    for lbl in want_label.values():
+        want_sizes[lbl] = want_sizes.get(lbl, 0) + 1
+
+    got = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.audio_dup_clusters(media).collect()
+    }
+    assert len(got) == len(fps)
+    for d in fps:
+        assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
+    spark.catalog.clearCache()
