@@ -109,3 +109,23 @@ def quality_sum_stats_sql() -> str:
         "        + CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)"
     )
 
+
+
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Mark the named CTEs ``AS MATERIALIZED`` (DuckDB): a composed
+    oracle like the curation pipelines references its stage outputs
+    many times (sig 16x in the band union, sh 4x, the survivor corpus
+    from split + contamination + resample), and DuckDB 1.0 inlines CTE
+    bodies per reference — the COMPOSED tree then multiplies out to
+    thousands of leaf parquet scans and dies on file handles (or, for
+    the hash-chain oracles, re-evaluates the chain per reference,
+    measured 7x-118x slower). Materializing each stage boundary pins
+    the oracle to the same evaluate-once semantics the engine's
+    persist() boundaries use. Anchored on the unique '\n<name> AS ('
+    definition site; asserts exactly one match so a parts edit cannot
+    silently de-materialize a stage."""
+    for n in names:
+        anchor = f"\n{n} AS ("
+        assert sql.count(anchor) == 1, f"CTE anchor not unique: {n}"
+        sql = sql.replace(anchor, f"\n{n} AS MATERIALIZED (", 1)
+    return sql

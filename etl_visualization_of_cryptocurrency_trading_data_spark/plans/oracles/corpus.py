@@ -19,6 +19,7 @@ from ...operators.classifier import (
     QCLF_SALT,
 )
 from .common import (
+    _materialize_ctes,
     QUALITY_GATE,
     _documents,
     quality_sum_ws_sql,
@@ -258,23 +259,9 @@ scored AS (
 
 DSIR_SCORED_CTES = "\nWITH " + _dsir_scored_parts()
 
-def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
-    """Mark the named CTEs ``AS MATERIALIZED`` (DuckDB): a composed
-    oracle like [[_curation_v3_sql]] references its stage outputs many
-    times (sig 16x in the band union, sh 4x, the survivor corpus from
-    split + contamination + resample), and DuckDB 1.0 inlines CTE
-    bodies per reference — the COMPOSED tree then multiplies out to
-    thousands of leaf parquet scans and dies on file handles.
-    Materializing each stage boundary pins the oracle to the same
-    evaluate-once semantics the engine's persist() boundaries use.
-    Anchored on the unique '\\n<name> AS (' definition site; asserts
-    exactly one match so a parts edit cannot silently de-materialize a
-    stage."""
-    for n in names:
-        anchor = f"\n{n} AS ("
-        assert sql.count(anchor) == 1, f"CTE anchor not unique: {n}"
-        sql = sql.replace(anchor, f"\n{n} AS MATERIALIZED (", 1)
-    return sql
+# _materialize_ctes moved to oracles/common.py (r14: the media-domain
+# composed oracles need it too, and media importing corpus at module
+# top would cycle through corpus's import-time ORACLE_SQL rendering).
 
 def _curation_tail_sql(k: int = 200, rounds: int = 3, budget: int = 512) -> str:
     """Stages 2-6 of the composed pipeline oracle (near-dup pair
@@ -691,7 +678,11 @@ q AS (
     AND d.doc_id NOT IN (SELECT doc_id FROM pd_drops)
 ),
 {_curation_tail_sql(k, rounds, budget)}"""
-    return _materialize_ctes(sql, _CURATION_TAIL_MATERIALIZE)
+    return _materialize_ctes(
+        sql,
+        _CURATION_TAIL_MATERIALIZE
+        + ("pd_hashes", "pd_reps", "pd_pairs", "pd_edges"),
+    )
 
 
 def q_curation_pipeline_v4(spark, sf_dir):

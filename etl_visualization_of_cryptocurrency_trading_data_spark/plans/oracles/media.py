@@ -9,7 +9,7 @@ assembled surface is byte-identical to the pre-split snapshot.
 from __future__ import annotations
 
 from ...operators import multimodal
-from .common import _documents
+from .common import _documents, _materialize_ctes
 
 def q_media_decode_ppm(spark, sf_dir):
     """REAL bytes→pixels decode (multimodal.decode_ppm): spec-compliant
@@ -650,8 +650,9 @@ def _union_cluster_sql(max_hamming: int = 1) -> str:
     prefixes, bridge edges joining each doc's two reps, one recursive
     reach over the union, labels through the d-family (either family
     gives the identical answer — the bridges put a doc's two reps in
-    the same component)."""
-    return f"""
+    the same component). Multiply-referenced CTEs are AS MATERIALIZED
+    (DuckDB inlines per reference — evaluate-once, code-review r14)."""
+    sql = f"""
 WITH RECURSIVE {_phash_hash_ctes("d_", "dhash")},
 {_phash_pair_ctes("d_", max_hamming)},
 {_phash_hash_ctes("a_", "ahash")},
@@ -675,13 +676,20 @@ u_pairs AS (
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
 FROM u_labeled"""
+    return _materialize_ctes(
+        sql,
+        (
+            "d_hashes", "a_hashes", "d_reps", "a_reps", "d_pairs",
+            "a_pairs", "u_bridge", "u_pairs", "u_edges", "u_comp",
+        ),
+    )
 
 
 def _image_text_agreement_sql() -> str:
     """Oracle for [[q_image_text_dup_agreement]]: the planted caption
     CTE feeds the md5-family MinHash parts ([[_minhash_lsh_parts]]
     re-pointed at it), the seeded dHash chain labels the images
-    (seed = doc_id % 17 replays ppm_table_seeded's pixels), and the
+    (seed = (doc_id // 7) * 97 replays ppm_table_seeded's pixels), and
     final select attaches the three modality counts — n_image_only
     from per-cluster C(m,2) label arithmetic minus n_both."""
     from .dedup import _minhash_lsh_parts
@@ -689,7 +697,7 @@ def _image_text_agreement_sql() -> str:
     mh_ctes, mh_select = _minhash_lsh_parts(source="pl")
     assert mh_ctes.startswith("WITH ")
     mh_ctes = mh_ctes[len("WITH ") :]
-    return f"""
+    sql = f"""
 WITH RECURSIVE pl AS (
   SELECT doc_id,
          'photo ' || (doc_id // 5)::VARCHAR || ' of ' ||
@@ -724,6 +732,13 @@ SELECT a.doc_id_a, a.doc_id_b, a.image_agree,
        c.n_both, c.n_text_only,
        (i.n_image_pairs - c.n_both)::BIGINT AS n_image_only
 FROM ann a, tc c, ip i"""
+    return _materialize_ctes(
+        sql,
+        (
+            "sh", "sig", "bb", "cand", "tp", "pi_hashes", "pi_reps",
+            "pi_pairs", "pi_edges", "pi_comp", "pi_labeled", "ann",
+        ),
+    )
 
 
 
@@ -759,14 +774,19 @@ def q_audio_dup_clusters(spark, sf_dir):
 def _audio_cluster_sql(max_hamming: int = 2) -> str:
     """Oracle for [[q_audio_dup_clusters]]: the afp hash chain
     ([[_afp_hash_ctes]]) composed with the SAME pair/label generators
-    the image oracles use — the band layout is the shared contract."""
-    return f"""
+    the image oracles use — the band layout is the shared contract.
+    Multiply-referenced CTEs are AS MATERIALIZED (evaluate-once)."""
+    sql = f"""
 WITH RECURSIVE {_afp_hash_ctes("af_")},
 {_phash_pair_ctes("af_", max_hamming)},
 {_phash_label_ctes("af_")}
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
 FROM af_labeled"""
+    return _materialize_ctes(
+        sql,
+        ("af_hashes", "af_reps", "af_pairs", "af_edges", "af_comp", "af_labeled"),
+    )
 
 
 ORACLE_SQL: dict[str, str] = {

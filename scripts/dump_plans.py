@@ -112,6 +112,8 @@ SHOWCASE = [
     "media_dup_clusters_union",   # 2-family rep pairs + bridges -> one CC
     "image_text_dup_agreement",   # LSH pairs x cluster labels, count bcast
     "curation_pipeline_v5",       # trained gate + media drop anti-join
+    "audio_fingerprint",          # WAV contour hash: one mapInPandas
+    "audio_dup_clusters",         # audio rep pairs -> star CC labels
 ]
 
 # Serving-path queries additionally dump their Scan-node detail blocks

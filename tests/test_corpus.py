@@ -16,7 +16,7 @@ from etl_visualization_of_cryptocurrency_trading_data_spark.operators import (
     relational,
 )
 
-from conftest import SF_ORACLE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 # ---------------------------------------------------------------------------
@@ -745,7 +745,7 @@ def test_image_text_dup_agreement_planted_families(spark):
     from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
     from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMOKE, "documents")
     g = (F.col("doc_id") / 5).cast("long").cast("string")
     planted = docs.select(
         "doc_id",
@@ -803,7 +803,7 @@ def test_curation_pipeline_v5_media_gate_and_shared_tail(spark):
     from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
     from etl_visualization_of_cryptocurrency_trading_data_spark.operators import classifier, multimodal
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMOKE, "documents")
     cols = ["doc_id", "text", "lang", "source"]
 
     key = lambda r: (r.doc_id, r.source, r.n_tokens_bpe, r.first_chunk, r.last_chunk, r.n_chunks)
