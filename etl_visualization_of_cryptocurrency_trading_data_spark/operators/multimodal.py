@@ -251,6 +251,22 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(decode, schema)
 
 
+def _ppm_payload(s: int) -> tuple[int, int, bytes]:
+    """(width, height, P6 payload) for seed ``s`` — the ONE rendering
+    of the closed-form fixture image (width = 4 + s%5, height =
+    3 + s%4, channels of pixel i = (s + c*i) % 256), shared by
+    :func:`ppm_table` (s = doc_id) and :func:`ppm_table_seeded`
+    (caller-keyed s) so the pixel formula cannot fork between the
+    fixture families (its SQL replay lives in the oracle modules)."""
+    w, h = 4 + s % 5, 3 + s % 4
+    i = np.arange(w * h, dtype=np.int64)
+    px = np.empty((w * h, 3), dtype=np.uint8)
+    px[:, 0] = (s + i) % 256
+    px[:, 1] = (s + 2 * i) % 256
+    px[:, 2] = (s + 3 * i) % 256
+    return w, h, f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+
 def ppm_table(documents: DataFrame) -> DataFrame:
     """Deterministic REAL image corpus: one tiny binary PPM (P6) image
     per document, pixels generated in closed form from ``doc_id`` so
@@ -269,18 +285,11 @@ def ppm_table(documents: DataFrame) -> DataFrame:
             rows = {"doc_id": [], "width": [], "height": [], "payload": []}
             for d in pdf["doc_id"]:
                 d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                i = np.arange(w * h, dtype=np.int64)
-                px = np.empty((w * h, 3), dtype=np.uint8)
-                px[:, 0] = (d + i) % 256
-                px[:, 1] = (d + 2 * i) % 256
-                px[:, 2] = (d + 3 * i) % 256
+                w, h, payload = _ppm_payload(d)
                 rows["doc_id"].append(d)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["payload"].append(
-                    f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
-                )
+                rows["payload"].append(payload)
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id").mapInPandas(synth, schema)
@@ -2409,72 +2418,13 @@ def perceptual_dup_clusters(
     honors this; repeated invocations without a release accumulate
     two cached frames per call.
     """
-    from .dedup import connected_components_star
-
-    bands = [f"band{k}" for k in range(4)]
     # persist both: fps is consumed by the reps groupBy AND the final
     # label join, reps by the banded self-join (twice, inside the CC
     # edge job) AND rep_lab — without the persists each consuming job
     # re-runs the corpus-wide pandas-UDF decode (code-review r13; the
     # bench's per-query clearCache releases these)
     fps = dhash_ppm(media).persist()
-    reps = fps.groupBy(*bands).agg(
-        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs")
-    ).persist()
-    banded = reps.select(
-        "rep_id",
-        *bands,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"), F.col(f"band{k}").alias("bucket")
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("rep_id", *bands, "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.bit_count(
-            F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}")).cast("long")
-        )
-        for k in range(4)
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.rep_id") < F.col("b.rep_id")),
-        )
-        .select(
-            F.col("a.rep_id").alias("rep_id_a"),
-            F.col("b.rep_id").alias("rep_id_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    labels = connected_components_star(pairs, id_a="rep_id_a", id_b="rep_id_b")
-    rep_lab = reps.join(
-        labels, reps["rep_id"] == labels["doc_id"], "left"
-    ).select(
-        *[reps[c] for c in bands],
-        F.coalesce(labels["cluster_id"], reps["rep_id"]).alias("cluster_id"),
-    )
-    docs = fps.join(rep_lab, bands).select("doc_id", "cluster_id")
-    from pyspark.sql.window import Window
-
-    return docs.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*")
-        .over(Window.partitionBy("cluster_id"))
-        .cast("long")
-        .alias("n_members"),
-    )
+    return _phash_cluster_labels(fps, max_hamming)
 
 
 def ahash_ppm(media: DataFrame, grid: int = 8) -> DataFrame:
@@ -2515,6 +2465,26 @@ def ahash_ppm(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(hash_batch, schema)
 
 
+def _perceptual_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
+    """Cluster labels joined to the images' own dimensions and ranked
+    within cluster by (resolution DESC, doc_id) — the ONE ranking both
+    :func:`perceptual_dup_survivors` (rn = 1) and
+    :func:`perceptual_dup_drops` (rn > 1) read, so the survivor choice
+    and the drop set always partition each cluster exactly."""
+    from pyspark.sql.window import Window
+
+    clusters = perceptual_dup_clusters(media, max_hamming=max_hamming)
+    dims = media.select("doc_id", "width", "height")
+    return clusters.join(dims, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                (F.col("width") * F.col("height")).desc(), F.col("doc_id")
+            )
+        ),
+    )
+
+
 def perceptual_dup_survivors(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Survivorship over the perceptual clusters — the decision a real
     media pipeline ships: per dHash cluster keep the HIGHEST-RESOLUTION
@@ -2526,18 +2496,7 @@ def perceptual_dup_survivors(media: DataFrame, max_hamming: int = 3) -> DataFram
     inside the cluster, rn=1). The rank window shuffles on cluster_id;
     everything upstream keeps the distinct-hash bounds.
     """
-    from pyspark.sql.window import Window
-
-    clusters = perceptual_dup_clusters(media, max_hamming=max_hamming)
-    dims = media.select("doc_id", "width", "height")
-    ranked = clusters.join(dims, "doc_id").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("cluster_id").orderBy(
-                (F.col("width") * F.col("height")).desc(), F.col("doc_id")
-            )
-        ),
-    )
+    ranked = _perceptual_ranked(media, max_hamming)
     return ranked.filter(F.col("rn") == 1).select(
         "cluster_id",
         F.col("doc_id").alias("survivor_id"),
@@ -2566,18 +2525,11 @@ def ppm_table_seeded(documents: DataFrame, seed_col: str = "seed") -> DataFrame:
             rows = {"doc_id": [], "width": [], "height": [], "payload": []}
             for d, s in zip(pdf["doc_id"], pdf[seed_col]):
                 d, s = int(d), int(s)
-                w, h = 4 + s % 5, 3 + s % 4
-                i = np.arange(w * h, dtype=np.int64)
-                px = np.empty((w * h, 3), dtype=np.uint8)
-                px[:, 0] = (s + i) % 256
-                px[:, 1] = (s + 2 * i) % 256
-                px[:, 2] = (s + 3 * i) % 256
+                w, h, payload = _ppm_payload(s)
                 rows["doc_id"].append(d)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["payload"].append(
-                    f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
-                )
+                rows["payload"].append(payload)
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id", seed_col).mapInPandas(synth, schema)
@@ -2639,6 +2591,51 @@ def _phash_rep_pairs(
         .select("rep_id_a", "rep_id_b")
     )
     return reps, pairs
+
+
+def _phash_label_docs(
+    fps: DataFrame, reps: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster_id, n_members) from a fingerprint frame, its
+    rep table, and CC labels over the rep ids — the shared label tail
+    of every perceptual-dedup composition (image single-family, image
+    dual-family union, audio): reps LEFT-join labels (isolated reps
+    label themselves), one hash-keyed join maps every doc back, one
+    window counts members."""
+    from pyspark.sql.window import Window
+
+    bands = [f"band{k}" for k in range(4)]
+    rep_lab = reps.join(
+        labels, reps["rep_id"] == labels["doc_id"], "left"
+    ).select(
+        *[reps[c] for c in bands],
+        F.coalesce(labels["cluster_id"], reps["rep_id"]).alias("cluster_id"),
+    )
+    docs = fps.join(rep_lab, bands).select("doc_id", "cluster_id")
+    return docs.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )
+
+
+def _phash_cluster_labels(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """Single-family perceptual clustering over a (doc_id, band0..3)
+    fingerprint frame: rep collapse + banded verify
+    (:func:`_phash_rep_pairs`), star CC, label tail
+    (:func:`_phash_label_docs`). ``fps`` should arrive persisted (it
+    feeds the rep groupBy and the final label join); the rep table is
+    persisted here (band self-join x2 inside the iterative CC edge
+    job + the label join)."""
+    from .dedup import connected_components_star
+
+    reps, pairs = _phash_rep_pairs(fps, max_hamming)
+    reps = reps.persist()
+    labels = connected_components_star(pairs, id_a="rep_id_a", id_b="rep_id_b")
+    return _phash_label_docs(fps, reps, labels)
 
 
 def perceptual_dup_clusters_union(
@@ -2712,23 +2709,7 @@ def perceptual_dup_clusters_union(
     )
     edges = pairs_d.unionByName(pairs_a).unionByName(bridges)
     labels = connected_components_star(edges, id_a="rep_id_a", id_b="rep_id_b")
-    rep_lab = reps_d.join(
-        labels, reps_d["rep_id"] == labels["doc_id"], "left"
-    ).select(
-        *[reps_d[c] for c in bands],
-        F.coalesce(labels["cluster_id"], reps_d["rep_id"]).alias("cluster_id"),
-    )
-    docs = fps_d.join(rep_lab, bands).select("doc_id", "cluster_id")
-    from pyspark.sql.window import Window
-
-    return docs.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*")
-        .over(Window.partitionBy("cluster_id"))
-        .cast("long")
-        .alias("n_members"),
-    )
+    return _phash_label_docs(fps_d, reps_d, labels)
 
 
 def perceptual_dup_drops(media: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -2739,19 +2720,9 @@ def perceptual_dup_drops(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     pipeline. Same rank window (cluster_id partition), same upstream
     distinct-hash bounds; singleton clusters drop nothing.
     """
-    from pyspark.sql.window import Window
-
-    clusters = perceptual_dup_clusters(media, max_hamming=max_hamming)
-    dims = media.select("doc_id", "width", "height")
-    ranked = clusters.join(dims, "doc_id").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("cluster_id").orderBy(
-                (F.col("width") * F.col("height")).desc(), F.col("doc_id")
-            )
-        ),
-    )
-    return ranked.filter(F.col("rn") > 1).select("doc_id")
+    return _perceptual_ranked(media, max_hamming).filter(
+        F.col("rn") > 1
+    ).select("doc_id")
 
 
 def afp_wav(media: DataFrame, windows: int = 65) -> DataFrame:
@@ -2825,26 +2796,5 @@ def audio_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     final label join); the returned frame is lazy — the caller
     releases the cache once materialized, same as the image family.
     """
-    from .dedup import connected_components_star
-    from pyspark.sql.window import Window
-
-    bands = [f"band{k}" for k in range(4)]
     fps = afp_wav(media).persist()
-    reps, pairs = _phash_rep_pairs(fps, max_hamming)
-    reps = reps.persist()
-    labels = connected_components_star(pairs, id_a="rep_id_a", id_b="rep_id_b")
-    rep_lab = reps.join(
-        labels, reps["rep_id"] == labels["doc_id"], "left"
-    ).select(
-        *[reps[c] for c in bands],
-        F.coalesce(labels["cluster_id"], reps["rep_id"]).alias("cluster_id"),
-    )
-    docs = fps.join(rep_lab, bands).select("doc_id", "cluster_id")
-    return docs.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*")
-        .over(Window.partitionBy("cluster_id"))
-        .cast("long")
-        .alias("n_members"),
-    )
+    return _phash_cluster_labels(fps, max_hamming)

@@ -491,8 +491,11 @@ def q_plan_audit_skew(spark, sf_dir):
 # re-plans PLUS the two never-checked late-r14 registrations
 # (audio_fingerprint, audio_dup_clusters — registered after the r14
 # window was sealed, full local evidence in PINNING, the r13
-# lm_perplexity_buckets precedent), then (b) the r11-row entries
-# oldest first in registry
+# lm_perplexity_buckets precedent) PLUS the two r14 hash-stable
+# re-plans (media_dup_clusters, media_dup_survivors — cluster/rank
+# tails factored into shared helpers, values re-proven at sf0.01;
+# the r12 re-plan precedent wants a fresh driver row), then (b) the
+# r11-row entries oldest first in registry
 # order (exchange_cardinality_approx, atr_14, price_chart,
 # indicator_chart, coin_display, quality_score, token_counts,
 # lang_id, doc_fingerprint, bigram_logprob, doc_length_quantiles,

@@ -80,7 +80,11 @@ NOTES: dict[str, str] = {
     "media_dup_clusters": (
         "registered r13 (perceptual image dedup: Hamming<=3 banded pairs "
         "over DISTINCT hashes only, star components, per-image cluster "
-        "labels + sizes); front-loaded"
+        "labels + sizes); r13 row; HASH-STABLE RE-PLAN r14 (cluster/label "
+        "tail factored into _phash_cluster_labels, plan-identical; "
+        "bruteforce pytest + full media-family sf0.01 value sweep green) "
+        "— r15 should re-verify with a fresh driver row per the r12 "
+        "re-plan precedent"
     ),
     "quality_stream_replay": (
         "registered r13 (the trained quality filter scored per micro-batch "
@@ -110,8 +114,11 @@ NOTES: dict[str, str] = {
     ),
     "media_dup_survivors": (
         "registered mid-r13 (highest-resolution survivor per perceptual "
-        "cluster, min id on ties — the media dedup_survivors twin); "
-        "front-loaded"
+        "cluster, min id on ties — the media dedup_survivors twin); r13 "
+        "row; HASH-STABLE RE-PLAN r14 (rank window factored into "
+        "_perceptual_ranked, shared with perceptual_dup_drops so survivors "
+        "and drops provably partition each cluster; values green at "
+        "sf0.01) — r15 should re-verify with a fresh driver row"
     ),
     "semantic_dedup_trained": (
         "yielded its r13 (c) slot to the mid-round media_ahash "
