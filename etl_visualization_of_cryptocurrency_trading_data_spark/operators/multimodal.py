@@ -2798,3 +2798,80 @@ def audio_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     """
     fps = afp_wav(media).persist()
     return _phash_cluster_labels(fps, max_hamming)
+
+
+def vfp_gif(media: DataFrame, frames: int = 4) -> DataFrame:
+    """Fixed-point perceptual VIDEO fingerprint over the real animated
+    GIF decode — the video member of the perceptual-hash family
+    (dHash/aHash for images, :func:`afp_wav` for audio, this for
+    clips; the frame-sampled-signature posture of production video
+    dedup, e.g. TMK/videohash, re-expressed exactly computable):
+
+    1. the clip decodes through :func:`_parse_gif_frames` (the
+       from-scratch LZW codec + full disposal compositing — the real
+       video path, not a header read);
+    2. FOUR frames sample the timeline at f_k = (k*(nf-1)) // 3,
+       k = 0..3 — first / one-third / two-thirds / last. Clips
+       shorter than 4 frames repeat boundary frames (deliberate: the
+       fingerprint is constant-size, so clips of different lengths
+       stay comparable);
+    3. each sampled frame hashes to 16 bits: a 4x5 NN-sampled integer
+       grid (src_x = (gx*w)//5, src_y = (gy*h)//4), integer luma
+       299R+587G+114B, bit = right-neighbor gradient sign — dHash's
+       exact-integer discipline at quarter size;
+    4. band_k IS frame k's 16-bit hash (LSB-first, bit gy*4+gx
+       row-major) — so the shared 4x16-bit band layout gets a
+       MEANINGFUL pigeonhole: two clips are band-join candidates iff
+       they agree exactly on >= 1 sampled frame's coarse hash, and
+       :func:`_phash_rep_pairs` / star CC / the SQL oracle generators
+       compose verbatim.
+
+    One Arrow-batched mapInPandas, no shuffle. Output:
+    (doc_id, band0..band3). Malformed payloads raise (caller bug),
+    same posture as the other codecs in this module.
+    """
+    if frames != 4:
+        raise ValueError("vfp_gif is pinned to 64-bit fingerprints (4 frames)")
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                _sw, _sh, frs = _parse_gif_frames(bytes(buf))
+                nf = len(frs)
+                rows["doc_id"].append(int(d))
+                for k in range(4):
+                    px = frs[(k * (nf - 1)) // 3][1].astype(np.int64)
+                    h, w = px.shape[0], px.shape[1]
+                    xs = (np.arange(5, dtype=np.int64) * w) // 5
+                    ys = (np.arange(4, dtype=np.int64) * h) // 4
+                    g = px[np.ix_(ys, xs)]
+                    gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+                    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
+                    rows[f"band{k}"].append(int((bits << np.arange(16)).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(fp_batch, schema)
+
+
+def video_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Perceptual VIDEO dedup end-to-end: :func:`vfp_gif` fingerprints
+    -> distinct-hash representative collapse + Hamming-banded rep pair
+    join (:func:`_phash_rep_pairs` — only distinct fingerprints enter
+    the quadratic-risk stage, the image/audio families' bound reused
+    verbatim) -> star connected components ->
+    (doc_id, cluster_id, n_members). Completes the perceptual family
+    across all four payload modalities: text (MinHash/SimHash), image
+    (dHash/aHash), audio (afp_wav), video (this) — one dedup
+    discipline, differing only in the fingerprint map pass.
+
+    Cache contract (caller-owned): fingerprint + rep frames are
+    persisted here (each feeds the band join, the CC edge job and the
+    final label join); the returned frame is lazy — the caller
+    releases the cache once materialized, same as the image family.
+    """
+    fps = vfp_gif(media).persist()
+    return _phash_cluster_labels(fps, max_hamming)

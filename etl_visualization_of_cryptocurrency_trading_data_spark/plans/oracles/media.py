@@ -528,6 +528,49 @@ def _afp_hash_ctes(p: str, source: str = "documents") -> str:
 )"""
 
 
+def _vfp_hash_ctes(p: str, source: str = "documents") -> str:
+    """{p}hashes for the VIDEO fingerprint family (vfp_gif): replays
+    gif_table_animated's closed-form frames (frame f's pixel i has
+    palette index j = (d + 17f + i) % 256 against the (j, 2j%256,
+    3j%256) palette, nf = 2 + d%3 frames) through the exact sampling
+    chain — frame f_k = (k*(nf-1)) // 3 for k = 0..3, 4x5 NN grid
+    (i = ((gy*h)//4)*w + (gx*w)//5), integer luma, right-neighbor
+    gradient sign, band_k = frame k's 16 bits — so
+    :func:`_phash_pair_ctes`/:func:`_phash_label_ctes` compose
+    unchanged (the shared 4x16-bit band contract)."""
+    return f"""{p}vdims AS (
+  SELECT doc_id, (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h,
+         (2 + doc_id % 3)::BIGINT AS nf
+  FROM {source}
+),
+{p}vluma AS (
+  SELECT doc_id, fk, gy, gx,
+         299 * j + 587 * ((2 * j) % 256) + 114 * ((3 * j) % 256) AS v
+  FROM (
+    SELECT d.doc_id, fk.g::BIGINT AS fk, gy.g::BIGINT AS gy, gx.g::BIGINT AS gx,
+           (d.doc_id + 17 * ((fk.g * (d.nf - 1)) // 3)
+            + ((gy.g * d.h) // 4) * d.w + (gx.g * d.w) // 5) % 256 AS j
+    FROM {p}vdims d, range(4) fk(g), range(4) gy(g), range(5) gx(g)
+  )
+),
+{p}vbits AS (
+  SELECT doc_id, fk * 16 + gy * 4 + gx AS k, bit FROM (
+    SELECT doc_id, fk, gy, gx,
+           CASE WHEN lead(v) OVER (PARTITION BY doc_id, fk, gy ORDER BY gx) > v
+                THEN 1 ELSE 0 END AS bit
+    FROM {p}vluma
+  ) WHERE gx < 4
+),
+{p}hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k // 16 = 0 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band0,
+         sum(CASE WHEN k // 16 = 1 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band1,
+         sum(CASE WHEN k // 16 = 2 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band2,
+         sum(CASE WHEN k // 16 = 3 THEN bit << (k % 16) ELSE 0 END)::BIGINT AS band3
+  FROM {p}vbits GROUP BY doc_id
+)"""
+
+
 def _phash_pair_ctes(p: str, max_hamming: int = 3) -> str:
     """reps -> cand -> pairs for one family (distinct-hash collapse,
     band-pigeonhole candidates, xor+bit_count verify) — the
@@ -768,6 +811,56 @@ def q_audio_dup_clusters(spark, sf_dir):
     (late-r14)."""
     return multimodal.audio_dup_clusters(
         multimodal.wav_table(_documents(spark, sf_dir))
+    )
+
+
+def q_video_fingerprint(spark, sf_dir):
+    """Fixed-point perceptual VIDEO fingerprint (multimodal.vfp_gif
+    over the real animated-GIF decode — LZW codec + disposal
+    compositing, not a header read): 4 timeline-sampled frames
+    (f_k = (k*(nf-1))//3), each hashed to 16 gradient-sign bits over
+    a 4x5 integer NN grid, band_k = frame k's hash — so the shared
+    4x16-bit band pigeonhole means "agree exactly on >= 1 sampled
+    frame". One mapInPandas, no shuffle; oracle replays every bit
+    from gif_table_animated's closed-form frames (late-r14)."""
+    return multimodal.vfp_gif(
+        multimodal.gif_table_animated(_documents(spark, sf_dir))
+    )
+
+def q_video_dup_clusters(spark, sf_dir):
+    """Perceptual VIDEO dedup end-to-end
+    (multimodal.video_dup_clusters): vfp_gif fingerprints ->
+    distinct-hash rep collapse + Hamming<=1 banded rep pairs (the
+    image/audio quadratic-stage bound via _phash_rep_pairs) -> star
+    CC -> per-clip cluster labels + sizes. max_hamming=1, tighter
+    than the image family's 3: a 16-bit per-frame hash is coarse, so
+    agreeing on a whole band is weak evidence and the verify distance
+    tightens to keep precision (at 2 this fixture chains 500 clips
+    into 9 clusters; at 1 it keeps 50 with 202 distinct fingerprints).
+    Completes the perceptual family across all four payload
+    modalities: text, image, audio, video (late-r14)."""
+    return multimodal.video_dup_clusters(
+        multimodal.gif_table_animated(_documents(spark, sf_dir)),
+        max_hamming=1,
+    )
+
+
+def _video_cluster_sql(max_hamming: int = 1) -> str:
+    """Oracle for [[q_video_dup_clusters]]: the vfp hash chain
+    ([[_vfp_hash_ctes]]) composed with the SAME pair/label generators
+    the image and audio oracles use — the band layout is the shared
+    contract. Multiply-referenced CTEs are AS MATERIALIZED
+    (evaluate-once)."""
+    sql = f"""
+WITH RECURSIVE {_vfp_hash_ctes("vf_")},
+{_phash_pair_ctes("vf_", max_hamming)},
+{_phash_label_ctes("vf_")}
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+FROM vf_labeled"""
+    return _materialize_ctes(
+        sql,
+        ("vf_hashes", "vf_reps", "vf_pairs", "vf_edges", "vf_comp", "vf_labeled"),
     )
 
 
@@ -1137,4 +1230,8 @@ FROM sized WHERE rn = 1""",
 WITH {_afp_hash_ctes("af_")}
 SELECT doc_id, band0, band1, band2, band3 FROM af_hashes""",
     "audio_dup_clusters": _audio_cluster_sql(),
+    "video_fingerprint": f"""
+WITH {_vfp_hash_ctes("vf_")}
+SELECT doc_id, band0, band1, band2, band3 FROM vf_hashes""",
+    "video_dup_clusters": _video_cluster_sql(),
 }

@@ -241,6 +241,8 @@ from .oracles.media import (  # noqa: F401
     q_image_text_dup_agreement,
     q_audio_fingerprint,
     q_audio_dup_clusters,
+    q_video_fingerprint,
+    q_video_dup_clusters,
     _DHASH_CTES,
 )
 from .oracles.streaming import (  # noqa: F401
@@ -488,9 +490,10 @@ def q_plan_audit_skew(spark, sf_dir):
 # Round-15 rotation guidance: after the r14 driver run the oldest
 # evidence is the 48-entry r11-row cohort (49 minus dataset_split,
 # which r14 re-checked). Front-load (a) anything r15 adds or
-# re-plans PLUS the two never-checked late-r14 registrations
-# (audio_fingerprint, audio_dup_clusters — registered after the r14
-# window was sealed, full local evidence in PINNING, the r13
+# re-plans PLUS the four never-checked late-r14 registrations
+# (audio_fingerprint, audio_dup_clusters, video_fingerprint,
+# video_dup_clusters — registered after the r14 window was sealed,
+# full local evidence in PINNING, the r13
 # lm_perplexity_buckets precedent) PLUS the two r14 hash-stable
 # re-plans (media_dup_clusters, media_dup_survivors — cluster/rank
 # tails factored into shared helpers, values re-proven at sf0.01;
@@ -914,6 +917,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # front-loads them — the r13 lm_perplexity_buckets precedent
     "audio_fingerprint": q_audio_fingerprint,
     "audio_dup_clusters": q_audio_dup_clusters,
+    # video closes the modality set: frame-sampled perceptual
+    # fingerprint over the real animated-GIF decode + the shared
+    # rep/band/CC chain — same late-registration posture/evidence
+    "video_fingerprint": q_video_fingerprint,
+    "video_dup_clusters": q_video_dup_clusters,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1288,6 +1296,8 @@ _ORACLE_REGISTRATION_ORDER = [
     "curation_pipeline_v5",
     "audio_fingerprint",
     "audio_dup_clusters",
+    "video_fingerprint",
+    "video_dup_clusters",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -38,6 +38,23 @@ WINDOW_SIZE = 50
 # A query IN the window renders "yes"; a query with a note but NOT in
 # the window renders "no" (the yield convention); everything else "".
 NOTES: dict[str, str] = {
+    "video_fingerprint": (
+        "registered late-r14 AFTER the window sealed (frame-sampled "
+        "perceptual VIDEO fingerprint over the real animated-GIF decode: "
+        "4 timeline-sampled frames f_k=(k*(nf-1))//3, 16 gradient-sign "
+        "bits each over a 4x5 integer NN grid, band_k = frame k's hash); "
+        "value rows green at sf0.001+sf0.01 locally + hand-computation "
+        "pytest through the real LZW/compositing walk; r15 front-loads"
+    ),
+    "video_dup_clusters": (
+        "registered late-r14 AFTER the window sealed (vfp_gif -> "
+        "distinct-fingerprint rep collapse -> Hamming<=1 banded pairs "
+        "(coarse 16-bit frame hashes tighten the verify distance) -> "
+        "star CC — the image/audio machinery reused verbatim; completes "
+        "the perceptual family across text/image/audio/video); value "
+        "rows green at sf0.001+sf0.01 locally + banded-vs-bruteforce "
+        "pytest; r15 front-loads"
+    ),
     "audio_fingerprint": (
         "registered late-r14 AFTER the window sealed (fixed-point "
         "perceptual audio fingerprint over the real RIFF/WAVE decode: "

@@ -2962,3 +2962,102 @@ def test_audio_dup_clusters_match_bruteforce_components(spark):
     for d in fps:
         assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
     spark.catalog.clearCache()
+
+
+def test_vfp_gif_matches_hand_computation(spark):
+    """The video fingerprint (multimodal.vfp_gif) must reproduce a
+    from-first-principles hand computation on the decoded animated-GIF
+    frames: sample f_k = (k*(nf-1))//3, 4x5 NN grid, integer luma,
+    right-neighbor gradient sign, band_k = frame k's 16 LSB-first
+    bits. Exercises the REAL LZW decode + compositing walk, not the
+    closed-form shortcut the oracle uses. Clips with nf=2 must repeat
+    boundary frames (band0 == band1 == band2 — the sampled indices
+    f_k = k//3 are 0,0,0,1), and at least one clip must have a
+    mixed-bit fingerprint."""
+    import numpy as np
+
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = multimodal.gif_table_animated(docs)
+    got = {
+        int(r["doc_id"]): [r["band0"], r["band1"], r["band2"], r["band3"]]
+        for r in multimodal.vfp_gif(media).collect()
+    }
+    payloads = {int(r["doc_id"]): bytes(r["payload"]) for r in media.collect()}
+    assert len(got) == len(payloads) > 0
+    nontrivial = 0
+    saw_two_frame = False
+    for d, buf in payloads.items():
+        _sw, _sh, frs = multimodal._parse_gif_frames(buf)
+        nf = len(frs)
+        want = []
+        for k in range(4):
+            px = frs[(k * (nf - 1)) // 3][1].astype(np.int64)
+            h, w = px.shape[0], px.shape[1]
+            xs = (np.arange(5, dtype=np.int64) * w) // 5
+            ys = (np.arange(4, dtype=np.int64) * h) // 4
+            g = px[np.ix_(ys, xs)]
+            gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+            bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
+            want.append(int((bits << np.arange(16)).sum()))
+        assert got[d] == want, d
+        if nf == 2:
+            saw_two_frame = True
+            assert got[d][0] == got[d][1] == got[d][2], d
+        if 0 < sum(bin(b).count("1") for b in want) < 64:
+            nontrivial += 1
+    assert nontrivial > 0 and saw_two_frame
+
+
+def test_video_dup_clusters_match_bruteforce_components(spark):
+    """video_dup_clusters' banded candidates + star CC must equal the
+    components of the full quadratic Hamming<=1 graph over distinct
+    fingerprints (pigeonhole: 4 bands, 64 bits, radius 1 loses no
+    pair), labels = component-minimum doc_id with the right member
+    count — the image/audio-family contract, re-proven for the video
+    hash."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.gif_table_animated(docs)
+    fps = {
+        int(r["doc_id"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+        for r in multimodal.vfp_gif(media).collect()
+    }
+    reps: dict[tuple, int] = {}
+    for d, hsh in sorted(fps.items()):
+        reps.setdefault(hsh, d)
+    ids = sorted(reps.values())
+    hs = {v: k for k, v in reps.items()}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(hs[a], hs[b]))
+            if ham <= 1:
+                n_edges += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert n_edges > 0  # the radius binds at fixture scale
+    want_label = {d: find(reps[hsh]) for d, hsh in fps.items()}
+    want_sizes: dict[int, int] = {}
+    for lbl in want_label.values():
+        want_sizes[lbl] = want_sizes.get(lbl, 0) + 1
+
+    got = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.video_dup_clusters(media, max_hamming=1).collect()
+    }
+    assert len(got) == len(fps)
+    for d in fps:
+        assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
+    spark.catalog.clearCache()
