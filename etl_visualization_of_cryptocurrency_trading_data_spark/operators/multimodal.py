@@ -2465,23 +2465,32 @@ def ahash_ppm(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(hash_batch, schema)
 
 
-def _perceptual_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
-    """Cluster labels joined to the images' own dimensions and ranked
-    within cluster by (resolution DESC, doc_id) — the ONE ranking both
-    :func:`perceptual_dup_survivors` (rn = 1) and
-    :func:`perceptual_dup_drops` (rn > 1) read, so the survivor choice
-    and the drop set always partition each cluster exactly."""
+def _ranked_clusters(clusters: DataFrame, dims: DataFrame, quality) -> DataFrame:
+    """Cluster labels joined to per-doc dimensions and ranked within
+    cluster by (``quality`` DESC, doc_id) — the ONE rank window every
+    perceptual survivorship variant reads (image resolution, audio
+    duration, video frame volume), so each family's survivor choice
+    and drop set always partition its clusters exactly."""
     from pyspark.sql.window import Window
 
-    clusters = perceptual_dup_clusters(media, max_hamming=max_hamming)
-    dims = media.select("doc_id", "width", "height")
     return clusters.join(dims, "doc_id").withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("cluster_id").orderBy(
-                (F.col("width") * F.col("height")).desc(), F.col("doc_id")
+                quality.desc(), F.col("doc_id")
             )
         ),
+    )
+
+
+def _perceptual_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
+    """Image-family ranking (resolution DESC, doc_id) — the frame both
+    :func:`perceptual_dup_survivors` (rn = 1) and
+    :func:`perceptual_dup_drops` (rn > 1) read."""
+    return _ranked_clusters(
+        perceptual_dup_clusters(media, max_hamming=max_hamming),
+        media.select("doc_id", "width", "height"),
+        F.col("width") * F.col("height"),
     )
 
 
@@ -2875,3 +2884,135 @@ def video_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     """
     fps = vfp_gif(media).persist()
     return _phash_cluster_labels(fps, max_hamming)
+
+
+def audio_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Survivorship over the perceptual AUDIO clusters — per
+    :func:`audio_dup_clusters` cluster keep the LONGEST clip
+    (n_frames from the WAV header; duration is the audio analogue of
+    image resolution: the longest capture of a repeated jingle carries
+    the most signal), min doc_id on ties. Output:
+    (cluster_id, survivor_id, n_frames, n_members), one row per
+    cluster — the audio member of the survivorship family
+    (:func:`perceptual_dup_survivors` for images,
+    corpus.dedup_survivors for text). Same shared rank window
+    (:func:`_ranked_clusters`); everything upstream keeps the
+    distinct-fingerprint bounds.
+    """
+    ranked = _ranked_clusters(
+        audio_dup_clusters(media, max_hamming=max_hamming),
+        media.select("doc_id", "n_frames"),
+        F.col("n_frames"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        "n_frames",
+        "n_members",
+    )
+
+
+def video_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Survivorship over the perceptual VIDEO clusters — per
+    :func:`video_dup_clusters` cluster keep the clip with the most
+    CONTENT: frame volume n_frames * width * height (the video
+    analogue of image resolution — more sampled frames of a bigger
+    canvas), min doc_id on ties. Output:
+    (cluster_id, survivor_id, n_frames, width, height, n_members),
+    one row per cluster. Completes survivorship across the modality
+    set: text keep-first / image resolution / audio duration / video
+    frame volume — one rank-window discipline
+    (:func:`_ranked_clusters`).
+    """
+    ranked = _ranked_clusters(
+        video_dup_clusters(media, max_hamming=max_hamming),
+        media.select("doc_id", "width", "height", "n_frames"),
+        F.col("n_frames") * F.col("width") * F.col("height"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        "n_frames",
+        "width",
+        "height",
+        "n_members",
+    )
+
+
+def multimodal_dedup_report(
+    documents: DataFrame,
+    images: DataFrame,
+    audio: DataFrame,
+    video: DataFrame,
+    text_max_hamming: int = 3,
+    image_max_hamming: int = 3,
+    audio_max_hamming: int = 2,
+    video_max_hamming: int = 1,
+) -> DataFrame:
+    """The capstone of the perceptual-dedup family: ONE dedup report
+    across all four payload modalities, each running the IDENTICAL
+    rep/band/CC discipline and differing only in its fingerprint map
+    pass — text SimHash (dedup._simhash_bands_md5), image dHash
+    (:func:`dhash_ppm`), audio energy contour (:func:`afp_wav`),
+    video frame-sampled gradient (:func:`vfp_gif`). All four emit the
+    shared (doc_id, band0..band3) band contract, so
+    :func:`_phash_cluster_labels` (distinct-fingerprint collapse ->
+    Hamming-banded rep pairs -> star CC -> labels) is literally the
+    same code path per modality. Text runs the WIDE 128-bit family
+    (4x32-bit bands — simhash_pairs_wide's scale-safe width: real
+    text fingerprints are near-unique, so 16-bit band buckets would
+    go N^2/2^16 at web scale; 32-bit bands keep the candidate join
+    linear); the payload families keep their 64-bit 4x16-bit layout
+    (their fingerprint spaces are content-degenerate and collapse to
+    reps first).
+
+    Output: one row per modality —
+    (modality, n_docs, n_distinct_fp, n_clusters, n_dup_docs,
+    max_cluster_size) — the corpus-curation dashboard a multimodal
+    training pipeline reads before choosing drop thresholds.
+    n_docs is the fingerprinted population (text counts docs with
+    >= 3 words, the SimHash shingle floor). Per-modality verify
+    distances follow each family's registered defaults (image 3,
+    audio 2, video 1 — coarser per-band semantics tighten the
+    radius; see each cluster function's docstring).
+
+    Scale: four independent bounded pipelines (no cross-modality
+    join); each aggregate is single-row, combined by broadcast-sized
+    cross joins. Cache contract (caller-owned): one fingerprint + one
+    rep frame persist per modality, same as the cluster functions.
+    """
+    from .dedup import _simhash_bands_md5
+
+    def _one(name: str, fps: DataFrame, max_hamming: int) -> DataFrame:
+        fps = fps.persist()
+        labels = _phash_cluster_labels(fps, max_hamming)
+        stats = labels.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum((F.col("n_members") > 1).cast("long")).alias("n_dup_docs"),
+            F.max("n_members").cast("long").alias("max_cluster_size"),
+        )
+        nfp = fps.agg(
+            F.countDistinct("band0", "band1", "band2", "band3")
+            .cast("long")
+            .alias("n_distinct_fp")
+        )
+        return stats.crossJoin(nfp).select(
+            F.lit(name).alias("modality"),
+            "n_docs",
+            "n_distinct_fp",
+            "n_clusters",
+            "n_dup_docs",
+            "max_cluster_size",
+        )
+
+    parts = [
+        _one("text", _simhash_bands_md5(documents, n_bits=128), text_max_hamming),
+        _one("image", dhash_ppm(images), image_max_hamming),
+        _one("audio", afp_wav(audio), audio_max_hamming),
+        _one("video", vfp_gif(video), video_max_hamming),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -374,6 +374,58 @@ JOIN bands x ON x.doc_id = doc_id_a
 JOIN bands y ON y.doc_id = doc_id_b
 WHERE hamming <= {max_hamming}"""
 
+def _simhash_hash_ctes(
+    p: str, source: str = "documents", n_bits: int = 64
+) -> str:
+    """``{p}hashes`` (doc_id, band0..band3) for the md5-family
+    SimHash — [[_simhash_sql]]'s fingerprint chain re-shaped to the
+    shared perceptual-hash band contract, every CTE name prefixed with
+    ``p`` so it composes with the media families'
+    ``_phash_pair_ctes``/``_phash_label_ctes`` generators in ONE query
+    (the multimodal report oracle runs four modality chains
+    side-by-side, its text family at the scale-safe ``n_bits=128``
+    wide width). Bit values are identical to ``simhash_pairs``' md5
+    family: signed-bit sums over the first n_bits/4 hex chars of
+    md5(shingle) parsed as 32-bit ints."""
+    if n_bits not in (64, 128):
+        raise ValueError(f"n_bits must be 64 or 128, got {n_bits}")
+    bb = n_bits // 4
+    sums = ",\n         ".join(
+        f"sum((((v{j // 32 + 1} >> {j % 32}) & 1) * 2 - 1)) AS b{j}"
+        for j in range(n_bits)
+    )
+    band_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN b{bb * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bb)
+        )
+        + f")::BIGINT AS band{k}"
+        for k in range(4)
+    )
+    word_cols = ",\n         ".join(
+        f"CAST('0x' || substr(md5(s), {1 + 8 * w}, 8) AS BIGINT) AS v{w + 1}"
+        for w in range(n_bits // 32)
+    )
+    return f"""{p}docs AS (SELECT doc_id, {WORDS_SQL} AS ws FROM {source}),
+{p}sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS shingles
+  FROM {p}docs WHERE len(ws) >= 3
+),
+{p}words AS (
+  SELECT doc_id,
+         {word_cols}
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM {p}sh)
+),
+{p}sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM {p}words GROUP BY doc_id
+),
+{p}hashes AS (SELECT doc_id, {band_cols} FROM {p}sums)"""
+
+
 def q_dedup_survivors(spark, sf_dir):
     """End-to-end dedup survivorship: near-dup pairs -> connected
     components -> one canonical doc per cluster + all unique docs."""

@@ -882,6 +882,154 @@ FROM af_labeled"""
     )
 
 
+def q_audio_dup_survivors(spark, sf_dir):
+    """Survivorship over the perceptual AUDIO clusters
+    (multimodal.audio_dup_survivors): per afp_wav cluster keep the
+    LONGEST clip (n_frames from the WAV header — duration is the
+    audio analogue of image resolution), min doc_id on ties; one row
+    per cluster. The audio member of the survivorship family, through
+    the shared rank window (multimodal._ranked_clusters)
+    (late-r14)."""
+    return multimodal.audio_dup_survivors(
+        multimodal.wav_table(_documents(spark, sf_dir))
+    )
+
+
+def q_video_dup_survivors(spark, sf_dir):
+    """Survivorship over the perceptual VIDEO clusters
+    (multimodal.video_dup_survivors): per vfp_gif cluster keep the
+    clip with the most CONTENT (frame volume n_frames*width*height),
+    min doc_id on ties; one row per cluster. max_hamming=1 matches
+    video_dup_clusters' registered radius. Completes survivorship
+    across the modality set: text keep-first / image resolution /
+    audio duration / video frame volume (late-r14)."""
+    return multimodal.video_dup_survivors(
+        multimodal.gif_table_animated(_documents(spark, sf_dir)),
+        max_hamming=1,
+    )
+
+
+def q_multimodal_dedup_report(spark, sf_dir):
+    """The perceptual-family capstone
+    (multimodal.multimodal_dedup_report): ONE dedup report across all
+    four payload modalities — text SimHash, image dHash, audio energy
+    contour, video frame-sampled gradient — each through the
+    IDENTICAL distinct-fingerprint -> Hamming-banded rep pairs ->
+    star-CC chain (the shared 4x16-bit band contract), differing only
+    in the fingerprint map pass. One row per modality: fingerprinted
+    population, distinct fingerprints, clusters, docs in multi-member
+    clusters, largest cluster — the dashboard a multimodal curation
+    pipeline reads before choosing drop thresholds (late-r14)."""
+    docs = _documents(spark, sf_dir)
+    return multimodal.multimodal_dedup_report(
+        docs,
+        multimodal.ppm_table(docs),
+        multimodal.wav_table(docs),
+        multimodal.gif_table_animated(docs),
+    )
+
+
+def _audio_survivor_sql(max_hamming: int = 2) -> str:
+    """Oracle for [[q_audio_dup_survivors]]: the afp cluster chain +
+    the rank window over the closed-form header duration
+    (n = 64 + doc_id % 129 from {p}adims)."""
+    sql = f"""
+WITH RECURSIVE {_afp_hash_ctes("af_")},
+{_phash_pair_ctes("af_", max_hamming)},
+{_phash_label_ctes("af_")},
+af_sized AS (
+  SELECT l.doc_id, l.cluster_id, d.n,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n DESC, l.doc_id) AS rn
+  FROM af_labeled l JOIN af_adims d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id, n::INT AS n_frames,
+       n_members::BIGINT AS n_members
+FROM af_sized WHERE rn = 1"""
+    return _materialize_ctes(
+        sql,
+        ("af_hashes", "af_reps", "af_pairs", "af_edges",
+         "af_comp", "af_labeled"),
+    )
+
+
+def _video_survivor_sql(max_hamming: int = 1) -> str:
+    """Oracle for [[q_video_dup_survivors]]: the vfp cluster chain +
+    the rank window over the closed-form frame volume
+    (nf*w*h from {p}vdims)."""
+    sql = f"""
+WITH RECURSIVE {_vfp_hash_ctes("vf_")},
+{_phash_pair_ctes("vf_", max_hamming)},
+{_phash_label_ctes("vf_")},
+vf_sized AS (
+  SELECT l.doc_id, l.cluster_id, d.nf, d.w, d.h,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.nf * d.w * d.h DESC, l.doc_id) AS rn
+  FROM vf_labeled l JOIN vf_vdims d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id, nf::INT AS n_frames,
+       w::INT AS width, h::INT AS height, n_members::BIGINT AS n_members
+FROM vf_sized WHERE rn = 1"""
+    return _materialize_ctes(
+        sql,
+        ("vf_hashes", "vf_reps", "vf_pairs", "vf_edges",
+         "vf_comp", "vf_labeled"),
+    )
+
+
+def _multimodal_report_sql() -> str:
+    """Oracle for [[q_multimodal_dedup_report]]: FOUR modality chains
+    side-by-side in one query — text via [[_simhash_hash_ctes]] (the
+    md5-family SimHash reshaped to the shared band contract), image
+    via [[_phash_hash_ctes]], audio via [[_afp_hash_ctes]], video via
+    [[_vfp_hash_ctes]] — each composed with the SAME pair/label
+    generators at its family's registered radius (text 3 / image 3 /
+    audio 2 / video 1), then one aggregate row per modality,
+    UNION ALL. Text runs the WIDE 128-bit SimHash
+    (simhash_pairs_wide's scale-safe width — near-unique text
+    fingerprints would make 16-bit band buckets quadratic at corpus
+    scale). n_distinct_fp counts the rep table (= distinct band
+    tuples); n_docs is the fingerprinted population (text counts docs
+    with >= 3 words, the shingle floor)."""
+    from .dedup import _simhash_hash_ctes
+
+    chains = {
+        "tx_": (_simhash_hash_ctes("tx_", n_bits=128), 3, "text"),
+        "im_": (_phash_hash_ctes("im_", "dhash"), 3, "image"),
+        "au_": (_afp_hash_ctes("au_"), 2, "audio"),
+        "vd_": (_vfp_hash_ctes("vd_"), 1, "video"),
+    }
+    parts, selects, mat = [], [], []
+    for p, (hash_ctes, mh, name) in chains.items():
+        parts.append(f"""{hash_ctes},
+{_phash_pair_ctes(p, mh)},
+{_phash_label_ctes(p)},
+{p}memb AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM {p}labeled
+),
+{p}stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         max(n_members)::BIGINT AS max_cluster_size
+  FROM {p}memb
+),
+{p}rep AS (SELECT count(*)::BIGINT AS n_distinct_fp FROM {p}reps)""")
+        selects.append(
+            f"SELECT '{name}' AS modality, s.n_docs, r.n_distinct_fp,"
+            f" s.n_clusters, s.n_dup_docs, s.max_cluster_size"
+            f" FROM {p}stats s, {p}rep r"
+        )
+        mat += [f"{p}hashes", f"{p}reps", f"{p}pairs", f"{p}edges",
+                f"{p}comp", f"{p}labeled"]
+    sql = "\nWITH RECURSIVE " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _materialize_ctes(sql, tuple(mat))
+
+
 ORACLE_SQL: dict[str, str] = {
     # closed-form replay of ppm_table's pixel formula — checks the
     # REAL decode end-to-end (a parser bug cannot reproduce these means)
@@ -1234,4 +1382,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM af_hashes""",
 WITH {_vfp_hash_ctes("vf_")}
 SELECT doc_id, band0, band1, band2, band3 FROM vf_hashes""",
     "video_dup_clusters": _video_cluster_sql(),
+    "audio_dup_survivors": _audio_survivor_sql(),
+    "video_dup_survivors": _video_survivor_sql(),
+    "multimodal_dedup_report": _multimodal_report_sql(),
 }

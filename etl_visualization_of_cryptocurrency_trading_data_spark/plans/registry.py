@@ -243,6 +243,9 @@ from .oracles.media import (  # noqa: F401
     q_audio_dup_clusters,
     q_video_fingerprint,
     q_video_dup_clusters,
+    q_audio_dup_survivors,
+    q_video_dup_survivors,
+    q_multimodal_dedup_report,
     _DHASH_CTES,
 )
 from .oracles.streaming import (  # noqa: F401
@@ -922,6 +925,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rep/band/CC chain — same late-registration posture/evidence
     "video_fingerprint": q_video_fingerprint,
     "video_dup_clusters": q_video_dup_clusters,
+    # late-r14 continuation (same sealed-window posture/evidence):
+    # survivorship for the two new families (audio keeps the longest
+    # clip, video the largest frame volume — the image family's rank
+    # window generalized) and the perceptual-family capstone: one
+    # report across all four modalities through the ONE shared
+    # rep/band/CC chain, text included via SimHash's identical band
+    # contract
+    "audio_dup_survivors": q_audio_dup_survivors,
+    "video_dup_survivors": q_video_dup_survivors,
+    "multimodal_dedup_report": q_multimodal_dedup_report,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1298,6 +1311,9 @@ _ORACLE_REGISTRATION_ORDER = [
     "audio_dup_clusters",
     "video_fingerprint",
     "video_dup_clusters",
+    "audio_dup_survivors",
+    "video_dup_survivors",
+    "multimodal_dedup_report",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -69,6 +69,28 @@ NOTES: dict[str, str] = {
         "rows green at sf0.001+sf0.01 locally + banded-vs-bruteforce "
         "pytest; r15 front-loads"
     ),
+    "audio_dup_survivors": (
+        "registered late-r14 AFTER the window sealed (survivorship over "
+        "the audio clusters: keep the LONGEST clip per cluster — header "
+        "n_frames DESC, min doc_id on ties — through the shared "
+        "_ranked_clusters window); value rows green at sf0.001+sf0.01 "
+        "locally + partition pytest; r15 front-loads"
+    ),
+    "video_dup_survivors": (
+        "registered late-r14 AFTER the window sealed (survivorship over "
+        "the video clusters: keep the largest frame volume "
+        "n_frames*width*height per cluster through the shared "
+        "_ranked_clusters window); value rows green at sf0.001+sf0.01 "
+        "locally + partition pytest; r15 front-loads"
+    ),
+    "multimodal_dedup_report": (
+        "registered late-r14 AFTER the window sealed (the perceptual-"
+        "family capstone: text SimHash (128-bit wide) / image dHash / audio afp / video "
+        "vfp each through the IDENTICAL rep/band/CC chain, one summary "
+        "row per modality; oracle runs all four chains side-by-side); "
+        "value rows green at sf0.001+sf0.01 locally + hand-count pytest; "
+        "r15 front-loads"
+    ),
     "media_dup_clusters_union": (
         "registered r14 (dual-family perceptual dedup: dHash+aHash rep "
         "pairs + (d-rep, a-rep) bridge edges -> one star-CC label set, "

@@ -3061,3 +3061,125 @@ def test_video_dup_clusters_match_bruteforce_components(spark):
     for d in fps:
         assert got[d] == (want_label[d], want_sizes[want_label[d]]), d
     spark.catalog.clearCache()
+
+
+def test_audio_dup_survivors_keep_longest_clip(spark):
+    """Audio survivorship: one row per audio_dup_clusters cluster, the
+    survivor is the member with max header n_frames (min doc_id on
+    ties), n_members matches the cluster size — the image family's
+    survivorship contract re-proven for the duration ranking."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.wav_table(docs)
+    clusters = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.audio_dup_clusters(media).collect()
+    }
+    frames = {
+        int(r["doc_id"]): int(r["n_frames"])
+        for r in media.select("doc_id", "n_frames").collect()
+    }
+    want = {}
+    for d, (c, n) in clusters.items():
+        key = (-frames[d], d)
+        if c not in want or key < want[c][0]:
+            want[c] = (key, d, frames[d], n)
+    got = {
+        int(r["cluster_id"]): (int(r["survivor_id"]), int(r["n_frames"]), int(r["n_members"]))
+        for r in multimodal.audio_dup_survivors(media).collect()
+    }
+    assert set(got) == set(want)
+    for c, (_, d, nf, n) in want.items():
+        assert got[c] == (d, nf, n), c
+    spark.catalog.clearCache()
+
+
+def test_video_dup_survivors_keep_largest_frame_volume(spark):
+    """Video survivorship: one row per video_dup_clusters cluster, the
+    survivor is the member with max n_frames*width*height (min doc_id
+    on ties) — completing the per-modality quality rankings (image
+    resolution / audio duration / video frame volume)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.gif_table_animated(docs)
+    clusters = {
+        int(r["doc_id"]): (int(r["cluster_id"]), int(r["n_members"]))
+        for r in multimodal.video_dup_clusters(media, max_hamming=1).collect()
+    }
+    dims = {
+        int(r["doc_id"]): (int(r["n_frames"]), int(r["width"]), int(r["height"]))
+        for r in media.select("doc_id", "n_frames", "width", "height").collect()
+    }
+    want = {}
+    for d, (c, n) in clusters.items():
+        nf, w, h = dims[d]
+        key = (-nf * w * h, d)
+        if c not in want or key < want[c][0]:
+            want[c] = (key, d, nf, w, h, n)
+    got = {
+        int(r["cluster_id"]): (
+            int(r["survivor_id"]), int(r["n_frames"]),
+            int(r["width"]), int(r["height"]), int(r["n_members"]),
+        )
+        for r in multimodal.video_dup_survivors(media, max_hamming=1).collect()
+    }
+    assert set(got) == set(want)
+    for c, (_, d, nf, w, h, n) in want.items():
+        assert got[c] == (d, nf, w, h, n), c
+    spark.catalog.clearCache()
+
+
+def test_multimodal_dedup_report_matches_per_modality_recount(spark):
+    """The capstone report's row per modality must equal an independent
+    recount over that modality's OWN fingerprint + cluster frames
+    (collected and aggregated in Python): fingerprinted population,
+    distinct fingerprints, clusters, docs in multi-member clusters,
+    largest cluster. Also pins non-vacuity: every modality's fixture
+    slice contains at least one multi-member cluster."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.dedup import _simhash_bands_md5
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators.multimodal import (
+        _phash_cluster_labels,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ppm = multimodal.ppm_table(docs)
+    wav = multimodal.wav_table(docs)
+    gif = multimodal.gif_table_animated(docs)
+    got = {
+        r["modality"]: (
+            int(r["n_docs"]), int(r["n_distinct_fp"]), int(r["n_clusters"]),
+            int(r["n_dup_docs"]), int(r["max_cluster_size"]),
+        )
+        for r in multimodal.multimodal_dedup_report(docs, ppm, wav, gif).collect()
+    }
+    assert set(got) == {"text", "image", "audio", "video"}
+
+    fams = {
+        "text": (_simhash_bands_md5(docs, n_bits=128), 3),
+        "image": (multimodal.dhash_ppm(ppm), 3),
+        "audio": (multimodal.afp_wav(wav), 2),
+        "video": (multimodal.vfp_gif(gif), 1),
+    }
+    for name, (fps, mh) in fams.items():
+        fp_rows = fps.collect()
+        hashes = {
+            int(r["doc_id"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+            for r in fp_rows
+        }
+        labels = _phash_cluster_labels(fps.persist(), mh).collect()
+        sizes: dict[int, int] = {}
+        for r in labels:
+            sizes[int(r["cluster_id"])] = sizes.get(int(r["cluster_id"]), 0) + 1
+        want = (
+            len(hashes),
+            len(set(hashes.values())),
+            len(sizes),
+            sum(m for m in sizes.values() if m > 1),
+            max(sizes.values()),
+        )
+        assert got[name] == want, (name, got[name], want)
+        assert want[3] > 0, f"{name} fixture slice has no dup cluster"
+    spark.catalog.clearCache()
