@@ -10,6 +10,7 @@ assembled surface is byte-identical to the pre-split snapshot.
 from __future__ import annotations
 
 from ...operators import derive
+from .media import _DHASH_CTES
 from .serving import (
     COINS_CTE,
     OHLC_CTE,
@@ -176,6 +177,28 @@ def q_quality_stream_replay(spark, sf_dir):
     )
     wts = classifier.train_quality_classifier(train)
     return quality_stream_replay(spark, docs, wts)
+
+def q_media_dedup_stream_replay(spark, sf_dir):
+    """Twelfth driver-checkable STREAMING path — perceptual media
+    dedup running in the ingestion harness
+    (pipeline.media_dedup_stream_replay): each arriving image shard is
+    dHash-fingerprinted per micro-batch inside foreachBatch (the same
+    Arrow-batched map pass as the batch family) and anti-joined
+    against the ACCUMULATED fingerprint registry; only first-seen
+    fingerprints emit a survivor through the epoch-partitioned
+    exactly-once sink. The range-ordered spool pins the streamed
+    survivor per fingerprint to the GLOBAL min doc_id, so the emitted
+    registry must hash-match the batch rep collapse (the dHash hashes
+    CTE + one GROUP BY) exactly — batch === stream for the media
+    family; a registry that re-emits a known fingerprint or drops a
+    first arrival flips the driver hash (late-r14)."""
+    from ...operators import multimodal
+    from ...streaming.pipeline import media_dedup_stream_replay
+    from .common import _documents
+
+    return media_dedup_stream_replay(
+        spark, multimodal.ppm_table(_documents(spark, sf_dir))
+    )
 
 def _quality_stream_replay_sql() -> str:
     """Oracle: the shared qclf scores CTE chain (train on the 'train'
@@ -363,4 +386,12 @@ WINDOW w AS (PARTITION BY coin_id, exchange ORDER BY timestamp, event_id
     # frozen model is batching-invariant, so the emitted union equals
     # the batch qc_score chain exactly
     "quality_stream_replay": _quality_stream_replay_sql(),
+    # streaming perceptual-dedup replay: the range-ordered spool pins
+    # the streamed first-seen survivor per fingerprint to the global
+    # min doc_id, so the emitted registry equals the batch rep
+    # collapse of the dHash chain — one GROUP BY over the hash CTEs
+    "media_dedup_stream_replay": f"""
+WITH {_DHASH_CTES}
+SELECT band0, band1, band2, band3, min(doc_id) AS rep_id
+FROM hashes GROUP BY 1, 2, 3, 4""",
 }

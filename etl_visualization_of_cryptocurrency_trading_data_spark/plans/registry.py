@@ -261,6 +261,7 @@ from .oracles.streaming import (  # noqa: F401
     q_spread_outer_stream_replay,
     q_drawdown_stream_replay,
     q_quality_stream_replay,
+    q_media_dedup_stream_replay,
 )
 from .oracles.graph import (  # noqa: F401
     _pagerank_ctes,
@@ -935,6 +936,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_dup_survivors": q_audio_dup_survivors,
     "video_dup_survivors": q_video_dup_survivors,
     "multimodal_dedup_report": q_multimodal_dedup_report,
+    # streaming perceptual media dedup: the fingerprint-registry
+    # ingestion harness (per-batch dHash + registry anti-join inside
+    # foreachBatch, range-ordered spool => streamed survivors == the
+    # batch rep collapse) — the twelfth streaming path with a driver
+    # row, and the first for the media family
+    "media_dedup_stream_replay": q_media_dedup_stream_replay,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1314,6 +1321,7 @@ _ORACLE_REGISTRATION_ORDER = [
     "audio_dup_survivors",
     "video_dup_survivors",
     "multimodal_dedup_report",
+    "media_dedup_stream_replay",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -1350,3 +1350,127 @@ def quality_stream_replay(
     finally:
         shutil.rmtree(spool, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def media_dedup_stream_replay(
+    spark: SparkSession,
+    media: DataFrame,
+    timeout_s: int = 600,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING perceptual media dedup — the fingerprint-registry
+    ingestion a production media pipeline runs: each arriving image
+    shard is dHash-fingerprinted per micro-batch inside
+    ``foreachBatch`` (the same Arrow-batched map pass as the batch
+    family, [[multimodal.dhash_ppm]]), anti-joined against the
+    ACCUMULATED fingerprint registry (a parquet state dir the handler
+    appends to), and only first-seen fingerprints emit a survivor
+    row through the epoch-partitioned exactly-once sink; re-arrivals
+    of a known fingerprint are dropped in-stream. Output:
+    (band0..band3, rep_id), one row per distinct fingerprint.
+
+    Determinism contract — the streamed registry equals the BATCH
+    rep collapse: the spool is RANGE-ORDERED (file k holds the k-th
+    doc_id quantile chunk, exact ``approxQuantile(..., 0.0)`` cuts;
+    ``maxFilesPerTrigger=1`` with ascending file names AND mtimes
+    drains them in order), so a fingerprint's first-seen batch is the
+    one holding its smallest doc_id and the within-batch survivor is
+    min(doc_id) — hence the emitted survivor per fingerprint is the
+    GLOBAL min doc_id, exactly the ``reps`` table of the batch
+    perceptual family (min doc_id per distinct hash). The oracle is
+    that one GROUP BY; a registry that ever re-emits a known
+    fingerprint (or drops a first arrival) flips the driver hash.
+
+    Exactly-once: survivors land via sinks.write_table's
+    overwrite-per-epoch layout; a retried epoch REPLACES its output.
+    The state append may double-write band rows on retry —
+    deliberately harmless: the registry is consulted by left_anti
+    join, for which duplicate state rows are idempotent.
+
+    As with the other replays the streaming job runs at BUILD time;
+    the returned frame is localCheckpoint-materialized and every
+    tempdir is deleted before returning.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.multimodal import dhash_ppm
+    from .. import sinks
+
+    bands = ["band0", "band1", "band2", "band3"]
+    out_schema = "band0 long, band1 long, band2 long, band3 long, rep_id long"
+    media = media.select("doc_id", "width", "height", "payload")
+    if media.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    media = media.persist()
+    # n_files=1 => no interior cuts (approxQuantile NPEs on an empty
+    # probability list)
+    cuts = (
+        media.approxQuantile(
+            "doc_id", [k / n_files for k in range(1, n_files)], 0.0
+        )
+        if n_files > 1
+        else []
+    )
+    edges = [float("-inf"), *cuts, float("inf")]
+    spool = tempfile.mkdtemp(prefix="media_dedup_replay_")
+    n = 0
+    for k in range(n_files):
+        chunk_dir = os.path.join(spool, f"chunk{k}")
+        media.filter(
+            (F.col("doc_id") > edges[k]) & (F.col("doc_id") <= edges[k + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+        for f in sorted(os.listdir(chunk_dir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(spool, f"{n:04d}.parquet")
+                os.rename(os.path.join(chunk_dir, f), dst)
+                os.utime(dst, (1_000_000 + n, 1_000_000 + n))
+                n += 1
+        shutil.rmtree(chunk_dir)
+    media.unpersist()
+    out_dir = tempfile.mkdtemp(prefix="media_dedup_replay_out_")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    state_dir = os.path.join(out_dir, "_fpstate")
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        ss = batch.sparkSession
+        cand = (
+            dhash_ppm(batch)
+            .groupBy(*bands)
+            .agg(F.min("doc_id").alias("rep_id"))
+        )
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            seen = ss.read.parquet(state_dir)
+            cand = cand.join(seen, bands, "left_anti")
+        # materialize BEFORE the state append: the anti-join must not
+        # re-read a registry this very batch is extending
+        new = cand.localCheckpoint(eager=True)
+        sinks.write_table(new, out_dir, "media_reps", epoch_id=epoch_id)
+        new.select(*bands).write.mode("append").parquet(state_dir)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, width int, height int, payload binary"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(spool, "*.parquet"))
+        )
+        query = (
+            stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_spool(query, spool, "media_dedup", timeout_s)
+        return (
+            sinks.read_table(spark, out_dir, "media_reps")
+            .select(*bands, "rep_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)

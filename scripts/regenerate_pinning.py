@@ -91,6 +91,15 @@ NOTES: dict[str, str] = {
         "value rows green at sf0.001+sf0.01 locally + hand-count pytest; "
         "r15 front-loads"
     ),
+    "media_dedup_stream_replay": (
+        "registered late-r14 AFTER the window sealed (streaming "
+        "perceptual media dedup: per-batch dHash + accumulated "
+        "fingerprint-registry anti-join inside foreachBatch, "
+        "range-ordered spool pins streamed survivors == the batch rep "
+        "collapse); value rows green at sf0.001+sf0.01 locally + "
+        "boundary-independence pytest (1-file vs 4-file drains == "
+        "batch reps); r15 front-loads"
+    ),
     "media_dup_clusters_union": (
         "registered r14 (dual-family perceptual dedup: dHash+aHash rep "
         "pairs + (d-rep, a-rep) bridge edges -> one star-CC label set, "

@@ -1114,3 +1114,58 @@ def test_quality_replay_batch_boundary_independence(spark):
     assert len(one) > 0
     pd.testing.assert_frame_equal(one, five)
     pd.testing.assert_frame_equal(one, batch[one.columns.tolist()])
+
+
+def test_media_dedup_stream_matches_batch_reps_and_boundaries(spark):
+    """The streamed fingerprint registry must equal the BATCH rep
+    collapse (min doc_id per distinct dHash) regardless of micro-batch
+    boundaries: a 1-file drain (no registry consultation ever binds)
+    and a 4-file drain (the anti-join must drop every fingerprint the
+    earlier batches registered) both reproduce the batch reps exactly.
+    Also pins non-vacuity: with 4 files at least one fingerprint must
+    span batches, else the registry path is untested."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import multimodal
+    from etl_visualization_of_cryptocurrency_trading_data_spark.streaming.pipeline import (
+        media_dedup_stream_replay,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.ppm_table(docs)
+    bands = ["band0", "band1", "band2", "band3"]
+    batch = (
+        multimodal.dhash_ppm(media)
+        .groupBy(*bands)
+        .agg(F.min("doc_id").alias("rep_id"))
+        .toPandas()
+        .sort_values(bands + ["rep_id"])
+        .reset_index(drop=True)
+    )
+    one = (
+        media_dedup_stream_replay(spark, media, n_files=1)
+        .toPandas()
+        .sort_values(bands + ["rep_id"])
+        .reset_index(drop=True)
+    )
+    four = (
+        media_dedup_stream_replay(spark, media, n_files=4)
+        .toPandas()
+        .sort_values(bands + ["rep_id"])
+        .reset_index(drop=True)
+    )
+    assert len(batch) > 0
+    pd.testing.assert_frame_equal(one, batch[one.columns.tolist()])
+    pd.testing.assert_frame_equal(four, batch[four.columns.tolist()])
+    # non-vacuity: some fingerprint's docs must span more than one
+    # quartile chunk, so the 4-file drain genuinely exercised the
+    # cross-batch registry drop
+    fp_rows = multimodal.dhash_ppm(media).toPandas()
+    cuts = fp_rows["doc_id"].quantile([0.25, 0.5, 0.75]).tolist()
+
+    def chunk(d):
+        return sum(d > c for c in cuts)
+
+    spans = fp_rows.groupby(bands)["doc_id"].agg(
+        lambda s: len({chunk(d) for d in s})
+    )
+    assert (spans > 1).any(), "no fingerprint spans a batch boundary"
+    spark.catalog.clearCache()
