@@ -963,3 +963,88 @@ def curation_pipeline_v5(
         contamination_threshold=contamination_threshold,
         persist_intermediate=persist_intermediate,
     )
+
+
+def curation_pipeline_v6(
+    documents: DataFrame,
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    contamination_threshold: float = 0.5,
+    modality_mod: int = 3,
+    image_max_hamming: int = 3,
+    audio_max_hamming: int = 2,
+    video_max_hamming: int = 1,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """[[curation_pipeline_v5]] with the FULL multimodal gate: every
+    document carries exactly ONE payload modality
+    (doc_id % modality_mod: 0 -> PPM image, 1 -> WAV clip, 2 -> GIF
+    video; residues >= 3 carry none — deterministic, so the oracle
+    replays every payload), and the trained-classifier keep set is
+    anti-joined against the UNION of the three perceptual families'
+    drop sets: per cluster only the best copy survives — image by
+    resolution ([[multimodal.perceptual_dup_drops]]), audio by
+    duration ([[multimodal.audio_dup_drops]]), video by frame volume
+    ([[multimodal.video_dup_drops]]). Radii follow each family's
+    registered defaults (3/2/1). Every downstream stage is the
+    VERBATIM [[_curation_stages]] tail v3/v4/v5 share.
+
+    Scale shape: three independent bounded perceptual plans (each
+    linear in its modality slice, quadratic stages bounded by
+    per-family distinct fingerprints), one union of doc_id frames,
+    ONE anti-join. Drop sets are computed over ALL payload docs
+    independent of the text verdict — the survivor choice must not
+    move when the classifier retrains.
+    """
+    from .classifier import score_quality, train_quality_classifier
+    from .multimodal import (
+        audio_dup_drops,
+        gif_table_animated,
+        perceptual_dup_drops,
+        ppm_table,
+        video_dup_drops,
+        wav_table,
+    )
+
+    cols = ["doc_id", "text", "lang", "source"]
+    wts = train_quality_classifier(
+        documents, persist_intermediate=persist_intermediate
+    )
+    keep = (
+        score_quality(documents, wts)
+        .filter(F.col("predicted"))
+        .select("doc_id")
+    )
+    m = F.col("doc_id") % modality_mod
+    drops = (
+        perceptual_dup_drops(
+            ppm_table(documents.filter(m == 0)),
+            max_hamming=image_max_hamming,
+        )
+        .unionByName(
+            audio_dup_drops(
+                wav_table(documents.filter(m == 1)),
+                max_hamming=audio_max_hamming,
+            )
+        )
+        .unionByName(
+            video_dup_drops(
+                gif_table_animated(documents.filter(m == 2)),
+                max_hamming=video_max_hamming,
+            )
+        )
+    )
+    quality = (
+        documents.join(keep, "doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .select(*cols)
+    )
+    return _curation_stages(
+        quality,
+        k=k,
+        rounds=rounds,
+        budget=budget,
+        contamination_threshold=contamination_threshold,
+        persist_intermediate=persist_intermediate,
+    )

@@ -2886,6 +2886,28 @@ def video_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     return _phash_cluster_labels(fps, max_hamming)
 
 
+def _audio_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
+    """Audio-family ranking (header n_frames DESC, doc_id) — the frame
+    both :func:`audio_dup_survivors` (rn = 1) and
+    :func:`audio_dup_drops` (rn > 1) read."""
+    return _ranked_clusters(
+        audio_dup_clusters(media, max_hamming=max_hamming),
+        media.select("doc_id", "n_frames"),
+        F.col("n_frames"),
+    )
+
+
+def _video_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
+    """Video-family ranking (frame volume nf*w*h DESC, doc_id) — the
+    frame both :func:`video_dup_survivors` (rn = 1) and
+    :func:`video_dup_drops` (rn > 1) read."""
+    return _ranked_clusters(
+        video_dup_clusters(media, max_hamming=max_hamming),
+        media.select("doc_id", "width", "height", "n_frames"),
+        F.col("n_frames") * F.col("width") * F.col("height"),
+    )
+
+
 def audio_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Survivorship over the perceptual AUDIO clusters — per
     :func:`audio_dup_clusters` cluster keep the LONGEST clip
@@ -2899,17 +2921,24 @@ def audio_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     (:func:`_ranked_clusters`); everything upstream keeps the
     distinct-fingerprint bounds.
     """
-    ranked = _ranked_clusters(
-        audio_dup_clusters(media, max_hamming=max_hamming),
-        media.select("doc_id", "n_frames"),
-        F.col("n_frames"),
-    )
+    ranked = _audio_ranked(media, max_hamming)
     return ranked.filter(F.col("rn") == 1).select(
         "cluster_id",
         F.col("doc_id").alias("survivor_id"),
         "n_frames",
         "n_members",
     )
+
+
+def audio_dup_drops(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """The DROP side of audio survivorship: every clip that is NOT its
+    cluster's longest copy (min doc_id on ties) — the rn > 1
+    complement of :func:`audio_dup_survivors`, as a (doc_id) frame
+    ready for an anti-join gate in a curation pipeline (the audio twin
+    of :func:`perceptual_dup_drops`)."""
+    return _audio_ranked(media, max_hamming).filter(
+        F.col("rn") > 1
+    ).select("doc_id")
 
 
 def video_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
@@ -2924,11 +2953,7 @@ def video_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     frame volume — one rank-window discipline
     (:func:`_ranked_clusters`).
     """
-    ranked = _ranked_clusters(
-        video_dup_clusters(media, max_hamming=max_hamming),
-        media.select("doc_id", "width", "height", "n_frames"),
-        F.col("n_frames") * F.col("width") * F.col("height"),
-    )
+    ranked = _video_ranked(media, max_hamming)
     return ranked.filter(F.col("rn") == 1).select(
         "cluster_id",
         F.col("doc_id").alias("survivor_id"),
@@ -2937,6 +2962,17 @@ def video_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
         "height",
         "n_members",
     )
+
+
+def video_dup_drops(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """The DROP side of video survivorship: every clip that is NOT its
+    cluster's largest-frame-volume copy (min doc_id on ties) — the
+    rn > 1 complement of :func:`video_dup_survivors`, as a (doc_id)
+    frame ready for an anti-join gate in a curation pipeline (the
+    video twin of :func:`perceptual_dup_drops`)."""
+    return _video_ranked(media, max_hamming).filter(
+        F.col("rn") > 1
+    ).select("doc_id")
 
 
 def multimodal_dedup_report(

@@ -685,6 +685,101 @@ q AS (
     )
 
 
+def _curation_v6_sql(
+    k: int = 200,
+    rounds: int = 3,
+    budget: int = 512,
+    modality_mod: int = 3,
+    image_max_hamming: int = 3,
+    audio_max_hamming: int = 2,
+    video_max_hamming: int = 1,
+) -> str:
+    """Oracle for [[q_curation_pipeline_v6]]: the v4 classifier chain
+    plus ALL THREE perceptual families' drop CTE sets — the prefixed
+    dHash/afp/vfp replay chains over their modality slices
+    (doc_id % mod = 0/1/2), each clustered by recursive reach and
+    ranked by its family's quality (resolution / duration / frame
+    volume), drops unioned and anti-joined inside the gate CTE ``q``;
+    the tail is the VERBATIM [[_curation_tail_sql]] every pipeline
+    version shares."""
+    from .media import (
+        _afp_hash_ctes,
+        _phash_hash_ctes,
+        _phash_label_ctes,
+        _phash_pair_ctes,
+        _vfp_hash_ctes,
+    )
+
+    def _slice(residue: int) -> str:
+        return (
+            f"(SELECT doc_id FROM documents"
+            f" WHERE doc_id % {modality_mod} = {residue})"
+        )
+
+    sql = f"""
+WITH RECURSIVE {_qclf_parts()},
+qc_score AS {_qclf_score_sql("qc_feats", f"qc_w{QCLF_ITERS}")},
+{_phash_hash_ctes("c6i_", "dhash", source=_slice(0))},
+{_phash_pair_ctes("c6i_", image_max_hamming)},
+{_phash_label_ctes("c6i_")},
+{_afp_hash_ctes("c6a_", source=_slice(1))},
+{_phash_pair_ctes("c6a_", audio_max_hamming)},
+{_phash_label_ctes("c6a_")},
+{_vfp_hash_ctes("c6v_", source=_slice(2))},
+{_phash_pair_ctes("c6v_", video_max_hamming)},
+{_phash_label_ctes("c6v_")},
+c6_drops AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.w * d.h DESC, l.doc_id) AS rn
+    FROM c6i_labeled l JOIN c6i_dims d USING (doc_id)
+  ) WHERE rn > 1
+  UNION ALL
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n DESC, l.doc_id) AS rn
+    FROM c6a_labeled l JOIN c6a_adims d USING (doc_id)
+  ) WHERE rn > 1
+  UNION ALL
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.nf * d.w * d.h DESC, l.doc_id) AS rn
+    FROM c6v_labeled l JOIN c6v_vdims d USING (doc_id)
+  ) WHERE rn > 1
+),
+q AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d JOIN qc_score s ON d.doc_id = s.doc_id
+  WHERE s.score >= 0.5
+    AND d.doc_id NOT IN (SELECT doc_id FROM c6_drops)
+),
+{_curation_tail_sql(k, rounds, budget)}"""
+    return _materialize_ctes(
+        sql,
+        _CURATION_TAIL_MATERIALIZE
+        + (
+            "c6i_hashes", "c6i_reps", "c6i_pairs", "c6i_edges",
+            "c6a_hashes", "c6a_reps", "c6a_pairs", "c6a_edges",
+            "c6v_hashes", "c6v_reps", "c6v_pairs", "c6v_edges",
+        ),
+    )
+
+
+def q_curation_pipeline_v6(spark, sf_dir):
+    """The end-to-end pipeline with the FULL multimodal gate
+    (corpus.curation_pipeline_v6): every doc carries exactly one
+    payload modality (doc_id % 3: image / audio / video), and the
+    trained keep set is anti-joined against the UNION of the three
+    perceptual families' drop sets (image resolution, audio duration,
+    video frame volume survivorship — radii 3/2/1). The v5 tail is
+    byte-shared (corpus._curation_stages); the gate differs by the
+    union of two more bounded drop plans (late-r14)."""
+    return corpus.curation_pipeline_v6(_documents(spark, sf_dir))
+
+
 def q_curation_pipeline_v4(spark, sf_dir):
     """The end-to-end pipeline with the TRAINED gate
     (corpus.curation_pipeline_v4): classifier-gated stage 1, then the
@@ -976,6 +1071,7 @@ FROM b""",
     # -> 0.5-threshold keep set -> the verbatim v3 stage tail
     "curation_pipeline_v4": _curation_v4_sql(),
     "curation_pipeline_v5": _curation_v5_sql(),
+    "curation_pipeline_v6": _curation_v6_sql(),
     # per-(source, teacher, student) rollout-review profile over the
     # trained filter's verdicts
     "quality_classifier_disagreement": f"""

@@ -352,6 +352,7 @@ from .oracles.corpus import (  # noqa: F401
     q_quality_classifier_disagreement,
     q_curation_pipeline_v4,
     q_curation_pipeline_v5,
+    q_curation_pipeline_v6,
 )
 from .oracles import (  # noqa: F401
     common as _oracles_common,
@@ -942,6 +943,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # batch rep collapse) — the twelfth streaming path with a driver
     # row, and the first for the media family
     "media_dedup_stream_replay": q_media_dedup_stream_replay,
+    # the end-to-end pipeline with the FULL multimodal gate: every
+    # doc carries exactly one payload modality (doc_id % 3), the
+    # trained keep set anti-joins the union of the three perceptual
+    # families' drop sets (image/audio/video survivorship)
+    "curation_pipeline_v6": q_curation_pipeline_v6,
 }
 
 # ---- ROUND-10 DRIVER WINDOW (applied below; pinned by
@@ -1322,6 +1328,7 @@ _ORACLE_REGISTRATION_ORDER = [
     "video_dup_survivors",
     "multimodal_dedup_report",
     "media_dedup_stream_replay",
+    "curation_pipeline_v6",
 ]
 
 _merged_oracles: dict[str, str] = {}

@@ -100,6 +100,15 @@ NOTES: dict[str, str] = {
         "boundary-independence pytest (1-file vs 4-file drains == "
         "batch reps); r15 front-loads"
     ),
+    "curation_pipeline_v6": (
+        "registered late-r14 AFTER the window sealed (the end-to-end "
+        "pipeline with the FULL multimodal gate: every doc carries one "
+        "payload modality by doc_id % 3, trained keep set anti-joins "
+        "the union of the image/audio/video perceptual drop sets, "
+        "byte-shared _curation_stages tail); value rows green at "
+        "sf0.001+sf0.01 locally + tail-unchanged/per-modality-binding "
+        "pytest; r15 front-loads"
+    ),
     "media_dup_clusters_union": (
         "registered r14 (dual-family perceptual dedup: dHash+aHash rep "
         "pairs + (d-rep, a-rep) bridge edges -> one star-CC label set, "

@@ -835,3 +835,72 @@ def test_curation_pipeline_v5_media_gate_and_shared_tail(spark):
     ref = sorted(corpus._curation_stages(gated).collect(), key=lambda r: r.doc_id)
     assert [key(r) for r in v5] == [key(r) for r in ref]
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v6 (full multimodal gate, late-r14)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_v6_multimodal_gate_and_shared_tail(spark):
+    """v6 = v4 + the UNION of the three perceptual families' drop
+    sets: (a) with modality_mod so large each modality slice holds at
+    most one doc (singleton clusters drop nothing) v6 must equal v4
+    ROW FOR ROW — the shared _curation_stages tail is provably
+    unchanged; (b) at the registered modality_mod=3 all THREE drop
+    sets must bind (non-vacuity per modality), be disjoint from v6's
+    manifest, and v6 must equal _curation_stages over (the trained
+    keep set minus the union drops)."""
+    from etl_visualization_of_cryptocurrency_trading_data_spark.catalog import load_table
+    from etl_visualization_of_cryptocurrency_trading_data_spark.operators import classifier, multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cols = ["doc_id", "text", "lang", "source"]
+
+    key = lambda r: (r.doc_id, r.source, r.n_tokens_bpe, r.first_chunk, r.last_chunk, r.n_chunks)
+    v4 = sorted(corpus.curation_pipeline_v4(docs).collect(), key=lambda r: r.doc_id)
+    # (a) one doc per modality slice => singleton clusters => no drops
+    v6_empty = sorted(
+        corpus.curation_pipeline_v6(docs, modality_mod=10**9).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [key(r) for r in v4] == [key(r) for r in v6_empty]
+
+    # (b) registered config: every modality's drop set binds
+    m = F.col("doc_id") % 3
+    d_img = {
+        int(r["doc_id"])
+        for r in multimodal.perceptual_dup_drops(
+            multimodal.ppm_table(docs.filter(m == 0))
+        ).collect()
+    }
+    d_aud = {
+        int(r["doc_id"])
+        for r in multimodal.audio_dup_drops(
+            multimodal.wav_table(docs.filter(m == 1))
+        ).collect()
+    }
+    d_vid = {
+        int(r["doc_id"])
+        for r in multimodal.video_dup_drops(
+            multimodal.gif_table_animated(docs.filter(m == 2)), max_hamming=1
+        ).collect()
+    }
+    assert d_img and d_aud and d_vid  # each modality's gate binds
+    drops = d_img | d_aud | d_vid
+    v6 = sorted(corpus.curation_pipeline_v6(docs).collect(), key=lambda r: r.doc_id)
+    assert drops.isdisjoint({r.doc_id for r in v6})
+    wts = classifier.train_quality_classifier(docs)
+    keep = (
+        classifier.score_quality(docs, wts)
+        .filter(F.col("predicted"))
+        .select("doc_id")
+    )
+    gated = (
+        docs.join(keep, "doc_id")
+        .filter(~F.col("doc_id").isin(list(drops)))
+        .select(*cols)
+    )
+    ref = sorted(corpus._curation_stages(gated).collect(), key=lambda r: r.doc_id)
+    assert [key(r) for r in v6] == [key(r) for r in ref]
+    spark.catalog.clearCache()
