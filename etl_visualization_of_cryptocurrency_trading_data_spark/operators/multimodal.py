@@ -2866,7 +2866,7 @@ def vfp_gif(media: DataFrame, frames: int = 4) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(fp_batch, schema)
 
 
-def video_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+def video_dup_clusters(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     """Perceptual VIDEO dedup end-to-end: :func:`vfp_gif` fingerprints
     -> distinct-hash representative collapse + Hamming-banded rep pair
     join (:func:`_phash_rep_pairs` — only distinct fingerprints enter
@@ -2941,7 +2941,7 @@ def audio_dup_drops(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     ).select("doc_id")
 
 
-def video_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+def video_dup_survivors(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     """Survivorship over the perceptual VIDEO clusters — per
     :func:`video_dup_clusters` cluster keep the clip with the most
     CONTENT: frame volume n_frames * width * height (the video
@@ -2964,7 +2964,7 @@ def video_dup_survivors(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
 
 
-def video_dup_drops(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+def video_dup_drops(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     """The DROP side of video survivorship: every clip that is NOT its
     cluster's largest-frame-volume copy (min doc_id on ties) — the
     rn > 1 complement of :func:`video_dup_survivors`, as a (doc_id)

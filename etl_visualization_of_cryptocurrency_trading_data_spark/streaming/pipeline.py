@@ -1383,9 +1383,14 @@ def media_dedup_stream_replay(
 
     Exactly-once: survivors land via sinks.write_table's
     overwrite-per-epoch layout; a retried epoch REPLACES its output.
-    The state append may double-write band rows on retry —
-    deliberately harmless: the registry is consulted by left_anti
-    join, for which duplicate state rows are idempotent.
+    The registry state is ALSO epoch-partitioned and consulted with
+    ``epoch < epoch_id`` — so a retried epoch re-reads exactly the
+    registry its first attempt saw (its own half-written append is
+    excluded and then overwritten), re-derives the identical survivor
+    set, and the overwrite is a true no-op replay. (A flat append-only
+    state would make retries lose survivors: the left_anti join would
+    consult fingerprints the failed attempt already appended and emit
+    an empty epoch over the previously-written rows.)
 
     As with the other replays the streaming job runs at BUILD time;
     the returned frame is localCheckpoint-materialized and every
@@ -1441,15 +1446,25 @@ def media_dedup_stream_replay(
             .agg(F.min("doc_id").alias("rep_id"))
         )
         if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
+            d.startswith("epoch=") for d in os.listdir(state_dir)
         ):
-            seen = ss.read.parquet(state_dir)
+            seen = (
+                ss.read.option("basePath", state_dir)
+                .parquet(state_dir)
+                .filter(F.col("epoch") < epoch_id)
+                .select(*bands)
+            )
             cand = cand.join(seen, bands, "left_anti")
-        # materialize BEFORE the state append: the anti-join must not
+        # materialize BEFORE the state write: the anti-join must not
         # re-read a registry this very batch is extending
         new = cand.localCheckpoint(eager=True)
         sinks.write_table(new, out_dir, "media_reps", epoch_id=epoch_id)
-        new.select(*bands).write.mode("append").parquet(state_dir)
+        # overwrite THIS epoch's state partition: a retry re-reads
+        # only earlier epochs (filter above), re-derives the same
+        # survivors, and replaces both its sink and state output
+        new.select(*bands).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch={epoch_id}")
+        )
 
     try:
         stream = (

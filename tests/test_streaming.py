@@ -1159,7 +1159,10 @@ def test_media_dedup_stream_matches_batch_reps_and_boundaries(spark):
     # quartile chunk, so the 4-file drain genuinely exercised the
     # cross-batch registry drop
     fp_rows = multimodal.dhash_ppm(media).toPandas()
-    cuts = fp_rows["doc_id"].quantile([0.25, 0.5, 0.75]).tolist()
+    # the pipeline's exact cuts (approxQuantile relativeError=0), not
+    # pandas' interpolated quantiles — the check must describe the
+    # chunking the stream actually used
+    cuts = media.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
 
     def chunk(d):
         return sum(d > c for c in cuts)
