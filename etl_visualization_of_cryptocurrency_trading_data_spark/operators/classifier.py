@@ -181,6 +181,38 @@ def train_quality_classifier(
     w = spark.range(buckets + 2).select(
         F.col("id").alias("b"), F.lit(0.0).alias("w")
     )
+    # NOT loop-pinned (OPTIMIZATION_r14, measured and rejected): unlike
+    # the star-CC loop, the gradient rounds join the CORPUS-sized
+    # feature frame against the per-doc error frame every round, and
+    # AQE's runtime broadcast conversion of the error side is what
+    # keeps the cached feature frame unshuffled — an ABAB at sf0.1
+    # read v4 median 21.6 s with AQE on vs 41.5 s with the loop pinned
+    # (the static planner sort-merged 3.3M feature rows per round).
+    # AQE earns its per-stage overhead here; the pin helper stays for
+    # loops whose frames are uniformly small (CC, BPE).
+    w = _gradient_rounds(w, feats, weighted, iters, lr, round_decimals)
+    # training ran EAGERLY (every round checkpointed above), so the
+    # cached label/feature frames are dead the moment the loop ends —
+    # release them here or a session registering all five classifier
+    # queries accumulates 2 corpus-sized cache entries per call
+    # (code-review r12)
+    if persist_intermediate:
+        lab.unpersist()
+        feats.unpersist()
+    return w.select(F.col("b").alias("bucket"), F.col("w").alias("weight"))
+
+
+def _gradient_rounds(
+    w: DataFrame,
+    feats: DataFrame,
+    weighted: DataFrame,
+    iters: int,
+    lr: float,
+    round_decimals: int,
+) -> DataFrame:
+    """The K full-batch gradient rounds of
+    [[train_quality_classifier]], factored out so the caller can pin
+    loop-scoped session confs around them. Arithmetic unchanged."""
     for _ in range(iters):
         margins = (
             feats.join(F.broadcast(w), "b")
@@ -225,15 +257,7 @@ def train_quality_classifier(
             )
             .localCheckpoint(eager=True)
         )
-    # training ran EAGERLY (every round checkpointed above), so the
-    # cached label/feature frames are dead the moment the loop ends —
-    # release them here or a session registering all five classifier
-    # queries accumulates 2 corpus-sized cache entries per call
-    # (code-review r12)
-    if persist_intermediate:
-        lab.unpersist()
-        feats.unpersist()
-    return w.select(F.col("b").alias("bucket"), F.col("w").alias("weight"))
+    return w
 
 
 def score_quality(

@@ -1497,6 +1497,93 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    # Scale-adaptive algorithm choice (OPTIMIZATION_r14, guide §1.2):
+    # the eager checkpoint gives the EXACT canonical edge count, so the
+    # operator can pick the cheapest correct algorithm for the measured
+    # size — the same runtime-adaptivity posture as AQE's
+    # sort-merge -> broadcast rewrite. Below ~1M edges the whole graph
+    # fits comfortably in ONE executor task (~16 B/edge + a node dict,
+    # tens of MB), and a single-pass union-find there replaces
+    # 4-8 alternation rounds x 4 shuffle stages each — measured 4.2 s
+    # -> ~0.6 s on a 1606-edge rep graph at local[32], with the labels
+    # provably identical (component-minimum canonicalization; pinned by
+    # test_connected_components_star_property_vs_union_find). The work
+    # stays executor-side (mapInPandas over a coalesced frame — no
+    # driver collect). Above the threshold the O(log n) star
+    # alternation below is unchanged — that path is what survives a
+    # 100 TB rep graph.
+    if n_edges <= 1_000_000:
+        return _cc_single_task(edges)
+    # Scale-adaptive loop parallelism (OPTIMIZATION_r14, guide §2.2/§2.4):
+    # after the eager checkpoint the edge count is EXACT, so the
+    # alternation loop sizes its shuffles from the data instead of the
+    # session default (see operators/_loopconf.py — AQE's stage-by-stage
+    # re-optimization and 32-task exchanges are pure overhead on a
+    # small edge frame; above the threshold nothing is touched).
+    from ._loopconf import pinned_small_loop
+
+    with pinned_small_loop(edges.sparkSession, n_edges):
+        edges, converged = _star_loop(edges, n_edges, w_u, max_iter)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iter} "
+            "alternation rounds — raise max_iter"
+        )
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).unionByName(
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels
+
+
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Connected components of a small canonical edge frame (u > v,
+    distinct, self-loops dropped) in ONE executor task: min-rooted
+    union-find with path compression over the coalesced edge list.
+    Returns the same (doc_id, cluster_id = component minimum) labeling
+    as the star alternation — every node of the edge set labeled,
+    component minima self-labeled. Executor-side (mapInPandas), never
+    a driver collect; the caller gates entry on the measured edge
+    count."""
+    schema = "doc_id long, cluster_id long"
+
+    def uf(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"], pdf["v"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    # min-rooted: the merged root is the smaller root,
+                    # so the final root of any node IS its component
+                    # minimum
+                    parent[max(ra, rb)] = min(ra, rb)
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+            )
+
+    # coalesce(1), not repartition(1): the checkpointed edge frame
+    # collapses without another shuffle
+    return edges.coalesce(1).mapInPandas(uf, schema)
+
+
+def _star_loop(edges, n_edges, w_u, max_iter):
+    """The large-star/small-star alternation of
+    [[connected_components_star]], factored out so the caller can pin
+    loop-scoped session confs around it. Returns (edges, converged)."""
     converged = False
     for _ in range(max_iter):
         # large-star over the bidirectional neighbor view
@@ -1528,23 +1615,20 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         new_count = small.count()
-        grew = small.join(edges, ["u", "v"], "left_anti").limit(1).count()
-        edges, prev_count = small, n_edges
-        n_edges = new_count
-        # distinct sets: new \ old empty AND equal cardinality <=> equal
-        if grew == 0 and new_count == prev_count:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_star did not converge within {max_iter} "
-            "alternation rounds — raise max_iter"
-        )
-    labels = edges.select(
-        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
-    ).unionByName(
-        edges.select(F.col("v").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    return labels
+        prev_edges, prev_count = edges, n_edges
+        edges, n_edges = small, new_count
+        # distinct sets: new \ old empty AND equal cardinality <=> equal.
+        # The set-difference probe only runs when the cardinalities
+        # already agree — unequal counts prove the sets differ, so the
+        # anti-join job is skipped on every shrinking round
+        # (OPTIMIZATION_r14: one fewer Spark job per non-final round).
+        if new_count == prev_count:
+            grew = (
+                small.join(prev_edges, ["u", "v"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            if grew == 0:
+                converged = True
+                break
+    return edges, converged

@@ -2319,7 +2319,10 @@ def media_frames_real(
 
 
 def dhash_ppm(
-    media: DataFrame, grid_w: int = 8, grid_h: int = 8
+    media: DataFrame,
+    grid_w: int = 8,
+    grid_h: int = 8,
+    passthrough: str = "",
 ) -> DataFrame:
     """Fixed-point perceptual difference hash (dHash) over decoded PPM
     payloads — the standard near-duplicate-image fingerprint (Krawetz's
@@ -2351,7 +2354,15 @@ def dhash_ppm(
     n_bits = grid_w * grid_h
     if n_bits != 64:
         raise ValueError("dhash_ppm is pinned to 64-bit hashes (8x8 grid)")
-    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+    # ``passthrough`` (OPTIMIZATION_r14, guide §8.3): a schema fragment
+    # of input columns (e.g. "width int, height int") copied verbatim
+    # onto the fingerprint rows, so survivorship compositions read the
+    # payload table ONCE — the decode pass carries the metadata the
+    # rank window needs instead of a second corpus scan.
+    extra = _passthrough_cols(passthrough)
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long" + (
+        ", " + passthrough if extra else ""
+    )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2369,9 +2380,20 @@ def dhash_ppm(
                 for k in range(4):
                     seg = bits[16 * k : 16 * k + 16]
                     rows[f"band{k}"].append(int((seg << np.arange(16)).sum()))
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            yield out
 
-    return media.select("doc_id", "payload").mapInPandas(hash_batch, schema)
+    return media.select("doc_id", "payload", *extra).mapInPandas(
+        hash_batch, schema
+    )
+
+
+def _passthrough_cols(passthrough: str) -> list[str]:
+    """Column names of a ``passthrough`` schema fragment
+    ("width int, height int" -> ["width", "height"])."""
+    return [c.split()[0] for c in passthrough.split(",") if c.strip()]
 
 
 def perceptual_dup_clusters(
@@ -2486,10 +2508,20 @@ def _ranked_clusters(clusters: DataFrame, dims: DataFrame, quality) -> DataFrame
 def _perceptual_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
     """Image-family ranking (resolution DESC, doc_id) — the frame both
     :func:`perceptual_dup_survivors` (rn = 1) and
-    :func:`perceptual_dup_drops` (rn > 1) read."""
+    :func:`perceptual_dup_drops` (rn > 1) read.
+
+    One payload pass (OPTIMIZATION_r14, guide §8.3): the fingerprint
+    map carries width/height along, so the rank window reads the
+    cached fingerprint frame instead of re-scanning (here:
+    re-synthesizing) the payload table for its dimensions. Same
+    caller-owned cache contract as :func:`perceptual_dup_clusters`.
+    """
+    fps = dhash_ppm(
+        media, passthrough="width int, height int"
+    ).persist()
     return _ranked_clusters(
-        perceptual_dup_clusters(media, max_hamming=max_hamming),
-        media.select("doc_id", "width", "height"),
+        _phash_cluster_labels(fps, max_hamming),
+        fps.select("doc_id", "width", "height"),
         F.col("width") * F.col("height"),
     )
 
@@ -2734,7 +2766,9 @@ def perceptual_dup_drops(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("doc_id")
 
 
-def afp_wav(media: DataFrame, windows: int = 65) -> DataFrame:
+def afp_wav(
+    media: DataFrame, windows: int = 65, passthrough: str = ""
+) -> DataFrame:
     """Fixed-point perceptual AUDIO fingerprint over the real RIFF/WAVE
     PCM16 decode — the audio member of the perceptual-hash family
     (dHash/aHash for images, this for waveforms; the
@@ -2761,7 +2795,12 @@ def afp_wav(media: DataFrame, windows: int = 65) -> DataFrame:
     """
     if windows != 65:
         raise ValueError("afp_wav is pinned to 64-bit fingerprints (65 windows)")
-    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+    # passthrough: see dhash_ppm — one payload pass carries the
+    # survivorship metadata (OPTIMIZATION_r14, guide §8.3)
+    extra = _passthrough_cols(passthrough)
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long" + (
+        ", " + passthrough if extra else ""
+    )
 
     def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2784,9 +2823,14 @@ def afp_wav(media: DataFrame, windows: int = 65) -> DataFrame:
                 for k in range(4):
                     seg = bits[16 * k : 16 * k + 16]
                     rows[f"band{k}"].append(int((seg << np.arange(16)).sum()))
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            for c2 in extra:
+                out[c2] = pdf[c2].to_numpy()
+            yield out
 
-    return media.select("doc_id", "payload").mapInPandas(fp_batch, schema)
+    return media.select("doc_id", "payload", *extra).mapInPandas(
+        fp_batch, schema
+    )
 
 
 def audio_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
@@ -2809,7 +2853,9 @@ def audio_dup_clusters(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     return _phash_cluster_labels(fps, max_hamming)
 
 
-def vfp_gif(media: DataFrame, frames: int = 4) -> DataFrame:
+def vfp_gif(
+    media: DataFrame, frames: int = 4, passthrough: str = ""
+) -> DataFrame:
     """Fixed-point perceptual VIDEO fingerprint over the real animated
     GIF decode — the video member of the perceptual-hash family
     (dHash/aHash for images, :func:`afp_wav` for audio, this for
@@ -2841,7 +2887,12 @@ def vfp_gif(media: DataFrame, frames: int = 4) -> DataFrame:
     """
     if frames != 4:
         raise ValueError("vfp_gif is pinned to 64-bit fingerprints (4 frames)")
-    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long"
+    # passthrough: see dhash_ppm — one payload pass carries the
+    # survivorship metadata (OPTIMIZATION_r14, guide §8.3)
+    extra = _passthrough_cols(passthrough)
+    schema = "doc_id long, band0 long, band1 long, band2 long, band3 long" + (
+        ", " + passthrough if extra else ""
+    )
 
     def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2861,9 +2912,14 @@ def vfp_gif(media: DataFrame, frames: int = 4) -> DataFrame:
                     gray = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
                     bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
                     rows[f"band{k}"].append(int((bits << np.arange(16)).sum()))
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            yield out
 
-    return media.select("doc_id", "payload").mapInPandas(fp_batch, schema)
+    return media.select("doc_id", "payload", *extra).mapInPandas(
+        fp_batch, schema
+    )
 
 
 def video_dup_clusters(media: DataFrame, max_hamming: int = 1) -> DataFrame:
@@ -2889,10 +2945,13 @@ def video_dup_clusters(media: DataFrame, max_hamming: int = 1) -> DataFrame:
 def _audio_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
     """Audio-family ranking (header n_frames DESC, doc_id) — the frame
     both :func:`audio_dup_survivors` (rn = 1) and
-    :func:`audio_dup_drops` (rn > 1) read."""
+    :func:`audio_dup_drops` (rn > 1) read. One payload pass: the
+    fingerprint map carries n_frames (OPTIMIZATION_r14, guide §8.3);
+    same caller-owned cache contract as :func:`audio_dup_clusters`."""
+    fps = afp_wav(media, passthrough="n_frames int").persist()
     return _ranked_clusters(
-        audio_dup_clusters(media, max_hamming=max_hamming),
-        media.select("doc_id", "n_frames"),
+        _phash_cluster_labels(fps, max_hamming),
+        fps.select("doc_id", "n_frames"),
         F.col("n_frames"),
     )
 
@@ -2900,10 +2959,17 @@ def _audio_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
 def _video_ranked(media: DataFrame, max_hamming: int) -> DataFrame:
     """Video-family ranking (frame volume nf*w*h DESC, doc_id) — the
     frame both :func:`video_dup_survivors` (rn = 1) and
-    :func:`video_dup_drops` (rn > 1) read."""
+    :func:`video_dup_drops` (rn > 1) read. One payload pass — for the
+    video family this is the one that matters most: the second scan
+    this replaces re-ran the GIF synthesis/LZW encode of every clip
+    just to read three header columns (OPTIMIZATION_r14, guide §8.3).
+    Same caller-owned cache contract as :func:`video_dup_clusters`."""
+    fps = vfp_gif(
+        media, passthrough="width int, height int, n_frames int"
+    ).persist()
     return _ranked_clusters(
-        video_dup_clusters(media, max_hamming=max_hamming),
-        media.select("doc_id", "width", "height", "n_frames"),
+        _phash_cluster_labels(fps, max_hamming),
+        fps.select("doc_id", "width", "height", "n_frames"),
         F.col("n_frames") * F.col("width") * F.col("height"),
     )
 

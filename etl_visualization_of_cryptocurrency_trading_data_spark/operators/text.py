@@ -556,19 +556,29 @@ def bpe_train(
     ``localCheckpoint`` is the documented fix and the GraphFrames
     boundary, values unchanged.
     """
-    syms = _bpe_initial_symbols(documents)
+    # Eager checkpoint of the round-0 vocabulary collapse + a count:
+    # round 1 would materialize this exact frame anyway, and the count
+    # gates the scale-adaptive loop pinning (OPTIMIZATION_r14, see
+    # operators/_loopconf.py — the K rounds are vocabulary-sized window
+    # passes, so on a small measured symbol table they run with AQE off
+    # and a derived partition count; above the gate nothing changes).
+    from ._loopconf import pinned_small_loop
+
+    syms = _bpe_initial_symbols(documents).localCheckpoint(eager=True)
+    n_syms = syms.count()
     merges = None
-    for r in range(1, rounds + 1):
-        top1, stepped = _bpe_merge_step(syms)
-        row = top1.select(
-            F.lit(r).alias("round"),
-            "p1",
-            "p2",
-            F.concat("p1", "p2").alias("merged"),
-            F.col("cnt").alias("n_occurrences"),
-        )
-        merges = row if merges is None else merges.unionByName(row)
-        syms = stepped.localCheckpoint(eager=True)
+    with pinned_small_loop(documents.sparkSession, n_syms):
+        for r in range(1, rounds + 1):
+            top1, stepped = _bpe_merge_step(syms)
+            row = top1.select(
+                F.lit(r).alias("round"),
+                "p1",
+                "p2",
+                F.concat("p1", "p2").alias("merged"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+            merges = row if merges is None else merges.unionByName(row)
+            syms = stepped.localCheckpoint(eager=True)
     return merges, syms
 
 

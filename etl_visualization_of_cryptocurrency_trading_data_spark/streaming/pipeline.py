@@ -436,19 +436,66 @@ def vwap_stream_replay(
         return spark.createDataFrame([], out_schema)
     spool = _spool_with_sentinel(spark, real, max_ts, prefix="vwap_replay_")
     name = f"vwap_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        vwap_stream(
-            read_price_stream(spark, os.path.join(spool, "*.parquet")),
-            delay="0 seconds",
+    with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+        query = (
+            vwap_stream(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                delay="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "vwap", timeout_s)
+        _drain_spool(query, spool, "vwap", timeout_s)
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
+
+def _spool_partitions(spark: SparkSession, spool: str) -> int:
+    """Shuffle/state partition count for a spool replay, derived from
+    the spooled feed's ON-DISK byte size (OPTIMIZATION_r14, guide §2.2:
+    partitioning follows measured data size, never the local core
+    count). Structured Streaming pins the stateful-operator partition
+    count to ``spark.sql.shuffle.partitions`` at query start and AQE
+    never applies to streaming plans, so the session default (sized
+    for batch) made every micro-batch run 32 state-store tasks over a
+    few MB of feed — pure task/commit overhead, multiplied by the
+    per-store quadruple of a stream-stream join. One ~64 MB-of-parquet
+    state partition is the same sizing rule a production stream would
+    use for its key space; the cap keeps a huge spool at the session's
+    configured parallelism."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(spool):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return int(max(1, min(total // (64 << 20) + 1, cap)))
+
+
+class _stream_shuffle_pin:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to a
+    derived value while a replay query starts and drains (the stream's
+    cloned session captures the conf at start), restore on exit. The
+    replay builders are sequential (bench/driver/pytest), so the
+    session-global conf write cannot race another query."""
+
+    def __init__(self, spark: SparkSession, partitions: int) -> None:
+        self._spark = spark
+        self._n = int(partitions)
+
+    def __enter__(self) -> None:
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
 
 def _drain_spool(query, spool: str, what: str, timeout_s: int) -> None:
     """Await an availableNow drain, then DELETE the spool tempdir: the
@@ -530,19 +577,20 @@ def session_stream_replay(
         return spark.createDataFrame([], out_schema)
     spool = _spool_with_sentinel(spark, real, max_ts, prefix="session_replay_")
     name = f"session_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        session_stream(
-            read_price_stream(spark, os.path.join(spool, "*.parquet")),
-            gap_minutes=gap_minutes,
-            delay="0 seconds",
+    with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+        query = (
+            session_stream(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                gap_minutes=gap_minutes,
+                delay="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "session", timeout_s)
+        _drain_spool(query, spool, "session", timeout_s)
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
 
 
@@ -574,18 +622,19 @@ def ohlc_stream_replay(
         return spark.createDataFrame([], out_schema)
     spool = _spool_with_sentinel(spark, real, max_ts, prefix="ohlc_replay_")
     name = f"ohlc_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        ohlc_stream(
-            read_price_stream(spark, os.path.join(spool, "*.parquet")),
-            delay="0 seconds",
+    with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+        query = (
+            ohlc_stream(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                delay="0 seconds",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "ohlc", timeout_s)
+        _drain_spool(query, spool, "ohlc", timeout_s)
     return spark.table(name).filter(F.col("coin_id") != "__sentinel__")
 
 
@@ -623,21 +672,22 @@ def spread_stream_replay(
     spool = tempfile.mkdtemp(prefix="spread_replay_")
     real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
     name = f"spread_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        cross_exchange_stream_join(
-            read_price_stream(spark, os.path.join(spool, "feed", "*.parquet")),
-            exchange_a,
-            exchange_b,
-            tolerance_minutes=tolerance_minutes,
-            watermark_minutes=watermark_minutes,
+    with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+        query = (
+            cross_exchange_stream_join(
+                read_price_stream(spark, os.path.join(spool, "feed", "*.parquet")),
+                exchange_a,
+                exchange_b,
+                tolerance_minutes=tolerance_minutes,
+                watermark_minutes=watermark_minutes,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "spread", timeout_s)
+        _drain_spool(query, spool, "spread", timeout_s)
     return spark.table(name)
 
 
@@ -693,19 +743,29 @@ def restfeed_stream_replay(
         .load()
     )
     name = f"restfeed_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        ohlc_stream(feed, delay="0 seconds")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-    query.awaitTermination(timeout_s)
+    # the feed is closed-form, so its size is known WITHOUT a scan:
+    # one tick per (page-coin, minute) — derive the state partition
+    # count the same way the spool replays derive theirs from on-disk
+    # bytes (~50 B/tick; OPTIMIZATION_r14, guide §2.2). The session
+    # default made each of the 36 five-minute micro-batches run 32
+    # state-store tasks over ~100 rows.
+    n_ticks = pages * coins_per_page * minutes
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = int(max(1, min((n_ticks * 50) // (64 << 20) + 1, cap)))
+    with _stream_shuffle_pin(spark, parts):
+        query = (
+            ohlc_stream(feed, delay="0 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        query.awaitTermination(timeout_s)
     return spark.table(name)
 
 
@@ -768,19 +828,20 @@ def dedup_stream_replay(
                 n += 1
         shutil.rmtree(subdir)
     name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        dedup_stream(
-            read_price_stream(spark, os.path.join(spool, "*.parquet")),
-            keys=cols,
-            delay="8760 hours",
+    with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+        query = (
+            dedup_stream(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                keys=cols,
+                delay="8760 hours",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "dedup", timeout_s)
+        _drain_spool(query, spool, "dedup", timeout_s)
     return spark.table(name)
 
 
@@ -862,22 +923,29 @@ def recovery_stream_replay(
     ckpt = os.path.join(root, "ckpt")
 
     def drain() -> None:
-        query = (
-            ohlc_stream(
-                read_price_stream(spark, os.path.join(spool, "*.parquet")),
-                delay="0 seconds",
+        # the pin only binds on run 1 — a checkpoint restart reuses the
+        # state partition count recorded in the offset log regardless
+        # of the session conf, which is exactly the consistency the
+        # recovery semantics need
+        with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+            query = (
+                ohlc_stream(
+                    read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                    delay="0 seconds",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not query.awaitTermination(timeout_s):
-            query.stop()
-            shutil.rmtree(root, ignore_errors=True)
-            raise TimeoutError(f"recovery replay did not finish in {timeout_s}s")
+            if not query.awaitTermination(timeout_s):
+                query.stop()
+                shutil.rmtree(root, ignore_errors=True)
+                raise TimeoutError(
+                    f"recovery replay did not finish in {timeout_s}s"
+                )
 
     # try/finally: a failed drain (StreamingQueryException) must not
     # leak the spool/sink/checkpoint tree (same class as the drawdown
@@ -1021,22 +1089,27 @@ def late_drop_stream_replay(
     ckpt = os.path.join(root, "ckpt")
 
     def drain() -> None:
-        query = (
-            ohlc_stream(
-                read_price_stream(spark, os.path.join(spool, "*.parquet")),
-                delay="0 seconds",
+        # pin binds on run 1 only; the checkpoint restart reuses the
+        # recorded state partition count (see recovery_stream_replay)
+        with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+            query = (
+                ohlc_stream(
+                    read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                    delay="0 seconds",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not query.awaitTermination(timeout_s):
-            query.stop()
-            shutil.rmtree(root, ignore_errors=True)
-            raise TimeoutError(f"late-drop replay did not finish in {timeout_s}s")
+            if not query.awaitTermination(timeout_s):
+                query.stop()
+                shutil.rmtree(root, ignore_errors=True)
+                raise TimeoutError(
+                    f"late-drop replay did not finish in {timeout_s}s"
+                )
 
     drain()  # run 1: the full real feed; watermark commits at max real ts
     for f in sorted(os.listdir(held)):
@@ -1146,20 +1219,28 @@ def drawdown_stream_replay(
     )
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    query = (
-        stateful_drawdown(stream)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     # try/finally: a failed streaming query (StreamingQueryException
     # from awaitTermination) must not leak the spool/sink/checkpoint
     # tree either — the /tmp-growth mode the ADVICE-r6 _drain_spool
     # cleanup exists to prevent (code-review r10)
+    # Deliberately NOT pinned to the spool-derived partition count
+    # (OPTIMIZATION_r14): applyInPandasWithState pays a per-KEY-GROUP
+    # Python protocol round-trip each micro-batch, so its parallelism
+    # wants the session's task slots, not the feed's byte size — the
+    # byte-derived 1-partition pin serialized all per-coin groups
+    # through one Python worker and measured 13 s -> 129 s. The other
+    # replays' stateful operators are JVM aggregates/joins, where the
+    # derived count only removes task overhead.
     try:
+        query = (
+            stateful_drawdown(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         ok = query.awaitTermination(timeout_s)
         if not ok:
             query.stop()
@@ -1239,22 +1320,23 @@ def spread_outer_stream_replay(
                 n += 1
         shutil.rmtree(subdir)
     name = f"spread_outer_replay_{uuid.uuid4().hex[:8]}"
-    query = (
-        cross_exchange_stream_join(
-            read_price_stream(spark, os.path.join(spool, "*.parquet")),
-            exchange_a,
-            exchange_b,
-            tolerance_minutes=tolerance_minutes,
-            watermark_minutes=watermark_minutes,
-            how="leftOuter",
+    with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+        query = (
+            cross_exchange_stream_join(
+                read_price_stream(spark, os.path.join(spool, "*.parquet")),
+                exchange_a,
+                exchange_b,
+                tolerance_minutes=tolerance_minutes,
+                watermark_minutes=watermark_minutes,
+                how="leftOuter",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_spool(query, spool, "spread_outer", timeout_s)
+        _drain_spool(query, spool, "spread_outer", timeout_s)
     return spark.table(name).filter(F.col("symbol") != "C999999")
 
 
@@ -1335,13 +1417,14 @@ def quality_stream_replay(
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(spool, "feed", "*.parquet"))
         )
-        query = (
-            stream.writeStream.foreachBatch(handle_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain_spool(query, spool, "quality", timeout_s)
+        with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+            query = (
+                stream.writeStream.foreachBatch(handle_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_spool(query, spool, "quality", timeout_s)
         return (
             sinks.read_table(spark, out_dir, "quality_scores")
             .select("doc_id", "score", "predicted")
@@ -1474,13 +1557,14 @@ def media_dedup_stream_replay(
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(spool, "*.parquet"))
         )
-        query = (
-            stream.writeStream.foreachBatch(handle_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain_spool(query, spool, "media_dedup", timeout_s)
+        with _stream_shuffle_pin(spark, _spool_partitions(spark, spool)):
+            query = (
+                stream.writeStream.foreachBatch(handle_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_spool(query, spool, "media_dedup", timeout_s)
         return (
             sinks.read_table(spark, out_dir, "media_reps")
             .select(*bands, "rep_id")
