@@ -531,20 +531,32 @@ def _simhash_bands_md5(documents: DataFrame, n: int = 3, n_bits: int = 64) -> Da
         ],
     )
 
-    def bit(j: int):
-        return F.shiftright(F.col(f"v{j // 32 + 1}"), j % 32).bitwiseAND(F.lit(1))
-
+    # The per-bit aggregate and band-packing expressions are built as
+    # SQL TEXT, not Column algebra (OPTIMIZATION_r14; the _pca_terms
+    # lesson): at n_bits=128 the Column form issued ~2000 Py4J
+    # round-trips (128 sum chains + 512 CASE terms) — several seconds
+    # of pure driver-side plan construction per call at any data size.
+    # One F.expr per output column hands the JVM the same expression as
+    # one string; the parsed tree, the arithmetic and the results are
+    # identical (exact integer terms, same left-to-right addition).
     wide = hashed.groupBy("doc_id").agg(
-        *[F.sum(bit(j).cast("long") * 2 - 1).alias(f"b{j}") for j in range(n_bits)]
+        *[
+            F.expr(
+                f"sum(cast((shiftright(v{j // 32 + 1}, {j % 32}) & 1) as bigint)"
+                f" * 2 - 1) AS b{j}"
+            )
+            for j in range(n_bits)
+        ]
     )
     bb = n_bits // 4
     bands = [
-        sum(
-            F.when(F.col(f"b{bb * k + j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
+        F.expr(
+            " + ".join(
+                f"IF(b{bb * k + j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+                for j in range(bb)
             )
-            for j in range(bb)
-        ).alias(f"band{k}")
+            + f" AS band{k}"
+        )
         for k in range(4)
     ]
     return wide.select("doc_id", *bands)

@@ -723,6 +723,9 @@ def semantic_dedup(
         # here, so there is no "after the consuming action" inside this
         # function); like the banded/posting persists, the MEMORY_AND_DISK
         # blocks are left to Spark's LRU eviction.
+        # (OPTIMIZATION_r14: an eager localCheckpoint here was tried and
+        # reverted — no reproducible win over the persist, unlike the
+        # PQ codebook boundary where the checkpointed frame is tiny.)
         .persist()
     )
     if max_cluster is not None:
@@ -1115,7 +1118,12 @@ def knn_pq(
                               round_decimals=round_decimals,
                               sample_modulus=sample_modulus)
     if persist_codebooks:
-        cvecs = cvecs.persist()
+        # eager localCheckpoint, not persist (OPTIMIZATION_r14, guide
+        # §3.3): both consumers' plans carried the full Lloyd-training
+        # subtree through analysis/optimization even with the cache;
+        # the checkpoint truncates the m*codes-row lineage to a leaf
+        # (values identical — the frame is already on the rounding grid)
+        cvecs = cvecs.localCheckpoint(eager=True)
     base = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     enc = _pq_assign(base, cvecs, m, sub_d, round_decimals).select(
         "vec_id", "sub", "code"
@@ -1261,7 +1269,12 @@ def knn_ivf_pq(
         round_decimals=round_decimals, sample_modulus=sample_modulus,
     )
     if persist_codebooks:
-        cvecs = cvecs.persist()
+        # eager localCheckpoint, not persist (OPTIMIZATION_r14, guide
+        # §3.3): both consumers' plans carried the full Lloyd-training
+        # subtree through analysis/optimization even with the cache;
+        # the checkpoint truncates the m*codes-row lineage to a leaf
+        # (values identical — the frame is already on the rounding grid)
+        cvecs = cvecs.localCheckpoint(eager=True)
     enc = _pq_assign(base, cvecs, m, sub_d, round_decimals).select(
         "vec_id", "sub", "code"
     )
@@ -1524,13 +1537,24 @@ def pca_top_component(
             if j >= i
         ],
     )
-    row = stats.selectExpr("n", *means, *covs)
+    # Eager checkpoints at the single-row boundaries (OPTIMIZATION_r14,
+    # guide §3.3 "very large plans"): every chained selectExpr runs the
+    # analyzer eagerly over the WHOLE accumulated plan, so the 2*iters
+    # scalar rounds re-analyzed the corpus-aggregate subtree 24 times —
+    # measured ~7-8 s of pure driver-side plan construction plus a
+    # matching optimizer bill at execution, at ANY data size. Cutting
+    # the lineage after the one corpus aggregate (a 1-row frame) and
+    # again after the iteration chain leaves the per-round analyzer
+    # passes a leaf-sized plan and the projection job a 3-node plan.
+    # Values are bit-identical: the checkpoint materializes the same
+    # doubles the lazy plan would feed the same expressions.
+    row = stats.selectExpr("n", *means, *covs).localCheckpoint(eager=True)
     for ws, nrm in rounds:
         row = row.selectExpr("*", *ws)
         row = row.selectExpr("*", nrm)
     comp = row.selectExpr(
         *[f"m{i}" for i in idx], *ps, f"round({lam}, 6) AS lambda1"
-    )
+    ).localCheckpoint(eager=True)
     return base.crossJoin(F.broadcast(comp)).selectExpr(
         "vec_id", f"round({score}, 6) AS pc1", "lambda1"
     )
@@ -1577,11 +1601,14 @@ def pca_residual_norms(
             if j >= i
         ],
     )
-    row = stats.selectExpr("n", *means, *covs)
+    # single-row lineage cuts — see pca_top_component (OPTIMIZATION_r14)
+    row = stats.selectExpr("n", *means, *covs).localCheckpoint(eager=True)
     for ws, nrm in rounds:
         row = row.selectExpr("*", *ws)
         row = row.selectExpr("*", nrm)
-    comp = row.selectExpr(*[f"m{i}" for i in idx], *ps)
+    comp = row.selectExpr(*[f"m{i}" for i in idx], *ps).localCheckpoint(
+        eager=True
+    )
     rexpr = "sqrt(" + " + ".join(
         f"(x{i} - m{i} - pc1*p{i})*(x{i} - m{i} - pc1*p{i})" for i in idx
     ) + ")"
