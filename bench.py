@@ -331,13 +331,13 @@ def main() -> None:
     chunk_size = 10
     for ci in range(0, len(names), chunk_size):
         chunk = {k: timings[k] for k in names[ci : ci + chunk_size]}
-        print(
-            "bench-q"
-            + json.dumps(
-                {"chunk": ci // chunk_size, "queries": chunk},
-                separators=(",", ":"),
-            )
-        )
+        payload = {"chunk": ci // chunk_size, "queries": chunk}
+        builds = {
+            k: build_secs[k] for k in chunk if build_secs.get(k, 0.0) >= 0.05
+        }
+        if builds:
+            payload["build_sec"] = builds
+        print("bench-q" + json.dumps(payload, separators=(",", ":")))
     print(json.dumps(out, separators=(",", ":")))
     import hashlib
 
@@ -351,6 +351,22 @@ def main() -> None:
     # chars at 194 queries); the slowest-by-name dict was redundant
     # (reconstructable from q_cs + the registry) and is dropped.
     # exec-only per query = (q_cs[i] - build_cs[i]) / 100.
+    # r14 verdict item #2 (contract regression): dropping the NAMED
+    # "queries" dict from this line blanked the driver's per-query
+    # comparison (PERF_r14.per_query == {}, prev/now_bench_ok false,
+    # geomean null) — the r10-r12 lines carried a named slowest-20
+    # dict and parsed fine. Restore it: as many of the SLOWEST queries
+    # by name as the 1900-char capture budget allows (these carry the
+    # round-over-round signal; the full timing vector still rides
+    # along positionally in q_cs, pinned by q_names_md5, and the
+    # complete named artifact is on disk + in the bench-q chunks).
+    # Per-query build_cs is GONE from this line (the r14 dense array
+    # was ~750 chars and a sparse >=0.2s dict still ~1500 — either
+    # crowds every name out of the budget); per-query build_sec stays
+    # fully available in the on-disk artifact and in the bench-q
+    # chunk lines, and the compact line keeps the build_total_sec
+    # aggregate, so exec-only totals remain derivable from the tail.
+    slowest = sorted(names, key=lambda k: -timings[k])
     compact = {
         "metric": out["metric"],
         "value": total,
@@ -358,32 +374,32 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "q_order": "registry",
+        "queries": {},  # filled greedily below
+        "q_order": "registry" if only is None else "requested",
         "q_names_md5": hashlib.md5(",".join(names).encode()).hexdigest(),
         "q_cs": [int(round(timings[k] * 100)) for k in names],
-        "build_cs": [
-            int(round(build_secs.get(k, 0.0) * 100)) for k in names
-        ],
         "build_total_sec": round(sum(build_secs.values()), 2),
         "total_sec": total,
         "calibration": (
             {"jvm_sec": _jvm_sec, "py_sec": _py_sec} if _calibrate else None
         ),
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never outgrow the capture window again:
-        # sparsify build_cs (index -> cs, >= 0.2 s only; build_total_sec
-        # keeps the aggregate exact), then halve q_cs to deciseconds
-        compact["build_cs"] = {
-            str(i): cs
-            for i, cs in enumerate(compact["build_cs"])
-            if cs >= 20
-        }
-        line = json.dumps(compact, separators=(",", ":"))
+
+    def _fit(c: dict) -> str:
+        # grow the named dict greedily: slowest first, stop at budget
+        for n_named in range(min(40, len(slowest)), -1, -1):
+            c["queries"] = {k: timings[k] for k in slowest[:n_named]}
+            line = json.dumps(c, separators=(",", ":"))
+            if len(line) <= 1900:
+                return line
+        return json.dumps(c, separators=(",", ":"))
+
+    line = _fit(compact)
     if len(line) > 1900:
+        # last resort (never expected): deciseconds halve the array
         compact["q_ds"] = [int(round(cs / 10)) for cs in compact["q_cs"]]
         del compact["q_cs"]
-        line = json.dumps(compact, separators=(",", ":"))
+        line = _fit(compact)
     print(line)
     spark.stop()
 
