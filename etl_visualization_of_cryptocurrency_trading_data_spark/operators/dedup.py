@@ -1451,6 +1451,18 @@ def remove_repeated_spans_keep_first(
     return _cut_ranges(documents, _collapse_starts(hits, span_words))
 
 
+#: edge-count gate below which [[connected_components_star]] runs the
+#: whole labeling as ONE executor-side union-find task instead of the
+#: O(log n) star alternation. Worst-case footprint at the gate (ADVICE
+#: r14 — the r14 1M gate's "tens of MB" estimate was ~10x low): a
+#: Python dict union-find over E edges holds up to 2E boxed-int
+#: entries; at 250k edges that is ~500k entries ≈ 60-90 MB in one
+#: task plus a single-threaded loop over 250k edges (~0.3 s) — safely
+#: inside any supported executor. Module-level so tests can
+#: monkeypatch it to 0 and drive the star path on small graphs.
+CC_SINGLE_TASK_MAX_EDGES = 250_000
+
+
 def connected_components_star(
     pairs: DataFrame,
     max_iter: int = 30,
@@ -1513,18 +1525,19 @@ def connected_components_star(
     # the eager checkpoint gives the EXACT canonical edge count, so the
     # operator can pick the cheapest correct algorithm for the measured
     # size — the same runtime-adaptivity posture as AQE's
-    # sort-merge -> broadcast rewrite. Below ~1M edges the whole graph
-    # fits comfortably in ONE executor task (~16 B/edge + a node dict,
-    # tens of MB), and a single-pass union-find there replaces
-    # 4-8 alternation rounds x 4 shuffle stages each — measured 4.2 s
-    # -> ~0.6 s on a 1606-edge rep graph at local[32], with the labels
-    # provably identical (component-minimum canonicalization; pinned by
-    # test_connected_components_star_property_vs_union_find). The work
-    # stays executor-side (mapInPandas over a coalesced frame — no
-    # driver collect). Above the threshold the O(log n) star
-    # alternation below is unchanged — that path is what survives a
-    # 100 TB rep graph.
-    if n_edges <= 1_000_000:
+    # sort-merge -> broadcast rewrite. Below the gate the whole graph
+    # fits in ONE executor task, and a single-pass union-find there
+    # replaces 4-8 alternation rounds x 4 shuffle stages each —
+    # measured 4.2 s -> ~0.6 s on a 1606-edge rep graph at local[32],
+    # with the labels provably identical (component-minimum
+    # canonicalization; pinned by
+    # test_connected_components_star_property_vs_union_find, which
+    # also monkeypatches the gate to 0 so the star path stays covered
+    # — ADVICE r14). The work stays executor-side (mapInPandas over a
+    # coalesced frame — no driver collect). Above the threshold the
+    # O(log n) star alternation below is unchanged — that path is what
+    # survives a 100 TB rep graph.
+    if n_edges <= CC_SINGLE_TASK_MAX_EDGES:
         return _cc_single_task(edges)
     # Scale-adaptive loop parallelism (OPTIMIZATION_r14, guide §2.2/§2.4):
     # after the eager checkpoint the edge count is EXACT, so the

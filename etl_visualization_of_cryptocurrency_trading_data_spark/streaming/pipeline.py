@@ -490,6 +490,21 @@ class _stream_shuffle_pin:
         self._n = int(partitions)
 
     def __enter__(self) -> None:
+        # The pin relies on the sequential-callers invariant: a second
+        # streaming query started during a pinned drain would silently
+        # capture this pin's partition count at ITS start (ADVICE r14).
+        # Assert the invariant instead of documenting it — every
+        # harness is sequential today, so this is free; a future
+        # concurrent caller fails loudly here instead of mis-pinning.
+        active = self._spark.streams.active
+        if active:
+            raise RuntimeError(
+                "_stream_shuffle_pin entered while other streaming "
+                f"queries are active ({[q.name for q in active]}); the "
+                "session-global shuffle-partition pin would leak into "
+                "them — run replays sequentially or move the pin to a "
+                "cloned session"
+            )
         self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
 

@@ -2300,18 +2300,13 @@ def test_jpeg_color_roundtrip_closed_form(spark):
         assert r.n_pixels == r.width * r.height
 
 
-@settings(max_examples=5, deadline=None)
-@given(
-    edges=st.lists(
-        st.tuples(st.integers(0, 40), st.integers(0, 40)),
-        min_size=1,
-        max_size=60,
-    )
-)
-def test_connected_components_star_property_vs_union_find(spark, edges):
-    """Property: on arbitrary small graphs (self-loops, duplicates,
-    both orientations included), the star alternation's labels equal a
-    plain union-find with component-minimum canonicalization."""
+def _cc_property_check(spark, edges, gate_override=None):
+    """Shared body of the CC property tests: compare
+    connected_components_star's labels against a plain union-find with
+    component-minimum canonicalization. ``gate_override`` pins
+    dedup.CC_SINGLE_TASK_MAX_EDGES for the call (ADVICE r14: every
+    test/bench graph is below the production gate, so without the
+    override the star-alternation path would be exercised by nothing)."""
     pairs = [(a, b) for a, b in edges if a != b]
     if not pairs:
         return
@@ -2337,11 +2332,50 @@ def test_connected_components_star_property_vs_union_find(spark, edges):
         for n in members:
             expect[n] = m
     df = spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
-    got = {
-        r.doc_id: r.cluster_id
-        for r in dedup.connected_components_star(df).collect()
-    }
+    saved = dedup.CC_SINGLE_TASK_MAX_EDGES
+    if gate_override is not None:
+        dedup.CC_SINGLE_TASK_MAX_EDGES = gate_override
+    try:
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.connected_components_star(df).collect()
+        }
+    finally:
+        dedup.CC_SINGLE_TASK_MAX_EDGES = saved
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_star_property_vs_union_find(spark, edges):
+    """Property: on arbitrary small graphs (self-loops, duplicates,
+    both orientations included), the labels (via the small-graph
+    single-task union-find gate) equal a plain union-find with
+    component-minimum canonicalization."""
+    _cc_property_check(spark, edges)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_star_property_star_path(spark, edges):
+    """Same property with CC_SINGLE_TASK_MAX_EDGES pinned to 0, forcing
+    the large-graph star-alternation loop — the 100 TB path — onto the
+    same arbitrary graphs (ADVICE r14: the production gate routes every
+    small graph to the union-find task, so this override is the only
+    coverage the star loop gets)."""
+    _cc_property_check(spark, edges, gate_override=0)
 
 
 def test_semantic_dedup_max_cluster_guard(spark):
