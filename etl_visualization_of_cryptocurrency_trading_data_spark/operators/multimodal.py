@@ -921,6 +921,33 @@ def decode_bmp(media: DataFrame, round_decimals: int = 6) -> DataFrame:
 
 # --- GIF (87a/89a, LZW) ---------------------------------------------
 
+# Base code tables per min_code_size, built ONCE (OPTIMIZATION_r15,
+# guide §4.5 — heavyweight init out of the hot loop): profiling the
+# GIF family showed ~45% of BOTH codec directions went to rebuilding
+# the 2^mcs single-byte literal tables on every CLEAR/init (a dict- or
+# list-comprehension constructing 256 bytes objects per reset). The
+# literals are immutable, so a shallow dict(...)/list(...) copy of a
+# module-level base — a single C-level memcpy of pointers — is
+# equivalent and removes the construction entirely. Values unchanged.
+_LZW_ENC_BASE: dict[int, dict[bytes, int]] = {}
+_LZW_DEC_BASE: dict[int, list[bytes]] = {}
+
+
+def _lzw_enc_base(min_code_size: int) -> dict[bytes, int]:
+    base = _LZW_ENC_BASE.get(min_code_size)
+    if base is None:
+        base = {bytes([j]): j for j in range(1 << min_code_size)}
+        _LZW_ENC_BASE[min_code_size] = base
+    return base
+
+
+def _lzw_dec_base(min_code_size: int) -> list[bytes]:
+    base = _LZW_DEC_BASE.get(min_code_size)
+    if base is None:
+        base = [bytes([j]) for j in range(1 << min_code_size)] + [b"", b""]
+        _LZW_DEC_BASE[min_code_size] = base
+    return base
+
 
 def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     """GIF-variant LZW compression of an index stream (encoder side of
@@ -941,9 +968,10 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
             bitbuf >>= 8
             bitcnt -= 8
 
+    base = _lzw_enc_base(min_code_size)
+
     def fresh() -> tuple[dict[bytes, int], int, int]:
-        table = {bytes([j]): j for j in range(1 << min_code_size)}
-        return table, eoi + 1, min_code_size + 1
+        return dict(base), eoi + 1, min_code_size + 1
 
     table, next_code, width = fresh()
     emit(clear, width)
@@ -975,11 +1003,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     LSB-first variable-width codes, CLEAR/EOI handling, width bump at
     table size 2^width, and the KwKwK self-reference case."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = _lzw_dec_base(min_code_size)
 
     def fresh() -> tuple[list[bytes], int]:
-        return [bytes([j]) for j in range(1 << min_code_size)] + [b"", b""], (
-            min_code_size + 1
-        )
+        return list(base), min_code_size + 1
 
     table, width = fresh()
     out = bytearray()
@@ -2392,7 +2419,19 @@ def dhash_ppm(
 
 def _passthrough_cols(passthrough: str) -> list[str]:
     """Column names of a ``passthrough`` schema fragment
-    ("width int, height int" -> ["width", "height"])."""
+    ("width int, height int" -> ["width", "height"]).
+
+    The fragment is split on commas, so comma-bearing complex types
+    ("m map<int,int>") would mis-parse into phantom columns and fail
+    later with an opaque Arrow/schema error — raise here instead with
+    the real reason (ADVICE r14). Every current passthrough is flat
+    ints; a future complex column should extend this to a proper
+    DDL parse (pyspark.sql.types._parse_datatype_string)."""
+    if "<" in passthrough:
+        raise ValueError(
+            "passthrough schema fragments must use flat types (complex "
+            f"types would mis-split on commas): {passthrough!r}"
+        )
     return [c.split()[0] for c in passthrough.split(",") if c.strip()]
 
 
@@ -3079,42 +3118,80 @@ def multimodal_dedup_report(
     radius; see each cluster function's docstring).
 
     Scale: four independent bounded pipelines (no cross-modality
-    join); each aggregate is single-row, combined by broadcast-sized
-    cross joins. Cache contract (caller-owned): one fingerprint + one
-    rep frame persist per modality, same as the cluster functions.
+    join). Cache contract (caller-owned): one fingerprint + one rep
+    frame persist per modality, same as the cluster functions.
+
+    Batched labeling + aggregation (OPTIMIZATION_r15, guide §1.2 —
+    fewer driver actions / stage submissions, values unchanged): the
+    r14 shape ran FOUR independent star-CC invocations (each an eager
+    checkpoint + count + labeling job) and EIGHT single-row aggregates
+    glued by cross joins. The four rep-pair graphs are disjoint by
+    construction (components never cross modalities), so one CC over
+    the tag-encoded union labels all four at once: rep ids are encoded
+    ``rep_id * 4 + modality`` (shiftleft — exact integer arithmetic,
+    monotone per modality, so the component MINIMUM of an encoded
+    graph is the encoding of the per-modality minimum and the decode
+    ``shiftright(label, 2)`` recovers exactly the per-modality
+    cluster_id the separate runs produced), and the per-modality
+    stats/fingerprint aggregates become two tag-keyed groupBys + one
+    5-row join instead of eight aggregates + four cross joins.
     """
-    from .dedup import _simhash_bands_md5
+    from .dedup import _simhash_bands_md5, connected_components_star
 
-    def _one(name: str, fps: DataFrame, max_hamming: int) -> DataFrame:
-        fps = fps.persist()
-        labels = _phash_cluster_labels(fps, max_hamming)
-        stats = labels.agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
-            F.sum((F.col("n_members") > 1).cast("long")).alias("n_dup_docs"),
-            F.max("n_members").cast("long").alias("max_cluster_size"),
-        )
-        nfp = fps.agg(
-            F.countDistinct("band0", "band1", "band2", "band3")
-            .cast("long")
-            .alias("n_distinct_fp")
-        )
-        return stats.crossJoin(nfp).select(
-            F.lit(name).alias("modality"),
-            "n_docs",
-            "n_distinct_fp",
-            "n_clusters",
-            "n_dup_docs",
-            "max_cluster_size",
-        )
-
-    parts = [
-        _one("text", _simhash_bands_md5(documents, n_bits=128), text_max_hamming),
-        _one("image", dhash_ppm(images), image_max_hamming),
-        _one("audio", afp_wav(audio), audio_max_hamming),
-        _one("video", vfp_gif(video), video_max_hamming),
+    fams = [
+        ("text", _simhash_bands_md5(documents, n_bits=128), text_max_hamming),
+        ("image", dhash_ppm(images), image_max_hamming),
+        ("audio", afp_wav(audio), audio_max_hamming),
+        ("video", vfp_gif(video), video_max_hamming),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    fps_l, reps_l, pairs_l = [], [], []
+    for i, (_name, fps, max_hamming) in enumerate(fams):
+        fps = fps.persist()
+        reps, pairs = _phash_rep_pairs(fps, max_hamming)
+        fps_l.append(fps)
+        reps_l.append(reps.persist())
+        pairs_l.append(
+            pairs.select(
+                (F.shiftleft(F.col("rep_id_a"), 2) + F.lit(i)).alias("rep_id_a"),
+                (F.shiftleft(F.col("rep_id_b"), 2) + F.lit(i)).alias("rep_id_b"),
+            )
+        )
+    union_pairs = pairs_l[0]
+    for p in pairs_l[1:]:
+        union_pairs = union_pairs.unionByName(p)
+    lab_all = connected_components_star(
+        union_pairs, id_a="rep_id_a", id_b="rep_id_b"
+    ).persist()
+    labeled = None
+    for i, (name, _fps, _h) in enumerate(fams):
+        lab_i = lab_all.filter(F.col("doc_id") % 4 == i).select(
+            F.shiftright(F.col("doc_id"), 2).alias("doc_id"),
+            F.shiftright(F.col("cluster_id"), 2).alias("cluster_id"),
+        )
+        part = _phash_label_docs(fps_l[i], reps_l[i], lab_i).withColumn(
+            "modality", F.lit(name)
+        )
+        labeled = part if labeled is None else labeled.unionByName(part)
+    stats = labeled.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum((F.col("n_members") > 1).cast("long")).alias("n_dup_docs"),
+        F.max("n_members").cast("long").alias("max_cluster_size"),
+    )
+    tagged_fps = None
+    for i, (name, _fps, _h) in enumerate(fams):
+        part = fps_l[i].withColumn("modality", F.lit(name))
+        tagged_fps = part if tagged_fps is None else tagged_fps.unionByName(part)
+    nfp = tagged_fps.groupBy("modality").agg(
+        F.countDistinct("band0", "band1", "band2", "band3")
+        .cast("long")
+        .alias("n_distinct_fp")
+    )
+    return stats.join(nfp, "modality").select(
+        "modality",
+        "n_docs",
+        "n_distinct_fp",
+        "n_clusters",
+        "n_dup_docs",
+        "max_cluster_size",
+    )
