@@ -126,6 +126,8 @@ def train_quality_classifier(
     salt: str = QCLF_SALT,
     round_decimals: int = 9,
     persist_intermediate: bool = True,
+    features: DataFrame | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Train the filter: ``iters`` full-batch balanced-logistic
     gradient rounds over [[hashed_features]]. Returns the model as
@@ -146,15 +148,36 @@ def train_quality_classifier(
     replay bit-exact to N~1e10 (drift ~1e-7 << the half-cell 5e-7),
     and costs nothing: the subsequent /N and lr multiply are exact on
     identical bits. Degenerate corpora (one class absent) fall back to
-    cw = 1.0 — unweighted descent — instead of dividing by zero."""
+    cw = 1.0 — unweighted descent — instead of dividing by zero.
+
+    ``features`` / ``labels`` (OPTIMIZATION_r15, guide §5 cache-reuse):
+    a caller that ALSO scores the same corpus (the curation pipelines,
+    the scores/auc/disagreement chain) can build [[hashed_features]] /
+    [[_labeled]] ONCE, persist them, and inject them here — training
+    then reads the shared cache instead of re-running the tokenize +
+    explode + bucket-aggregate scan it would otherwise own. Injected
+    frames must be exactly the (doc_id, b, x) / (doc_id, y) frames the
+    defaults build (both are pure per-doc maps, so a filtered slice of
+    a full-corpus frame is valid for subset training); their cache
+    lifetime belongs to the CALLER — this function persists/unpersists
+    only the frames it builds itself. Arithmetic is unchanged either
+    way."""
     spark = documents.sparkSession
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    lab = _labeled(documents)
-    feats = hashed_features(documents, buckets=buckets, salt=salt)
+    own_lab = labels is None
+    own_feats = features is None
+    lab = _labeled(documents) if own_lab else labels
+    feats = (
+        hashed_features(documents, buckets=buckets, salt=salt)
+        if own_feats
+        else features
+    )
     if persist_intermediate:
-        lab = lab.persist()
-        feats = feats.persist()
+        if own_lab:
+            lab = lab.persist()
+        if own_feats:
+            feats = feats.persist()
     # balanced class weights from ONE broadcast single-row total (A6
     # idiom); exact integer divisions, bit-identical across engines
     tot = lab.agg(
@@ -195,10 +218,14 @@ def train_quality_classifier(
     # cached label/feature frames are dead the moment the loop ends —
     # release them here or a session registering all five classifier
     # queries accumulates 2 corpus-sized cache entries per call
-    # (code-review r12)
+    # (code-review r12). Injected frames are the caller's cache, not
+    # ours to drop (the whole point of injecting is reuse after
+    # training).
     if persist_intermediate:
-        lab.unpersist()
-        feats.unpersist()
+        if own_lab:
+            lab.unpersist()
+        if own_feats:
+            feats.unpersist()
     return w.select(F.col("b").alias("bucket"), F.col("w").alias("weight"))
 
 
@@ -266,13 +293,23 @@ def score_quality(
     buckets: int = QCLF_BUCKETS,
     salt: str = QCLF_SALT,
     round_decimals: int = 9,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents with a trained model: (doc_id, score,
     predicted). Pure map + one broadcast join of the
     (buckets + 2)-row model + one doc-keyed aggregate — the shape that
     lets the trained filter run over each new 100 TB crawl shard
-    without touching the training corpus."""
-    feats = hashed_features(documents, buckets=buckets, salt=salt)
+    without touching the training corpus.
+
+    ``features``: inject a pre-built (persisted) [[hashed_features]]
+    frame to skip the tokenize scan — the train-then-score reuse
+    described on [[train_quality_classifier]]. Must be the exact
+    feature frame of ``documents``; cache lifetime is the caller's."""
+    feats = (
+        hashed_features(documents, buckets=buckets, salt=salt)
+        if features is None
+        else features
+    )
     w = weights.select(F.col("bucket").alias("b"), F.col("weight").alias("w"))
     margins = (
         feats.join(F.broadcast(w), "b")

@@ -594,9 +594,36 @@ def _curation_stages(
     )
     from .sampling import dsir_sample, train_val_test_split
 
+    # Stage boundaries are EAGER localCheckpoints, not persists
+    # (OPTIMIZATION_r15, guide §3.3/§5 — the r14 PCA lesson applied to
+    # this chain): a persist caches the DATA but leaves the LOGICAL
+    # plan intact, so each of the many downstream consumers (the
+    # banded minhash join family, the CC edge build, the survivor
+    # join, the posting self-join, the DSIR scan, three BPE
+    # consumers) re-analyzed the entire accumulated prefix — measured
+    # ABAB at sf0.1: v3 median 11.6 s (persist) vs 9.9 s (checkpoint),
+    # with the checkpoint arm visibly tighter because the repeated
+    # analyzer work, not the data, was the variance. The materialized
+    # bytes are IDENTICAL to the persist arm (same frames, same
+    # moment); what changes is lineage truncation — the documented
+    # trade (executor loss here means recompute-from-scratch; at
+    # 100 TB the docstring's parquet materialization between stages is
+    # the durable form of the same boundary). Values unchanged.
+    # SPARK_GRAFT_CURATION_CKPT=off restores the persist form (A/B
+    # escape hatch, the SPARK_GRAFT_LOOP_PIN pattern).
+    import os
+
+    _ckpt = os.environ.get(
+        "SPARK_GRAFT_CURATION_CKPT", "on"
+    ).lower() not in ("off", "0", "false")
+
+    def _stage(df: DataFrame) -> DataFrame:
+        if not persist_intermediate:
+            return df
+        return df.localCheckpoint(eager=True) if _ckpt else df.persist()
+
     cols = ["doc_id", "text", "lang", "source"]
-    if persist_intermediate:
-        quality = quality.persist()
+    quality = _stage(quality)
     pairs = minhash_lsh_pairs(
         quality, hash_family="md5", persist_intermediate=persist_intermediate
     )
@@ -609,29 +636,79 @@ def _curation_stages(
     # the broadcast size ceiling exactly at the scale this pipeline
     # targets). Only picked below (<= k rows by construction) is
     # force-broadcast.
-    survivors = (
+    survivors = _stage(
         quality.join(comp, "doc_id", "left")
         .filter(
             F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
         )
         .select(*cols)
     )
-    if persist_intermediate:
-        survivors = survivors.persist()
     split = train_val_test_split(survivors, "doc_id")
     contaminated = cross_split_contamination(survivors).filter(
         F.col("contamination_ratio") >= contamination_threshold
     )
-    train_clean = (
+    train_clean = _stage(
         split.filter(F.col("split") == "train")
         .join(contaminated.select("doc_id"), "doc_id", "left_anti")
         .select(*cols)
     )
-    if persist_intermediate:
-        train_clean = train_clean.persist()
     picked = dsir_sample(train_clean, k=k)
     selected = train_clean.join(F.broadcast(picked.select("doc_id")), "doc_id")
+    # Eager checkpoint at the k-row boundary (OPTIMIZATION_r15, guide
+    # §3.3/§5 — the r14 PCA lesson applied to this chain): ``selected``
+    # is <= k rows BY CONSTRUCTION (the DSIR top-k), but its logical
+    # plan is the ENTIRE pipeline prefix (gate -> minhash/CC dedup ->
+    # split -> decontaminate -> resample), and the BPE stage consumes
+    # it three times (round-0 vocabulary collapse, encode pass, pack
+    # join) with per-round analyzer passes on top — each re-analyzing
+    # the full prefix. Truncating to a k-row leaf here makes every
+    # downstream analysis O(k); values unchanged (the checkpoint
+    # materializes exactly the rows the first BPE action materialized
+    # anyway). At 100 TB k stays human-scale (the resample target), so
+    # the single-node materialization this implies is free. Same
+    # SPARK_GRAFT_CURATION_CKPT=off hatch as the stage boundaries.
+    if _ckpt:
+        selected = selected.localCheckpoint(eager=True)
     return pack_chunks_bpe(selected, rounds=rounds, budget=budget)
+
+
+def _trained_keep_set(
+    documents: DataFrame, persist_intermediate: bool = True
+) -> DataFrame:
+    """The trained-classifier gate shared by v4/v5/v6: train the
+    hashed-BoW filter on the full corpus against the heuristic teacher,
+    score the same corpus, return the keep set (doc_id of every
+    predicted-quality document).
+
+    One feature frame (OPTIMIZATION_r15, guide §5): training and
+    scoring both consume [[classifier.hashed_features]] of the SAME
+    corpus, so the frame is built once, persisted, and injected into
+    both passes — the r14 shape re-ran the full tokenize + explode +
+    bucket-aggregate scan for scoring right after training unpersisted
+    it. Values are unchanged (the injected frame IS what both passes
+    built independently). Cache contract (caller-owned, the
+    perceptual-family posture): the feature cache lives until the
+    session drops it — the pipelines' own persisted stages already
+    follow this contract."""
+    from .classifier import (
+        hashed_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    feats = hashed_features(documents)
+    if persist_intermediate:
+        feats = feats.persist()
+    wts = train_quality_classifier(
+        documents,
+        persist_intermediate=persist_intermediate,
+        features=feats,
+    )
+    return (
+        score_quality(documents, wts, features=feats)
+        .filter(F.col("predicted"))
+        .select("doc_id")
+    )
 
 
 def curation_pipeline_v4(
@@ -665,17 +742,8 @@ def curation_pipeline_v4(
     The scored keep set grows O(N) with the corpus, so the gate join
     stays the planner's choice — same posture as the dup-component
     map below it (NEVER force-broadcast a corpus-fraction frame)."""
-    from .classifier import score_quality, train_quality_classifier
-
     cols = ["doc_id", "text", "lang", "source"]
-    wts = train_quality_classifier(
-        documents, persist_intermediate=persist_intermediate
-    )
-    keep = (
-        score_quality(documents, wts)
-        .filter(F.col("predicted"))
-        .select("doc_id")
-    )
+    keep = _trained_keep_set(documents, persist_intermediate)
     quality = documents.join(keep, "doc_id").select(*cols)
     return _curation_stages(
         quality,
@@ -934,18 +1002,10 @@ def curation_pipeline_v5(
     its caption's quality — and the survivor choice must not change
     when the classifier retrains).
     """
-    from .classifier import score_quality, train_quality_classifier
     from .multimodal import perceptual_dup_drops, ppm_table
 
     cols = ["doc_id", "text", "lang", "source"]
-    wts = train_quality_classifier(
-        documents, persist_intermediate=persist_intermediate
-    )
-    keep = (
-        score_quality(documents, wts)
-        .filter(F.col("predicted"))
-        .select("doc_id")
-    )
+    keep = _trained_keep_set(documents, persist_intermediate)
     media = ppm_table(
         documents.filter(F.col("doc_id") % payload_mod == 0)
     )
@@ -997,7 +1057,6 @@ def curation_pipeline_v6(
     independent of the text verdict — the survivor choice must not
     move when the classifier retrains.
     """
-    from .classifier import score_quality, train_quality_classifier
     from .multimodal import (
         audio_dup_drops,
         gif_table_animated,
@@ -1008,14 +1067,7 @@ def curation_pipeline_v6(
     )
 
     cols = ["doc_id", "text", "lang", "source"]
-    wts = train_quality_classifier(
-        documents, persist_intermediate=persist_intermediate
-    )
-    keep = (
-        score_quality(documents, wts)
-        .filter(F.col("predicted"))
-        .select("doc_id")
-    )
+    keep = _trained_keep_set(documents, persist_intermediate)
     m = F.col("doc_id") % modality_mod
     drops = (
         perceptual_dup_drops(

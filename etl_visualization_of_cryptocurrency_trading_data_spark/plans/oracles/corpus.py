@@ -576,16 +576,35 @@ def q_quality_classifier_scores(spark, sf_dir):
     disagreement is visible in the row itself."""
     from pyspark.sql import functions as F
 
-    from ...operators.text import with_quality
-
     docs = _documents(spark, sf_dir)
     split = sampling.train_val_test_split(docs, "doc_id")
-    train = split.filter(F.col("split") == "train").drop("split")
-    wts = classifier.train_quality_classifier(train)
-    scored = classifier.score_quality(docs, wts)
-    lab = with_quality(docs).select(
-        "doc_id", F.col("is_quality").alias("label")
+    # One feature/label build for train AND score (OPTIMIZATION_r15,
+    # guide §5): features and teacher labels are pure per-doc maps, so
+    # the train-split frames are FILTERED SLICES of the full-corpus
+    # frames (the split is a pure function of doc_id) — build each
+    # once, persist, slice for training, score from the full cache.
+    # The r14 shape ran the tokenize scan four times (train feats,
+    # train labels, score feats, label join). Values unchanged.
+    feats_all = classifier.hashed_features(docs).persist()
+    lab_all = classifier._labeled(docs).persist()
+    feats_train = (
+        sampling.train_val_test_split(feats_all, "doc_id")
+        .filter(F.col("split") == "train")
+        .drop("split")
     )
+    lab_train = (
+        sampling.train_val_test_split(lab_all, "doc_id")
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    wts = classifier.train_quality_classifier(
+        docs, features=feats_train, labels=lab_train
+    )
+    scored = classifier.score_quality(docs, wts, features=feats_all)
+    # the teacher label for every SCORED doc (scored rows exist only
+    # for >=1-token docs, exactly _labeled's population, so the inner
+    # join against lab_all is row-identical to the with_quality join)
+    lab = lab_all.select("doc_id", F.col("y").alias("label"))
     return (
         scored.join(lab, "doc_id")
         .join(split.select("doc_id", "split"), "doc_id")
