@@ -528,6 +528,28 @@ def _drain_spool(query, spool: str, what: str, timeout_s: int) -> None:
         raise TimeoutError(f"{what} replay did not finish in {timeout_s}s")
 
 
+def _sentinel_frame(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """One-partition local PRICE_SCHEMA frame for spool sentinels
+    (OPTIMIZATION_r15, guide §4 — the Python boundary in an unexpected
+    place): ``createDataFrame(list-of-tuples)`` parallelizes the rows
+    over ``defaultParallelism`` PYTHON-RDD slices, so the
+    ``coalesce(1)`` the one-file spool write needs makes a single task
+    iterate all 32 slices SEQUENTIALLY, paying one Python-worker
+    round-trip per slice — measured 5.2 s to write a ONE-ROW sentinel
+    at local[32], the single largest fixed cost in every spool replay.
+    The pandas+Arrow path materializes the same rows as ONE JVM
+    partition (measured 0.5 s, values identical — both paths convert
+    naive timestamps via the UTC session zone)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["coin_id", "exchange", "timestamp", "price", "volume"]
+        ),
+        schema=PRICE_SCHEMA,
+    )
+
+
 def _spool_with_sentinel(spark: SparkSession, real: DataFrame, max_ts, prefix: str) -> str:
     """Spool a price feed to a flat parquet dir plus one far-future
     sentinel tick (+72 h): the sentinel advances the final watermark
@@ -540,9 +562,9 @@ def _spool_with_sentinel(spark: SparkSession, real: DataFrame, max_ts, prefix: s
 
     spool = tempfile.mkdtemp(prefix=prefix)
     real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
-    sentinel = spark.createDataFrame(
+    sentinel = _sentinel_frame(
+        spark,
         [("__sentinel__", "__sentinel__", max_ts + timedelta(hours=72), 0.0, 0.0)],
-        PRICE_SCHEMA,
     )
     sentinel.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(spool, "sentinel")
@@ -918,9 +940,9 @@ def recovery_stream_replay(
     real.filter(F.col("timestamp") <= mid).coalesce(2).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, "wave1"))
-    sentinel = spark.createDataFrame(
+    sentinel = _sentinel_frame(
+        spark,
         [("__sentinel__", "__sentinel__", bounds.hi + timedelta(hours=72), 0.0, 0.0)],
-        PRICE_SCHEMA,
     )
     real.filter(F.col("timestamp") > mid).unionByName(sentinel).coalesce(
         2
@@ -1084,9 +1106,9 @@ def late_drop_stream_replay(
         real.filter(F.col("timestamp") < first_hour_end)
         .withColumn("price", F.lit(-1_000_000.0))
     )
-    sentinel = spark.createDataFrame(
+    sentinel = _sentinel_frame(
+        spark,
         [("__sentinel__", "__sentinel__", bounds.hi + timedelta(hours=72), 0.0, 0.0)],
-        PRICE_SCHEMA,
     )
     sabotage.unionByName(sentinel).coalesce(2).write.mode("overwrite").parquet(
         os.path.join(root, "wave2")
@@ -1312,12 +1334,12 @@ def spread_outer_stream_replay(
     spool = tempfile.mkdtemp(prefix="spread_outer_replay_")
     real.coalesce(4).write.mode("overwrite").parquet(os.path.join(spool, "feed"))
     far = max_ts + timedelta(hours=72)
-    sentinel = spark.createDataFrame(
+    sentinel = _sentinel_frame(
+        spark,
         [
             ("sentinel_C999999", exchange_a, far, 0.0, 0.0),
             ("sentinel_C999999", exchange_b, far, 0.0, 0.0),
         ],
-        PRICE_SCHEMA,
     )
     sentinel.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(spool, "sentinel")
