@@ -487,11 +487,20 @@ class _stream_shuffle_pin:
     derived value while a replay query starts and drains (the stream's
     cloned session captures the conf at start), restore on exit. The
     replay builders are sequential (bench/driver/pytest), so the
-    session-global conf write cannot race another query."""
+    session-global conf write cannot race another query.
 
-    def __init__(self, spark: SparkSession, partitions: int) -> None:
+    Also pins ``spark.sql.streaming.minBatchesToRetain`` to 2 for the
+    drain (OPTIMIZATION_r15, measured ~4% on the 36-trigger restfeed
+    replay): the default 100 sizes state-store version retention for
+    mid-stream failure recovery, but every replay's checkpoint is a
+    throwaway tempdir deleted before returning — there is nothing to
+    recover, at any scale. ``partitions=None`` applies only the
+    retention pin (the drawdown replay keeps the session partition
+    count — see its call site)."""
+
+    def __init__(self, spark: SparkSession, partitions: int | None) -> None:
         self._spark = spark
-        self._n = int(partitions)
+        self._n = None if partitions is None else int(partitions)
 
     def __enter__(self) -> None:
         # The pin relies on the sequential-callers invariant: a second
@@ -509,11 +518,23 @@ class _stream_shuffle_pin:
                 "them — run replays sequentially or move the pin to a "
                 "cloned session"
             )
-        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
-        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        self._saved: dict[str, str | None] = {}
+        pins = {"spark.sql.streaming.minBatchesToRetain": "2"}
+        if self._n is not None:
+            pins["spark.sql.shuffle.partitions"] = str(self._n)
+        for key, val in pins.items():
+            try:
+                self._saved[key] = self._spark.conf.get(key)
+            except Exception:  # noqa: BLE001 — unset restores to unset
+                self._saved[key] = None
+            self._spark.conf.set(key, val)
 
     def __exit__(self, *exc) -> None:
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        for key, val in self._saved.items():
+            if val is None:
+                self._spark.conf.unset(key)
+            else:
+                self._spark.conf.set(key, val)
 
 
 def _drain_spool(query, spool: str, what: str, timeout_s: int) -> None:
@@ -1306,16 +1327,17 @@ def drawdown_stream_replay(
     # replays' stateful operators are JVM aggregates/joins, where the
     # derived count only removes task overhead.
     try:
-        query = (
-            stateful_drawdown(stream)
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        ok = query.awaitTermination(timeout_s)
+        with _stream_shuffle_pin(spark, None):  # retention-only pin
+            query = (
+                stateful_drawdown(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            ok = query.awaitTermination(timeout_s)
         if not ok:
             query.stop()
             raise TimeoutError(
